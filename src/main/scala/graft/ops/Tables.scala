@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixture-table loaders + numeric helpers shared by the query catalog.
+  *
+  * Numeric discipline (for the DuckDB differential oracle, and for
+  * determinism on a real cluster where partition/merge order varies run to
+  * run):
+  *   - per-row arithmetic stays in IEEE doubles — bit-identical in any
+  *     engine;
+  *   - aggregation of doubles goes through `DECIMAL(18,s)` (exact,
+  *     order-independent — Spark widens the sum to DECIMAL(28,s), DuckDB to
+  *     DECIMAL(38,s)), then back to double. A plain `sum(double)` is
+  *     accumulation-order-dependent and therefore not reproducible across
+  *     partitionings, let alone engines.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The driver-generated events.parquet stores ts as TIMESTAMP(NANOS),
+    // which Spark's parquet reader rejects by default (PARQUET_TYPE_ILLEGAL).
+    // Read nanos as a long (legacy conf, runtime-settable) and convert to a
+    // microsecond timestamp — the fixture has no sub-microsecond components,
+    // and DuckDB reads the same file at microsecond precision, so the two
+    // engines agree bit-for-bit.
+    scala.util.Try(
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  /** Register all fixture tables as temp views (for spark.sql users). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Exact, order-independent sum of a double column via decimal. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact mean: decimal sum divided (in double) by the row count. */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  def dsumSql(e: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  def davgSql(e: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE) / count(*)"
+}
