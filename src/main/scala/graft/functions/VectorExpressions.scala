@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for vector similarity (SURVEY.md §2b
+  * "Similarity"; §7.3 "codegen Expression for cosine similarity").
+  *
+  * Why an Expression and not a UDF or higher-order functions: a Scala UDF
+  * boxes every float into java.lang.Float and breaks whole-stage codegen;
+  * `aggregate(zip_with(...))` builds an intermediate array per row. With
+  * `doGenCode` the dot product inlines into the generated Java of the
+  * surrounding stage — one tight primitive loop per row, no allocation.
+  * On a 100 TB ANN sweep this loop IS the workload, so it must be codegen.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  // typed as Seq[DataType] (covariant with Seq[AbstractDataType], which is
+  // not visible outside org.apache.spark.sql)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+}
+
+/** cosine(a, b) in double precision; 0.0 when either norm is zero. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "graft_cosine"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a, b) in double precision. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "graft_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column-level cosine similarity backed by the codegen expression. */
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlShim.column(CosineSimilarity(expr(a), expr(b)))
+
+  def dot(a: Column, b: Column): Column =
+    GraftSqlShim.column(DotProduct(expr(a), expr(b)))
+
+  private def expr(c: Column): Expression = GraftSqlShim.expression(c)
+
+  /** Register `graft_cosine` / `graft_dot` as SQL functions on a session
+    * (idempotent), for use from spark.sql / expr strings. */
+  def register(spark: SparkSession): Unit = {
+    GraftSqlShim.registerFunction(spark, "graft_cosine",
+      es => CosineSimilarity(es(0), es(1)))
+    GraftSqlShim.registerFunction(spark, "graft_dot",
+      es => DotProduct(es(0), es(1)))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star extension):
+  * tokenization, token counting, n-gram shingles, language-ID heuristic,
+  * quality scoring, document fingerprinting.
+  *
+  * Everything is built from codegen'd native functions (no UDFs), so these
+  * run inside whole-stage codegen over a 100 TB documents scan.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation — approximates an LLM tokenizer's pre-split. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeishPattern), lit(0)))
+
+  /** Word n-gram shingles (distinct), the unit for MinHash / Jaccard. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column = {
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+  }
+
+  // --- language ID (stopword-overlap heuristic) -----------------------
+  // Tiny per-language stopword lists; score = |tokens ∩ stopwords| /
+  // |tokens|, prediction = argmax (ties broken by language code order via
+  // struct max). This is the classic cheap n-gram/stopword LID — a real
+  // deployment would swap in fastText-style profiles, but the Spark shape
+  // (pure column expressions, broadcastable literals) is the same.
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "for", "it", "with", "as", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "del", "las", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "sich", "auf", "ist"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "est", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe", "men", "lai"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val toks = transform(tokens(text), t => lower(t))
+    val sw = array(stopwords(lang).map(lit): _*)
+    size(array_intersect(toks, sw)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Predicted language code (argmax stopword overlap; "und" if no
+    * stopword hits at all). */
+  def langId(text: Column): Column = {
+    val scored = array(stopwords.keys.toSeq.sorted.map(l =>
+      struct(langScore(text, l).as("score"), lit(l).as("lang"))): _*)
+    val best = array_max(scored)
+    when(best.getField("score") === 0.0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  // --- quality scoring ------------------------------------------------
+
+  /** Gopher-style quality components, each in [0,1]. */
+  def qualityComponents(text: Column): Seq[(String, Column)] = {
+    val ts = tokens(text)
+    val n = greatest(size(ts), lit(1)).cast("double")
+    val nonSpaceLen = greatest(length(regexp_replace(text, "\\s", "")), lit(1)).cast("double")
+    Seq(
+      // mean token length inside the "natural language" band [3, 10]
+      "word_len_ok" -> when((nonSpaceLen / n).between(3.0, 10.0), 1.0).otherwise(0.0),
+      // stopword presence: any-language stopword hit ratio, capped
+      "stopword_ratio" -> least(lit(1.0),
+        stopwords.keys.toSeq.sorted.map(l => langScore(text, l)).reduce(_ + _) * 2.0),
+      // fraction of alphabetic characters
+      "alpha_ratio" ->
+        length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+          greatest(length(text), lit(1)).cast("double"),
+      // lexical diversity: distinct tokens / tokens (low => boilerplate)
+      "distinct_ratio" -> size(array_distinct(ts)).cast("double") / n,
+      // length in a sane document band
+      "len_ok" -> when(length(text).between(20, 1000000), 1.0).otherwise(0.0))
+  }
+
+  /** Scalar quality score: mean of the components. */
+  def qualityScore(text: Column): Column = {
+    val comps = qualityComponents(text).map(_._2)
+    comps.reduce(_ + _) / comps.size
+  }
+
+  // --- fingerprinting -------------------------------------------------
+
+  /** Winnowing-style document fingerprint: minimum xxhash64 over all
+    * character k-grams — robust to reordering at the edges, cheap to
+    * compare for containment/near-equality at scale. */
+  def minHashFingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(k)))))
+
+  /** Polynomial rolling hash of the whole document (order-sensitive):
+    * h = (h*31 + code(c)) mod P with P < 2^40, so the multiply never
+    * overflows a long (Spark 4 runs ANSI arithmetic by default). */
+  def rollingHash(text: Column): Column = {
+    val P = 1099511627689L // prime < 2^40
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => pmod(h * 31L + ascii(c).cast("long"), lit(P)))
+  }
+}

@@ -1,11 +1,177 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.Tables._
 
 /** Training-data-pipeline extensions (dedup, similarity search, text
-  * analysis, multimodal) — filled in as the ops land. */
+  * analysis, multimodal) as driver-checkable queries.
+  *
+  * Oracle-covered where ANSI-SQL-expressible (exact Jaccard pairs, ANN
+  * top-k, BPE-ish token counts); heuristic/hash-internal ops (SimHash,
+  * language-ID, fingerprints) get the rows-only check plus scalatest
+  * coverage.
+  */
 object CatalogML {
   type Q = (SparkSession, String) => DataFrame
 
-  val entries: Seq[(String, Q, Option[String])] = Seq()
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // MinHash-LSH near-dup pairs, exact-verified at jaccard >= 0.7.
+    // Oracle = exact all-pairs Jaccard (runs only at verify scale);
+    // the Spark side is the LSH path whose miss probability at the
+    // threshold is ~4e-10 (see Dedup.minhashJaccardPairs).
+    ("q35_dedup_minhash", (s: SparkSession, d: String) => {
+      Dedup.minhashJaccardPairs(table(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                        FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS sh
+        |  FROM tok
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |         / CAST(len(a.sh) + len(b.sh)
+        |                - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |        / CAST(len(a.sh) + len(b.sh)
+        |               - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash near-dup pairs (hash family is engine-internal → rows-only).
+    ("q36_dedup_simhash", (s: SparkSession, d: String) => {
+      Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }, None),
+
+    // Exact ANN: top-5 cosine neighbors for the first 100 vectors.
+    // Both engines compute the cosine in double precision over the same
+    // floats; ties broken by neighbor id.
+    ("q37_ann_bruteforce", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 100)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5)
+        .orderBy("qid", "rank")
+    }, Some(
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 100),
+        |j AS (
+        |  SELECT q.qid, v.vec_id,
+        |         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                CAST(v.embedding AS DOUBLE[])) AS cos,
+        |         row_number() OVER (PARTITION BY q.qid
+        |                            ORDER BY list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                                            CAST(v.embedding AS DOUBLE[])) DESC,
+        |                                     v.vec_id ASC) AS rank
+        |  FROM q JOIN embeddings v ON v.vec_id != q.qid
+        |)
+        |SELECT qid, rank, vec_id, cos FROM j WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin)),
+
+    // Embedding near-duplicate pairs, exact all-pairs cosine >= 0.99.
+    ("q38_dedup_embedding", (s: SparkSession, d: String) => {
+      Dedup.embeddingCosinePairs(table(s, d, "embeddings"), "vec_id", "embedding", 0.99)
+        .orderBy("id_a", "id_b")
+    }, Some(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Language-ID heuristic + quality score (heuristic → rows-only; the
+    // scalatest suite pins the behavior on known inputs).
+    ("q39_text_langid", (s: SparkSession, d: String) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextOps.langId(col("text")).as("pred_lang"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }, None),
+
+    // BPE-ish token counting (regex is dialect-portable: letter runs,
+    // digit runs, single punctuation over lowercased text).
+    ("q40_text_tokens", (s: SparkSession, d: String) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("ws_tokens"),
+          TextOps.tokenCountBpeish(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id,
+         |       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS INTEGER) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprints (hash-internal → rows-only + scalatest).
+    ("q41_text_fingerprint", (s: SparkSession, d: String) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.minHashFingerprint(col("text")).as("fp_min8"),
+          TextOps.rollingHash(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
+    }, None),
+
+    // Char-n-gram Jaccard near-dup (LSH candidates; rows-only — the exact
+    // char-shingle construction isn't worth an O(n²) SQL oracle given
+    // q35 already oracle-checks the word-shingle variant end to end).
+    ("q42_dedup_ngram", (s: SparkSession, d: String) => {
+      Dedup.ngramJaccardPairs(table(s, d, "documents"), "doc_id", "text",
+          n = 5, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }, None),
+
+    // Approximate distinct (HLL sketch differs per engine → rows-only).
+    ("q43_agg_approx_distinct", (s: SparkSession, d: String) => {
+      table(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }, None),
+
+    // Multimodal: stubbed decode over binary payloads via typed
+    // mapPartitions (plumbing real, codec stubbed) → rows-only; the
+    // metadata path is oracle-checked by q34.
+    ("q44_multimodal_decode", (s: SparkSession, d: String) => {
+      Multimodal.decodeStub(s,
+          Multimodal.mediaFromDocuments(table(s, d, "documents"), "doc_id", "text"))
+        .toDF()
+        .orderBy("media_id")
+    }, None),
+
+    // Multimodal: frame sampling (binary slicing, 4 frames per payload).
+    ("q45_multimodal_frames", (s: SparkSession, d: String) => {
+      Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(table(s, d, "documents"), "doc_id", "text"), 4)
+        .select(col("media_id"), col("frame_id"),
+          length(col("frame_bytes")).as("frame_len"),
+          upper(hex(substring(col("frame_bytes"), 1, 2))).as("frame_head"))
+        .orderBy("media_id", "frame_id")
+    }, None),
+
+    // IVF approximate ANN (recall < 1 by design → rows-only; exactness is
+    // covered by q37, the scalatest suite checks recall vs brute force).
+    ("q46_ann_ivf", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTopK(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5)
+        .orderBy("qid", "rank")
+    }, None)
+  )
 }

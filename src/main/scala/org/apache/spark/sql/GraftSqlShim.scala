@@ -1,0 +1,30 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` surface (Spark 4 removed the public
+  * `new Column(expr)` constructor in the Connect refactor). Lives in the
+  * org.apache.spark.sql package solely to convert custom Catalyst
+  * expressions into Columns and to register them as SQL functions on an
+  * already-built session (the driver hands us its session, so
+  * SparkSessionExtensions at build time is not an option).
+  */
+object GraftSqlShim {
+
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst expression. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Register (idempotently) a temp SQL function backed by an expression
+    * builder on the given session. */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
