@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Tables.dsum
+
+/** Streaming operator surface (SURVEY.md §2b streaming rows): windowed
+  * aggregations with watermarks, streaming dedup, arbitrary stateful
+  * processing, stream-static joins.
+  *
+  * These are thin, tested builders over Structured Streaming — the
+  * operators themselves are Catalyst-planned and state-store-backed, so
+  * they scale with shuffle partitions; the builders pin the semantics
+  * (watermark column, gap, output mode) in one place.
+  */
+object StreamOps {
+
+  /** Tumbling event-time counts per key with late-data eviction. */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("n"), col("sum_value"))
+
+  /** Session windows per key (gap-based) with watermark. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col(keyCol), col("n"))
+
+  /** Streaming dedup on an id column; watermark bounds the dedup state —
+    * this is the reference's at-least-once upgraded to effective-once
+    * (SURVEY.md §2b "Streaming dedup"). */
+  def dedupped(events: DataFrame, tsCol: String, idCol: String,
+               watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(idCol, tsCol)
+
+  /** Stream-static enrichment join (dimension broadcast per microbatch). */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+             dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+
+  // --- arbitrary stateful processing (SURVEY.md §2a #14 user flow) -----
+
+  case class UserRunningState(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Per-key running aggregate via mapGroupsWithState — the generalized
+    * "user flow with state" that the reference routes through a
+    * user-supplied Akka Flow. ProcessingTimeTimeout keeps state bounded
+    * in real deployments; test harnesses use NoTimeout. */
+  def runningUserState(spark: SparkSession,
+                       events: Dataset[(Long, Double)]): Dataset[UserRunningState] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserRunningState(userId,
+            prev.nEvents + batch.size,
+            prev.totalValue + batch.map(_._2).sum)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOfJoin, Dedup, Similarity, TextOps}
+import graft.functions.VectorFunctions
+
+/** Unit semantics for the analytics/ML ops on small hand-built inputs. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join picks the latest right row at or before the left time") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (10L, 200L, "b2"), (20L, 60L, "c"))
+      .toDF("rkey", "rt", "payload")
+    val out = AsOfJoin.asof(left, right, "key", "rkey", "t", "rt",
+        Seq("payload"), rightTieBreak = Some("payload"))
+      .select("id", "payload").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("a"))   // rt=100 <= t=100 (inclusive)
+    assert(out(2L).contains("b2"))  // tie at rt=200 → max tie-break
+    assert(out(3L).isEmpty)         // no right row at or before t=50
+  }
+
+  test("cosine expression matches the HOF formulation and handles zero vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        VectorFunctions.cosine(col("a"), col("b")).as("expr_cos"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof_cos"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L)._1 == 0.0)
+    assert(math.abs(rows(2L)._1 - 1.0) < 1e-12)
+    assert(rows(3L)._1 == 0.0, "zero vector → 0.0, not NaN")
+    rows.values.foreach { case (e, h) => assert(math.abs(e - h) < 1e-12) }
+  }
+
+  test("brute-force topK returns the true nearest neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("lsh cosine pairs finds planted near-duplicates") {
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val far = Array.tabulate(64)(i => math.cos(i * 3).toFloat)
+    val df = Seq((0L, base), (1L, nearDup), (2L, far)).toDF("id", "vec")
+    val pairs = Similarity.lshCosinePairs(df, "id", "vec", threshold = 0.99, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("exact dedup keeps one representative per identical text") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash-LSH finds high-jaccard pairs and skips low ones") {
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY" // ~0.9 jaccard
+    val c = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts collide, dissimilar texts are far") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "entirely different content about spark aggregation plans"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is warm"),
+      (2L, "el gato que corre en la casa y el perro"),
+      (3L, "der hund und die katze in das haus"),
+      (4L, "xyzzy qwerty plugh")) // no stopwords at all
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "es")
+    assert(out(3L) == "de"); assert(out(4L) == "und")
+  }
+
+  test("quality score separates natural text from garbage") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs into the field with joy"),
+      (2L, "@@@@ #### $$$$ 1234 !!!! %%%% ^^^^ &&&&"))
+      .toDF("doc_id", "text")
+    val q = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) > 0.7 && q(2L) < 0.65 && q(1L) > q(2L) + 0.15,
+      s"expected separation, got $q")
+  }
+
+  test("fingerprints are deterministic and order-sensitive") {
+    val docs = Seq((1L, "abc def"), (2L, "abc def"), (3L, "def abc"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), TextOps.rollingHash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("ivf topK recall vs brute force on the fixture embeddings") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5,
+        nlist = 8, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall collapsed: $recall")
+  }
+}
