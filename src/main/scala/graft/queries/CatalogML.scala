@@ -94,7 +94,7 @@ object CatalogML {
     // Language-ID heuristic + quality score (heuristic → rows-only; the
     // scalatest suite pins the behavior on known inputs).
     ("q39_text_langid", (s: SparkSession, d: String) => {
-      table(s, d, "documents")
+      spread(table(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           TextOps.langId(col("text")).as("pred_lang"),
           TextOps.qualityScore(col("text")).as("quality"))
@@ -104,7 +104,7 @@ object CatalogML {
     // BPE-ish token counting (regex is dialect-portable: letter runs,
     // digit runs, single punctuation over lowercased text).
     ("q40_text_tokens", (s: SparkSession, d: String) => {
-      table(s, d, "documents")
+      spread(table(s, d, "documents"), "doc_id")
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("ws_tokens"),
           TextOps.tokenCountBpeish(col("text")).as("bpeish_tokens"))
@@ -117,7 +117,7 @@ object CatalogML {
 
     // Document fingerprints (hash-internal → rows-only + scalatest).
     ("q41_text_fingerprint", (s: SparkSession, d: String) => {
-      table(s, d, "documents")
+      spread(table(s, d, "documents"), "doc_id")
         .select(col("doc_id"),
           TextOps.minHashFingerprint(col("text")).as("fp_min8"),
           TextOps.rollingHash(col("text")).as("fp_roll"))
@@ -147,7 +147,8 @@ object CatalogML {
     // metadata path is oracle-checked by q34.
     ("q44_multimodal_decode", (s: SparkSession, d: String) => {
       Multimodal.decodeStub(s,
-          Multimodal.mediaFromDocuments(table(s, d, "documents"), "doc_id", "text"))
+          Multimodal.mediaFromDocuments(spread(table(s, d, "documents"), "doc_id"),
+            "doc_id", "text"))
         .toDF()
         .orderBy("media_id")
     }, None),
