@@ -163,6 +163,32 @@ object CatalogML {
         .orderBy("media_id", "frame_id")
     }, None),
 
+    // UDAF surface: typed Aggregator (vector centroid per label). Float
+    // mean values are partition-order-dependent in the last ulp (like any
+    // distributed float mean) → deterministic outputs only (counts/dims)
+    // plus rows-only check; exact semantics pinned in FunctionsSpec.
+    ("q47_udaf_centroid", (s: SparkSession, d: String) => {
+      graft.functions.GraftAggregators.register(s)
+      table(s, d, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(
+        """SELECT label, count(*) AS n_vectors,
+          |       size(graft_centroid(embedding)) AS centroid_dim
+          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+    }, Some(
+      """SELECT label, count(*) AS n_vectors,
+        |       CAST(len(embedding) AS INTEGER) AS centroid_dim
+        |FROM embeddings GROUP BY label, len(embedding) ORDER BY label""".stripMargin)),
+
+    // UDF surface: scalar entropy quality signal (UDF by necessity —
+    // data-dependent control flow; deterministic per row but kept
+    // rows-only since no SQL-expressible oracle).
+    ("q48_text_entropy", (s: SparkSession, d: String) => {
+      graft.functions.GraftUdfs.register(s)
+      spread(table(s, d, "documents"), "doc_id")
+        .selectExpr("doc_id", "graft_char_entropy(text) AS entropy_bits")
+        .orderBy("doc_id")
+    }, None),
+
     // IVF approximate ANN (recall < 1 by design → rows-only; exactness is
     // covered by q37, the scalatest suite checks recall vs brute force).
     ("q46_ann_ivf", (s: SparkSession, d: String) => {

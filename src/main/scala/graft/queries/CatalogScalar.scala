@@ -139,12 +139,15 @@ object CatalogScalar {
     // /root/reference/README.md:36-39): from_json is the schema-on-read
     // path, get_json_object the ad-hoc path.
     ("q26_scalar_json", (s: SparkSession, d: String) => {
+      // one schema-on-read parse per row (subexpression-eliminated across
+      // the three outputs) instead of three independent JSON scans
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
       table(s, d, "events")
         .select(col("event_id"), col("props"),
-          get_json_object(col("props"), "$.k").as("k_str"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").as("k_parsed"),
+          k.cast("string").as("k_str"),
+          k.as("k_int"),
+          k.as("k_parsed"),
           col("props").like("%\"k\"%").as("has_k"))
         .orderBy("event_id")
     }, Some(

@@ -75,4 +75,33 @@ object StreamOps {
           next
       }
   }
+
+  case class ThresholdAlert(userId: Long, crossedAt: Long, total: Double)
+
+  /** flatMapGroupsWithState: emit zero-or-more outputs per key per batch —
+    * here, an alert each time a user's running total crosses a multiple
+    * of `step`. The 0..n output arity is what mapGroupsWithState cannot
+    * express (SURVEY.md §2b "Arbitrary stateful op"). */
+  def thresholdAlerts(spark: SparkSession, events: Dataset[(Long, Double)],
+                      step: Double): Dataset[ThresholdAlert] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          val alerts = scala.collection.mutable.ListBuffer[ThresholdAlert]()
+          rows.foreach { case (_, v) =>
+            val before = total
+            total += v
+            var k = (before / step).toLong + 1
+            while (k <= (total / step).toLong) {
+              alerts += ThresholdAlert(userId, k, total)
+              k += 1
+            }
+          }
+          state.update(total)
+          alerts.iterator
+      }
+  }
 }

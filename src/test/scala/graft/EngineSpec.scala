@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+
+import graft.connector.FileTopicSource
+import graft.delivery.Supervision
+import graft.engine.GraftEngine
+import graft.model.ClientConfig
+
+import scala.concurrent.duration._
+
+/** Engine registry (eager topic subscriptions) + backoff supervision. */
+class EngineSpec extends SparkSpec {
+
+  test("topic registry starts registered subscriptions and processes data") {
+    val dir = Files.createTempDirectory("graft-engine").toString
+    graft.ops.Tables.table(spark, sf, "events")
+      .write.mode("overwrite").parquet(s"$dir/topic")
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val registry = new GraftEngine.TopicRegistry(spark, s"$dir/ckpt")
+    registry.register(GraftEngine.Subscription(
+      source = FileTopicSource("events", s"$dir/topic",
+        schema = graft.ops.Tables.table(spark, sf, "events").schema),
+      groupId = "engine-test",
+      transform = df => df.filter(col("event_type") === "click"),
+      process = (batch, _) => seen.add(batch.count())))
+    val queries = registry.startAll()
+    assert(queries.size == 1)
+    queries.foreach(_.awaitTermination()) // AvailableNow drains and stops
+    registry.stopAll()
+    import scala.jdk.CollectionConverters._
+    assert(seen.size() >= 1 && seen.asScala.sum > 0,
+      "click events must have been processed")
+  }
+
+  test("backoff supervision restarts a failing query with growing delays") {
+    val dir = Files.createTempDirectory("graft-sup").toString
+    graft.ops.Tables.table(spark, sf, "region")
+      .write.mode("overwrite").parquet(s"$dir/topic")
+    val delays = scala.collection.mutable.ListBuffer[Long]()
+    @volatile var failures = 2
+    val restarts = Supervision.superviseSync(
+        ClientConfig(None, None, None, None,
+          minBackoff = 10.millis, maxBackoff = 80.millis),
+        maxRestarts = 5,
+        sleeper = d => delays += d)(() =>
+      graft.delivery.Delivery.atLeastOnce(
+        spark.readStream
+          .schema(graft.ops.Tables.table(spark, sf, "region").schema)
+          .parquet(s"$dir/topic"),
+        "sup-test", s"$dir/ckpt-${System.nanoTime()}") { (batch, _) =>
+        if (failures > 0) { failures -= 1; sys.error("boom") }
+        batch.count()
+      })
+    assert(restarts == 2, s"expected 2 restarts, got $restarts")
+    assert(delays.size == 2 && delays(1) >= delays.head,
+      s"backoff must not shrink: $delays")
+  }
+
+  test("nextBackoff follows min * 2^attempt capped at max") {
+    val cfg = ClientConfig(None, None, None, None,
+      minBackoff = 3.seconds, maxBackoff = 30.seconds, randomFactor = 0.0)
+    val rnd = new scala.util.Random(1)
+    assert(Supervision.nextBackoff(cfg, 0, rnd) == 3.seconds)
+    assert(Supervision.nextBackoff(cfg, 1, rnd) == 6.seconds)
+    assert(Supervision.nextBackoff(cfg, 2, rnd) == 12.seconds)
+    assert(Supervision.nextBackoff(cfg, 5, rnd) == 30.seconds) // capped
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.{GraftAggregators, GraftUdfs, VectorFunctions}
+import graft.streaming.StreamOps
+
+/** UDF/UDAF surface + flatMapGroupsWithState + SQL function registration. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VectorCentroid aggregator computes per-group elementwise means") {
+    GraftAggregators.register(spark)
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
+      (1, Array(10.0f, 20.0f)))
+      .toDF("label", "embedding")
+    df.createOrReplaceTempView("vecs")
+    val out = spark.sql(
+        "SELECT label, graft_centroid(embedding) AS c FROM vecs GROUP BY label")
+      .as[(Int, Array[Float])].collect().toMap
+    assert(out(0).toSeq == Seq(2.0f, 3.0f))
+    assert(out(1).toSeq == Seq(10.0f, 20.0f))
+  }
+
+  test("charEntropy UDF: uniform strings high, constant strings zero") {
+    GraftUdfs.register(spark)
+    val out = Seq(("aaaa", 1), ("abcd", 2)).toDF("s", "id")
+      .selectExpr("id", "graft_char_entropy(s) AS e")
+      .as[(Int, Double)].collect().toMap
+    assert(out(1) == 0.0)
+    assert(math.abs(out(2) - 2.0) < 1e-12) // 4 distinct chars → 2 bits
+  }
+
+  test("graft_cosine SQL registration works through spark.sql") {
+    VectorFunctions.register(spark)
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .createOrReplaceTempView("cos_in")
+    val c = spark.sql("SELECT graft_cosine(a, b) AS c FROM cos_in").as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("flatMapGroupsWithState emits an alert per threshold crossing") {
+    val input = MemoryStream[(Long, Double)](20, spark, None)
+    val q = StreamOps.thresholdAlerts(spark, input.toDS(), step = 10.0)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, 6.0), (1L, 5.0)) // crosses 10
+    q.processAllAvailable()
+    input.addData((1L, 25.0))           // crosses 20 and 30
+    q.processAllAvailable(); q.stop()
+    val crossings = spark.table("alerts").select("crossedAt").as[Long].collect().sorted
+    assert(crossings.toSeq == Seq(1L, 2L, 3L))
+  }
+}
