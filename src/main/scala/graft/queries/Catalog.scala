@@ -13,7 +13,8 @@ object Catalog {
   type Q = (SparkSession, String) => DataFrame
 
   def entries: Seq[(String, Q, Option[String])] =
-    CatalogCore.entries ++ CatalogScalar.entries ++ CatalogML.entries
+    CatalogCore.entries ++ CatalogScalar.entries ++ CatalogSql.entries ++
+      CatalogML.entries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => (e._1, e._2)).toMap
