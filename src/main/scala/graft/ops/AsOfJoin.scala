@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
 
 /** Event-time as-of join (SURVEY.md §2b "As-of join").
   *
@@ -54,5 +56,32 @@ object AsOfJoin {
       .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__matched.$c").as(c)): _*)
+  }
+
+  /** Same semantics via the custom whole-operator path: a native
+    * [[graft.plans.AsOfJoinPlan]] logical node planned by
+    * [[graft.plans.AsOfJoinStrategy]] into a co-partitioned sort-merge
+    * `AsOfJoinExec` (O(1) state per partition, no window operator).
+    * The strategy is injected at runtime via experimental.extraStrategies,
+    * so it works on any session, including the driver's. */
+  def asofPlanned(left: DataFrame, right: DataFrame,
+                  leftOn: String, rightOn: String,
+                  leftTime: String, rightTime: String,
+                  rightCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    GraftSqlShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftOn), attr(rPlan, rightOn),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      rightCols.map(attr(rPlan, _))))
   }
 }

@@ -131,6 +131,29 @@ object CatalogSql {
         |       list_contains(map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), 'type') AS has_type
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    // As-of join via the custom whole-operator path: AsOfJoinPlan logical
+    // node + AsOfJoinStrategy + co-partitioned sort-merge AsOfJoinExec
+    // (same oracle as q09's union-window formulation — the two
+    // implementations are also differentially tested in OpsSpec).
+    ("q58_join_asof_planned", (s: SparkSession, d: String) => {
+      val events = table(s, d, "events").select("event_id", "user_id", "ts")
+      val orders = table(s, d, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      graft.ops.AsOfJoin.asofPlanned(events, orders,
+          leftOn = "user_id", rightOn = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_totalprice"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts, o_orderkey, o_totalprice
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
     // Conditional expressions: CASE tiers, coalesce/nullif.
     ("q57_conditional", (s: SparkSession, d: String) => {
       table(s, d, "lineitem")

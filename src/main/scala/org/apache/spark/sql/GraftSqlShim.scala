@@ -19,6 +19,12 @@ object GraftSqlShim {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Wrap an analyzed logical plan as a DataFrame. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register (idempotently) a temp SQL function backed by an expression
     * builder on the given session. */
   def registerFunction(spark: SparkSession, name: String,

@@ -22,6 +22,38 @@ class OpsSpec extends SparkSpec {
     assert(out(3L).isEmpty)         // no right row at or before t=50
   }
 
+  test("planned asof join (custom strategy) matches the window formulation") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L), (4L, 10L, 300L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (10L, 200L, "b2"), (20L, 60L, "c"))
+      .toDF("rkey", "rt", "payload")
+    val windowed = AsOfJoin.asof(left, right, "key", "rkey", "t", "rt",
+        Seq("payload"), Some("payload"))
+      .select("id", "payload").as[(Long, Option[String])].collect().toMap
+    val planned = AsOfJoin.asofPlanned(left, right, "key", "rkey", "t", "rt",
+        Seq("payload"))
+      .select("id", "payload").as[(Long, Option[String])].collect().toMap
+    assert(planned == windowed)
+    assert(planned(2L).contains("b2")) // tie at rt=200 → lexicographic max
+    assert(planned(3L).isEmpty)
+  }
+
+  test("planned asof join matches windowed asof on the fixture tables") {
+    val events = graft.ops.Tables.table(spark, sf, "events")
+      .select("event_id", "user_id", "ts")
+    val orders = graft.ops.Tables.table(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val windowed = AsOfJoin.asof(events, orders, "user_id", "o_custkey",
+        "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"), Some("o_orderkey"))
+      .select("event_id", "o_orderkey").as[(Long, Option[Long])].collect().toMap
+    val planned = AsOfJoin.asofPlanned(events, orders, "user_id", "o_custkey",
+        "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "o_orderkey").as[(Long, Option[Long])].collect().toMap
+    assert(planned.size == windowed.size)
+    val diffs = windowed.collect { case (k, v) if planned(k) != v => (k, v, planned(k)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
   test("cosine expression matches the HOF formulation and handles zero vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
