@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support: pre-shuffle data once at write time so later
+  * equi-joins and aggregations on the bucket key run with NO exchange.
+  *
+  * At 100 TB this is the difference between re-shuffling the fact table on
+  * every join and paying the shuffle exactly once at ingest: two tables
+  * bucketed by the same key into the same bucket count sort-merge-join
+  * partition-locally (see BucketingSpec, which asserts the joined plan
+  * contains no shuffle exchange).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (parquet). */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(tableName)
+  }
+
+  /** Join two same-bucketed tables on their bucket key — planner sees the
+    * matching output partitioning and elides both exchanges. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String,
+                   joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey),
+      joinType)
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables._
+
+/** Third wave: subqueries (correlated scalar, EXISTS/IN through SQL),
+  * distribution window functions, more string functions. */
+object CatalogSql2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Correlated scalar subquery (decorrelated by Catalyst into a join).
+    ("q59_scalar_subquery", (s: SparkSession, d: String) => {
+      registerAll(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |       (SELECT max(l_quantity) FROM lineitem
+          |        WHERE l_orderkey = o_orderkey) AS max_qty
+          |FROM orders ORDER BY o_orderkey""".stripMargin)
+    }, Some(
+      """SELECT o_orderkey, o_totalprice,
+        |       (SELECT max(l_quantity) FROM lineitem
+        |        WHERE l_orderkey = o_orderkey) AS max_qty
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // EXISTS / NOT IN through the SQL surface (API variants are q06/q07).
+    ("q60_exists_subquery", (s: SparkSession, d: String) => {
+      registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin)
+    }, Some(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Distribution window functions: percent_rank / cume_dist / lag with
+    // default. Ranks over a deterministic total order.
+    ("q61_window_dist", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cd"),
+          lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       percent_rank() OVER w AS prk,
+        |       cume_dist() OVER w AS cd,
+        |       lag(o_totalprice, 1, -1.0) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin)),
+
+    // String functions wave 2: padding, repetition, reversal, translate,
+    // position, left/right slices.
+    ("q62_scalar_string2", (s: SparkSession, d: String) => {
+      table(s, d, "region")
+        .select(col("r_regionkey"),
+          lpad(col("r_name"), 12, ".").as("padded"),
+          rpad(col("r_name"), 12, "-").as("rpadded"),
+          reverse(col("r_name")).as("rev"),
+          translate(col("r_name"), "AE", "ae").as("xlated"),
+          instr(col("r_name"), "A").as("a_pos"),
+          substring(col("r_name"), 1, 3).as("l3"),
+          col("r_name").substr(length(col("r_name")) - 2, lit(3)).as("r3"),
+          repeat(col("r_name"), 2).as("doubled"))
+        .orderBy("r_regionkey")
+    }, Some(
+      """SELECT r_regionkey,
+        |       lpad(r_name, 12, '.') AS padded,
+        |       rpad(r_name, 12, '-') AS rpadded,
+        |       reverse(r_name) AS rev,
+        |       translate(r_name, 'AE', 'ae') AS xlated,
+        |       CAST(instr(r_name, 'A') AS INTEGER) AS a_pos,
+        |       substring(r_name, 1, 3) AS l3,
+        |       right(r_name, 3) AS r3,
+        |       repeat(r_name, 2) AS doubled
+        |FROM region ORDER BY r_regionkey""".stripMargin))
+  )
+}
