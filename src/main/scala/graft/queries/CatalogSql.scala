@@ -82,14 +82,23 @@ object CatalogSql {
 
     // Discrete percentiles (exact element pick — engine-independent,
     // unlike interpolated percentile_cont whose fp expression differs).
+    // Formulated as a cume_dist window + conditional min — identical
+    // semantics to percentile_disc (smallest value with cume_dist >= p)
+    // but it sorts distributively instead of buffering every value into
+    // Spark's Percentile aggregate (25s → <2s at sf0.1, and the
+    // per-group buffer no longer grows with the data).
     ("q54_agg_percentile", (s: SparkSession, d: String) => {
       table(s, d, "orders").createOrReplaceTempView("orders")
       s.sql(
         """SELECT o_orderstatus,
-          |       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
-          |       percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+          |       min(CASE WHEN cd >= 0.5 THEN o_totalprice END) AS p50,
+          |       min(CASE WHEN cd >= 0.9 THEN o_totalprice END) AS p90,
           |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
-          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+          |FROM (SELECT o_orderstatus, o_totalprice,
+          |             cume_dist() OVER (PARTITION BY o_orderstatus
+          |                               ORDER BY o_totalprice) AS cd
+          |      FROM orders)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }, Some(
       """SELECT o_orderstatus,
         |       quantile_disc(o_totalprice, 0.5) AS p50,
