@@ -63,6 +63,63 @@ object CatalogSql2 {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
         |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin)),
 
+    // Full outer join (left/semi/anti are q05-q07). Null sort order made
+    // explicit because engines disagree on the default (Spark ASC = nulls
+    // first, DuckDB = nulls last).
+    ("q63_join_full", (s: SparkSession, d: String) => {
+      table(s, d, "customer").select("c_custkey", "c_name")
+        .join(table(s, d, "orders")
+            .filter(col("o_totalprice") > 450000)
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    }, Some(
+      """SELECT c_custkey, c_name, o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer) c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+        |                 FROM orders WHERE o_totalprice > 450000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
+
+    // Cartesian product (explicit cross join of two dims).
+    ("q64_join_cross", (s: SparkSession, d: String) => {
+      table(s, d, "region").select("r_name")
+        .crossJoin(table(s, d, "nation").select("n_name"))
+        .orderBy("r_name", "n_name")
+    }, Some(
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin)),
+
+    // UNION DISTINCT (q19 is UNION ALL).
+    ("q65_union_distinct", (s: SparkSession, d: String) => {
+      val o = table(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .union(o.filter(col("o_totalprice") > 300000).select("o_custkey"))
+        .distinct()
+        .orderBy("o_custkey")
+    }, Some(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // Date functions wave 2 + null-safe equality.
+    ("q66_scalar_date2", (s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .select(col("o_orderkey"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+          date_sub(col("o_orderdate").cast("date"), 15).as("minus15d"),
+          (nullif(col("o_orderstatus"), lit("P")) <=> lit("F")).as("is_f_nullsafe"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey,
+        |       last_day(o_orderdate) AS month_end,
+        |       CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |       CAST(o_orderdate - INTERVAL 15 DAY AS DATE) AS minus15d,
+        |       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // String functions wave 2: padding, repetition, reversal, translate,
     // position, left/right slices.
     ("q62_scalar_string2", (s: SparkSession, d: String) => {

@@ -46,6 +46,20 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(idCol, tsCol)
 
+  /** Stream-stream interval join: events of stream `a` match events of
+    * stream `b` with the same key whose timestamp falls within
+    * [a.ts - before, a.ts + after]. Watermarks bound the join state on
+    * both sides — without them the engine would buffer both streams
+    * forever. */
+  def streamStreamJoin(a: DataFrame, b: DataFrame,
+                       keyA: String, keyB: String,
+                       tsA: String, tsB: String,
+                       watermark: String, before: String, after: String): DataFrame =
+    a.withWatermark(tsA, watermark)
+      .join(b.withWatermark(tsB, watermark),
+        expr(s"$keyA = $keyB AND $tsB BETWEEN $tsA - INTERVAL $before " +
+          s"AND $tsA + INTERVAL $after"))
+
   /** Stream-static enrichment join (dimension broadcast per microbatch). */
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
              dimKey: String): DataFrame =

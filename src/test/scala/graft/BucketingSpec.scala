@@ -8,7 +8,16 @@ import graft.ops.{Bucketing, Tables}
   * write time, not on every join. */
 class BucketingSpec extends SparkSpec {
 
+  private def dropHard(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(s"spark-warehouse/$table")
+    if (loc.exists()) {
+      loc.listFiles().foreach(_.delete()); loc.delete()
+    }
+  }
+
   test("join of two same-bucketed tables plans without a shuffle exchange") {
+    dropHard("orders_b"); dropHard("lineitem_b")
     Bucketing.writeBucketed(Tables.table(spark, sf, "orders"),
       "orders_b", "o_orderkey", 4, sortCol = Some("o_orderkey"))
     Bucketing.writeBucketed(Tables.table(spark, sf, "lineitem"),

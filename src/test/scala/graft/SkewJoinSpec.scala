@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.{SkewJoin, Tables}
+import graft.streaming.StreamOps
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the rows of the plain join under skew") {
+    // 90% of probe rows share one hot key
+    val probe = (1 to 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) i.toLong % 7 else 42L)).toDF("row_id", "k")
+    val build = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (6L, "f")).toDF("bk", "v")
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("row_id", "v").as[(Long, String)].collect().toSet
+    val salted = SkewJoin.saltedJoin(probe, build, "k", "bk", saltFactor = 8)
+      .select("row_id", "v").as[(Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._2 == "hot") == 1800)
+  }
+
+  test("stream-stream interval join matches events within the window") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, Timestamp)](30, spark, None)
+    val buys = MemoryStream[(Long, Timestamp)](31, spark, None)
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF().toDF("c_user", "c_ts"),
+      buys.toDF().toDF("b_user", "b_ts"),
+      "c_user", "b_user", "c_ts", "b_ts",
+      watermark = "1 hour", before = "0 minutes", after = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData((1L, ts(0)), (2L, ts(0)))
+    buys.addData((1L, ts(10)), (2L, ts(50)), (1L, ts(25)))
+    q.processAllAvailable(); q.stop()
+    // user 1: buys at +10 and +25 within 30min → 2 matches; user 2: +50 → none
+    val rows = spark.table("ssj").select("c_user", "b_ts")
+      .as[(Long, Timestamp)].collect()
+    assert(rows.count(_._1 == 1L) == 2)
+    assert(!rows.exists(_._1 == 2L))
+  }
+}
