@@ -22,6 +22,31 @@ trait RecordSender extends Serializable {
   def close(): Unit = ()
 }
 
+/** Producer-side Kinesis sink configuration, mirroring the reference's
+  * KPL surface (hard-coded 1 ms max buffering and 10 s request timeout at
+  * Producer.scala:233-234, endpoint/region from the client config). In
+  * production these feed a Kinesis DataSourceV2 sink or the KPL inside a
+  * foreachBatch writer; offline, construction + validation is the
+  * testable surface. */
+final case class KinesisTopicSink(
+    topicId: String,
+    endpointUrl: Option[String] = None,
+    region: Option[String] = None,
+    maxBufferedTimeMillis: Long = 1L,   // Producer.scala:233
+    requestTimeoutMillis: Long = 10000L // Producer.scala:234
+) {
+  require(!(endpointUrl.isDefined && region.isDefined),
+    "endpoint and region must not both be set") // Producer.scala:218-222
+
+  def options: Map[String, String] =
+    Map(
+      "streamName" -> topicId,
+      "recordMaxBufferedTime" -> maxBufferedTimeMillis.toString,
+      "requestTimeout" -> requestTimeoutMillis.toString) ++
+      endpointUrl.map("endpointUrl" -> _) ++
+      region.map("regionName" -> _)
+}
+
 object TopicSink {
 
   /** Write one (micro)batch of outbound envelopes with per-key ordering.

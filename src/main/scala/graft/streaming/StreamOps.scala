@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.ops.Tables.dsum
 
@@ -88,6 +88,38 @@ object StreamOps {
           state.update(next)
           next
       }
+  }
+
+  /** transformWithState (state processor API, the modern successor of
+    * mapGroupsWithState): typed ValueState with optional TTL, timers, and
+    * multiple state variables per key. Requires the RocksDB state store
+    * provider. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserRunningState] {
+    @transient private var totals: ValueState[UserRunningState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunningState]("totals",
+        Encoders.product[UserRunningState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[UserRunningState] = {
+      val prev = if (totals.exists()) totals.get() else UserRunningState(key, 0L, 0.0)
+      val batch = rows.toSeq
+      val next = UserRunningState(key,
+        prev.nEvents + batch.size,
+        prev.totalValue + batch.map(_._2).sum)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserStateTws(spark: SparkSession,
+                          events: Dataset[(Long, Double)]): Dataset[UserRunningState] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class ThresholdAlert(userId: Long, crossedAt: Long, total: Double)

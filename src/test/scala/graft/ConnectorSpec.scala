@@ -68,6 +68,15 @@ class ConnectorSpec extends SparkSpec {
       "endpointUrl" -> "https://kinesis.local:4567"))
   }
 
+  test("kinesis sink carries the reference's KPL timing constants") {
+    val sink = graft.connector.KinesisTopicSink("out-topic", region = Some("us-east-1"))
+    assert(sink.options("recordMaxBufferedTime") == "1")
+    assert(sink.options("requestTimeout") == "10000")
+    assert(sink.options("regionName") == "us-east-1")
+    intercept[IllegalArgumentException](
+      graft.connector.KinesisTopicSink("x", Some("http://e"), Some("us-east-1")))
+  }
+
   test("config validation mirrors the reference invariants") {
     EndpointConfig(Some("k"), Some("d")); EndpointConfig(None, None)
     intercept[IllegalArgumentException](EndpointConfig(Some("k"), None))

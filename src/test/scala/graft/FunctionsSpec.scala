@@ -42,6 +42,28 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("transformWithState accumulates running state (RocksDB store)") {
+    // isolated session: the RocksDB provider conf must not leak into
+    // concurrently running streaming suites
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val input = MemoryStream[(Long, Double)](21, s2, None)
+    val q = StreamOps.runningUserStateTws(s2, input.toDS())
+      .writeStream.format("memory").queryName("tws")
+      .outputMode(OutputMode.Update()).start()
+    input.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+    q.processAllAvailable()
+    input.addData((1L, 4.0))
+    q.processAllAvailable(); q.stop()
+    val byUser = s2.table("tws")
+      .groupBy("userId").agg(max("nEvents").as("n"), max("totalValue").as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byUser(1L) == ((3L, 7.0)))
+    assert(byUser(2L) == ((1L, 10.0)))
+  }
+
   test("flatMapGroupsWithState emits an alert per threshold crossing") {
     val input = MemoryStream[(Long, Double)](20, spark, None)
     val q = StreamOps.thresholdAlerts(spark, input.toDS(), step = 10.0)
