@@ -51,50 +51,67 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "est", "pour"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe", "men", "lai"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val toks = transform(tokens(text), t => lower(t))
+  /** Lowercased tokens — compute ONCE and feed the *FromTokens variants
+    * when scoring several languages: higher-order functions evaluate
+    * interpreted, so Spark's subexpression elimination does not collapse
+    * repeated tokenizations across 10 scoring expressions. */
+  def lowerTokens(text: Column): Column = transform(tokens(text), t => lower(t))
+
+  def langScoreFromTokens(toksLower: Column, lang: String): Column = {
     val sw = array(stopwords(lang).map(lit): _*)
-    size(array_intersect(toks, sw)).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
+    size(array_intersect(toksLower, sw)).cast("double") /
+      greatest(size(toksLower), lit(1)).cast("double")
   }
+
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromTokens(lowerTokens(text), lang)
 
   /** Predicted language code (argmax stopword overlap; "und" if no
     * stopword hits at all). */
-  def langId(text: Column): Column = {
+  def langIdFromTokens(toksLower: Column): Column = {
     val scored = array(stopwords.keys.toSeq.sorted.map(l =>
-      struct(langScore(text, l).as("score"), lit(l).as("lang"))): _*)
+      struct(langScoreFromTokens(toksLower, l).as("score"), lit(l).as("lang"))): _*)
     val best = array_max(scored)
     when(best.getField("score") === 0.0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  def langId(text: Column): Column = langIdFromTokens(lowerTokens(text))
+
   // --- quality scoring ------------------------------------------------
 
-  /** Gopher-style quality components, each in [0,1]. */
-  def qualityComponents(text: Column): Seq[(String, Column)] = {
-    val ts = tokens(text)
-    val n = greatest(size(ts), lit(1)).cast("double")
+  /** Gopher-style quality components, each in [0,1]. Pass a precomputed
+    * [[lowerTokens]] column to avoid re-tokenizing per component. */
+  def qualityComponentsFromTokens(text: Column, toksLower: Column): Seq[(String, Column)] = {
+    val n = greatest(size(toksLower), lit(1)).cast("double")
     val nonSpaceLen = greatest(length(regexp_replace(text, "\\s", "")), lit(1)).cast("double")
     Seq(
       // mean token length inside the "natural language" band [3, 10]
       "word_len_ok" -> when((nonSpaceLen / n).between(3.0, 10.0), 1.0).otherwise(0.0),
       // stopword presence: any-language stopword hit ratio, capped
       "stopword_ratio" -> least(lit(1.0),
-        stopwords.keys.toSeq.sorted.map(l => langScore(text, l)).reduce(_ + _) * 2.0),
+        stopwords.keys.toSeq.sorted.map(l => langScoreFromTokens(toksLower, l))
+          .reduce(_ + _) * 2.0),
       // fraction of alphabetic characters
       "alpha_ratio" ->
         length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
           greatest(length(text), lit(1)).cast("double"),
       // lexical diversity: distinct tokens / tokens (low => boilerplate)
-      "distinct_ratio" -> size(array_distinct(ts)).cast("double") / n,
+      "distinct_ratio" -> size(array_distinct(toksLower)).cast("double") / n,
       // length in a sane document band
       "len_ok" -> when(length(text).between(20, 1000000), 1.0).otherwise(0.0))
   }
 
+  def qualityComponents(text: Column): Seq[(String, Column)] =
+    qualityComponentsFromTokens(text, lowerTokens(text))
+
   /** Scalar quality score: mean of the components. */
-  def qualityScore(text: Column): Column = {
-    val comps = qualityComponents(text).map(_._2)
+  def qualityScoreFromTokens(text: Column, toksLower: Column): Column = {
+    val comps = qualityComponentsFromTokens(text, toksLower).map(_._2)
     comps.reduce(_ + _) / comps.size
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, lowerTokens(text))
 
   // --- fingerprinting -------------------------------------------------
 

@@ -94,10 +94,12 @@ object CatalogML {
     // Language-ID heuristic + quality score (heuristic → rows-only; the
     // scalatest suite pins the behavior on known inputs).
     ("q39_text_langid", (s: SparkSession, d: String) => {
+      // tokenize once, score ten times (see TextOps.lowerTokens)
       spread(table(s, d, "documents"), "doc_id")
+        .withColumn("__toks", TextOps.lowerTokens(col("text")))
         .select(col("doc_id"), col("lang").as("labeled_lang"),
-          TextOps.langId(col("text")).as("pred_lang"),
-          TextOps.qualityScore(col("text")).as("quality"))
+          TextOps.langIdFromTokens(col("__toks")).as("pred_lang"),
+          TextOps.qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
         .orderBy("doc_id")
     }, None),
 

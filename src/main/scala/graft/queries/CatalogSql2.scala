@@ -120,6 +120,54 @@ object CatalogSql2 {
         |       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Pure non-equi band join (no equality conjunct): tiny band table
+    // derived from region, broadcast nested-loop against lineitem — the
+    // only sane physical shape for a band join whose build side is small.
+    ("q67_join_band", (s: SparkSession, d: String) => {
+      val bands = table(s, d, "region")
+        .select(col("r_regionkey").as("band_id"),
+          (col("r_regionkey") * 10.0).as("lo"),
+          (col("r_regionkey") * 10.0 + 10.0).as("hi"))
+      table(s, d, "lineitem")
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("band_id")
+    }, Some(
+      s"""SELECT band_id, count(*) AS n, ${dsumSql("l_quantity")} AS qty
+         |FROM lineitem
+         |JOIN (SELECT r_regionkey AS band_id, r_regionkey * 10.0 AS lo,
+         |             r_regionkey * 10.0 + 10.0 AS hi FROM region) b
+         |  ON l_quantity >= lo AND l_quantity < hi
+         |GROUP BY band_id ORDER BY band_id""".stripMargin)),
+
+    // RANGE frame windows (value-based frame; q17 covers ROWS frames).
+    // RANGE includes peer rows, so the result is deterministic even with
+    // ties. Scale note: Spark recomputes bounded sliding frames per row
+    // (O(n × frame rows)) — the frame width must be chosen so frames stay
+    // small relative to the partition (a 50k-wide band over this price
+    // distribution covered ~10% of each partition and cost 190s at sf0.1;
+    // a 100-unit band covers ~10 rows and costs nothing).
+    ("q68_window_range", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-100L, Window.currentRow)
+      table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_near"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast("double").as("sum_near"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       count(*) OVER w AS n_near,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_near
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin)),
+
     // String functions wave 2: padding, repetition, reversal, translate,
     // position, left/right slices.
     ("q62_scalar_string2", (s: SparkSession, d: String) => {
