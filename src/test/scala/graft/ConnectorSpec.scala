@@ -57,6 +57,18 @@ class ConnectorSpec extends SparkSpec {
     assert(spark.table("topic_ev").count() == 1000)
   }
 
+  test("file topic source also reads JSON-format topics") {
+    val dir = Files.createTempDirectory("graft-json-topic").toString
+    graft.ops.Tables.table(spark, sf, "region")
+      .write.mode("overwrite").json(s"$dir/data")
+    val src = FileTopicSource("region-json", s"$dir/data", format = "json",
+      schema = graft.ops.Tables.table(spark, sf, "region").schema)
+    val q = src.load(spark).writeStream.format("memory").queryName("topic_json")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("topic_json").count() == 5)
+  }
+
   test("kinesis topic source builds the reference-shaped option map") {
     val src = KinesisTopicSource("orders-topic",
       ConsumerConfig(Some("app"), maxBatchSize = 10, startingPosition = "TRIM_HORIZON"),

@@ -78,6 +78,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(2L).isEmpty, "unmatched stream row keeps null from left_outer")
   }
 
+  test("watermark drops events that arrive later than the allowed lateness") {
+    val input = MemoryStream[Ev](15, spark, None)
+    // Append mode: windows emit only once the watermark passes their end,
+    // so late data either merges (within lateness) or is dropped.
+    input.addData(Ev(ts(1), 1, 1, 1.0), Ev(ts(2), 1, 2, 1.0))
+    val q = StreamOps.tumblingCounts(
+        input.toDF().withColumn("key", col("user_id").cast("string")),
+        "ts", "key", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // advance the watermark far past the first window...
+    input.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), 1, 3, 1.0))
+    q.processAllAvailable()
+    // ...then send an event for the long-closed first window: must be dropped
+    input.addData(Ev(ts(3), 1, 4, 99.0))
+    q.processAllAvailable()
+    input.addData(Ev(Timestamp.valueOf("2024-01-01 14:00:00"), 1, 5, 1.0))
+    q.processAllAvailable(); q.stop()
+    val firstWindow = spark.table("late")
+      .where(col("w_start") === ts(0)).select("n").as[Long].collect()
+    assert(firstWindow.toSeq == Seq(2L), "late event must not reopen the closed window")
+  }
+
   test("session window groups events by gap") {
     val input = MemoryStream[Ev](14, spark, None)
     // session windows only support Append mode on streams: sessions are
