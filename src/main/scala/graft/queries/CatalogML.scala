@@ -181,6 +181,19 @@ object CatalogML {
         |       CAST(len(embedding) AS INTEGER) AS centroid_dim
         |FROM embeddings GROUP BY label, len(embedding) ORDER BY label""".stripMargin)),
 
+    // Catalyst TypedImperativeAggregate surface: exact top-k heap with
+    // O(k) buffers (order-independent → oracle-checkable).
+    ("q69_agg_topk", (s: SparkSession, d: String) => {
+      graft.functions.TopKValues.register(s)
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, graft_topk(l_extendedprice, 5) AS top5
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }, Some(
+      """SELECT l_returnflag,
+        |       (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5] AS top5
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // UDF surface: scalar entropy quality signal (UDF by necessity —
     // data-dependent control flow; deterministic per row but kept
     // rows-only since no SQL-expressible oracle).

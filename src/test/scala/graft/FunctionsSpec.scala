@@ -34,6 +34,21 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(out(2) - 2.0) < 1e-12) // 4 distinct chars → 2 bits
   }
 
+  test("graft_topk keeps the k largest values with O(k) state") {
+    graft.functions.TopKValues.register(spark)
+    (1 to 100).map(i => (i % 3, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("topk_in")
+    val out = spark.sql("SELECT g, graft_topk(v, 4) AS t FROM topk_in GROUP BY g")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(out(0) == Seq(99.0, 96.0, 93.0, 90.0))
+    assert(out(1) == Seq(100.0, 97.0, 94.0, 91.0))
+    // fewer rows than k → all of them, descending
+    val small = Seq((9, 5.0), (9, 1.0)).toDF("g", "v")
+    small.createOrReplaceTempView("topk_small")
+    val s2 = spark.sql("SELECT graft_topk(v, 4) AS t FROM topk_small").as[Seq[Double]].head()
+    assert(s2 == Seq(5.0, 1.0))
+  }
+
   test("graft_cosine SQL registration works through spark.sql") {
     VectorFunctions.register(spark)
     Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
