@@ -181,6 +181,17 @@ object CatalogML {
         |       CAST(len(embedding) AS INTEGER) AS centroid_dim
         |FROM embeddings GROUP BY label, len(embedding) ORDER BY label""".stripMargin)),
 
+    // Deterministic train/val/test split (hash-of-id membership — pure
+    // per-row function, reproducible across partitionings; hash family is
+    // engine-internal → rows-only + SamplingSpec invariants).
+    ("q70_sampling_split", (s: SparkSession, d: String) => {
+      graft.ops.Sampling.deterministicSplit(table(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }, None),
+
     // Catalyst TypedImperativeAggregate surface: exact top-k heap with
     // O(k) buffers (order-independent → oracle-checkable).
     ("q69_agg_topk", (s: SparkSession, d: String) => {
