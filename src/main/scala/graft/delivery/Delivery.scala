@@ -27,6 +27,11 @@ import graft.model.GroupId
   *
   * Group identity = checkpoint location (consumer-group semantics of the
   * KCL application name / DynamoDB lease table, SURVEY.md §1.1).
+  *
+  * The transactional-microbatch model this layer rides on (offset WAL +
+  * commit log around each batch) is the design described publicly in
+  * "Structured Streaming: A Declarative API for Real-Time Applications in
+  * Apache Spark" (SIGMOD 2018).
   */
 object Delivery {
 
