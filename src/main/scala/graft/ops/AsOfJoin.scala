@@ -68,6 +68,8 @@ object AsOfJoin {
                   leftOn: String, rightOn: String,
                   leftTime: String, rightTime: String,
                   rightCols: Seq[String]): DataFrame = {
+    require(rightCols.forall(!left.columns.contains(_)),
+      s"right payload columns ${rightCols.mkString(",")} must not collide with left columns")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
