@@ -33,6 +33,10 @@ object GraftEngine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed-aggregate buffers here are small (≤ 0.5 KB signature
+      // arrays), so keep ObjectHashAggregate in hash mode well past the
+      // 128-group default; 64k groups/task ≈ 34 MB of buffers
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
 
   /** Create the session and register the engine's SQL functions. */

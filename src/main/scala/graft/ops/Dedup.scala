@@ -36,34 +36,23 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
 
-  private val MersennePrime = 2147483647L // 2^31 - 1
-
-  /** Deterministic affine coefficients for the universal hash family
-    * h_i(x) = (a_i * x + b_i) mod p. */
-  private def hashCoeffs(numHashes: Int): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
-      Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong))
-  }
+  private val MersennePrime = graft.functions.MinHashSig.MersennePrime
 
   /** MinHash signatures the scalable way: explode shingles, hash each
-    * shingle ONCE with codegen'd xxhash64, derive the `numHashes`
-    * functions as affine maps mod 2^31-1 inside `min` aggregates. The
-    * whole pipeline is whole-stage-codegen arithmetic with map-side
-    * partial aggregation — the shuffle carries numHashes longs per doc,
-    * never the shingles. Returns (idCol, sig: array<bigint>). */
+    * shingle ONCE with codegen'd xxhash64, then fold all `numHashes`
+    * affine maps mod 2^31-1 inside ONE [[graft.functions.MinHashSig]]
+    * aggregate (an `Array[Long]` buffer updated in a tight JVM loop —
+    * a 64-wide min-column block takes HashAggregate off its fast path;
+    * this was 67% of the round-1 bench). Map-side partial merge still
+    * applies, so the shuffle carries numHashes longs per doc, never the
+    * shingles. Returns (idCol, sig: array<bigint>). */
   def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: Column,
                         numHashes: Int): DataFrame = {
-    val (as, bs) = hashCoeffs(numHashes)
     val exploded = df
       .select(col(idCol), explode(shinglesCol).as("__s"))
       .select(col(idCol), pmod(xxhash64(col("__s")), lit(MersennePrime)).as("__h"))
-    val mins = (0 until numHashes).map(i =>
-      min(pmod(col("__h") * as(i) + bs(i), lit(MersennePrime))).as(s"__m$i"))
     exploded.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+      .agg(graft.functions.MinHashSig.sig(col("__h"), numHashes).as("sig"))
   }
 
   /** LSH band buckets from a signature: `bands` buckets of `rows`
@@ -92,9 +81,12 @@ object Dedup {
   /** Shared LSH pipeline: signatures → band buckets → candidate pairs →
     * signature-estimate prefilter → exact Jaccard verification.
     *
-    * Scale notes: `base` (shingle arrays) and `sigs` (numHashes longs per
-    * doc) feed several DAG branches, so they are persisted — exactly what
-    * a production run does with its signature table. The prefilter drops
+    * Scale notes: only `sigs` (numHashes longs per doc) is persisted —
+    * O(corpus) but tiny per row, exactly a production signature table.
+    * The full shingle ARRAYS are never materialized corpus-wide: the
+    * signature stage consumes them in one streaming explode, and the
+    * exact-verification stage rebuilds them only for the (near-linear)
+    * set of docs that survive the prefilter. The prefilter drops
     * candidates whose signature-estimated Jaccard is more than 6σ below
     * the threshold (miss probability < 1e-9 for a true pair), so the
     * expensive exact set intersection runs only on near-threshold pairs.
@@ -103,8 +95,7 @@ object Dedup {
                                        threshold: Double, bands: Int,
                                        rows: Int): DataFrame = {
     val numHashes = bands * rows
-    val base = base0.persist()
-    val sigs = minhashSignatures(base, idCol, col("sh"), numHashes).persist()
+    val sigs = minhashSignatures(base0, idCol, col("sh"), numHashes).persist()
     val buckets = sigs.select(col(idCol),
       posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val candidates = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
@@ -123,9 +114,16 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(est >= threshold - sixSigma)
       .select("id_a", "id_b")
+      .persist()
+    // shingle arrays ONLY for docs that appear in a surviving candidate,
+    // materialized once (the id_a and id_b joins both read it); no
+    // distinct — left_semi dedups its build side inherently
+    val candIds = prefiltered.select(col("id_a").as(idCol))
+      .union(prefiltered.select(col("id_b").as(idCol)))
+    val shCand = base0.join(candIds, Seq(idCol), "left_semi").persist()
     prefiltered
-      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shCand.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shCand.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -148,22 +146,15 @@ object Dedup {
   }
 
   /** SimHash table the scalable way (mirrors [[minhashSignatures]]):
-    * explode tokens, hash each once, take 64 per-bit ±1 vote sums as
-    * codegen'd aggregates, reassemble the fingerprint from the votes.
-    * Returns (idCol, sim: bigint). */
+    * explode tokens, hash each once, fold the 64 per-bit ±1 votes inside
+    * ONE [[graft.functions.SimHashAgg]] aggregate that emits the
+    * assembled fingerprint. Returns (idCol, sim: bigint). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .select(col(idCol), xxhash64(col("__t")).as("__h"))
-    val votes = (0 until 64).map(bit =>
-      sum(when(shiftright(col("__h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"__v$bit"))
     exploded.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(bit =>
-          when(col(s"__v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("sim"))
+      .agg(graft.functions.SimHashAgg.sim(col("__h")).as("sim"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, using
@@ -171,33 +162,40 @@ object Dedup {
     * maxDist <= 3 by pigeonhole) + exact popcount verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val withSim = simhashes(spreadCompute(df, idCol), idCol, textCol)
+    val sims = simhashes(spreadCompute(df, idCol), idCol, textCol).persist()
+    val banded = sims
       .withColumn("band", explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)))
-      .select(col(idCol), col("sim"), col("band.band_id"), col("band.bucket"))
-    val a = withSim.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("band_id"), col("bucket"))
-    val b = withSim.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("band_id"), col("bucket"))
+      .select(col(idCol), col("band.band_id"), col("band.bucket"))
+    val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("bucket"))
+    // dedup candidates on the ids ALONE (a pair can collide in several
+    // bands); the fingerprints are re-joined from the tiny (id, sim)
+    // table afterwards, so the distinct shuffle carries two longs per pair
     a.join(b, Seq("band_id", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b")
+      .select("id_a", "id_b")
       .distinct()
+      .join(sims.select(col(idCol).as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(sims.select(col(idCol).as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
 
   /** Character n-gram Jaccard pairs (candidate generation shared with
-    * MinHash-LSH over char shingles). */
-  /** Char n-grams share many grams across unrelated docs, so the bands
-    * are deeper (rows=4) than the word-shingle variant: selectivity
-    * 1-(1-j⁴)^12 keeps the candidate set near-linear while recall at
-    * j=0.7 stays ~96%. */
+    * MinHash-LSH over char shingles). Char n-grams share many grams
+    * across unrelated docs, so the bands are deeper (rows=3) than the
+    * word-shingle variant: candidate selectivity per unrelated pair stays
+    * ~(16·j³) while recall at the j=0.7 threshold is 1-(1-0.7³)^16 ≈
+    * 99.9% (≥ 0.8 → ~1-1e-5), tight enough to match the exact-Jaccard
+    * oracle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.7): DataFrame =
     jaccardPairsFromShingles(
       spreadCompute(df, idCol).select(col(idCol), charShingles(col(textCol), n).as("sh")),
-      idCol, threshold, bands = 12, rows = 4)
+      idCol, threshold, bands = 16, rows = 3)
 
   /** Embedding near-duplicate pairs: exact all-pairs cosine (small/medium
     * corpora — codegen loop, broadcast one side) or LSH (see

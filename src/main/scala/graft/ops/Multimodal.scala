@@ -50,18 +50,29 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "media_type", "bytes").as[MediaRecord]
       .mapPartitions { it =>
-        // real impl: open codec once per partition here
+        // real impl: open codec once per partition here — the digest
+        // follows the same one-context-per-partition discipline
+        // (MessageDigest.digest() resets the instance after each call)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        val hexChars = "0123456789abcdef".toCharArray
         it.map { m =>
           val n = m.bytes.length
           val b0 = if (n > 0) m.bytes(0) & 0xFF else 0
           val b1 = if (n > 1) m.bytes(1) & 0xFF else 0
+          val dig = sha.digest(m.bytes)
+          val hex = new Array[Char](dig.length * 2)
+          var i = 0
+          while (i < dig.length) {
+            hex(2 * i) = hexChars((dig(i) >> 4) & 0xF)
+            hex(2 * i + 1) = hexChars(dig(i) & 0xF)
+            i += 1
+          }
           DecodedMedia(m.media_id, m.media_type,
             width = 16 + (b0 * 7) % 1904,   // ??? real: parse header
             height = 16 + (b1 * 13) % 1064, // ??? real: parse header
             channels = if (m.media_type == "audio") 2 else 3,
             n_bytes = n,
-            content_sha = java.security.MessageDigest.getInstance("SHA-256")
-              .digest(m.bytes).map("%02x".format(_)).mkString)
+            content_sha = new String(hex))
         }
       }
   }

@@ -100,18 +100,21 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** IVF top-k: centroids are every |V|/k-th vector (deterministic);
-    * corpus rows are assigned to their nearest centroid once, queries
-    * probe the `nprobe` nearest centroid cells. */
+  /** IVF top-k: centroids are `nlist` hash-selected corpus vectors
+    * (deterministic); corpus rows are assigned to their nearest centroid
+    * once, queries probe the `nprobe` nearest centroid cells. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val stride = math.max(1L, corpus.count() / nlist)
+    // Centroid pick must survive 100 TB: take the nlist smallest
+    // xxhash64(id) values — a pseudo-random but deterministic sample that
+    // compiles to TakeOrderedAndProject (per-partition partial top-nlist,
+    // tiny driver-side merge). No corpus.count() action, no global
+    // single-partition Window.orderBy.
     val centroids = corpus
-      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
-      .where(col("__rn") % stride === 0)
-      .limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
+      .limit(nlist)
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(id).orderBy(cosine(col(vec), col("cent_vec")).desc)

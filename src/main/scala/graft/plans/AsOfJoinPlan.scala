@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -29,6 +29,16 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         rightPayload: Seq[Attribute]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
+
+  // Output cardinality is exactly the left side's (every left row emits
+  // one row); size is bounded by both children's bytes. Exposing this
+  // keeps Catalyst from treating the node as a black box when other
+  // operators (e.g. a subsequent broadcast-join decision) plan around it.
+  override def maxRows: Option[Long] = left.maxRows
+  override def stats: Statistics = Statistics(
+    sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+    rowCount = left.stats.rowCount)
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
