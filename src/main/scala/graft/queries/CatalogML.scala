@@ -91,8 +91,13 @@ object CatalogML {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin)),
 
-    // Language-ID heuristic + quality score (heuristic → rows-only; the
-    // scalatest suite pins the behavior on known inputs).
+    // Language-ID heuristic + quality score. Both are pure list/regex
+    // algebra, so DuckDB can replicate them exactly; the stopword lists
+    // are interpolated from TextOps.stopwords so the two engines can
+    // never drift. Tie-break parity: Spark's array_max over
+    // struct(score, lang) picks the lexicographically greatest language
+    // among equal scores — the CASE below checks languages in descending
+    // code order for the same effect.
     ("q39_text_langid", (s: SparkSession, d: String) => {
       // tokenize once, score ten times (see TextOps.lowerTokens)
       spread(table(s, d, "documents"), "doc_id")
@@ -101,7 +106,43 @@ object CatalogML {
           TextOps.langIdFromTokens(col("__toks")).as("pred_lang"),
           TextOps.qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
         .orderBy("doc_id")
-    }, None),
+    }, Some {
+      val langs = TextOps.stopwords.keys.toSeq.sorted // de, en, es, fr, zh
+      def swList(l: String) =
+        TextOps.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      // |distinct stopwords present| / max(|tokens|, 1), exactly
+      // TextOps.langScoreFromTokens (stopword lists are duplicate-free)
+      def score(l: String) =
+        s"CAST(len(list_filter(${swList(l)}, x -> list_contains(toks, x))) AS DOUBLE)" +
+          " / CAST(greatest(len(toks), 1) AS DOUBLE)"
+      val scoreCols = langs.map(l => s"${score(l)} AS s_$l").mkString(",\n|         ")
+      val caseArms = langs.reverse.init.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      val sumScores = langs.map(l => s"s_$l").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, text,
+         |         list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS toks
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang, text, toks,
+         |         $scoreCols
+         |  FROM tok
+         |), mx AS (
+         |  SELECT *, greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS m FROM sc
+         |)
+         |SELECT doc_id, lang AS labeled_lang,
+         |       CASE WHEN m = 0 THEN 'und' $caseArms ELSE '${langs.head}' END AS pred_lang,
+         |       (CASE WHEN CAST(greatest(len(regexp_replace(text, '\\s', '', 'g')), 1) AS DOUBLE)
+         |                  / CAST(greatest(len(toks), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+         |             THEN 1.0 ELSE 0.0 END
+         |        + least(1.0, ($sumScores) * 2.0)
+         |        + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |          / CAST(greatest(len(text), 1) AS DOUBLE)
+         |        + CAST(len(list_distinct(toks)) AS DOUBLE)
+         |          / CAST(greatest(len(toks), 1) AS DOUBLE)
+         |        + CASE WHEN len(text) BETWEEN 20 AND 1000000 THEN 1.0 ELSE 0.0 END) / 5
+         |         AS quality
+         |FROM mx ORDER BY doc_id""".stripMargin
+    }),
 
     // BPE-ish token counting (regex is dialect-portable: letter runs,
     // digit runs, single punctuation over lowercased text).
@@ -126,14 +167,35 @@ object CatalogML {
         .orderBy("doc_id")
     }, None),
 
-    // Char-n-gram Jaccard near-dup (LSH candidates; rows-only — the exact
-    // char-shingle construction isn't worth an O(n²) SQL oracle given
-    // q35 already oracle-checks the word-shingle variant end to end).
+    // Char-n-gram Jaccard near-dup. Oracle = EXACT Jaccard, computed the
+    // scalable SQL way (explode distinct 5-grams, self-join on gram,
+    // count matches per pair) rather than all-pairs list intersection;
+    // the Spark side's LSH recall at the 0.7 threshold is ~99.9%
+    // (bands=16, rows=3 — see Dedup.ngramJaccardPairs).
     ("q42_dedup_ngram", (s: SparkSession, d: String) => {
       Dedup.ngramJaccardPairs(table(s, d, "documents"), "doc_id", "text",
           n = 5, threshold = 0.7)
         .orderBy("id_a", "id_b")
-    }, None),
+    }, Some(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([substring(text, i, 5)
+        |                FOR i IN range(1, greatest(len(text) - 4, 1) + 1)])) AS g
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |       CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     // Approximate distinct (HLL sketch differs per engine → rows-only).
     ("q43_agg_approx_distinct", (s: SparkSession, d: String) => {
@@ -193,17 +255,29 @@ object CatalogML {
     }, None),
 
     // Catalyst TypedImperativeAggregate surface: exact top-k heap with
-    // O(k) buffers (order-independent → oracle-checkable).
+    // O(k) buffers (order-independent → oracle-checkable). The k=5 array
+    // is unwrapped into scalar lanes so the driver's pandas compare never
+    // sees an array cell (round-1 q69 failure) and the doubles stay
+    // bit-exact.
     ("q69_agg_topk", (s: SparkSession, d: String) => {
       graft.functions.TopKValues.register(s)
       table(s, d, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(
-        """SELECT l_returnflag, graft_topk(l_extendedprice, 5) AS top5
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        """SELECT l_returnflag,
+          |       element_at(tk, 1) AS top1, element_at(tk, 2) AS top2,
+          |       element_at(tk, 3) AS top3, element_at(tk, 4) AS top4,
+          |       element_at(tk, 5) AS top5
+          |FROM (SELECT l_returnflag, graft_topk(l_extendedprice, 5) AS tk
+          |      FROM lineitem GROUP BY l_returnflag)
+          |ORDER BY l_returnflag""".stripMargin)
     }, Some(
       """SELECT l_returnflag,
-        |       (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5] AS top5
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+        |       tk[1] AS top1, tk[2] AS top2, tk[3] AS top3, tk[4] AS top4,
+        |       tk[5] AS top5
+        |FROM (SELECT l_returnflag,
+        |             (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5] AS tk
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin)),
 
     // UDF surface: scalar entropy quality signal (UDF by necessity —
     // data-dependent control flow; deterministic per row but kept

@@ -112,8 +112,13 @@ object CatalogScalar {
         |ORDER BY l_orderkey, l_linenumber, rootp, absd, qty_sq, hi_rate, lo_rate""".stripMargin)),
 
     // ---- scalar: arrays (higher-order functions) ----------------------
+    // Array transforms stay arrays through the computation; the OUTPUT
+    // unwraps each 4-lane array into scalar float columns because the
+    // driver's pandas compare sorts every column and cannot factorize
+    // ndarray cells (round-1 q25 failure). Scalars also keep the float
+    // bits engine-exact, where a string rendering would not.
     ("q25_scalar_array", (s: SparkSession, d: String) => {
-      table(s, d, "embeddings")
+      val arrs = table(s, d, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).as("dim"),
           element_at(col("embedding"), 1).as("first_e"),
@@ -122,17 +127,27 @@ object CatalogScalar {
           transform(slice(col("embedding"), 1, 4), x => x + lit(1.0f)).as("plus1"),
           reverse(slice(col("embedding"), 1, 4)).as("rev4"),
           sort_array(slice(col("embedding"), 1, 4)).as("sorted4"))
+      val lanes = Seq("head4", "plus1", "rev4", "sorted4").flatMap(c =>
+        (1 to 4).map(i => element_at(col(c), i).as(s"${c}_$i")))
+      arrs.select(col("vec_id") +: col("dim") +: col("first_e") +: col("last_e") +: lanes: _*)
         .orderBy("vec_id")
-    }, Some(
-      """SELECT vec_id,
-        |       CAST(len(embedding) AS INTEGER) AS dim,
-        |       embedding[1] AS first_e,
-        |       embedding[-1] AS last_e,
-        |       embedding[1:4] AS head4,
-        |       list_transform(embedding[1:4], x -> x + CAST(1.0 AS FLOAT)) AS plus1,
-        |       list_reverse(embedding[1:4]) AS rev4,
-        |       list_sort(embedding[1:4]) AS sorted4
-        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+    }, Some {
+      val lanes = Seq("head4", "plus1", "rev4", "sorted4").flatMap(c =>
+        (1 to 4).map(i => s"$c[$i] AS ${c}_$i")).mkString(",\n|       ")
+      s"""WITH a AS (
+         |  SELECT vec_id,
+         |         CAST(len(embedding) AS INTEGER) AS dim,
+         |         embedding[1] AS first_e,
+         |         embedding[-1] AS last_e,
+         |         embedding[1:4] AS head4,
+         |         list_transform(embedding[1:4], x -> x + CAST(1.0 AS FLOAT)) AS plus1,
+         |         list_reverse(embedding[1:4]) AS rev4,
+         |         list_sort(embedding[1:4]) AS sorted4
+         |  FROM embeddings)
+         |SELECT vec_id, dim, first_e, last_e,
+         |       $lanes
+         |FROM a ORDER BY vec_id""".stripMargin
+    }),
 
     // ---- scalar: JSON -------------------------------------------------
     // Mirrors the reference's wire format (JSON payloads decoded on read,

@@ -67,16 +67,21 @@ object CatalogSql {
         |ORDER BY vec_id, pos""".stripMargin)),
 
     // Ordered collect: sort_array(collect_list) is the deterministic form
-    // (bare collect_list order is partitioning-dependent).
+    // (bare collect_list order is partitioning-dependent). The output is
+    // rendered as a canonical JSON string — the driver's pandas compare
+    // cannot sort raw array cells (round-1 q53 failure), and "[1,2,3]" of
+    // bigints is byte-identical across engines.
     ("q53_agg_collect", (s: SparkSession, d: String) => {
       table(s, d, "customer")
         .filter(col("c_acctbal") > 9000)
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+        .agg(to_json(sort_array(collect_list(col("c_custkey")))).as("custkeys"),
           count(lit(1)).as("n"))
         .orderBy("c_nationkey")
     }, Some(
-      """SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys, count(*) AS n
+      """SELECT c_nationkey,
+        |       '[' || array_to_string(list_sort(list(c_custkey)), ',') || ']' AS custkeys,
+        |       count(*) AS n
         |FROM customer WHERE c_acctbal > 9000
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
