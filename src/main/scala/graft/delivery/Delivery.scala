@@ -103,3 +103,31 @@ object InMemoryLedger extends BatchLedger {
     marks.contains((groupId, batchId))
   def clear(): Unit = marks.clear()
 }
+
+/** Durable ledger: one atomically-created marker file per
+  * (groupId, batchId) under `root`, so the commit-first contract of
+  * at-most-once delivery survives process death — the Spark analogue of
+  * the reference checkpointing its lease/sequence state to DynamoDB
+  * before processing (KinesisSubscriberActor.scala:152-158). CREATE_NEW
+  * is atomic on POSIX filesystems (and on HDFS-style stores the same
+  * pattern maps to create-with-overwrite=false), so exactly one of any
+  * number of concurrent markers wins. */
+final case class FileLedger(root: String) extends BatchLedger {
+  import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+
+  private def dir(groupId: String) = {
+    GroupId.validate(groupId)
+    Paths.get(root, groupId)
+  }
+  private def marker(groupId: String, batchId: Long) =
+    dir(groupId).resolve(s"batch-$batchId")
+
+  override def markIfNew(groupId: String, batchId: Long): Boolean = {
+    Files.createDirectories(dir(groupId))
+    try { Files.createFile(marker(groupId, batchId)); true }
+    catch { case _: FileAlreadyExistsException => false }
+  }
+
+  override def isMarked(groupId: String, batchId: Long): Boolean =
+    Files.exists(marker(groupId, batchId))
+}

@@ -52,14 +52,37 @@ object GraftEngine {
       transform: DataFrame => DataFrame,
       process: (DataFrame, Long) => Unit)
 
-  /** Registry of declared subscriptions; `startAll` mirrors the eager
-    * producer registration of the reference. */
-  final class TopicRegistry(spark: SparkSession, checkpointRoot: String) {
+  /** Declared outbound topic. `start` builds the publishing streaming
+    * query (typically readStream → TopicSource.encodeJson →
+    * foreachBatch(TopicSink.writeOrdered)); whether it starts at all is
+    * gated by [[graft.model.ProducerConfig.role]], mirroring the
+    * reference's role-filtered producer placement (Producer.scala:54-59,
+    * KinesisConfig.scala:85): a producer with a role runs only on engine
+    * instances carrying that role, a roleless producer runs everywhere. */
+  final case class Publication(
+      topicId: String,
+      producer: graft.model.ProducerConfig = graft.model.ProducerConfig(),
+      start: () => StreamingQuery)
+
+  /** Registry of declared subscriptions + publications; `startAll` /
+    * `startProducers` mirror the eager registration walk of the
+    * reference. `nodeRoles` is this engine instance's role set (the
+    * reference reads it from the cluster node's configuration). */
+  final class TopicRegistry(spark: SparkSession, checkpointRoot: String,
+                            nodeRoles: Set[String] = Set.empty) {
     private val subs = TrieMap.empty[String, Subscription]
+    private val pubs = TrieMap.empty[String, Publication]
     private val running = TrieMap.empty[String, StreamingQuery]
 
     def register(sub: Subscription): Unit =
       subs.put(s"${sub.source.topicId}/${sub.groupId}", sub)
+
+    def register(pub: Publication): Unit =
+      pubs.put(pub.topicId, pub)
+
+    /** True iff a producer with this config belongs on this instance. */
+    def producerRunsHere(producer: graft.model.ProducerConfig): Boolean =
+      producer.role.forall(nodeRoles.contains)
 
     def startAll(): Seq[StreamingQuery] =
       subs.toSeq.sortBy(_._1).map { case (key, sub) =>
@@ -67,6 +90,18 @@ object GraftEngine {
           sub.transform(sub.source.load(spark)), sub.groupId, checkpointRoot)(sub.process)
         running.put(key, q)
         q
+      }
+
+    /** Start role-eligible publications (reference: producers are only
+      * placed on nodes whose role matches). Returns the started queries;
+      * role-ineligible publications are silently skipped, like the
+      * reference's descriptor walk. */
+    def startProducers(): Seq[StreamingQuery] =
+      pubs.toSeq.sortBy(_._1).collect {
+        case (key, pub) if producerRunsHere(pub.producer) =>
+          val q = pub.start()
+          running.put(s"pub/$key", q)
+          q
       }
 
     def stopAll(): Unit = { running.values.foreach(_.stop()); running.clear() }

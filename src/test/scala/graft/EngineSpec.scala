@@ -36,6 +36,34 @@ class EngineSpec extends SparkSpec {
       "click events must have been processed")
   }
 
+  test("producer role gates publication placement (reference parity)") {
+    val dir = Files.createTempDirectory("graft-pub").toString
+    graft.ops.Tables.table(spark, sf, "region")
+      .write.mode("overwrite").parquet(s"$dir/topic")
+    val started = new ConcurrentLinkedQueue[String]()
+    def pub(id: String, role: Option[String]) =
+      GraftEngine.Publication(id, graft.model.ProducerConfig(role), { () =>
+        started.add(id)
+        graft.delivery.Delivery.atLeastOnce(
+          spark.readStream
+            .schema(graft.ops.Tables.table(spark, sf, "region").schema)
+            .parquet(s"$dir/topic"),
+          s"pub-$id", s"$dir/ckpt")((batch, _) => batch.count())
+      })
+    val registry = new GraftEngine.TopicRegistry(spark, s"$dir/ckpt",
+      nodeRoles = Set("writer"))
+    registry.register(pub("roleless", None))
+    registry.register(pub("gated-match", Some("writer")))
+    registry.register(pub("gated-other", Some("reader")))
+    val queries = registry.startProducers()
+    queries.foreach(_.awaitTermination())
+    registry.stopAll()
+    import scala.jdk.CollectionConverters._
+    assert(started.asScala.toSet == Set("roleless", "gated-match"),
+      s"role gating placed the wrong producers: ${started.asScala.toSet}")
+    assert(queries.size == 2)
+  }
+
   test("backoff supervision restarts a failing query with growing delays") {
     val dir = Files.createTempDirectory("graft-sup").toString
     graft.ops.Tables.table(spark, sf, "region")

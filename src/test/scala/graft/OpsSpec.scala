@@ -167,4 +167,20 @@ class OpsSpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall collapsed: $recall")
   }
+
+  test("ivf topK plan has no single-partition exchange (centroid pick scales)") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5,
+      nlist = 8, nprobe = 4)
+    val plan = ivf.queryExecution.executedPlan.toString
+    // the round-1 centroid pick funneled the corpus through one task
+    // (global Window.orderBy => Exchange SinglePartition); the fix uses a
+    // per-partition top-nlist merge instead
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in IVF plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject centroid pick in IVF plan:\n$plan")
+  }
 }
