@@ -197,6 +197,54 @@ object Dedup {
       spreadCompute(df, idCol).select(col(idCol), charShingles(col(textCol), n).as("sh")),
       idCol, threshold, bands = 16, rows = 3)
 
+  /** Connected components over an undirected near-duplicate edge list
+    * (id_a, id_b) — the step that turns pairwise dup mining into "keep
+    * one representative per cluster" in a training-data pipeline.
+    * Returns (id, cluster) where cluster = min id reachable from id;
+    * only ids that appear in at least one pair are emitted (singletons
+    * are trivially their own representative).
+    *
+    * Scale design: hash-min label propagation. Every round each node
+    * adopts the min label among itself and its neighbors; rounds needed
+    * = graph diameter (dup clusters from LSH mining are near-cliques, so
+    * 2-3 rounds in practice). Each round is one equi-join + one groupBy
+    * — both shuffle on node id only, carrying two longs per node; the
+    * documents themselves never move. Lineage is truncated per round
+    * with localCheckpoint so deep graphs don't blow up the planner, and
+    * convergence is detected from the per-round sum of labels (labels
+    * only decrease, so equal consecutive sums ⇔ fixpoint) — one scalar
+    * action per round, no driver-side data. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var prevSum: Option[java.math.BigDecimal] = None
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("cluster")), Seq("dst"))
+        .select(col("src").as("id"), col("cluster"))
+      labels = labels.union(viaNbr)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      val s = labels
+        .agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0)
+      done = prevSum.exists(p =>
+        (p == null && s == null) || (p != null && s != null && p.compareTo(s) == 0))
+      prevSum = Some(s)
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-duplicate pairs: exact all-pairs cosine (small/medium
     * corpora — codegen loop, broadcast one side) or LSH (see
     * [[Similarity.lshCosinePairs]]) for the 100 TB path. */

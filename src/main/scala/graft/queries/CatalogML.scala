@@ -197,6 +197,40 @@ object CatalogML {
         |WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Near-dup clustering: LSH pair mining → hash-min connected
+    // components (keep one representative per cluster — the step after
+    // pair mining in a real dedup pipeline). Oracle = exact-Jaccard
+    // pairs closed transitively with a recursive CTE; cluster label =
+    // min doc_id in the component on both engines.
+    ("q71_dedup_clusters", (s: SparkSession, d: String) => {
+      val pairs = Dedup.minhashJaccardPairs(table(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }, Some(
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                        FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS sh
+        |  FROM tok
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |          / CAST(len(a.sh) + len(b.sh)
+        |                 - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.7
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS id, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+        |)
+        |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     // Approximate distinct (HLL sketch differs per engine → rows-only).
     ("q43_agg_approx_distinct", (s: SparkSession, d: String) => {
       table(s, d, "events")

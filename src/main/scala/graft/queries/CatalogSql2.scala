@@ -192,6 +192,30 @@ object CatalogSql2 {
         |       substring(r_name, 1, 3) AS l3,
         |       right(r_name, 3) AS r3,
         |       repeat(r_name, 2) AS doubled
-        |FROM region ORDER BY r_regionkey""".stripMargin))
+        |FROM region ORDER BY r_regionkey""".stripMargin)),
+
+    // Big-to-big range join via binning: both sides are large (lineitem
+    // points vs per-order price intervals), so neither broadcast nested
+    // loop nor cartesian survives scale. RangeJoin.binnedPointInterval
+    // turns it into a shuffled equi-join on a bin id with the range
+    // predicate as residual — see graft.ops.RangeJoin scaladoc.
+    ("q72_join_range_binned", (s: SparkSession, d: String) => {
+      val intervals = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_totalprice") - lit(10.0)).as("lo"),
+          col("o_totalprice").as("hi"))
+      val points = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      graft.ops.RangeJoin.binnedPointInterval(points, "l_extendedprice",
+          intervals, "lo", "hi", binWidth = 64.0)
+        .groupBy(floor(col("o_totalprice") / 10000.0).cast("long").as("price_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("price_bucket")
+    }, Some(
+      s"""SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS price_bucket,
+         |       count(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders
+         |  ON l_extendedprice >= o_totalprice - 10.0 AND l_extendedprice <= o_totalprice
+         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Dedup, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Dedup, RangeJoin, Similarity, TextOps}
 import graft.functions.VectorFunctions
 
 /** Unit semantics for the analytics/ML ops on small hand-built inputs. */
@@ -166,6 +166,39 @@ class OpsSpec extends SparkSpec {
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall collapsed: $recall")
+  }
+
+  test("connected components labels every node with its component's min id") {
+    // component {1,2,3} (triangle-free chain), singleton pair {10,11},
+    // and a diameter-3 chain {20,21,22,23} to force multiple rounds
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connected components of an empty pair set is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("binned range join matches the naive theta join and stays an equi-join") {
+    val points = (0 until 200).map(i => (i.toLong, i * 1.5)).toDF("pid", "v")
+    val iv = Seq((1L, 10.0, 25.0), (2L, 24.0, 24.0), (3L, 290.0, 310.0),
+      (4L, -5.0, 3.0)).toDF("iid", "lo", "hi")
+    val joined = RangeJoin.binnedPointInterval(points, "v", iv, "lo", "hi", 7.0)
+    val got = joined.select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.crossJoin(iv).where(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty, s"binned=$got naive=$want")
+    // the point of the binning: a partitionable equi-join, never a
+    // nested-loop/cartesian shape
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a non-equi physical shape:\n$plan")
   }
 
   test("ivf topK plan has no single-partition exchange (centroid pick scales)") {
