@@ -241,17 +241,44 @@ object CatalogML {
     }, None),
 
     // Multimodal: stubbed decode over binary payloads via typed
-    // mapPartitions (plumbing real, codec stubbed) → rows-only; the
-    // metadata path is oracle-checked by q34.
+    // mapPartitions (plumbing real, codec stubbed). The stub derives
+    // dims from the first two payload BYTES + a SHA-256 — all
+    // reproducible in DuckDB by hexing the UTF-8 encoding and converting
+    // hex digits positionally (no BLOB substring needed).
     ("q44_multimodal_decode", (s: SparkSession, d: String) => {
       Multimodal.decodeStub(s,
           Multimodal.mediaFromDocuments(spread(table(s, d, "documents"), "doc_id"),
             "doc_id", "text"))
         .toDF()
         .orderBy("media_id")
-    }, None),
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         octet_length(encode(text)) AS n,
+        |         upper(hex(encode(substring(text, 1, 2)))) AS h2,
+        |         sha256(text) AS content_sha
+        |  FROM documents
+        |), b AS (
+        |  SELECT *,
+        |         (strpos('0123456789ABCDEF', substring(h2, 1, 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substring(h2, 2, 1)) - 1) AS b0,
+        |         (strpos('0123456789ABCDEF', substring(h2, 3, 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substring(h2, 4, 1)) - 1) AS b1
+        |  FROM m
+        |)
+        |SELECT media_id, media_type,
+        |       CAST(16 + (b0 * 7) % 1904 AS INTEGER) AS width,
+        |       CAST(16 + (b1 * 13) % 1064 AS INTEGER) AS height,
+        |       CAST(CASE WHEN media_type = 'audio' THEN 2 ELSE 3 END AS INTEGER) AS channels,
+        |       CAST(n AS INTEGER) AS n_bytes,
+        |       content_sha
+        |FROM b ORDER BY media_id""".stripMargin)),
 
     // Multimodal: frame sampling (binary slicing, 4 frames per payload).
+    // Oracle slices the hex string of the UTF-8 encoding (2 hex chars =
+    // 1 byte), which reproduces Spark's byte-level substr exactly even
+    // mid-multibyte-character.
     ("q45_multimodal_frames", (s: SparkSession, d: String) => {
       Multimodal.frameSample(
           Multimodal.mediaFromDocuments(table(s, d, "documents"), "doc_id", "text"), 4)
@@ -259,7 +286,22 @@ object CatalogML {
           length(col("frame_bytes")).as("frame_len"),
           upper(hex(substring(col("frame_bytes"), 1, 2))).as("frame_head"))
         .orderBy("media_id", "frame_id")
-    }, None),
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         octet_length(encode(text)) AS n,
+        |         upper(hex(encode(text))) AS hx
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, n, hx,
+        |         greatest(CAST(floor(n / 4.0) AS INTEGER), 1) AS flen,
+        |         CAST(t.frame_id AS INTEGER) AS frame_id
+        |  FROM m, range(4) t(frame_id)
+        |)
+        |SELECT media_id, frame_id,
+        |       CAST(greatest(least(flen, n - frame_id * flen), 0) AS INTEGER) AS frame_len,
+        |       substring(hx, frame_id * flen * 2 + 1, 4) AS frame_head
+        |FROM f ORDER BY media_id, frame_id""".stripMargin)),
 
     // UDAF surface: typed Aggregator (vector centroid per label). Float
     // mean values are partition-order-dependent in the last ulp (like any
