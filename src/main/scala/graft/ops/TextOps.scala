@@ -131,4 +131,24 @@ object TextOps {
     aggregate(split(text, ""), lit(0L),
       (h, c) => pmod(h * 31L + ascii(c).cast("long"), lit(P)))
   }
+
+  // --- PII scrubbing ----------------------------------------------------
+
+  /** Patterns shared with the DuckDB oracle (ASCII classes only, so the
+    * Java and RE2 regex dialects agree). URLs are scrubbed before emails
+    * (a URL can embed an @) and digit runs last (URLs/emails contain
+    * digits). */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumPattern = "\\d{6,}"
+
+  /** Scrub URLs / emails / long digit runs (ids, phone-ish numbers) to
+    * typed placeholder tokens — the standard pre-training cleanup pass.
+    * Pure codegen regexp_replace chain, no UDF. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "[URL]"),
+        emailPattern, "[EMAIL]"),
+      longNumPattern, "[NUM]")
 }

@@ -231,6 +231,57 @@ object CatalogML {
         |)
         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // PII scrubbing: URLs → emails → long digit runs replaced by typed
+    // placeholders, counts from the original text. Patterns are ASCII-
+    // class-only so the Java and RE2 dialects agree (shared constants in
+    // TextOps), making the pass exactly reproducible in DuckDB.
+    ("q73_text_scrub", (s: SparkSession, d: String) => {
+      spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"),
+          TextOps.scrubPii(col("text")).as("clean_text"),
+          regexp_count(col("text"), lit(TextOps.urlPattern)).as("n_urls"),
+          regexp_count(col("text"), lit(TextOps.emailPattern)).as("n_emails"),
+          regexp_count(col("text"), lit(TextOps.longNumPattern)).as("n_longnums"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(text,
+         |         '${TextOps.urlPattern}', '[URL]', 'g'),
+         |         '${TextOps.emailPattern}', '[EMAIL]', 'g'),
+         |         '${TextOps.longNumPattern}', '[NUM]', 'g') AS clean_text,
+         |       CAST(len(regexp_extract_all(text, '${TextOps.urlPattern}')) AS INTEGER) AS n_urls,
+         |       CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}')) AS INTEGER) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '${TextOps.longNumPattern}')) AS INTEGER) AS n_longnums
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing (concat-and-chunk): shard by id, per-shard window
+    // cumsum of token counts, pack = floor(offset / ctx). Aggregated to
+    // per-pack stats so the result is a compact, fully deterministic
+    // summary of the packing layout.
+    ("q74_seq_packing", (s: SparkSession, d: String) => {
+      val docs = spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("toks"))
+      graft.ops.Packing.packSequences(docs, "doc_id", "toks",
+          ctxLen = 512, numShards = 8)
+        .groupBy("shard", "pack")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast("long")).as("pack_tokens"))
+        .orderBy("shard", "pack")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, shard, toks,
+        |         coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  FROM t
+        |)
+        |SELECT shard, CAST(floor(start_offset / 512.0) AS BIGINT) AS pack,
+        |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
+        |FROM o GROUP BY shard, pack ORDER BY shard, pack""".stripMargin)),
+
     // Approximate distinct (HLL sketch differs per engine → rows-only).
     ("q43_agg_approx_distinct", (s: SparkSession, d: String) => {
       table(s, d, "events")

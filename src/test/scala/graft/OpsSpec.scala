@@ -201,6 +201,32 @@ class OpsSpec extends SparkSpec {
       s"range join fell back to a non-equi physical shape:\n$plan")
   }
 
+  test("scrubPii replaces urls, emails and long digit runs but not short numbers") {
+    val df = Seq(
+      (1L, "see https://ex.com/a?id=1234567 or mail bob.smith+x@ex-mail.co, call 5551234567, room 42"),
+      (2L, "no pii here, just 12345 and v2.0"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.scrubPii(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(df(1L) == "see [URL] or mail [EMAIL], call [NUM], room 42")
+    assert(df(2L) == "no pii here, just 12345 and v2.0")
+  }
+
+  test("sequence packing shards deterministically and chunks by cumulative tokens") {
+    val docs = Seq((0L, 300), (2L, 300), (4L, 300), (6L, 100), // shard 0
+        (1L, 600), (3L, 10))                                   // shard 1
+      .toDF("doc_id", "toks")
+    val packed = graft.ops.Packing.packSequences(docs, "doc_id", "toks",
+        ctxLen = 512, numShards = 2)
+      .select("doc_id", "shard", "start_offset", "pack")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // shard 0 offsets: 0, 300, 600, 900 → packs 0, 0, 1, 1
+    // shard 1 offsets: 0, 600 → packs 0, 1
+    assert(packed == Set(
+      (0L, 0L, 0L, 0L), (2L, 0L, 300L, 0L), (4L, 0L, 600L, 1L), (6L, 0L, 900L, 1L),
+      (1L, 1L, 0L, 0L), (3L, 1L, 600L, 1L)))
+  }
+
   test("ivf topK plan has no single-partition exchange (centroid pick scales)") {
     val emb = graft.ops.Tables.table(spark, sf, "embeddings")
     val queries = emb.where(col("vec_id") < 10)
