@@ -207,7 +207,7 @@ object CatalogSql2 {
       val points = table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"))
       graft.ops.RangeJoin.binnedPointInterval(points, "l_extendedprice",
-          intervals, "lo", "hi", binWidth = 64.0)
+          intervals, "lo", "hi", binWidth = 16.0)
         .groupBy(floor(col("o_totalprice") / 10000.0).cast("long").as("price_bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("price_bucket")
