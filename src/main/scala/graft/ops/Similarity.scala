@@ -100,32 +100,97 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** IVF top-k: centroids are `nlist` hash-selected corpus vectors
-    * (deterministic); corpus rows are assigned to their nearest centroid
-    * once, queries probe the `nprobe` nearest centroid cells. */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // Centroid pick must survive 100 TB: take the nlist smallest
-    // xxhash64(id) values — a pseudo-random but deterministic sample that
-    // compiles to TakeOrderedAndProject (per-partition partial top-nlist,
-    // tiny driver-side merge). No corpus.count() action, no global
-    // single-partition Window.orderBy.
-    val centroids = corpus
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-      .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
+  /** Elementwise-mean aggregate (O(dim) buffers, map-side combine). */
+  private lazy val centroidAgg =
+    org.apache.spark.sql.functions.udaf(new graft.functions.VectorCentroid,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+
+  /** Deterministic `nlist` seed centroid pick as a plan: the rows with
+    * the smallest xxhash64(id) — a pseudo-random but reproducible sample
+    * that compiles to TakeOrderedAndProject (per-partition partial
+    * top-nlist, tiny driver-side merge). No corpus.count() action, no
+    * global single-partition Window.orderBy. */
+  private[graft] def seedCentroidsPlan(corpus: DataFrame, idCol: String,
+                                       vecCol: String, nlist: Int): DataFrame =
+    corpus
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(nlist)
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(cosine(col(vec), col("cent_vec")).desc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__cr", row_number().over(w))
-        .where(col("__cr") <= keep)
-        .drop("cent_vec", "__cr")
-    }
+  /** Seed centroids collected to the driver — nlist is tiny, and a
+    * driver-resident model is the same shape Spark MLlib's k-means uses
+    * (the corpus itself never moves). */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int): Array[(Long, Array[Float])] =
+    seedCentroidsPlan(corpus, idCol, vecCol, nlist)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-    val corpusCells = assign(corpus, idCol, vecCol, 1)
-    val queryCells = assign(queries, qidCol, qvecCol, nprobe)
+  /** Nearest-centroid id as a pure column expression: the centroids are
+    * inlined as literals and the argmax runs as array_max over
+    * (cosine, -id) structs — assignment adds NO join and NO shuffle to
+    * the corpus scan. Ties break toward the smaller centroid id. */
+  private def nearestCentId(vecCol: Column, cents: Array[(Long, Array[Float])]): Column = {
+    val best = array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(cosine(vecCol, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
+    }: _*))
+    -best.getField("ncid")
+  }
+
+  /** Lloyd-refined IVF centroids — distributed k-means where each
+    * iteration is ONE corpus scan: nearest-centroid assignment is the
+    * inlined-literal argmax above (no join, no per-row shuffle), and the
+    * cell means come from [[graft.functions.VectorCentroid]] (O(dim)
+    * buffers with map-side combine, so the one shuffle carries
+    * |nlist| × dim doubles per partition — never vectors). Empty cells
+    * keep their previous centroid. Note: distributed float means are
+    * partition-order-dependent in the last ulp, so trained centroids are
+    * deterministic only up to partitioning (the hash-seeded pick is
+    * bit-stable; use that where bit-reproducibility matters). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int = 16, iterations: Int = 2): Array[(Long, Array[Float])] = {
+    var cents = seedCentroids(corpus, idCol, vecCol, nlist)
+    for (_ <- 0 until iterations) {
+      val means = Tables.spread(corpus, idCol)
+        .groupBy(nearestCentId(col(vecCol), cents).as("cent_id"))
+        .agg(centroidAgg(col(vecCol)).as("cent_vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
+  /** IVF top-k: corpus rows are assigned to their nearest centroid once
+    * (inlined argmax — the corpus scan gains no join and no shuffle),
+    * queries probe the `nprobe` nearest centroid cells, and the
+    * candidate join runs on the centroid id. `trainIterations` > 0
+    * refines the hash-seeded centroids with that many k-means passes
+    * ([[kmeansCentroids]]) for better recall at the same probe cost. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              trainIterations: Int = 0): DataFrame = {
+    val cents =
+      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      else seedCentroids(corpus, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "IVF needs a non-empty corpus")
+
+    val corpusCells = Tables.spread(corpus, idCol)
+      .withColumn("cent_id", nearestCentId(col(vecCol), cents))
+
+    // queries are small by contract: explode the centroid literals per
+    // query and keep the nprobe closest cells
+    val centStructs = array(cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(lit(cid).as("cent_id"), typedLit(cv).as("cent_vec"))
+    }: _*)
+    val wq = Window.partitionBy(qidCol)
+      .orderBy(col("__cos_c").desc, col("__c.cent_id").asc)
+    val queryCells = queries
+      .select(col(qidCol), col(qvecCol), explode(centStructs).as("__c"))
+      .withColumn("__cos_c", cosine(col(qvecCol), col("__c.cent_vec")))
+      .withColumn("__cr", row_number().over(wq))
+      .where(col("__cr") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("__c.cent_id").as("cent_id"))
+
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
     queryCells.join(corpusCells, Seq("cent_id"))
       .where(col(qidCol) =!= col(idCol))

@@ -168,6 +168,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall collapsed: $recall")
   }
 
+  test("kmeans-trained ivf centroids differ from seeds and keep recall") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", 8).toMap
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iterations = 2).toMap
+    assert(trained.keySet == seeds.keySet, "training must keep cell identities")
+    assert(trained.exists { case (k, v) => !java.util.Arrays.equals(v, seeds(k)) },
+      "two Lloyd iterations must move at least one centroid")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5,
+        nlist = 8, nprobe = 4, trainIterations = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"trained-IVF recall collapsed: $recall")
+  }
+
   test("connected components labels every node with its component's min id") {
     // component {1,2,3} (triangle-free chain), singleton pair {10,11},
     // and a diameter-3 chain {20,21,22,23} to force multiple rounds
@@ -235,11 +254,17 @@ class OpsSpec extends SparkSpec {
       nlist = 8, nprobe = 4)
     val plan = ivf.queryExecution.executedPlan.toString
     // the round-1 centroid pick funneled the corpus through one task
-    // (global Window.orderBy => Exchange SinglePartition); the fix uses a
-    // per-partition top-nlist merge instead
+    // (global Window.orderBy => Exchange SinglePartition); assignment is
+    // now an inlined argmax, so the main plan must have no
+    // single-partition exchange and no nested-loop/cartesian join either
     assert(!plan.contains("Exchange SinglePartition"),
       s"single-partition exchange in IVF plan:\n$plan")
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"expected TakeOrderedAndProject centroid pick in IVF plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"corpus-side non-equi join in IVF plan:\n$plan")
+    // the seed pick itself compiles to a per-partition partial top-nlist
+    val seedPlan = Similarity.seedCentroidsPlan(emb, "vec_id", "embedding", 8)
+      .queryExecution.executedPlan.toString
+    assert(seedPlan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject centroid pick:\n$seedPlan")
   }
 }
