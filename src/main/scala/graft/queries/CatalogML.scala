@@ -291,6 +291,38 @@ object CatalogML {
         .orderBy("event_type")
     }, None),
 
+    // Mergeable distinct-count sketches: per-day HLL sketches unioned
+    // per event type — the pre-aggregate/reaggregate pattern that lets a
+    // 100 TB pipeline answer "distinct users over any date range" from
+    // tiny daily sketches instead of raw events. Sketch bytes are
+    // engine-internal (Datasketches) → rows-only; accuracy and
+    // merge-equals-whole invariants are pinned in OpsSpec.
+    ("q75_agg_sketch_merge", (s: SparkSession, d: String) => {
+      val daily = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    }, None),
+
+    // Corpus vocabulary: exact token frequencies, top 20. Map-side
+    // partial counts collapse each partition's explode before the one
+    // shuffle; the final top-k is a TakeOrderedAndProject.
+    ("q76_text_vocab", (s: SparkSession, d: String) => {
+      spread(table(s, d, "documents"), "doc_id")
+        .select(explode(TextOps.lowerTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }, Some(
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |                    x -> lower(x))) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
+
     // Multimodal: stubbed decode over binary payloads via typed
     // mapPartitions (plumbing real, codec stubbed). The stub derives
     // dims from the first two payload BYTES + a SHA-256 — all

@@ -187,6 +187,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"trained-IVF recall collapsed: $recall")
   }
 
+  test("hll sketch merge: unioned partial sketches equal the whole-set sketch") {
+    val ev = graft.ops.Tables.table(spark, sf, "events")
+    val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head.getLong(0)
+    val merged = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head.getLong(0)
+    assert(merged == whole, s"merge-of-partials must equal whole-set sketch: $merged vs $whole")
+    val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    val err = math.abs(merged - exact).toDouble / exact
+    assert(err < 0.05, s"HLL estimate off by ${err * 100}%: $merged vs exact $exact")
+  }
+
   test("connected components labels every node with its component's min id") {
     // component {1,2,3} (triangle-free chain), singleton pair {10,11},
     // and a diameter-3 chain {20,21,22,23} to force multiple rounds
