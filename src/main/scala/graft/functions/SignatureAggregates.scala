@@ -115,6 +115,67 @@ object MinHashSig {
   def sig(h: Column, numHashes: Int): Column =
     GraftSqlShim.column(
       MinHashSig(GraftSqlShim.expression(h), numHashes).toAggregateExpression())
+
+  /** Per-row signature over a shingle ARRAY column — the preferred form
+    * when shingles are row-local (see [[MinHashSigRow]]). */
+  def sigRow(shingles: Column, numHashes: Int): Column =
+    GraftSqlShim.column(MinHashSigRow(GraftSqlShim.expression(shingles), numHashes))
+}
+
+/** MinHash signature as ONE per-row expression over the shingle array.
+  *
+  * When the shingles of a document are already a row-local array, the
+  * explode → hash → re-aggregate pipeline pays for materializing
+  * |docs| × |shingles| rows, per-row aggregate dispatch, and a shuffle —
+  * only to reassemble what was row-local to begin with (profiled: the
+  * signature stage was ~70% of q35's runtime). This expression does the
+  * whole signature in one tight JVM loop per document: hash each shingle
+  * once with the SAME xxhash64 the column pipeline used
+  * (XxHash64Function, seed 42), reduce mod 2^31-1, update all lanes.
+  * No explode, no aggregation, no shuffle — the signature stage becomes
+  * a pure map over the corpus scan. Bit-identical to
+  * explode + [[MinHashSig]] (same hash, same `Random(42)` coefficient
+  * stream, same min fold), which remains available for genuinely
+  * pre-exploded inputs (e.g. token streams).
+  */
+case class MinHashSigRow(child: Expression, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def prettyName: String = "graft_minhash_sig_row"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val (as, bs) = MinHashSig.coeffs(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val p = MinHashSig.MersennePrime
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val raw = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, 42L)
+        val h = ((raw % p) + p) % p // pmod, as in the column pipeline
+        var j = 0
+        while (j < numHashes) {
+          val x = (h * as(j) + bs(j)) % p
+          if (x < mins(j)) mins(j) = x
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigRow =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash as one aggregate: the buffer is the 64 per-bit ±1 vote

@@ -36,24 +36,18 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
 
-  private val MersennePrime = graft.functions.MinHashSig.MersennePrime
-
-  /** MinHash signatures the scalable way: explode shingles, hash each
-    * shingle ONCE with codegen'd xxhash64, then fold all `numHashes`
-    * affine maps mod 2^31-1 inside ONE [[graft.functions.MinHashSig]]
-    * aggregate (an `Array[Long]` buffer updated in a tight JVM loop —
-    * a 64-wide min-column block takes HashAggregate off its fast path;
-    * this was 67% of the round-1 bench). Map-side partial merge still
-    * applies, so the shuffle carries numHashes longs per doc, never the
-    * shingles. Returns (idCol, sig: array<bigint>). */
+  /** MinHash signatures as a pure per-row map: the shingle array is
+    * row-local, so the whole signature folds inside ONE
+    * [[graft.functions.MinHashSigRow]] expression — no explode, no
+    * aggregation, no shuffle; the signature stage is just a column on
+    * the corpus scan. (The explode + [[graft.functions.MinHashSig]]
+    * aggregate formulation remains for pre-exploded inputs; it computes
+    * the bit-identical signature.) Returns (idCol, sig: array<bigint>);
+    * ids are assumed unique per row. */
   def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: Column,
-                        numHashes: Int): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shinglesCol).as("__s"))
-      .select(col(idCol), pmod(xxhash64(col("__s")), lit(MersennePrime)).as("__h"))
-    exploded.groupBy(col(idCol))
-      .agg(graft.functions.MinHashSig.sig(col("__h"), numHashes).as("sig"))
-  }
+                        numHashes: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.MinHashSig.sigRow(shinglesCol, numHashes).as("sig"))
 
   /** LSH band buckets from a signature: `bands` buckets of `rows`
     * signature entries each (numHashes = bands * rows). */

@@ -187,6 +187,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"trained-IVF recall collapsed: $recall")
   }
 
+  test("per-row minhash signature is bit-identical to the explode+aggregate form") {
+    val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+    val perRow = Dedup.minhashSignatures(docs, "doc_id", col("sh"), 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = docs
+      .select(col("doc_id"), explode(col("sh")).as("__s"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("__s")), lit(graft.functions.MinHashSig.MersennePrime)).as("__h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSig.sig(col("__h"), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(perRow == viaAgg, "signature formulations diverged")
+  }
+
   test("hll sketch merge: unioned partial sketches equal the whole-set sketch") {
     val ev = graft.ops.Tables.table(spark, sf, "events")
     val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
