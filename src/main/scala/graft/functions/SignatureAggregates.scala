@@ -251,4 +251,52 @@ object SimHashAgg {
   /** Aggregate column: 64-bit SimHash fingerprint over token hashes. */
   def sim(h: Column): Column =
     GraftSqlShim.column(SimHashAgg(GraftSqlShim.expression(h)).toAggregateExpression())
+
+  /** Per-row fingerprint over a token ARRAY column (see [[SimHashRow]]). */
+  def simRow(tokens: Column): Column =
+    GraftSqlShim.column(SimHashRow(GraftSqlShim.expression(tokens)))
+}
+
+/** 64-bit SimHash as ONE per-row expression over the token array — the
+  * same explode-free reasoning as [[MinHashSigRow]]: tokens are
+  * row-local, so the fingerprint folds in one JVM loop per document
+  * (hash each token once with xxhash64 seed 42, 64 ±1 votes, assemble).
+  * Bit-identical to explode + [[SimHashAgg]]. */
+case class SimHashRow(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "graft_simhash_row"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val votes = new Array[Long](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, 42L)
+        var bit = 0
+        while (bit < 64) {
+          votes(bit) += (if (((h >> bit) & 1L) == 1L) 1L else -1L)
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0L) sim |= (1L << bit)
+      bit += 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashRow =
+    copy(child = newChild)
 }

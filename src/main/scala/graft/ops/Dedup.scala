@@ -139,17 +139,15 @@ object Dedup {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** SimHash table the scalable way (mirrors [[minhashSignatures]]):
-    * explode tokens, hash each once, fold the 64 per-bit ±1 votes inside
-    * ONE [[graft.functions.SimHashAgg]] aggregate that emits the
-    * assembled fingerprint. Returns (idCol, sim: bigint). */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
-    exploded.groupBy(col(idCol))
-      .agg(graft.functions.SimHashAgg.sim(col("__h")).as("sim"))
-  }
+  /** SimHash table as a pure per-row map (mirrors [[minhashSignatures]]):
+    * the token array is row-local, so the 64-bit fingerprint folds inside
+    * ONE [[graft.functions.SimHashRow]] expression — no explode, no
+    * aggregation, no shuffle. (The explode + SimHashAgg aggregate form
+    * remains for pre-exploded token streams; bit-identical output.)
+    * Returns (idCol, sim: bigint). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHashAgg.simRow(tokens(col(textCol))).as("sim"))
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, using
     * 4×16-bit band exact-match candidates (guaranteed recall for

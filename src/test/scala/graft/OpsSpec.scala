@@ -202,6 +202,19 @@ class OpsSpec extends SparkSpec {
     assert(perRow == viaAgg, "signature formulations diverged")
   }
 
+  test("per-row simhash is bit-identical to the explode+aggregate form") {
+    val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
+    val perRow = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("__t"))
+      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.sim(col("__h")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(perRow == viaAgg, "simhash formulations diverged")
+  }
+
   test("hll sketch merge: unioned partial sketches equal the whole-set sketch") {
     val ev = graft.ops.Tables.table(spark, sf, "events")
     val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
