@@ -237,9 +237,9 @@ object Dedup {
     labels
   }
 
-  /** Embedding near-duplicate pairs: exact all-pairs cosine (small/medium
-    * corpora — codegen loop, broadcast one side) or LSH (see
-    * [[Similarity.lshCosinePairs]]) for the 100 TB path. */
+  /** Embedding near-duplicate pairs, exact all-pairs cosine — the
+    * |V|² variant for corpora small enough to broadcast one side.
+    * Prefer [[embeddingCosinePairsLsh]] at scale. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
     val a = spreadCompute(df, idCol).select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
@@ -250,4 +250,17 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Embedding near-duplicate pairs via sign-LSH candidate buckets +
+    * exact cosine verification — the linear-candidates 100 TB path: the
+    * shuffle carries (id, bucket) pairs, never the |V|² pair space. At
+    * a dedup-grade threshold of 0.99 (angle ≈ 8°) each 8-bit table
+    * collides a true pair with prob ≈ (1 - θ/π)^8 ≈ 0.69, so 12
+    * independent tables miss it with prob (1 - 0.69)^12 < 2e-6 —
+    * effectively exact, which is why the exact all-pairs oracle still
+    * applies. */
+  def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, dim: Int = 64): DataFrame =
+    Similarity.lshCosinePairs(spreadCompute(df, idCol), idCol, vecCol,
+      threshold, dim = dim)
 }

@@ -78,9 +78,13 @@ object CatalogML {
         |SELECT qid, rank, vec_id, cos FROM j WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin)),
 
-    // Embedding near-duplicate pairs, exact all-pairs cosine >= 0.99.
+    // Embedding near-duplicate pairs at cosine >= 0.99, via the
+    // scale path (sign-LSH buckets + exact verification; miss prob
+    // < 2e-6 per true pair at this threshold, so the exact all-pairs
+    // oracle still applies). The broadcast all-pairs variant remains as
+    // Dedup.embeddingCosinePairs for small corpora.
     ("q38_dedup_embedding", (s: SparkSession, d: String) => {
-      Dedup.embeddingCosinePairs(table(s, d, "embeddings"), "vec_id", "embedding", 0.99)
+      Dedup.embeddingCosinePairsLsh(table(s, d, "embeddings"), "vec_id", "embedding", 0.99)
         .orderBy("id_a", "id_b")
     }, Some(
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
