@@ -17,6 +17,54 @@ import graft.ops.Tables._
 object CatalogML {
   type Q = (SparkSession, String) => DataFrame
 
+  /** DuckDB CTE chain `tok, sc, mx, lq` computing (keep columns, __txt,
+    * pred_lang, quality) from `textExpr` over `src` — the exact list
+    * algebra of `TextOps.langIdFromTokens`/`qualityScoreFromTokens`,
+    * with the stopword lists interpolated from TextOps so the engines
+    * can never drift. Shared by the q39 oracle and the end-to-end
+    * pipeline oracle (q77). Tie-break parity: Spark's array_max over
+    * struct(score, lang) picks the lexicographically greatest language
+    * among equal scores — the CASE checks languages in descending code
+    * order for the same effect. */
+  private def langQualitySql(src: String, textExpr: String, keep: String): String = {
+    val langs = TextOps.stopwords.keys.toSeq.sorted // de, en, es, fr, zh
+    def swList(l: String) =
+      TextOps.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    // |distinct stopwords present| / max(|tokens|, 1), exactly
+    // TextOps.langScoreFromTokens (stopword lists are duplicate-free)
+    def score(l: String) =
+      s"CAST(len(list_filter(${swList(l)}, x -> list_contains(toks, x))) AS DOUBLE)" +
+        " / CAST(greatest(len(toks), 1) AS DOUBLE)"
+    val scoreCols = langs.map(l => s"${score(l)} AS s_$l").mkString(",\n         ")
+    val caseArms = langs.reverse.init.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    val sumScores = langs.map(l => s"s_$l").mkString(" + ")
+    s"""tok AS (
+       |  SELECT $keep, $textExpr AS __txt,
+       |         list_transform(string_split_regex(trim($textExpr), '\\s+'), x -> lower(x)) AS toks
+       |  FROM $src
+       |), sc AS (
+       |  SELECT *,
+       |         $scoreCols
+       |  FROM tok
+       |), mx AS (
+       |  SELECT *, greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS m FROM sc
+       |), lq AS (
+       |  SELECT $keep, __txt, toks,
+       |       CASE WHEN m = 0 THEN 'und' $caseArms ELSE '${langs.head}' END AS pred_lang,
+       |       (CASE WHEN CAST(greatest(len(regexp_replace(__txt, '\\s', '', 'g')), 1) AS DOUBLE)
+       |                  / CAST(greatest(len(toks), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+       |             THEN 1.0 ELSE 0.0 END
+       |        + least(1.0, ($sumScores) * 2.0)
+       |        + CAST(len(regexp_replace(__txt, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |          / CAST(greatest(len(__txt), 1) AS DOUBLE)
+       |        + CAST(len(list_distinct(toks)) AS DOUBLE)
+       |          / CAST(greatest(len(toks), 1) AS DOUBLE)
+       |        + CASE WHEN len(__txt) BETWEEN 20 AND 1000000 THEN 1.0 ELSE 0.0 END) / 5
+       |         AS quality
+       |  FROM mx
+       |)""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // MinHash-LSH near-dup pairs, exact-verified at jaccard >= 0.7.
@@ -110,43 +158,10 @@ object CatalogML {
           TextOps.langIdFromTokens(col("__toks")).as("pred_lang"),
           TextOps.qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
         .orderBy("doc_id")
-    }, Some {
-      val langs = TextOps.stopwords.keys.toSeq.sorted // de, en, es, fr, zh
-      def swList(l: String) =
-        TextOps.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
-      // |distinct stopwords present| / max(|tokens|, 1), exactly
-      // TextOps.langScoreFromTokens (stopword lists are duplicate-free)
-      def score(l: String) =
-        s"CAST(len(list_filter(${swList(l)}, x -> list_contains(toks, x))) AS DOUBLE)" +
-          " / CAST(greatest(len(toks), 1) AS DOUBLE)"
-      val scoreCols = langs.map(l => s"${score(l)} AS s_$l").mkString(",\n|         ")
-      val caseArms = langs.reverse.init.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
-      val sumScores = langs.map(l => s"s_$l").mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang, text,
-         |         list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS toks
-         |  FROM documents
-         |), sc AS (
-         |  SELECT doc_id, lang, text, toks,
-         |         $scoreCols
-         |  FROM tok
-         |), mx AS (
-         |  SELECT *, greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS m FROM sc
-         |)
-         |SELECT doc_id, lang AS labeled_lang,
-         |       CASE WHEN m = 0 THEN 'und' $caseArms ELSE '${langs.head}' END AS pred_lang,
-         |       (CASE WHEN CAST(greatest(len(regexp_replace(text, '\\s', '', 'g')), 1) AS DOUBLE)
-         |                  / CAST(greatest(len(toks), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
-         |             THEN 1.0 ELSE 0.0 END
-         |        + least(1.0, ($sumScores) * 2.0)
-         |        + CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-         |          / CAST(greatest(len(text), 1) AS DOUBLE)
-         |        + CAST(len(list_distinct(toks)) AS DOUBLE)
-         |          / CAST(greatest(len(toks), 1) AS DOUBLE)
-         |        + CASE WHEN len(text) BETWEEN 20 AND 1000000 THEN 1.0 ELSE 0.0 END) / 5
-         |         AS quality
-         |FROM mx ORDER BY doc_id""".stripMargin
-    }),
+    }, Some(
+      s"""WITH ${langQualitySql("documents", "text", "doc_id, lang")}
+         |SELECT doc_id, lang AS labeled_lang, pred_lang, quality
+         |FROM lq ORDER BY doc_id""".stripMargin)),
 
     // BPE-ish token counting (regex is dialect-portable: letter runs,
     // digit runs, single punctuation over lowercased text).
@@ -462,6 +477,48 @@ object CatalogML {
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           "qid", "qvec", k = 5)
         .orderBy("qid", "rank")
-    }, None)
+    }, None),
+
+    // End-to-end training-data pipeline as ONE declarative query:
+    // PII scrub → language-ID + quality score → quality filter →
+    // exact-dedup (keep min-id representative among survivors) →
+    // per-language corpus stats. Every stage is an operator whose
+    // parity is already proven (q73, q39, q31); the oracle composes the
+    // same CTEs, so this checks that the stages also compose exactly.
+    ("q77_pipeline_e2e", (s: SparkSession, d: String) => {
+      val scrubbed = spread(table(s, d, "documents"), "doc_id")
+        .withColumn("clean", TextOps.scrubPii(col("text")))
+      val scored = scrubbed
+        .withColumn("__toks", TextOps.lowerTokens(col("clean")))
+        .select(col("doc_id"), col("clean"),
+          TextOps.langIdFromTokens(col("__toks")).as("pred_lang"),
+          TextOps.qualityScoreFromTokens(col("clean"), col("__toks")).as("quality"),
+          TextOps.tokenCount(col("clean")).as("toks_n"))
+      val filtered = scored.where(col("quality") >= 0.5)
+      val kept = Dedup.dropExactDuplicates(filtered, "doc_id", "clean")
+      kept.groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          dsum(col("quality"), 6).as("sum_quality"),
+          sum(col("toks_n").cast("long")).as("total_tokens"))
+        .orderBy("pred_lang")
+    }, Some(
+      s"""WITH scrub AS (
+         |  SELECT doc_id,
+         |         regexp_replace(regexp_replace(regexp_replace(text,
+         |           '${TextOps.urlPattern}', '[URL]', 'g'),
+         |           '${TextOps.emailPattern}', '[EMAIL]', 'g'),
+         |           '${TextOps.longNumPattern}', '[NUM]', 'g') AS clean
+         |  FROM documents
+         |), ${langQualitySql("scrub", "clean", "doc_id")},
+         |filt AS (SELECT * FROM lq WHERE quality >= 0.5),
+         |keep AS (
+         |  SELECT * FROM (SELECT f.*, min(doc_id) OVER (PARTITION BY md5(__txt)) AS keep_id
+         |                 FROM filt f)
+         |  WHERE doc_id = keep_id
+         |)
+         |SELECT pred_lang, count(*) AS n_docs,
+         |       ${dsumSql("quality", 6)} AS sum_quality,
+         |       CAST(sum(CAST(len(string_split_regex(trim(__txt), '\\s+')) AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM keep GROUP BY pred_lang ORDER BY pred_lang""".stripMargin))
   )
 }
