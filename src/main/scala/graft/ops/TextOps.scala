@@ -132,6 +132,38 @@ object TextOps {
       (h, c) => pmod(h * 31L + ascii(c).cast("long"), lit(P)))
   }
 
+  // --- repetition / boilerplate signals ---------------------------------
+
+  /** Word n-grams WITHOUT dedup — repetition analysis needs gram
+    * multiplicity ([[shingles]] dedupes for Jaccard). Empty array when
+    * the doc has fewer than n tokens, so no null-padded grams exist in
+    * either engine. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of non-blank lines that are duplicates of an earlier line
+    * — a boilerplate signal (repeated headers/footers/navigation). */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > lit(0))
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
+  /** Share of all word n-grams taken by the single most frequent one —
+    * high values flag template/repetitive text. O(|grams|²) per row in
+    * bounded doc length; stays in column expressions, no explode. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val grams = ngramsAll(text, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      array_max(transform(grams, g => size(filter(grams, x => x === g))))
+        .cast("double") / size(grams).cast("double"))
+  }
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** Patterns shared with the DuckDB oracle (ASCII classes only, so the

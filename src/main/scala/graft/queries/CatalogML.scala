@@ -479,6 +479,43 @@ object CatalogML {
         .orderBy("qid", "rank")
     }, None),
 
+    // Repetition / boilerplate signals (Gopher-style quality filters):
+    // duplicate-line fraction and the share of the most frequent word
+    // 2-/3-gram. Pure list algebra on both engines — counts stay
+    // integers until one final double division, so no float drift.
+    ("q78_text_repetition", (s: SparkSession, d: String) => {
+      spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"),
+          TextOps.duplicateLineFraction(col("text")).as("dup_line_frac"),
+          TextOps.topNgramFraction(col("text"), 2).as("top2gram_frac"),
+          TextOps.topNgramFraction(col("text"), 3).as("top3gram_frac"))
+        .orderBy("doc_id")
+    }, Some {
+      def gramsSql(n: Int) = {
+        val concat = (0 until n).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        s"CASE WHEN len(ts) >= $n THEN [$concat FOR i IN range(1, len(ts) - ${n - 2})] ELSE [] END"
+      }
+      def topFrac(g: String) =
+        s"""CASE WHEN len($g) = 0 THEN 0.0
+           |            ELSE CAST(list_max(list_transform($g, g -> len(list_filter($g, x -> x = g)))) AS DOUBLE)
+           |                 / CAST(len($g) AS DOUBLE) END""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         string_split_regex(trim(text), '\\s+') AS ts,
+         |         list_filter(string_split_regex(text, '\\n'), l -> len(trim(l)) > 0) AS lines
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, lines, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3 FROM tok
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN len(lines) = 0 THEN 0.0
+         |            ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+         |                 / CAST(len(lines) AS DOUBLE) END AS dup_line_frac,
+         |       ${topFrac("g2")} AS top2gram_frac,
+         |       ${topFrac("g3")} AS top3gram_frac
+         |FROM g ORDER BY doc_id""".stripMargin
+    }),
+
     // End-to-end training-data pipeline as ONE declarative query:
     // PII scrub → language-ID + quality score → quality filter →
     // exact-dedup (keep min-id representative among survivors) →
