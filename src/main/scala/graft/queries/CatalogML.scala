@@ -484,11 +484,14 @@ object CatalogML {
     // 2-/3-gram. Pure list algebra on both engines — counts stay
     // integers until one final double division, so no float drift.
     ("q78_text_repetition", (s: SparkSession, d: String) => {
-      spread(table(s, d, "documents"), "doc_id")
-        .select(col("doc_id"),
-          TextOps.duplicateLineFraction(col("text")).as("dup_line_frac"),
-          TextOps.topNgramFraction(col("text"), 2).as("top2gram_frac"),
-          TextOps.topNgramFraction(col("text"), 3).as("top3gram_frac"))
+      val docs = spread(table(s, d, "documents"), "doc_id")
+      docs.select(col("doc_id"),
+          TextOps.duplicateLineFraction(col("text")).as("dup_line_frac"))
+        .join(TextOps.topNgramFractions(docs, "doc_id", "text", 2), Seq("doc_id"), "left")
+        .join(TextOps.topNgramFractions(docs, "doc_id", "text", 3), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_line_frac"),
+          coalesce(col("top2gram_frac"), lit(0.0)).as("top2gram_frac"),
+          coalesce(col("top3gram_frac"), lit(0.0)).as("top3gram_frac"))
         .orderBy("doc_id")
     }, Some {
       def gramsSql(n: Int) = {

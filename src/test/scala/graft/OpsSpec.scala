@@ -215,6 +215,18 @@ class OpsSpec extends SparkSpec {
     assert(perRow == viaAgg, "simhash formulations diverged")
   }
 
+  test("grouped top-ngram fraction equals the per-row HOF formulation") {
+    val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
+    val viaHof = docs.select(col("doc_id"),
+        TextOps.topNgramFraction(col("text"), 2).as("f"))
+      .as[(Long, Double)].collect().toMap
+    val grouped = TextOps.topNgramFractions(docs, "doc_id", "text", 2)
+      .as[(Long, Double)].collect().toMap
+    for ((id, f) <- grouped) assert(f == viaHof(id), s"doc $id: $f vs ${viaHof(id)}")
+    // HOF emits 0.0 for gram-less docs; grouped omits them
+    assert(viaHof.keySet.diff(grouped.keySet).forall(id => viaHof(id) == 0.0))
+  }
+
   test("hll sketch merge: unioned partial sketches equal the whole-set sketch") {
     val ev = graft.ops.Tables.table(spark, sf, "events")
     val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
