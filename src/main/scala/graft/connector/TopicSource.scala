@@ -61,6 +61,7 @@ final case class KinesisTopicSource(
       "streamName" -> topicId,
       "startingPosition" -> consumer.startingPosition,
       "maxFetchRecordsPerShard" -> consumer.maxBatchSize.toString) ++
+      consumer.startingTimestampMicros.map("startingTimestamp" -> _.toString) ++
       endpointUrl.map("endpointUrl" -> _) ++
       region.map("regionName" -> _)
 

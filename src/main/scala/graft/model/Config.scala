@@ -37,10 +37,13 @@ final case class ConsumerConfig(
     applicationName: Option[String],
     maxBufferSize: Int = 10,   // reference.conf:39
     maxBatchSize: Int = 10,    // reference.conf:40
-    startingPosition: String = "TRIM_HORIZON") { // KinesisSubscriberActor.scala:193, made configurable
+    startingPosition: String = "TRIM_HORIZON", // KinesisSubscriberActor.scala:193, made configurable
+    startingTimestampMicros: Option[Long] = None) { // required by AT_TIMESTAMP (KCL InitialPositionInStream)
   require(maxBufferSize > 0 && maxBatchSize > 0, "buffer/batch sizes must be positive")
   require(Set("TRIM_HORIZON", "LATEST", "AT_TIMESTAMP").contains(startingPosition),
     s"invalid starting position $startingPosition")
+  require(startingPosition != "AT_TIMESTAMP" || startingTimestampMicros.isDefined,
+    "AT_TIMESTAMP requires startingTimestampMicros")
 }
 
 final case class ProducerConfig(role: Option[String] = None)

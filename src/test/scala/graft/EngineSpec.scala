@@ -5,10 +5,11 @@ import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.functions._
 
-import graft.connector.FileTopicSource
+import graft.connector.{FileTopicSource, KinesisTopicSource, TopicSink}
 import graft.delivery.Supervision
 import graft.engine.GraftEngine
-import graft.model.ClientConfig
+import graft.model.{ClientConfig, ConsumerConfig}
+import graft.testkit.{FakeKinesis, FakeKinesisSender}
 
 import scala.concurrent.duration._
 
@@ -34,6 +35,45 @@ class EngineSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(seen.size() >= 1 && seen.asScala.sum > 0,
       "click events must have been processed")
+  }
+
+  test("engine end-to-end: kinesis subscription consumes, processes, republishes") {
+    // the reference's full lifecycle in one loop: registry-declared
+    // subscription reads a (fake) kinesis stream through the production
+    // KinesisTopicSource.load(), the processing function relays through
+    // the ordered sink into a second stream
+    FakeKinesis.createStream("e2e-in", 2)
+    FakeKinesis.createStream("e2e-out", 2)
+    (0 until 12).foreach(i =>
+      FakeKinesis.putRecord("e2e-in", s"k${i % 3}", s"""{"v":$i}""".getBytes("UTF-8")))
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val registry = new GraftEngine.TopicRegistry(spark, s"$dir/ckpt")
+    registry.register(GraftEngine.Subscription(
+      source = KinesisTopicSource("e2e-in", ConsumerConfig(Some("app"), maxBatchSize = 100)),
+      groupId = "g-e2e",
+      transform = identity,
+      process = (batch, _) => {
+        batch.select("sequenceNumber").collect()
+          .foreach(r => seen.add(r.getString(0).toLong))
+        val env = batch.select(col("data"), col("partitionKey"),
+          lit(null).cast("string").as("explicitHashKey"),
+          col("sequenceNumber").cast("long").as("seq"))
+        TopicSink.writeOrdered(env, "seq", () => new FakeKinesisSender("e2e-out"), 2)
+      }))
+    val queries = registry.startAll()
+    queries.foreach(_.awaitTermination())
+    registry.stopAll()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == (0L until 12L).toSet,
+      s"subscription must consume every record exactly once: ${seen.asScala.toSet}")
+    val out = (0 until 2).flatMap(s => FakeKinesis.slice("e2e-out", s, 0L, 12L))
+    assert(out.size == 12, s"republished stream incomplete: ${out.size}")
+    for ((k, recs) <- out.groupBy(_.partitionKey)) {
+      val vals = recs.sortBy(_.seq).map(r => new String(r.data, "UTF-8"))
+      val expected = (0 until 12).filter(i => s"k${i % 3}" == k).map(i => s"""{"v":$i}""")
+      assert(vals == expected, s"per-key order broken in republished stream for $k")
+    }
   }
 
   test("producer role gates publication placement (reference parity)") {

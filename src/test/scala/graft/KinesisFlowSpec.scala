@@ -104,6 +104,27 @@ class KinesisFlowSpec extends SparkSpec {
     assert(seen.asScala.toSet.size == 15, "restart redelivered already-committed records")
   }
 
+  test("AT_TIMESTAMP starts mid-stream at the requested arrival time") {
+    FakeKinesis.createStream("ts-topic", 2)
+    (0 until 8).foreach(i => putJson("ts-topic", s"t${i % 3}", i))
+    // arrivalMicros = 1700000000000000L + seq; cut between seq 4 and 5
+    val cutoff = 1700000000000000L + 5L
+    val src = KinesisTopicSource("ts-topic",
+      ConsumerConfig(Some("app"), startingPosition = "AT_TIMESTAMP",
+        startingTimestampMicros = Some(cutoff)))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = src.load(spark).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("sequenceNumber").collect()
+          .foreach(r => seen.add(r.getString(0).toLong))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set(5L, 6L, 7L),
+      s"AT_TIMESTAMP must deliver exactly the records at/after the cutoff: ${seen.asScala.toSet}")
+  }
+
   test("LATEST starting position skips the backlog") {
     FakeKinesis.createStream("late-topic", 2)
     (0 until 8).foreach(i => putJson("late-topic", s"l$i", i))

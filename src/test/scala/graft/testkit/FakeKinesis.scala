@@ -67,6 +67,14 @@ object FakeKinesis {
   def shardSizes(name: String): Map[Int, Long] =
     streams(name).zipWithIndex.map { case (b, i) => i -> b.synchronized(b.size.toLong) }.toMap
 
+  /** Per-shard position of the first record at or after `micros` —
+    * the AT_TIMESTAMP starting point (records are appended in arrival
+    * order, so the prefix below the timestamp is contiguous). */
+  def positionsAt(name: String, micros: Long): Map[Int, Long] =
+    streams(name).zipWithIndex.map { case (b, i) =>
+      i -> b.synchronized(b.count(_.arrivalMicros < micros).toLong)
+    }.toMap
+
   def slice(name: String, shard: Int, from: Long, until: Long): Array[Rec] = {
     val b = streams(name)(shard)
     b.synchronized { b.slice(from.toInt, until.toInt).toArray }
@@ -106,7 +114,8 @@ final class FakeKinesisTable(options: CaseInsensitiveStringMap) extends Table wi
         new FakeKinesisMicroBatch(
           options.get("streamName"),
           Option(options.get("startingPosition")).getOrElse("TRIM_HORIZON"),
-          Option(options.get("maxFetchRecordsPerShard")).map(_.toInt).getOrElse(Int.MaxValue))
+          Option(options.get("maxFetchRecordsPerShard")).map(_.toInt).getOrElse(Int.MaxValue),
+          Option(options.get("startingTimestamp")).map(_.toLong))
     }
   }
 }
@@ -123,7 +132,8 @@ object ShardOffsets {
 }
 
 final class FakeKinesisMicroBatch(streamName: String, startingPosition: String,
-                                  maxFetchPerShard: Int)
+                                  maxFetchPerShard: Int,
+                                  startingTimestampMicros: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   @volatile private var availableNowTarget: Option[Map[Int, Long]] = None
@@ -135,7 +145,11 @@ final class FakeKinesisMicroBatch(streamName: String, startingPosition: String,
 
   override def initialOffset(): Offset = startingPosition match {
     case "LATEST" => ShardOffsets(currentSizes)
-    case _        => ShardOffsets(currentSizes.map { case (s, _) => s -> 0L }) // TRIM_HORIZON
+    case "AT_TIMESTAMP" =>
+      val ts = startingTimestampMicros.getOrElse(
+        throw new IllegalArgumentException("AT_TIMESTAMP requires startingTimestamp"))
+      ShardOffsets(FakeKinesis.positionsAt(streamName, ts))
+    case _ => ShardOffsets(currentSizes.map { case (s, _) => s -> 0L }) // TRIM_HORIZON
   }
 
   override def getDefaultReadLimit: ReadLimit =
