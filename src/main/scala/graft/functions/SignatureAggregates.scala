@@ -139,8 +139,7 @@ object MinHashSig {
   * pre-exploded inputs (e.g. token streams).
   */
 case class MinHashSigRow(child: Expression, numHashes: Int)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(numHashes > 0, "numHashes must be positive")
 
@@ -150,8 +149,10 @@ case class MinHashSigRow(child: Expression, numHashes: Int)
 
   @transient private lazy val (as, bs) = MinHashSig.coeffs(numHashes)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** The whole-signature loop; also the codegen target (the generated
+    * stage makes ONE call per row into this compiled method, so the
+    * projection stays inside the surrounding WholeStageCodegen span). */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
     val p = MinHashSig.MersennePrime
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
@@ -172,6 +173,18 @@ case class MinHashSigRow(child: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigRow", this, classOf[MinHashSigRow].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigRow =
@@ -263,15 +276,15 @@ object SimHashAgg {
   * (hash each token once with xxhash64 seed 42, 64 ±1 votes, assemble).
   * Bit-identical to explode + [[SimHashAgg]]. */
 case class SimHashRow(child: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def prettyName: String = "graft_simhash_row"
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** Whole-fingerprint loop; codegen target (one call per row, see
+    * [[MinHashSigRow.compute]]). */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val votes = new Array[Long](64)
     val n = arr.numElements()
     var i = 0
@@ -295,6 +308,17 @@ case class SimHashRow(child: Expression)
       bit += 1
     }
     sim
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("simhashRow", this, classOf[SimHashRow].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashRow =
