@@ -120,6 +120,19 @@ object MinHashSig {
     * when shingles are row-local (see [[MinHashSigRow]]). */
   def sigRow(shingles: Column, numHashes: Int): Column =
     GraftSqlShim.column(MinHashSigRow(GraftSqlShim.expression(shingles), numHashes))
+
+  /** Register `graft_minhash(shingles, numHashes)` and
+    * `graft_simhash(tokens)` as SQL functions (native expressions, not
+    * UDFs — they stay in codegen). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftSqlShim.registerFunction(spark, "graft_minhash", es =>
+      MinHashSigRow(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash numHashes must be an integer literal, got $other")
+      }))
+    GraftSqlShim.registerFunction(spark, "graft_simhash", es => SimHashRow(es(0)))
+  }
 }
 
 /** MinHash signature as ONE per-row expression over the shingle array.

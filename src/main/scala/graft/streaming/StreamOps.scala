@@ -65,6 +65,47 @@ object StreamOps {
              dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
 
+  /** Streaming near-duplicate flagging against a historical corpus: each
+    * incoming document gets its MinHash signature per-row (a stateless
+    * codegen expression — no aggregation, so it streams), explodes its
+    * LSH band buckets, and semi-joins the static signature table's
+    * bucket index. A doc is flagged `is_dup` when any band collides with
+    * history AND the signature-estimated Jaccard clears the threshold.
+    *
+    * Scale shape: the static side is a (band, bucket) → signature index
+    * built ONCE (the signature table a batch dedup pipeline already
+    * maintains); per microbatch the stream shuffles only its own
+    * (band, bucket) rows. Apply inside `foreachBatch` (the
+    * [[graft.delivery.Delivery]] path) so the per-doc reduction runs
+    * within each microbatch — no streaming state accumulates across
+    * batches; history size only affects the static side.
+    * Returns (idCol, is_dup, best_est) with one row per input doc. */
+  def nearDupFlags(stream: DataFrame, idCol: String, textCol: String,
+                   history: DataFrame, histIdCol: String, histTextCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.7,
+                   bands: Int = 32, rows: Int = 2): DataFrame = {
+    import graft.ops.{Dedup, TextOps}
+    val numHashes = bands * rows
+    def sigs(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id),
+        graft.functions.MinHashSig.sigRow(
+          TextOps.shingles(col(text), shingleN), numHashes).as("sig"))
+    def buckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), col("sig"),
+        posexplode(Dedup.lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val hist = buckets(sigs(history, histIdCol, histTextCol), histIdCol)
+      .select(col("band"), col("bucket"), col("sig").as("hist_sig"))
+    val est = size(filter(
+      zip_with(col("sig"), col("hist_sig"), (x, y) => x === y), b => b))
+      .cast("double") / numHashes
+    buckets(sigs(stream, idCol, textCol), idCol)
+      .join(hist, Seq("band", "bucket"), "left_outer")
+      .withColumn("__est", when(col("hist_sig").isNull, lit(0.0)).otherwise(est))
+      .groupBy(col(idCol))
+      .agg(max(col("__est")).as("best_est"))
+      .withColumn("is_dup", col("best_est") >= threshold)
+  }
+
   // --- arbitrary stateful processing (SURVEY.md §2a #14 user flow) -----
 
   case class UserRunningState(userId: Long, nEvents: Long, totalValue: Double)

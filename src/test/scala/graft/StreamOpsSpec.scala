@@ -102,6 +102,49 @@ class StreamOpsSpec extends SparkSpec {
     assert(firstWindow.toSeq == Seq(2L), "late event must not reopen the closed window")
   }
 
+  test("streaming near-dup flagging against a static signature history") {
+    import java.util.concurrent.ConcurrentHashMap
+    // 40 tokens, one word changed → 3-shingle jaccard ≈ 35/41 ≈ 0.85
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearCopy = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val history = Seq(
+        (100L, base),
+        (101L, "completely unrelated text about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](40, spark, None)
+    input.addData(
+      (1L, nearCopy), // near-copy of 100 → dup
+      (2L, "a totally novel document mentioning neither foxes nor optimizers"))
+    val flags = new ConcurrentHashMap[Long, Boolean]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.nearDupFlags(batch, "doc_id", "text",
+            history, "doc_id", "text", threshold = 0.7)
+          .collect().foreach(r => flags.put(r.getLong(0), r.getBoolean(2)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(flags.get(1L) == true, s"near-copy must be flagged: $flags")
+    assert(flags.get(2L) == false, s"novel doc must not be flagged: $flags")
+  }
+
+  test("graft_minhash / graft_simhash SQL functions match the library ops") {
+    graft.functions.MinHashSig.register(spark)
+    val docs = graft.ops.Tables.table(spark, sf, "documents").limit(20)
+    docs.createOrReplaceTempView("sig_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |       graft_minhash(split(trim(text), '\\s+'), 8) AS mh,
+        |       graft_simhash(split(trim(text), '\\s+')) AS sh
+        |FROM sig_docs""".stripMargin)
+      .as[(Long, Seq[Long], Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val viaApi = docs.select(col("doc_id"),
+        graft.functions.MinHashSig.sigRow(graft.ops.TextOps.tokens(col("text")), 8).as("mh"),
+        graft.functions.SimHashAgg.simRow(graft.ops.TextOps.tokens(col("text"))).as("sh"))
+      .as[(Long, Seq[Long], Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(viaSql == viaApi)
+  }
+
   test("session window groups events by gap") {
     val input = MemoryStream[Ev](14, spark, None)
     // session windows only support Append mode on streams: sessions are
