@@ -216,6 +216,38 @@ object CatalogSql2 {
          |       count(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders
          |  ON l_extendedprice >= o_totalprice - 10.0 AND l_extendedprice <= o_totalprice
-         |GROUP BY 1 ORDER BY 1""".stripMargin))
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Z-order data layout: interleave two dimensions into one sort key so
+    // range-partitioned files get tight min/max on BOTH dims (multi-dim
+    // scan pruning at 100 TB). The query demonstrates the locality
+    // property: per z-range bucket, both dimensions stay in narrow
+    // sub-ranges. Pure integer bit arithmetic → exact DuckDB oracle.
+    ("q79_layout_zorder", (s: SparkSession, d: String) => {
+      val x = pmod(col("o_custkey"), lit(65536L))
+      val y = least(floor(col("o_totalprice") / 10.0), lit(65535.0)).cast("long")
+      table(s, d, "orders")
+        .select(x.as("x"), y.as("y"))
+        .withColumn("z", graft.ops.Layout.zValue(col("x"), col("y")))
+        .groupBy(floor(col("z") / 268435456.0).cast("long").as("zbucket")) // 2^32/16 ranges
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("zbucket")
+    }, Some {
+      val zTerms = (0 until 16)
+        .map(i => s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT o_custkey % 65536 AS x,
+         |         CAST(least(floor(o_totalprice / 10.0), 65535.0) AS BIGINT) AS y
+         |  FROM orders
+         |), z AS (
+         |  SELECT x, y, ($zTerms) AS z FROM b
+         |)
+         |SELECT CAST(floor(z / 268435456.0) AS BIGINT) AS zbucket, count(*) AS n,
+         |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    })
   )
 }

@@ -215,6 +215,29 @@ class OpsSpec extends SparkSpec {
     assert(perRow == viaAgg, "simhash formulations diverged")
   }
 
+  test("z-order key interleaves bits and zorderBy yields disjoint file ranges") {
+    // reference interleave computed independently
+    def zRef(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val pts = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val df = pts.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        graft.ops.Layout.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == zRef(x, y), s"z($x,$y)") }
+    // range-partitioned by z: per-partition z ranges must not overlap
+    val parts = graft.ops.Layout.zorderBy(df, col("x"), col("y"), numPartitions = 4)
+      .withColumn("z", graft.ops.Layout.zValue(col("x"), col("y")))
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._2)
+    parts.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping z ranges across files: $parts")
+      case _ => ()
+    }
+  }
+
   test("grouped top-ngram fraction equals the per-row HOF formulation") {
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
     val viaHof = docs.select(col("doc_id"),
