@@ -121,6 +121,11 @@ object MinHashSig {
   def sigRow(shingles: Column, numHashes: Int): Column =
     GraftSqlShim.column(MinHashSigRow(GraftSqlShim.expression(shingles), numHashes))
 
+  /** Per-row signature over CHARACTER n-grams of a text column,
+    * without materializing the gram array (see [[MinHashSigChars]]). */
+  def sigCharsRow(text: Column, n: Int, numHashes: Int): Column =
+    GraftSqlShim.column(MinHashSigChars(GraftSqlShim.expression(text), n, numHashes))
+
   /** Register `graft_minhash(shingles, numHashes)` and
     * `graft_simhash(tokens)` as SQL functions (native expressions, not
     * UDFs — they stay in codegen). */
@@ -281,6 +286,94 @@ object SimHashAgg {
   /** Per-row fingerprint over a token ARRAY column (see [[SimHashRow]]). */
   def simRow(tokens: Column): Column =
     GraftSqlShim.column(SimHashRow(GraftSqlShim.expression(tokens)))
+}
+
+/** MinHash over character n-grams, straight off the text — no gram
+  * array is ever built. `charShingles(text, n)` materializes ~|text|
+  * five-char strings per document plus an array_distinct pass before
+  * [[MinHashSigRow]] can fold them; but a min fold is
+  * duplicate-insensitive (min over a multiset equals min over its set),
+  * so this expression hashes each sliding substring directly and
+  * produces the BIT-IDENTICAL signature (same substring semantics as
+  * `Column.substr`, same xxhash64 seed, same affine family — pinned by
+  * an equivalence test). Grams shorter than n occur only for texts
+  * shorter than n, exactly like charShingles' single truncated gram. */
+case class MinHashSigChars(child: Expression, n: Int, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n > 0 && numHashes > 0, "n and numHashes must be positive")
+
+  override def prettyName: String = "graft_minhash_chars"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val (as, bs) = MinHashSig.coeffs(numHashes)
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte
+    val p = MinHashSig.MersennePrime
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nb = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    // sliding byte window over n characters — O(len) total, no
+    // per-gram substring allocation (substringSQL re-scans from the
+    // string start per call: O(len²) on long docs)
+    var endB = 0
+    var c = 0
+    while (c < n && endB < nb) {
+      endB += numBytesForFirstByte(text.getByte(endB)); c += 1
+    }
+    val count = math.max(text.numChars() - n + 1, 1)
+    // open-addressing seen-set of gram hashes: natural text repeats
+    // grams heavily, so the numHashes-lane fold runs only once per
+    // DISTINCT gram (what array_distinct bought the array formulation)
+    // while still never materializing gram strings. Stored value is
+    // h + 1 so 0 can be the empty slot.
+    var cap = 16
+    while (cap < count * 2) cap <<= 1
+    val seen = new Array[Long](cap)
+    val mask = cap - 1
+    var startB = 0
+    var i = 0
+    while (i < count) {
+      val raw = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + startB, endB - startB, 42L)
+      val h = ((raw % p) + p) % p
+      var slot = (h & mask).toInt
+      while (seen(slot) != 0L && seen(slot) != h + 1) slot = (slot + 1) & mask
+      if (seen(slot) == 0L) {
+        seen(slot) = h + 1
+        var j = 0
+        while (j < numHashes) {
+          val x = (h * as(j) + bs(j)) % p
+          if (x < mins(j)) mins(j) = x
+          j += 1
+        }
+      }
+      if (i + 1 < count) {
+        startB += numBytesForFirstByte(text.getByte(startB))
+        if (endB < nb) endB += numBytesForFirstByte(text.getByte(endB))
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigChars", this, classOf[MinHashSigChars].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigChars =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash as ONE per-row expression over the token array — the

@@ -87,9 +87,12 @@ object Dedup {
     */
   private def jaccardPairsFromShingles(base0: DataFrame, idCol: String,
                                        threshold: Double, bands: Int,
-                                       rows: Int): DataFrame = {
+                                       rows: Int,
+                                       sigsOverride: Option[DataFrame] = None): DataFrame = {
     val numHashes = bands * rows
-    val sigs = minhashSignatures(base0, idCol, col("sh"), numHashes).persist()
+    val sigs = sigsOverride
+      .getOrElse(minhashSignatures(base0, idCol, col("sh"), numHashes))
+      .persist()
     val buckets = sigs.select(col(idCol),
       posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val candidates = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
@@ -184,10 +187,19 @@ object Dedup {
     * 99.9% (≥ 0.8 → ~1-1e-5), tight enough to match the exact-Jaccard
     * oracle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, threshold: Double = 0.7): DataFrame =
+                        n: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val docs = spreadCompute(df, idCol)
+    // signatures hash the sliding grams straight off the text
+    // (MinHashSigChars — no gram-array materialization); the shingle
+    // ARRAYS are still what exact verification intersects, and the
+    // semi-join pushdown means they are built only for prefilter
+    // survivors (see jaccardPairsFromShingles)
+    val sigs = docs.select(col(idCol),
+      graft.functions.MinHashSig.sigCharsRow(col(textCol), n, 16 * 3).as("sig"))
     jaccardPairsFromShingles(
-      spreadCompute(df, idCol).select(col(idCol), charShingles(col(textCol), n).as("sh")),
-      idCol, threshold, bands = 16, rows = 3)
+      docs.select(col(idCol), charShingles(col(textCol), n).as("sh")),
+      idCol, threshold, bands = 16, rows = 3, sigsOverride = Some(sigs))
+  }
 
   /** Connected components over an undirected near-duplicate edge list
     * (id_a, id_b) — the step that turns pairwise dup mining into "keep

@@ -202,6 +202,17 @@ class OpsSpec extends SparkSpec {
     assert(perRow == viaAgg, "signature formulations diverged")
   }
 
+  test("char-gram minhash off the text is bit-identical to the gram-array form") {
+    val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
+    val direct = docs.select(col("doc_id"),
+        graft.functions.MinHashSig.sigCharsRow(col("text"), 5, 48).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaArray = docs.select(col("doc_id"),
+        graft.functions.MinHashSig.sigRow(TextOps.charShingles(col("text"), 5), 48).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(direct == viaArray, "char-gram signature formulations diverged")
+  }
+
   test("per-row simhash is bit-identical to the explode+aggregate form") {
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
     val perRow = Dedup.simhashes(docs, "doc_id", "text")
