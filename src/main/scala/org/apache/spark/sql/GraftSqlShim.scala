@@ -25,6 +25,13 @@ object GraftSqlShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Resolve the planner strategies a SparkSessionExtensions instance
+    * would inject (private[sql] in Spark) — lets tests assert on
+    * build-time extension wiring without constructing a new session. */
+  def plannerStrategies(ext: SparkSessionExtensions,
+                        spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
   /** Register (idempotently) a temp SQL function backed by an expression
     * builder on the given session. */
   def registerFunction(spark: SparkSession, name: String,

@@ -104,6 +104,28 @@ class EngineSpec extends SparkSpec {
     assert(queries.size == 2)
   }
 
+  test("GraftExtensions injects the as-of strategy and working SQL functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val strategies = org.apache.spark.sql.GraftSqlShim.plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsOfJoinStrategy),
+      s"as-of strategy missing from injected set: $strategies")
+    // every injected builder must produce a usable expression
+    val builders = GraftExtensions.functions.toMap
+    val cos = builders("graft_cosine")
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(1.0f, 0.0f), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    assert(cos(Seq(lit, lit)).eval(null) == 1.0)
+    val mh = builders("graft_minhash")
+    val toks = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array("a", "b"), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val eight = org.apache.spark.sql.catalyst.expressions.Literal(8)
+    assert(mh(Seq(toks, eight)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 8)
+  }
+
   test("backoff supervision restarts a failing query with growing delays") {
     val dir = Files.createTempDirectory("graft-sup").toString
     graft.ops.Tables.table(spark, sf, "region")
