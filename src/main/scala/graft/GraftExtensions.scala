@@ -47,4 +47,11 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+
+  /** Runtime registration of the same table onto an already-built
+    * session (the path for sessions the library did not construct). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftSqlShim.registerFunction(spark, name, builder)
+    }
 }

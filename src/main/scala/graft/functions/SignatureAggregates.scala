@@ -126,18 +126,11 @@ object MinHashSig {
   def sigCharsRow(text: Column, n: Int, numHashes: Int): Column =
     GraftSqlShim.column(MinHashSigChars(GraftSqlShim.expression(text), n, numHashes))
 
-  /** Register `graft_minhash(shingles, numHashes)` and
-    * `graft_simhash(tokens)` as SQL functions (native expressions, not
-    * UDFs — they stay in codegen). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    GraftSqlShim.registerFunction(spark, "graft_minhash", es =>
-      MinHashSigRow(es(0), es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash numHashes must be an integer literal, got $other")
-      }))
-    GraftSqlShim.registerFunction(spark, "graft_simhash", es => SimHashRow(es(0)))
-  }
+  /** Register the engine's SQL function surface (incl. `graft_minhash`
+    * and `graft_simhash` — native expressions, not UDFs) via the single
+    * builder table in [[graft.GraftExtensions]]. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftExtensions.registerAll(spark)
 }
 
 /** MinHash signature as ONE per-row expression over the shingle array.

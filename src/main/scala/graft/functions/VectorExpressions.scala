@@ -115,12 +115,10 @@ object VectorFunctions {
 
   private def expr(c: Column): Expression = GraftSqlShim.expression(c)
 
-  /** Register `graft_cosine` / `graft_dot` as SQL functions on a session
-    * (idempotent), for use from spark.sql / expr strings. */
-  def register(spark: SparkSession): Unit = {
-    GraftSqlShim.registerFunction(spark, "graft_cosine",
-      es => CosineSimilarity(es(0), es(1)))
-    GraftSqlShim.registerFunction(spark, "graft_dot",
-      es => DotProduct(es(0), es(1)))
-  }
+  /** Register the engine's SQL function surface on a session
+    * (idempotent) — delegates to the single builder table in
+    * [[graft.GraftExtensions]] so the runtime and build-time paths
+    * cannot drift. */
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.registerAll(spark)
 }
