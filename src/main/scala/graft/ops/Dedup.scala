@@ -239,7 +239,7 @@ object Dedup {
         .localCheckpoint()
       val s = labels
         .agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
       done = prevSum.exists(p =>
         (p == null && s == null) || (p != null && s != null && p.compareTo(s) == 0))
       prevSum = Some(s)
