@@ -77,6 +77,34 @@ object Multimodal {
       }
   }
 
+  /** Feature extraction: 16-bin histogram of payload byte high-nibbles —
+    * a REAL (non-stub) content feature computed per row by
+    * [[graft.functions.ByteHistogram]]; where a production pipeline
+    * plugs in a learned encoder, the Spark shape (binary → fixed-width
+    * vector column) is identical. */
+  def byteFeatures(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("media_type"),
+      length(col("bytes")).as("n_bytes"),
+      graft.functions.ByteHistogram.of(col("bytes")).as("features"))
+
+  /** Resize stage STUB: keep every `factor`-th byte of the payload —
+    * deterministic byte decimation standing in for a real image/audio
+    * resample (codec libraries are not in this container). Runs in the
+    * same partition-local typed map as [[decodeStub]]. */
+  def resizeStub(spark: SparkSession, media: DataFrame, factor: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(factor > 0, "factor must be positive")
+    media.select("media_id", "media_type", "bytes").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { m =>
+          val out = new Array[Byte]((m.bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = m.bytes(i * factor); i += 1 }
+          MediaRecord(m.media_id, m.media_type, out)
+        }
+      }
+  }
+
   /** Frame sampling: split the payload into `n` equal byte slices
     * ("frames"), one output row per frame — the explode shape a video
     * pipeline uses. Pure column expressions. */

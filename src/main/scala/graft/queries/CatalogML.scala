@@ -405,6 +405,39 @@ object CatalogML {
         |       substring(hx, frame_id * flen * 2 + 1, 4) AS frame_head
         |FROM f ORDER BY media_id, frame_id""".stripMargin)),
 
+    // Multimodal feature extraction: 16-bin high-nibble byte histogram
+    // per payload (a real content feature, not a stub — the binary →
+    // fixed-width-vector shape a learned encoder slot uses). Oracle
+    // counts hex digits at odd positions of hex(encode(text)): those ARE
+    // the byte high nibbles. Lanes unwrapped for the pandas compare.
+    ("q80_multimodal_features", (s: SparkSession, d: String) => {
+      val feats = Multimodal.byteFeatures(
+        Multimodal.mediaFromDocuments(spread(table(s, d, "documents"), "doc_id"),
+          "doc_id", "text"))
+      feats.select(Seq(col("media_id"), col("media_type"), col("n_bytes")) ++
+          (0 until 16).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+        .orderBy("media_id")
+    }, Some {
+      val digits = "0123456789ABCDEF"
+      val lanes = (0 until 16).map(i =>
+        s"CAST(len(list_filter(nibs, x -> x = '${digits(i)}')) AS INTEGER) AS f$i")
+        .mkString(",\n|       ")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |         octet_length(encode(text)) AS n_bytes,
+         |         upper(hex(encode(text))) AS hx
+         |  FROM documents
+         |), h AS (
+         |  SELECT media_id, media_type, n_bytes,
+         |         [hx[i] FOR i IN range(1, len(hx) + 1) IF i % 2 = 1] AS nibs
+         |  FROM m
+         |)
+         |SELECT media_id, media_type, CAST(n_bytes AS INTEGER) AS n_bytes,
+         |       $lanes
+         |FROM h ORDER BY media_id""".stripMargin
+    }),
+
     // UDAF surface: typed Aggregator (vector centroid per label). Float
     // mean values are partition-order-dependent in the last ulp (like any
     // distributed float mean) → deterministic outputs only (counts/dims)

@@ -35,6 +35,29 @@ class MultimodalSpec extends SparkSpec {
     assert(d1(1).channels == 2)   // media_id 1 cycles to audio
   }
 
+  test("byte-histogram features count high nibbles and sum to payload size") {
+    val rows = Multimodal.byteFeatures(media())
+      .select("media_id", "n_bytes", "features")
+      .as[(Long, Int, Seq[Int])].collect()
+    for ((id, n, bins) <- rows) {
+      assert(bins.length == 16 && bins.sum == n, s"media $id: $bins vs $n bytes")
+    }
+    // manual check on a known payload
+    val payload = "alpha beta gamma delta".getBytes("UTF-8")
+    val expected = payload.groupBy(b => (b >> 4) & 0xF).view.mapValues(_.length).toMap
+    val got = rows.find(_._1 == 0L).get._3
+    (0 until 16).foreach(i => assert(got(i) == expected.getOrElse(i, 0), s"bin $i"))
+  }
+
+  test("resize stub keeps every k-th byte deterministically") {
+    val out = Multimodal.resizeStub(spark, media().where(col("media_id") === 0), 3)
+      .collect().head
+    val original = "alpha beta gamma delta".getBytes("UTF-8")
+    assert(out.bytes.toSeq == original.indices.collect {
+      case i if i % 3 == 0 => original(i)
+    }.toSeq)
+  }
+
   test("frame sampling slices payload bytes into n frames") {
     val frames = Multimodal.frameSample(media().where(col("media_id") === 0), 4)
       .select("frame_id", "frame_bytes").as[(Int, Array[Byte])].collect().sortBy(_._1)
