@@ -61,7 +61,11 @@ final case class KinesisTopicSource(
       "streamName" -> topicId,
       "startingPosition" -> consumer.startingPosition,
       "maxFetchRecordsPerShard" -> consumer.maxBatchSize.toString) ++
-      consumer.startingTimestampMicros.map("startingTimestamp" -> _.toString) ++
+      // the config carries MICROseconds (reference precision); KCL's
+      // AT_TIMESTAMP and the public Spark Kinesis connectors take epoch
+      // MILLIseconds, so the unit is converted at this boundary
+      consumer.startingTimestampMicros.map(us =>
+        "startingTimestamp" -> (us / 1000L).toString) ++
       endpointUrl.map("endpointUrl" -> _) ++
       region.map("regionName" -> _)
 

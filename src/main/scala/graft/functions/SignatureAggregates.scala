@@ -322,21 +322,35 @@ case class MinHashSigChars(child: Expression, n: Int, numHashes: Int)
     // grams heavily, so the numHashes-lane fold runs only once per
     // DISTINCT gram (what array_distinct bought the array formulation)
     // while still never materializing gram strings. Stored value is
-    // h + 1 so 0 can be the empty slot.
-    var cap = 16
-    while (cap < count * 2) cap <<= 1
+    // h + 1 so 0 can be the empty slot. The table is an OPTIMIZATION
+    // only — the min fold is duplicate-insensitive, so skipping dedup
+    // changes nothing — which lets us bound it: cap is computed in Long
+    // (count * 2 overflows Int for ~2^30-char docs) and clamped so a
+    // huge document costs at most a 4 MB table, and once the clamped
+    // table is nearly full we stop inserting and fold every gram
+    // directly (keeping free slots so probes always terminate).
+    val maxCap = 1 << 19
+    var capL = 16L
+    while (capL < count.toLong * 2 && capL < maxCap) capL <<= 1
+    val cap = capL.toInt
     val seen = new Array[Long](cap)
     val mask = cap - 1
+    val fillLimit = cap - (cap >>> 3)
+    var filled = 0
     var startB = 0
     var i = 0
     while (i < count) {
       val raw = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(base, off + startB, endB - startB, 42L)
       val h = ((raw % p) + p) % p
-      var slot = (h & mask).toInt
-      while (seen(slot) != 0L && seen(slot) != h + 1) slot = (slot + 1) & mask
-      if (seen(slot) == 0L) {
-        seen(slot) = h + 1
+      var fresh = true
+      if (filled < fillLimit) {
+        var slot = (h & mask).toInt
+        while (seen(slot) != 0L && seen(slot) != h + 1) slot = (slot + 1) & mask
+        if (seen(slot) == 0L) { seen(slot) = h + 1; filled += 1 }
+        else fresh = false
+      }
+      if (fresh) {
         var j = 0
         while (j < numHashes) {
           val x = (h * as(j) + bs(j)) % p

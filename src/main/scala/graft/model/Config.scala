@@ -38,7 +38,10 @@ final case class ConsumerConfig(
     maxBufferSize: Int = 10,   // reference.conf:39
     maxBatchSize: Int = 10,    // reference.conf:40
     startingPosition: String = "TRIM_HORIZON", // KinesisSubscriberActor.scala:193, made configurable
-    startingTimestampMicros: Option[Long] = None) { // required by AT_TIMESTAMP (KCL InitialPositionInStream)
+    // required by AT_TIMESTAMP (KCL InitialPositionInStream). Held in epoch
+    // MICROseconds here; KinesisTopicSource converts to the epoch-millis
+    // unit that KCL and the public Spark Kinesis connectors expect.
+    startingTimestampMicros: Option[Long] = None) {
   require(maxBufferSize > 0 && maxBatchSize > 0, "buffer/batch sizes must be positive")
   require(Set("TRIM_HORIZON", "LATEST", "AT_TIMESTAMP").contains(startingPosition),
     s"invalid starting position $startingPosition")

@@ -85,6 +85,18 @@ object Dedup {
     * the threshold (miss probability < 1e-9 for a true pair), so the
     * expensive exact set intersection runs only on near-threshold pairs.
     */
+  /** Materialize `result` eagerly (lineage truncated to the checkpoint
+    * blocks) so the persisted intermediates it reads can be released
+    * before returning — callers get a self-contained DataFrame and the
+    * session cache stays clean across repeated library calls. The
+    * checkpoint blocks themselves are reclaimed by the ContextCleaner
+    * once the returned frame is garbage-collected. */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist())
+    out
+  }
+
   private def jaccardPairsFromShingles(base0: DataFrame, idCol: String,
                                        threshold: Double, bands: Int,
                                        rows: Int,
@@ -118,7 +130,7 @@ object Dedup {
     val candIds = prefiltered.select(col("id_a").as(idCol))
       .union(prefiltered.select(col("id_b").as(idCol)))
     val shCand = base0.join(candIds, Seq(idCol), "left_semi").persist()
-    prefiltered
+    val verified = prefiltered
       .join(shCand.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shCand.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -126,6 +138,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materializeAndRelease(verified, sigs, prefiltered, shCand)
   }
 
   /** 64-bit SimHash over whitespace tokens. Pure column expressions: the
@@ -168,7 +181,7 @@ object Dedup {
     // dedup candidates on the ids ALONE (a pair can collide in several
     // bands); the fingerprints are re-joined from the tiny (id, sim)
     // table afterwards, so the distinct shuffle carries two longs per pair
-    a.join(b, Seq("band_id", "bucket"))
+    val verified = a.join(b, Seq("band_id", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -177,6 +190,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+    materializeAndRelease(verified, sims)
   }
 
   /** Character n-gram Jaccard pairs (candidate generation shared with
@@ -215,34 +229,33 @@ object Dedup {
     * — both shuffle on node id only, carrying two longs per node; the
     * documents themselves never move. Lineage is truncated per round
     * with localCheckpoint so deep graphs don't blow up the planner, and
-    * convergence is detected from the per-round sum of labels (labels
-    * only decrease, so equal consecutive sums ⇔ fixpoint) — one scalar
-    * action per round, no driver-side data. */
+    * convergence is detected by checking whether ANY label changed this
+    * round (labels only decrease under min, so "no row changed" ⇔
+    * fixpoint) — one short-circuiting isEmpty action per round, no
+    * driver-side data, and it works for any orderable id type (string
+    * or UUID ids included — a numeric-sum check would not). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
-    var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      val prev = labels
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("cluster")), Seq("dst"))
         .select(col("src").as("id"), col("cluster"))
       labels = labels.union(viaNbr)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .localCheckpoint()
-      val s = labels
-        .agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
-        .head().getDecimal(0)
-      done = prevSum.exists(p =>
-        (p == null && s == null) || (p != null && s != null && p.compareTo(s) == 0))
-      prevSum = Some(s)
+      done = labels
+        .join(prev.select(col("id"), col("cluster").as("prev_cluster")), Seq("id"))
+        .where(col("cluster") =!= col("prev_cluster"))
+        .isEmpty
       iter += 1
     }
     edges.unpersist()

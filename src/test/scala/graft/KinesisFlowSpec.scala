@@ -107,8 +107,9 @@ class KinesisFlowSpec extends SparkSpec {
   test("AT_TIMESTAMP starts mid-stream at the requested arrival time") {
     FakeKinesis.createStream("ts-topic", 2)
     (0 until 8).foreach(i => putJson("ts-topic", s"t${i % 3}", i))
-    // arrivalMicros = 1700000000000000L + seq; cut between seq 4 and 5
-    val cutoff = 1700000000000000L + 5L
+    // arrivalMicros = 1700000000000000L + seq ms; cut between seq 4 and 5
+    // (config carries µs; the option map forwards epoch ms to the connector)
+    val cutoff = 1700000000000000L + 5L * 1000L
     val src = KinesisTopicSource("ts-topic",
       ConsumerConfig(Some("app"), startingPosition = "AT_TIMESTAMP",
         startingTimestampMicros = Some(cutoff)))

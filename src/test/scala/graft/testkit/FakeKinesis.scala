@@ -59,7 +59,9 @@ object FakeKinesis {
       .digest(partitionKey.getBytes("UTF-8"))
     val shard = math.floorMod(md(0).toInt, shards.length)
     val seq = seqs(name).getAndIncrement()
-    val rec = Rec(partitionKey, data, seq, 1700000000000000L + seq)
+    // arrivals spaced 1 ms apart: AT_TIMESTAMP is millisecond-granular
+    // (KCL contract), so the fixture must be distinguishable at that unit
+    val rec = Rec(partitionKey, data, seq, 1700000000000000L + seq * 1000L)
     shards(shard).synchronized { shards(shard) += rec }
     seq
   }
@@ -115,7 +117,7 @@ final class FakeKinesisTable(options: CaseInsensitiveStringMap) extends Table wi
           options.get("streamName"),
           Option(options.get("startingPosition")).getOrElse("TRIM_HORIZON"),
           Option(options.get("maxFetchRecordsPerShard")).map(_.toInt).getOrElse(Int.MaxValue),
-          Option(options.get("startingTimestamp")).map(_.toLong))
+          Option(options.get("startingTimestamp")).map(_.toLong))  // epoch millis
     }
   }
 }
@@ -133,7 +135,7 @@ object ShardOffsets {
 
 final class FakeKinesisMicroBatch(streamName: String, startingPosition: String,
                                   maxFetchPerShard: Int,
-                                  startingTimestampMicros: Option[Long] = None)
+                                  startingTimestampMillis: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   @volatile private var availableNowTarget: Option[Map[Int, Long]] = None
@@ -146,9 +148,9 @@ final class FakeKinesisMicroBatch(streamName: String, startingPosition: String,
   override def initialOffset(): Offset = startingPosition match {
     case "LATEST" => ShardOffsets(currentSizes)
     case "AT_TIMESTAMP" =>
-      val ts = startingTimestampMicros.getOrElse(
+      val ts = startingTimestampMillis.getOrElse(
         throw new IllegalArgumentException("AT_TIMESTAMP requires startingTimestamp"))
-      ShardOffsets(FakeKinesis.positionsAt(streamName, ts))
+      ShardOffsets(FakeKinesis.positionsAt(streamName, ts * 1000L))
     case _ => ShardOffsets(currentSizes.map { case (s, _) => s -> 0L }) // TRIM_HORIZON
   }
 
