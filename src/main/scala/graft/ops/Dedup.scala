@@ -262,6 +262,19 @@ object Dedup {
     labels
   }
 
+  /** Materialize a near-dup-deduplicated corpus: keep exactly one
+    * representative (the min id, via [[connectedComponents]]) per mined
+    * duplicate cluster, plus every unpaired document. The drop set is
+    * near-dup-cluster-sized (tiny next to the corpus), so the final
+    * filter is a broadcast anti-join — the corpus never shuffles. */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, idA, idB)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs, exact all-pairs cosine — the
     * |V|² variant for corpora small enough to broadcast one side.
     * Prefer [[embeddingCosinePairsLsh]] at scale. */

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization — the storage/bandwidth lever for vector
+  * corpora at 100 TB scale: int8 symmetric quantization cuts an
+  * `array<float>` column 4× (and a downstream ANN scan's memory traffic
+  * with it) at a recall cost small enough for candidate generation;
+  * exact re-ranking then reads the float vectors for the survivors only.
+  *
+  * Everything here is per-row column expressions (transform /
+  * array_max — codegen'd, no UDF, no shuffle), so quantization
+  * parallelizes embarrassingly and composes with any scan.
+  *
+  * Determinism: scale extraction (max |v|) is exact float comparison;
+  * the quantized lane is `floor(v * 127 / maxabs + 0.5)` — multiply,
+  * divide and floor are all correctly-rounded IEEE ops, so the integer
+  * codes are bit-reproducible across engines and partitionings.
+  */
+object Quantize {
+
+  /** Per-vector max-|v| in double precision (exact promotion from float). */
+  def maxAbs(vecCol: Column): Column =
+    array_max(transform(vecCol, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 codes: round-half-up of v scaled to [-127, 127].
+    * A zero vector quantizes to all zeros (scale 0 sentinel). */
+  def int8Codes(vecCol: Column, maxAbsCol: Column): Column =
+    transform(vecCol, x =>
+      when(maxAbsCol === 0d, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") * lit(127.0) / maxAbsCol + lit(0.5))))))
+
+  /** Quantize an embedding column: (idCol, scale, q) where
+    * `v ≈ q * scale`. `scale = maxabs / 127` (double). */
+  def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ma = maxAbs(col(vecCol))
+    df.select(col(idCol),
+      (ma / lit(127.0)).as("scale"),
+      int8Codes(col(vecCol), ma).as("q"))
+  }
+
+  /** Dequantized reconstruction (array<double>), for error analysis. */
+  def dequantize(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, q => q.cast("double") * scaleCol)
+
+  /** Max absolute reconstruction error per vector — the quantization
+    * quality metric (bounded by scale/2 for in-range lanes). */
+  def maxError(vecCol: Column, qCol: Column, scaleCol: Column): Column =
+    array_max(zip_with(vecCol, qCol,
+      (v, q) => abs(v.cast("double") - q.cast("double") * scaleCol)))
+}

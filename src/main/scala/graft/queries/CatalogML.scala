@@ -65,6 +65,35 @@ object CatalogML {
        |)""".stripMargin
   }
 
+  /** Recursive CTE chain `tok, sh, p, edges, reach` computing exact
+    * transitive near-dup reachability at jaccard >= 0.7 over word
+    * 3-gram shingles — `SELECT id, min(lbl) FROM reach GROUP BY id`
+    * yields (id, cluster). Shared by the q71 clustering oracle and the
+    * q84 keep-one-representative oracle. */
+  private[queries] val clusterCteSql: String =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                        FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS sh
+      |  FROM tok
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+      |          / CAST(len(a.sh) + len(b.sh)
+      |                 - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.7
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM p
+      |), reach AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+      |)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // MinHash-LSH near-dup pairs, exact-verified at jaccard >= 0.7.
@@ -226,28 +255,7 @@ object CatalogML {
         shingleN = 3, threshold = 0.7)
       Dedup.connectedComponents(pairs).orderBy("id")
     }, Some(
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                        FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS sh
-        |  FROM tok
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-        |          / CAST(len(a.sh) + len(b.sh)
-        |                 - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.7
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION ALL
-        |  SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT src AS id, src AS lbl FROM edges
-        |  UNION
-        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
-        |)
+      s"""WITH RECURSIVE $clusterCteSql
         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
     // PII scrubbing: URLs → emails → long digit runs replaced by typed

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Decontamination, Dedup, Quantize, Relevance}
+import graft.ops.Tables._
+
+/** Round-3 training-data-pipeline extensions: keyword relevance mining
+  * (BM25), embedding quantization, benchmark decontamination, and
+  * near-dup corpus materialization (keep one representative per
+  * cluster). All four carry full DuckDB differential oracles.
+  */
+object CatalogML2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val bmTerms = Seq("spark", "hash", "stream")
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // BM25 keyword relevance over the corpus — topic-subset mining.
+    // The oracled surface uses the raw odds-ratio idf (rational
+    // arithmetic only — libm log differs between engines at the last
+    // ulp, measured 6/5000 arguments); the standard log-idf variant is
+    // the library default, pinned by RelevanceSpec. Per-term
+    // contributions sum in fixed term order on both engines.
+    ("q81_text_bm25", (s: SparkSession, d: String) => {
+      Relevance.bm25(spread(table(s, d, "documents"), "doc_id"),
+          "doc_id", "text", bmTerms, k1 = 1.2, b = 0.75, logIdf = false)
+        .orderBy("doc_id")
+    }, Some {
+      def tf(i: Int) = s"tf_$i"
+      def df(i: Int) = s"df_$i"
+      val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS ${tf(i)}"
+      }.mkString(",\n         ")
+      val dfCols = bmTerms.indices.map(i =>
+        s"CAST(sum(CASE WHEN ${tf(i)} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS ${df(i)}")
+        .mkString(",\n         ")
+      // identical expression tree to Relevance.bm25: idf * (tf*(k1+1) /
+      // (tf + k1*((1-b) + b*(dl/avgdl)))), avgdl = sum_dl/n_docs
+      val contribs = bmTerms.indices.map(i =>
+        s"((n_docs - ${df(i)} + 0.5) / (${df(i)} + 0.5))" +
+          s" * (${tf(i)} * (1.2 + 1.0) / (${tf(i)} + 1.2 * ((1.0 - 0.75)" +
+          s" + 0.75 * (dl / (sum_dl / n_docs)))))")
+      val matched = bmTerms.indices.map(i =>
+        s"CASE WHEN ${tf(i)} > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS toks
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |         $tfCols
+         |  FROM tok
+         |), st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |         CAST(CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_dl,
+         |         $dfCols
+         |  FROM tf
+         |)
+         |SELECT doc_id,
+         |       CAST($matched AS BIGINT) AS n_terms_matched,
+         |       ${contribs.mkString("\n         + ")} AS score
+         |FROM tf, st
+         |WHERE $matched > 0
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    // Symmetric int8 embedding quantization. Integer codes are emitted
+    // as a CSV string (lossless — they are exact integers; the driver
+    // compare cannot sort raw array cells), the scale stays a double
+    // (single exact division from the float max-abs).
+    ("q82_embed_quantize", (s: SparkSession, d: String) => {
+      Quantize.int8(table(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(col("q"), ",").as("q_csv"))
+        .orderBy("vec_id")
+    }, Some(
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, ma / 127.0 AS scale,
+        |       array_to_string(list_transform(embedding, x ->
+        |         CASE WHEN ma = 0 THEN 0
+        |              ELSE CAST(greatest(-127, least(127,
+        |                     floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5))) AS BIGINT) END), ',') AS q_csv
+        |FROM m ORDER BY vec_id""".stripMargin)),
+
+    // Benchmark decontamination: word 8-gram overlap of every training
+    // document against a small "eval set" (every 97th doc — the corpus
+    // contains near-dups of them, so contamination is non-trivial).
+    // Eval grams broadcast; the corpus computes a per-row intersect.
+    ("q83_decontaminate", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      Decontamination.ngramOverlap(
+          spread(docs, "doc_id"), "doc_id", "text",
+          docs.where(col("doc_id") % 97 === 0), "text", n = 8)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                        FOR i IN range(1, greatest(len(ts) - 7, 1) + 1)]) AS sh
+        |  FROM tok
+        |), ev AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0
+        |), dg AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM sh
+        |), mt AS (
+        |  SELECT dg.doc_id, count(*) AS m FROM dg JOIN ev USING (g) GROUP BY dg.doc_id
+        |)
+        |SELECT s.doc_id,
+        |       CAST(len(s.sh) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(mt.m, 0) AS BIGINT) AS n_contaminated,
+        |       CAST(coalesce(mt.m, 0) AS DOUBLE) / CAST(len(s.sh) AS DOUBLE) AS contamination
+        |FROM sh s LEFT JOIN mt ON mt.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin)),
+
+    // Near-dup dedup MATERIALIZED: the corpus after dropping everything
+    // but one representative per mined duplicate cluster — pair mining
+    // (q35) + clustering (q71) composed into the actual corpus rewrite.
+    // Oracle = exact-Jaccard clusters (shared recursive CTE) anti-joined
+    // the same way.
+    ("q84_dedup_keep_one", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      Dedup.keepRepresentatives(docs, "doc_id", pairs)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH RECURSIVE ${CatalogML.clusterCteSql},
+        |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d
+        |LEFT JOIN (SELECT id FROM lab WHERE id != cluster) dr ON d.doc_id = dr.id
+        |WHERE dr.id IS NULL
+        |ORDER BY d.doc_id""".stripMargin))
+  )
+}

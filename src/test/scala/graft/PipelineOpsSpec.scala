@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Decontamination, Dedup, Quantize, Relevance}
+
+/** Round-3 pipeline ops: BM25 relevance, int8 quantization, benchmark
+  * decontamination, keep-one-representative dedup. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 log-idf matches a hand-computed score on a tiny corpus") {
+    // corpus: 3 docs; query = ["cat"]; df(cat) = 2, N = 3
+    val docs = Seq(
+      (1L, "cat sat on the mat"),     // dl=5, tf=1
+      (2L, "cat cat dog"),            // dl=3, tf=2
+      (3L, "dog dog dog dog")         // dl=4, tf=0
+    ).toDF("id", "text")
+    val out = Relevance.bm25(docs, "id", "text", Seq("cat"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "only matching docs emitted")
+    val k1 = 1.2; val b = 0.75
+    val avgdl = (5 + 3 + 4) / 3.0
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def sat(tf: Double, dl: Double) =
+      tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    assert(math.abs(out(0).getDouble(2) - idf * sat(1, 5)) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - idf * sat(2, 3)) < 1e-12)
+    // more occurrences in a shorter doc must score higher
+    assert(out(1).getDouble(2) > out(0).getDouble(2))
+  }
+
+  test("bm25 scales without exploding tokens: no per-token shuffle in the plan") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("id", "text")
+    val plan = Relevance.bm25(docs, "id", "text", Seq("b"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("generate"),
+      s"bm25 must not explode the token arrays:\n$plan")
+  }
+
+  test("int8 quantization: codes bounded, roundtrip error within scale/2") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings").limit(200)
+    val q = Quantize.int8(emb, "vec_id", "embedding")
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        array_max(transform(col("q"), x => abs(x))).as("maxcode"),
+        Quantize.maxError(col("embedding"), col("q"), col("scale")).as("err"))
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getLong(2) <= 127L, s"code out of range: $r")
+      // half-up rounding error is at most scale/2 (+ ulps)
+      assert(r.getDouble(3) <= r.getDouble(1) / 2 + 1e-9, s"roundtrip error too large: $r")
+    }
+  }
+
+  test("quantized cosine approximates float cosine") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings").limit(50)
+    val q = Quantize.int8(emb, "vec_id", "embedding").join(emb, "vec_id")
+      .select(col("vec_id"),
+        Quantize.dequantize(col("q"), col("scale")).cast("array<float>").as("deq"),
+        col("embedding").as("v"))
+    val pairs = q.as("a").crossJoin(q.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id")).limit(300)
+      .select(
+        graft.ops.Similarity.cosine(col("a.v"), col("b.v")).as("cf"),
+        graft.ops.Similarity.cosine(col("a.deq"), col("b.deq")).as("cq"))
+      .collect()
+    pairs.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
+        s"int8 cosine drifted: $r"))
+  }
+
+  test("decontamination: eval docs are fully contaminated, disjoint docs are clean") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),        // eval member
+      (2L, "a b c d e f g h i j extra"),  // shares the eval 8-grams
+      (3L, "q r s t u v w x y z")         // disjoint
+    ).toDF("id", "text")
+    val out = Decontamination.ngramOverlap(
+        docs, "id", "text", docs.where($"id" === 1L), "text", n = 8)
+      .orderBy("id").collect()
+    assert(out(0).getDouble(3) == 1.0, s"eval doc must be 100% contaminated: ${out(0)}")
+    assert(out(1).getLong(2) > 0, s"overlapping doc must be flagged: ${out(1)}")
+    assert(out(2).getLong(2) == 0 && out(2).getDouble(3) == 0.0,
+      s"disjoint doc must be clean: ${out(2)}")
+  }
+
+  test("keepRepresentatives: one survivor per cluster, singletons intact, string ids work") {
+    // string ids exercise the convergence check that the numeric label
+    // sum could not handle (clusters with diameter > 2)
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val docs = Seq("a", "b", "c", "d", "x", "y", "solo").toDF("id")
+    val kept = Dedup.keepRepresentatives(docs, "id", pairs)
+      .orderBy("id").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("a", "solo", "x"),
+      s"expected one rep per cluster + singleton, got $kept")
+  }
+}
