@@ -49,4 +49,53 @@ object Sampling {
     }
     df.where(hashFraction(col(idCol)) < frac)
   }
+
+  /** Temperature-scaled mixture weights per group — the data-mixing step
+    * of corpus prep: a group's target share ∝ n^(1/T), so T = 1 keeps the
+    * natural distribution and larger T flattens it toward uniform,
+    * up-weighting small (e.g. low-resource-language) groups.
+    *
+    * Returns one row per group: (groupCol, n_docs, weight, target_frac).
+    * The group table is tiny (one row per source/language), so the total
+    * is a one-row broadcast — the corpus itself is touched once, by the
+    * count.
+    *
+    * Determinism: weights are n^(1/T) rounded through DECIMAL(18,9), so
+    * the normalizing sum is exact and order-independent (a raw double
+    * sum would depend on merge order); `T = 2.0` stays bit-reproducible
+    * across engines because sqrt is a correctly-rounded IEEE op (general
+    * exponents go through libm pow — engine-specific last ulp). */
+  def temperatureWeights(df: DataFrame, groupCol: String,
+                         temperature: Double = 2.0): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    val n = col("n_docs").cast("double")
+    val raw = if (temperature == 2.0) sqrt(n) else pow(n, 1.0 / temperature)
+    val w = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wd", raw.cast(DecimalType(18, 9)))
+    val total = w.agg(sum(col("wd")).as("wt"))
+    w.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_docs"),
+        col("wd").cast("double").as("weight"),
+        (col("wd").cast("double") / col("wt").cast("double")).as("target_frac"))
+  }
+
+  /** Deterministic temperature resampling: sample each group at the rate
+    * that makes the output mixture match [[temperatureWeights]] at
+    * `targetTotal` rows overall (rates above 1 are capped — this
+    * operator only downsamples). Membership stays a pure per-row hash:
+    * the only shuffle is the tiny per-group count. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        targetTotal: Long,
+                        temperature: Double = 2.0): DataFrame = {
+    val rates = temperatureWeights(df, groupCol, temperature)
+      .select(col(groupCol),
+        least(lit(1.0),
+          col("target_frac") * targetTotal / col("n_docs").cast("double"))
+          .as("__rate"))
+    df.join(broadcast(rates), groupCol)
+      .where(hashFraction(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
 }

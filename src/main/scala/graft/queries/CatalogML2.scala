@@ -126,6 +126,22 @@ object CatalogML2 {
     // (q35) + clustering (q71) composed into the actual corpus rewrite.
     // Oracle = exact-Jaccard clusters (shared recursive CTE) anti-joined
     // the same way.
+    // Temperature-scaled mixture weights (T=2): the data-mixing step.
+    // sqrt is correctly-rounded IEEE (cross-engine bit-stable, unlike
+    // libm pow); the normalizing sum is exact through DECIMAL(18,9).
+    ("q85_mixture_weights", (s: SparkSession, d: String) => {
+      graft.ops.Sampling.temperatureWeights(
+          table(s, d, "documents"), "source", temperature = 2.0)
+        .orderBy("source")
+    }, Some(
+      """WITH g AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,9)) AS wd FROM g),
+        |t AS (SELECT sum(wd) AS wt FROM w)
+        |SELECT source, n_docs, CAST(wd AS DOUBLE) AS weight,
+        |       CAST(wd AS DOUBLE) / CAST(wt AS DOUBLE) AS target_frac
+        |FROM w, t ORDER BY source""".stripMargin)),
+
     ("q84_dedup_keep_one", (s: SparkSession, d: String) => {
       val docs = table(s, d, "documents")
       val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text",

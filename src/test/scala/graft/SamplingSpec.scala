@@ -35,4 +35,44 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.count() == Sampling.stratifiedSample(docs.repartition(5),
       "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.5)).count())
   }
+
+  test("temperature weights flatten the mixture; T=1 keeps natural shares") {
+    // group by lang — the fixture's lang mixture is skewed (source is
+    // uniform, which a temperature rescale would leave unchanged)
+    val docs = Tables.table(spark, sf, "documents")
+    val natural = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = natural.values.sum.toDouble
+    val t2 = Sampling.temperatureWeights(docs, "lang", temperature = 2.0)
+      .select("lang", "target_frac").as[(String, Double)].collect().toMap
+    assert(math.abs(t2.values.sum - 1.0) < 1e-9, s"fractions must sum to 1: $t2")
+    val (maxSrc, _) = natural.maxBy(_._2)
+    val (minSrc, _) = natural.minBy(_._2)
+    // T=2 moves both extremes toward uniform
+    assert(t2(maxSrc) < natural(maxSrc) / total, s"big group must shrink: $t2 vs $natural")
+    assert(t2(minSrc) > natural(minSrc) / total, s"small group must grow: $t2 vs $natural")
+    // T=1 (libm-pow path) reproduces the natural mixture
+    val t1 = Sampling.temperatureWeights(docs, "lang", temperature = 1.0)
+      .select("lang", "target_frac").as[(String, Double)].collect().toMap
+    natural.foreach { case (srcName, n) =>
+      assert(math.abs(t1(srcName) - n / total) < 1e-6, s"T=1 must be natural: $t1")
+    }
+  }
+
+  test("temperature sampling hits per-group targets and stays deterministic") {
+    val docs = Tables.table(spark, sf, "documents")
+    val target = 300L
+    val sampled = Sampling.temperatureSample(docs, "doc_id", "source", target)
+    val got = sampled.groupBy("source").count().as[(String, Long)].collect().toMap
+    val want = Sampling.temperatureWeights(docs, "source")
+      .select("source", "target_frac").as[(String, Double)].collect().toMap
+    got.foreach { case (srcName, n) =>
+      val expected = want(srcName) * target
+      assert(math.abs(n - expected) < math.max(20, expected * 0.5),
+        s"$srcName: got $n, expected ~$expected")
+    }
+    // pure-hash membership: repartitioning cannot change the sample
+    val again = Sampling.temperatureSample(docs.repartition(7), "doc_id", "source", target)
+    assert(sampled.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
