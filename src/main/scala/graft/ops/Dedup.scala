@@ -66,10 +66,23 @@ object Dedup {
     */
   def minhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, threshold: Double = 0.7,
-                          bands: Int = 32, rows: Int = 2): DataFrame = {
+                          bands: Int = 32, rows: Int = 2,
+                          materialize: Boolean = true): DataFrame = {
     jaccardPairsFromShingles(
       spreadCompute(df, idCol).select(col(idCol), shingles(col(textCol), shingleN).as("sh")),
-      idCol, threshold, bands, rows)
+      idCol, threshold, bands, rows, materialize = materialize)
+  }
+
+  /** Materialize `result` eagerly (lineage truncated to the checkpoint
+    * blocks) so the persisted intermediates it reads can be released
+    * before returning — callers get a self-contained DataFrame and the
+    * session cache stays clean across repeated library calls. The
+    * checkpoint blocks themselves are reclaimed by the ContextCleaner
+    * once the returned frame is garbage-collected. */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist())
+    out
   }
 
   /** Shared LSH pipeline: signatures → band buckets → candidate pairs →
@@ -84,27 +97,18 @@ object Dedup {
     * candidates whose signature-estimated Jaccard is more than 6σ below
     * the threshold (miss probability < 1e-9 for a true pair), so the
     * expensive exact set intersection runs only on near-threshold pairs.
-    */
-  /** Materialize `result` eagerly (lineage truncated to the checkpoint
-    * blocks) so the persisted intermediates it reads can be released
-    * before returning — callers get a self-contained DataFrame and the
-    * session cache stays clean across repeated library calls. The
-    * checkpoint blocks themselves are reclaimed by the ContextCleaner
-    * once the returned frame is garbage-collected. */
-  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
-    cached.foreach(_.unpersist())
-    out
-  }
-
+    * With `materialize = false` the whole pipeline stays lazy (full plan
+    * visible to explain/compose; intermediates recomputed per action —
+    * use for plan inspection, not production runs). */
   private def jaccardPairsFromShingles(base0: DataFrame, idCol: String,
                                        threshold: Double, bands: Int,
                                        rows: Int,
-                                       sigsOverride: Option[DataFrame] = None): DataFrame = {
+                                       sigsOverride: Option[DataFrame] = None,
+                                       materialize: Boolean = true): DataFrame = {
     val numHashes = bands * rows
-    val sigs = sigsOverride
+    val sigs0 = sigsOverride
       .getOrElse(minhashSignatures(base0, idCol, col("sh"), numHashes))
-      .persist()
+    val sigs = if (materialize) sigs0.persist() else sigs0
     val buckets = sigs.select(col(idCol),
       posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val candidates = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
@@ -123,14 +127,15 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(est >= threshold - sixSigma)
       .select("id_a", "id_b")
-      .persist()
+    val prefilteredM = if (materialize) prefiltered.persist() else prefiltered
     // shingle arrays ONLY for docs that appear in a surviving candidate,
     // materialized once (the id_a and id_b joins both read it); no
     // distinct — left_semi dedups its build side inherently
-    val candIds = prefiltered.select(col("id_a").as(idCol))
-      .union(prefiltered.select(col("id_b").as(idCol)))
-    val shCand = base0.join(candIds, Seq(idCol), "left_semi").persist()
-    val verified = prefiltered
+    val candIds = prefilteredM.select(col("id_a").as(idCol))
+      .union(prefilteredM.select(col("id_b").as(idCol)))
+    val shCand0 = base0.join(candIds, Seq(idCol), "left_semi")
+    val shCand = if (materialize) shCand0.persist() else shCand0
+    val verified = prefilteredM
       .join(shCand.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shCand.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -138,7 +143,8 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materializeAndRelease(verified, sigs, prefiltered, shCand)
+    if (materialize) materializeAndRelease(verified, sigs, prefilteredM, shCand)
+    else verified
   }
 
   /** 64-bit SimHash over whitespace tokens. Pure column expressions: the
@@ -169,8 +175,9 @@ object Dedup {
     * 4×16-bit band exact-match candidates (guaranteed recall for
     * maxDist <= 3 by pigeonhole) + exact popcount verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    val sims = simhashes(spreadCompute(df, idCol), idCol, textCol).persist()
+                   maxDist: Int = 3, materialize: Boolean = true): DataFrame = {
+    val sims0 = simhashes(spreadCompute(df, idCol), idCol, textCol)
+    val sims = if (materialize) sims0.persist() else sims0
     val banded = sims
       .withColumn("band", explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
@@ -190,7 +197,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
-    materializeAndRelease(verified, sims)
+    if (materialize) materializeAndRelease(verified, sims) else verified
   }
 
   /** Character n-gram Jaccard pairs (candidate generation shared with
@@ -201,7 +208,8 @@ object Dedup {
     * 99.9% (≥ 0.8 → ~1-1e-5), tight enough to match the exact-Jaccard
     * oracle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, threshold: Double = 0.7): DataFrame = {
+                        n: Int = 5, threshold: Double = 0.7,
+                        materialize: Boolean = true): DataFrame = {
     val docs = spreadCompute(df, idCol)
     // signatures hash the sliding grams straight off the text
     // (MinHashSigChars — no gram-array materialization); the shingle
@@ -212,7 +220,8 @@ object Dedup {
       graft.functions.MinHashSig.sigCharsRow(col(textCol), n, 16 * 3).as("sig"))
     jaccardPairsFromShingles(
       docs.select(col(idCol), charShingles(col(textCol), n).as("sh")),
-      idCol, threshold, bands = 16, rows = 3, sigsOverride = Some(sigs))
+      idCol, threshold, bands = 16, rows = 3, sigsOverride = Some(sigs),
+      materialize = materialize)
   }
 
   /** Connected components over an undirected near-duplicate edge list
