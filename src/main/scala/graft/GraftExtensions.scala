@@ -39,7 +39,9 @@ object GraftExtensions {
     "graft_simhash" -> (es => graft.functions.SimHashRow(es(0))),
     "graft_minhash" -> (es => graft.functions.MinHashSigRow(es(0), intLit(es(1), "graft_minhash numHashes"))),
     "graft_minhash_chars" -> (es => graft.functions.MinHashSigChars(es(0),
-      intLit(es(1), "graft_minhash_chars n"), intLit(es(2), "graft_minhash_chars numHashes")))
+      intLit(es(1), "graft_minhash_chars n"), intLit(es(2), "graft_minhash_chars numHashes"))),
+    "graft_pack_int8" -> (es => graft.functions.PackInt8(es(0))),
+    "graft_int8_dot" -> (es => graft.functions.Int8DotProduct(es(0), es(1)))
   )
 
   private def intLit(e: Expression, what: String): Int = e match {

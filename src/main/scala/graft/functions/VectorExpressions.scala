@@ -105,6 +105,78 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Pack int8 quantization codes (array<bigint> in [-128, 127], from
+  * [[graft.ops.Quantize.int8Codes]]) into a BINARY column — the 4×-smaller
+  * on-disk/in-memory representation a quantized ANN index actually stores
+  * (a float[64] embedding is 256 B; its codes are 64 B). */
+case class PackInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def prettyName: String = "graft_pack_int8"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = BinaryType
+
+  def pack(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = a.getLong(i).toByte; i += 1 }
+    out
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    pack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("packInt8", this, classOf[PackInt8].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pack($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackInt8 =
+    copy(child = newChild)
+}
+
+/** Integer dot product of two packed-int8 code vectors: Σ a[i]·b[i] as a
+  * long. This is the hot loop of a quantized ANN scan — byte loads,
+  * integer multiply-accumulate, no float math, no allocation — inlined
+  * into the surrounding stage's generated Java. */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "graft_int8_dot"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var acc = 0L; var i = 0
+    while (i < n) { acc += x(i).toInt * y(i).toInt; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) (((int) $a[$i]) * ((int) $b[$i]));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level cosine similarity backed by the codegen expression. */
   def cosine(a: Column, b: Column): Column =
@@ -112,6 +184,14 @@ object VectorFunctions {
 
   def dot(a: Column, b: Column): Column =
     GraftSqlShim.column(DotProduct(expr(a), expr(b)))
+
+  /** Pack int8 codes into a binary column (4× smaller than the floats). */
+  def packInt8(codes: Column): Column =
+    GraftSqlShim.column(PackInt8(expr(codes)))
+
+  /** Integer dot product over packed-int8 code vectors. */
+  def int8Dot(a: Column, b: Column): Column =
+    GraftSqlShim.column(Int8DotProduct(expr(a), expr(b)))
 
   private def expr(c: Column): Expression = GraftSqlShim.expression(c)
 

@@ -126,6 +126,21 @@ object CatalogML2 {
     // (q35) + clustering (q71) composed into the actual corpus rewrite.
     // Oracle = exact-Jaccard clusters (shared recursive CTE) anti-joined
     // the same way.
+    // Two-stage quantized ANN: int8 candidate scan (packed binary codes,
+    // integer dot product — 4× less memory traffic) + exact float
+    // re-rank of the shortlist. Approximate by design (shortlist recall
+    // < 1), so rows-only here; PipelineOpsSpec pins recall >= 0.9
+    // against the exact float top-k.
+    ("q86_ann_quantized", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.ops.Similarity.bruteForceTopKQuantized(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 100)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5)
+        .orderBy("qid", "rank")
+    }, None),
+
     // Temperature-scaled mixture weights (T=2): the data-mixing step.
     // sqrt is correctly-rounded IEEE (cross-engine bit-stable, unlike
     // libm pow); the normalizing sum is exact through DECIMAL(18,9).

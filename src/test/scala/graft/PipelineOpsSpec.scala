@@ -72,6 +72,38 @@ class PipelineOpsSpec extends SparkSpec {
         s"int8 cosine drifted: $r"))
   }
 
+  test("packInt8 / int8Dot: bytes round-trip the codes, dot matches integer math") {
+    val df = Seq((1L, Seq(-127L, 0L, 127L, 5L)), (2L, Seq(1L, 2L, 3L, 4L)))
+      .toDF("id", "codes")
+      .withColumn("packed", graft.functions.VectorFunctions.packInt8(col("codes")))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[Array[Byte]]("packed").toSeq == Seq[Byte](-127, 0, 127, 5))
+    val dot = df.where($"id" === 1).crossJoin(df.where($"id" === 2).select($"packed".as("p2")))
+      .select(graft.functions.VectorFunctions.int8Dot($"packed", $"p2").as("d"))
+      .head().getLong(0)
+    assert(dot == -127 * 1 + 0 * 2 + 127 * 3 + 5 * 4, s"int8 dot wrong: $dot")
+  }
+
+  test("quantized two-stage ANN: high recall vs the exact float top-k") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 5
+    def neighborSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = neighborSets(
+      graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k))
+    val quant = neighborSets(
+      graft.ops.Similarity.bruteForceTopKQuantized(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k))
+    val recall = exact.map { case (q, ns) =>
+      (ns intersect quant.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / exact.size
+    assert(recall >= 0.9, s"quantized ANN recall too low: $recall")
+  }
+
   test("decontamination: eval docs are fully contaminated, disjoint docs are clean") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),        // eval member
