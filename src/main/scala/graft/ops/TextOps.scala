@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines (north-star extension):
@@ -199,4 +199,69 @@ object TextOps {
         regexp_replace(text, urlPattern, "[URL]"),
         emailPattern, "[EMAIL]"),
       longNumPattern, "[NUM]")
+
+  // --- corpus-statistics quality signals (unigram LM) -------------------
+
+  /** Corpus-relative unigram statistics per document — the quality signal
+    * behind CCNet/C4-style LM filtering: documents dominated by rare or
+    * out-of-vocabulary tokens are flagged by a low mean in-vocab token
+    * probability and a high OOV fraction against the corpus's own top-K
+    * vocabulary.
+    *
+    * Returns (idCol, n_tokens, n_oov, oov_frac, mean_vocab_p).
+    *
+    * Scale design: the vocabulary is the corpus's top-`vocabK` tokens —
+    * `TakeOrderedAndProject`-shaped, then BROADCAST to the token scan;
+    * per-document reduction happens map-side (a document's tokens are
+    * row-local, so the partial aggregate collapses them before the one
+    * shuffle, which carries one row per document). Probabilities sum
+    * through DECIMAL(18,15) so the per-doc mean is exact and
+    * order-independent (the differential-oracle discipline).
+    *
+    * For true surprisal/perplexity use [[unigramLogProb]] (libm log —
+    * reproducible within an engine, last-ulp engine-specific). */
+  def unigramStats(docs: DataFrame, idCol: String, textCol: String,
+                   vocabK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(idCol), explode(lowerTokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total_toks"))
+    val top = freq.orderBy(col("cnt").desc, col("tok").asc).limit(vocabK)
+    val scored = toks
+      .join(broadcast(top), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("p", col("cnt").cast("double") / col("total_toks").cast("double"))
+    scored.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("p").cast(DecimalType(18, 15))).as("__sum_p"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_frac"),
+        when(col("n_tokens") === col("n_oov"), lit(0.0))
+          .otherwise(col("__sum_p").cast("double") /
+            (col("n_tokens") - col("n_oov")).cast("double")).as("mean_vocab_p"))
+  }
+
+  /** Mean negative log-probability per document under the corpus unigram
+    * LM with add-one smoothing for OOV — the actual surprisal score
+    * (exp of it = unigram perplexity). Same plan shape as
+    * [[unigramStats]]; uses libm log, so it is pinned by unit tests
+    * rather than the cross-engine oracle. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     vocabK: Int = 1000): DataFrame = {
+    val toks = docs.select(col(idCol), explode(lowerTokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total_toks"))
+    val top = freq.orderBy(col("cnt").desc, col("tok").asc).limit(vocabK)
+    toks
+      .join(broadcast(top), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("logp",
+        log((coalesce(col("cnt"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("total_toks").cast("double") + lit(1.0))))
+      .groupBy(col(idCol))
+      .agg((-avg(col("logp"))).as("mean_neg_logp"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

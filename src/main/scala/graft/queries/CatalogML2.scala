@@ -157,6 +157,45 @@ object CatalogML2 {
         |       CAST(wd AS DOUBLE) / CAST(wt AS DOUBLE) AS target_frac
         |FROM w, t ORDER BY source""".stripMargin)),
 
+    // Unigram-LM quality stats against the corpus's own top-32
+    // vocabulary (CCNet/C4-style filtering signal). All counts are
+    // integers; probabilities sum through DECIMAL(18,15); the mean is
+    // one exact division — bit-reproducible. (The log-surprisal variant
+    // TextOps.unigramLogProb is spec-pinned: libm log.)
+    ("q87_text_unigram_lm", (s: SparkSession, d: String) => {
+      graft.ops.TextOps.unigramStats(
+          spread(table(s, d, "documents"), "doc_id"), "doc_id", "text", vocabK = 32)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |                               x -> lower(x))) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total_toks FROM freq
+        |), top AS (
+        |  SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok ASC LIMIT 32
+        |), sc AS (
+        |  SELECT t.doc_id, top.cnt,
+        |         CAST(top.cnt AS DOUBLE) / CAST(tot.total_toks AS DOUBLE) AS p
+        |  FROM tok t LEFT JOIN top ON t.tok = top.tok CROSS JOIN tot
+        |), agg AS (
+        |  SELECT doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         sum(CAST(p AS DECIMAL(18,15))) AS sum_p
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_oov,
+        |       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac,
+        |       CASE WHEN n_tokens = n_oov THEN 0.0
+        |            ELSE CAST(sum_p AS DOUBLE) / CAST(n_tokens - n_oov AS DOUBLE) END
+        |         AS mean_vocab_p
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
     ("q84_dedup_keep_one", (s: SparkSession, d: String) => {
       val docs = table(s, d, "documents")
       val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text",

@@ -119,6 +119,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"disjoint doc must be clean: ${out(2)}")
   }
 
+  test("unigram LM: common-token docs score likelier than rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the cat"),   // all tokens frequent
+      (2L, "zyx wvu qqq zzz"),   // all tokens unique → OOV at small vocabK
+      (3L, "the cat zyx qqq")
+    ).toDF("id", "text")
+    val stats = graft.ops.TextOps.unigramStats(docs, "id", "text", vocabK = 2)
+      .orderBy("id").collect()
+    // vocab = {the, cat}: doc 1 fully in-vocab, doc 2 fully OOV
+    assert(stats(0).getAs[Double]("oov_frac") == 0.0, s"doc1: ${stats(0)}")
+    assert(stats(1).getAs[Double]("oov_frac") == 1.0 &&
+      stats(1).getAs[Double]("mean_vocab_p") == 0.0, s"doc2: ${stats(1)}")
+    assert(stats(0).getAs[Double]("mean_vocab_p") > stats(2).getAs[Double]("mean_vocab_p"),
+      "frequent-token doc must have higher mean in-vocab probability")
+    val lp = graft.ops.TextOps.unigramLogProb(docs, "id", "text", vocabK = 2)
+      .orderBy("id").collect()
+    assert(lp(0).getAs[Double]("mean_neg_logp") < lp(1).getAs[Double]("mean_neg_logp"),
+      "surprisal must be lower for the frequent-token doc")
+  }
+
   test("keepRepresentatives: one survivor per cluster, singletons intact, string ids work") {
     // string ids exercise the convergence check that the numeric label
     // sum could not handle (clusters with diameter > 2)
