@@ -41,4 +41,48 @@ object Decontamination {
       .withColumn("contamination",
         col("n_contaminated").cast("double") / col("n_grams").cast("double"))
   }
+
+  /** Same semantics as [[ngramOverlap]] via an exploded broadcast join —
+    * the fallback when the eval gram SET is too large for a single
+    * in-row array (tens of millions of grams) but still fits a broadcast
+    * hash table. The corpus side explodes its distinct grams and
+    * re-aggregates per document (map-side partial: a document's grams
+    * are row-local, so the shuffle carries one row per doc); the corpus
+    * is still never shuffled as documents. */
+  def ngramOverlapJoin(docs: DataFrame, idCol: String, textCol: String,
+                       eval: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextOps.shingles(col(evalTextCol), n)).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    docs.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Streaming contamination gate: flag documents in a micro-batched
+    * stream against a STATIC eval-set gram index (stream-static join —
+    * the shape of an ingest-time decontamination filter; the per-row
+    * gram computation is stateless, so it streams). Emits one row per
+    * stream document with the same columns as [[ngramOverlap]]. */
+  def contaminationFlags(stream: DataFrame, idCol: String, textCol: String,
+                         eval: DataFrame, evalTextCol: String, n: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextOps.shingles(col(evalTextCol), n)).as("g"))
+      .agg(collect_set(col("g")).as("eval_grams"))
+    stream.select(col(idCol), TextOps.shingles(col(textCol), n).as("__sh"))
+      .crossJoin(broadcast(evalGrams))
+      .select(col(idCol),
+        size(col("__sh")).cast("long").as("n_grams"),
+        size(array_intersect(col("__sh"), col("eval_grams"))).cast("long")
+          .as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+      .withColumn("is_contaminated", col("contamination") >= threshold)
+  }
 }

@@ -119,6 +119,16 @@ class PipelineOpsSpec extends SparkSpec {
       s"disjoint doc must be clean: ${out(2)}")
   }
 
+  test("decontamination join fallback computes identical overlap counts") {
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+    val eval = docs.where(col("doc_id") % 97 === 0)
+    val a = Decontamination.ngramOverlap(docs, "doc_id", "text", eval, "text", n = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Decontamination.ngramOverlapJoin(docs, "doc_id", "text", eval, "text", n = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "array-intersect and join variants must agree")
+  }
+
   test("unigram LM: common-token docs score likelier than rare-token docs") {
     val docs = Seq(
       (1L, "the the the cat"),   // all tokens frequent

@@ -128,6 +128,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(flags.get(2L) == false, s"novel doc must not be flagged: $flags")
   }
 
+  test("streaming contamination gate flags eval-overlapping docs at ingest") {
+    import java.util.concurrent.ConcurrentHashMap
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ")
+    val eval = Seq((900L, evalText)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](41, spark, None)
+    input.addData(
+      (1L, evalText + " trailing extra words here"), // shares the eval 8-grams
+      (2L, (1 to 20).map(i => s"clean$i").mkString(" ")))
+    val flags = new ConcurrentHashMap[Long, Boolean]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Decontamination.contaminationFlags(batch, "doc_id", "text",
+            eval, "text", n = 8, threshold = 0.3)
+          .collect().foreach(r =>
+            flags.put(r.getLong(0), r.getAs[Boolean]("is_contaminated")))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(flags.get(1L) == true, s"overlapping doc must be flagged: $flags")
+    assert(flags.get(2L) == false, s"clean doc must pass: $flags")
+  }
+
   test("graft_minhash / graft_simhash SQL functions match the library ops") {
     graft.functions.MinHashSig.register(spark)
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(20)
