@@ -26,7 +26,7 @@ object CatalogML {
     * struct(score, lang) picks the lexicographically greatest language
     * among equal scores — the CASE checks languages in descending code
     * order for the same effect. */
-  private def langQualitySql(src: String, textExpr: String, keep: String): String = {
+  private[queries] def langQualitySql(src: String, textExpr: String, keep: String): String = {
     val langs = TextOps.stopwords.keys.toSeq.sorted // de, en, es, fr, zh
     def swList(l: String) =
       TextOps.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -67,31 +67,34 @@ object CatalogML {
 
   /** Recursive CTE chain `tok, sh, p, edges, reach` computing exact
     * transitive near-dup reachability at jaccard >= 0.7 over word
-    * 3-gram shingles — `SELECT id, min(lbl) FROM reach GROUP BY id`
-    * yields (id, cluster). Shared by the q71 clustering oracle and the
-    * q84 keep-one-representative oracle. */
-  private[queries] val clusterCteSql: String =
-    """tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
-      |), sh AS (
+    * 3-gram shingles of `textExpr` drawn from `src` — `SELECT id,
+    * min(lbl) FROM reach GROUP BY id` yields (id, cluster). Shared by
+    * the q71 clustering oracle, the q84 keep-one oracle, and the q88
+    * pipeline-composition oracle (which feeds a filtered CTE). */
+  private[queries] def clusterCteSql(src: String = "documents",
+                                     textExpr: String = "text",
+                                     prefix: String = ""): String =
+    s"""${prefix}tok AS (
+      |  SELECT doc_id, string_split_regex(trim($textExpr), '\\s+') AS ts FROM $src
+      |), ${prefix}sh AS (
       |  SELECT doc_id,
       |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
       |                        FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS sh
-      |  FROM tok
-      |), p AS (
+      |  FROM ${prefix}tok
+      |), ${prefix}p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  FROM ${prefix}sh a JOIN ${prefix}sh b ON a.doc_id < b.doc_id
       |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
       |          / CAST(len(a.sh) + len(b.sh)
       |                 - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.7
-      |), edges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM p
+      |), ${prefix}edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM ${prefix}p
       |  UNION ALL
-      |  SELECT id_b, id_a FROM p
-      |), reach AS (
-      |  SELECT src AS id, src AS lbl FROM edges
+      |  SELECT id_b, id_a FROM ${prefix}p
+      |), ${prefix}reach AS (
+      |  SELECT src AS id, src AS lbl FROM ${prefix}edges
       |  UNION
-      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+      |  SELECT e.src, r.lbl FROM ${prefix}edges e JOIN ${prefix}reach r ON e.dst = r.id
       |)""".stripMargin
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -255,7 +258,7 @@ object CatalogML {
         shingleN = 3, threshold = 0.7)
       Dedup.connectedComponents(pairs).orderBy("id")
     }, Some(
-      s"""WITH RECURSIVE $clusterCteSql
+      s"""WITH RECURSIVE ${clusterCteSql()}
         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
     // PII scrubbing: URLs → emails → long digit runs replaced by typed

@@ -7,9 +7,12 @@ import graft.ops.{Decontamination, Dedup, Quantize, Relevance}
 import graft.ops.Tables._
 
 /** Round-3 training-data-pipeline extensions: keyword relevance mining
-  * (BM25), embedding quantization, benchmark decontamination, and
-  * near-dup corpus materialization (keep one representative per
-  * cluster). All four carry full DuckDB differential oracles.
+  * (BM25), embedding quantization, benchmark decontamination, near-dup
+  * corpus materialization (keep one representative per cluster),
+  * quantized two-stage ANN, temperature mixture weights, unigram-LM
+  * quality stats, and the composed dedup-and-mix pipeline. Everything
+  * except the (approximate-by-design) quantized ANN carries a full
+  * DuckDB differential oracle.
   */
 object CatalogML2 {
   type Q = (SparkSession, String) => DataFrame
@@ -121,11 +124,6 @@ object CatalogML2 {
         |FROM sh s LEFT JOIN mt ON mt.doc_id = s.doc_id
         |ORDER BY s.doc_id""".stripMargin)),
 
-    // Near-dup dedup MATERIALIZED: the corpus after dropping everything
-    // but one representative per mined duplicate cluster — pair mining
-    // (q35) + clustering (q71) composed into the actual corpus rewrite.
-    // Oracle = exact-Jaccard clusters (shared recursive CTE) anti-joined
-    // the same way.
     // Two-stage quantized ANN: int8 candidate scan (packed binary codes,
     // integer dot product — 4× less memory traffic) + exact float
     // re-rank of the shortlist. Approximate by design (shortlist recall
@@ -196,6 +194,11 @@ object CatalogML2 {
         |         AS mean_vocab_p
         |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Near-dup dedup MATERIALIZED: the corpus after dropping everything
+    // but one representative per mined duplicate cluster — pair mining
+    // (q35) + clustering (q71) composed into the actual corpus rewrite.
+    // Oracle = exact-Jaccard clusters (shared recursive CTE) anti-joined
+    // the same way.
     ("q84_dedup_keep_one", (s: SparkSession, d: String) => {
       val docs = table(s, d, "documents")
       val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text",
@@ -204,12 +207,59 @@ object CatalogML2 {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     }, Some(
-      s"""WITH RECURSIVE ${CatalogML.clusterCteSql},
+      s"""WITH RECURSIVE ${CatalogML.clusterCteSql()},
         |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d
         |LEFT JOIN (SELECT id FROM lab WHERE id != cluster) dr ON d.doc_id = dr.id
         |WHERE dr.id IS NULL
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // The round-3 capstone composition: PII scrub → language-ID +
+    // quality score → quality filter → NEAR-DUP dedup (LSH pair mining
+    // + connected components, keep min-id representative) → temperature
+    // mixture weights per predicted language. Each stage's parity is
+    // proven on its own (q73, q39, q84, q85); the oracle composes the
+    // same CTEs over the same intermediate text, checking that the
+    // stages compose bit-exactly too.
+    ("q88_pipeline_dedup_mix", (s: SparkSession, d: String) => {
+      import graft.ops.{Dedup, Sampling, TextOps}
+      val scrubbed = spread(table(s, d, "documents"), "doc_id")
+        .withColumn("clean", TextOps.scrubPii(col("text")))
+      val scored = scrubbed
+        .withColumn("__toks", TextOps.lowerTokens(col("clean")))
+        .select(col("doc_id"), col("clean"),
+          TextOps.langIdFromTokens(col("__toks")).as("pred_lang"),
+          TextOps.qualityScoreFromTokens(col("clean"), col("__toks")).as("quality"))
+      val filtered = scored.where(col("quality") >= 0.5)
+      val pairs = Dedup.minhashJaccardPairs(filtered, "doc_id", "clean",
+        shingleN = 3, threshold = 0.7)
+      val kept = Dedup.keepRepresentatives(filtered, "doc_id", pairs)
+      Sampling.temperatureWeights(kept, "pred_lang", temperature = 2.0)
+        .orderBy("pred_lang")
+    }, Some(
+      s"""WITH RECURSIVE scrub AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(text,
+        |           '${graft.ops.TextOps.urlPattern}', '[URL]', 'g'),
+        |           '${graft.ops.TextOps.emailPattern}', '[EMAIL]', 'g'),
+        |           '${graft.ops.TextOps.longNumPattern}', '[NUM]', 'g') AS clean
+        |  FROM documents
+        |), ${CatalogML.langQualitySql("scrub", "clean", "doc_id")},
+        |filt AS (SELECT doc_id, __txt, pred_lang FROM lq WHERE quality >= 0.5),
+        |${CatalogML.clusterCteSql("filt", "__txt", prefix = "nd")},
+        |lab AS (SELECT id, min(lbl) AS cluster FROM ndreach GROUP BY id),
+        |kept AS (
+        |  SELECT f.* FROM filt f
+        |  LEFT JOIN (SELECT id FROM lab WHERE id != cluster) dr ON f.doc_id = dr.id
+        |  WHERE dr.id IS NULL
+        |),
+        |g AS (SELECT pred_lang, count(*) AS n_docs FROM kept GROUP BY pred_lang),
+        |w AS (SELECT pred_lang, n_docs,
+        |             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,9)) AS wd FROM g),
+        |t AS (SELECT sum(wd) AS wt FROM w)
+        |SELECT pred_lang, n_docs, CAST(wd AS DOUBLE) AS weight,
+        |       CAST(wd AS DOUBLE) / CAST(wt AS DOUBLE) AS target_frac
+        |FROM w, t ORDER BY pred_lang""".stripMargin))
   )
 }
