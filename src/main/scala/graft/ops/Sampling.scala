@@ -50,6 +50,27 @@ object Sampling {
     df.where(hashFraction(col(idCol)) < frac)
   }
 
+  /** Exact-size deterministic sample per group: the n rows with the
+    * smallest md5(id) in each group — "give me exactly 1000 documents
+    * per language, stably". Unlike rate-based sampling the output size
+    * is exact; membership is still a pure function of the id (re-runs,
+    * repartitions, and other engines agree — md5 is everywhere, which
+    * is what makes this variant differentially testable).
+    *
+    * Scale shape: one shuffle on the group key + a rank window; per-task
+    * state is the window's sort. For heavily skewed groups the
+    * rate-based [[stratifiedSample]] (no shuffle at all) is the
+    * bigger-hammer alternative. */
+  def fixedSizePerGroup(df: DataFrame, idCol: String, groupCol: String,
+                        n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= n)
+      .drop("__rank")
+  }
+
   /** Temperature-scaled mixture weights per group — the data-mixing step
     * of corpus prep: a group's target share ∝ n^(1/T), so T = 1 keeps the
     * natural distribution and larger T flattens it toward uniform,

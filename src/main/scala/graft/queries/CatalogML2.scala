@@ -215,6 +215,25 @@ object CatalogML2 {
         |WHERE dr.id IS NULL
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Exact-size per-group deterministic sample: smallest-md5(id) rows
+    // per language. md5 exists in both engines, so unlike the
+    // xxhash64-based rate sampling (q70, rows-only) this sampling
+    // variant is fully differentially testable.
+    ("q89_sample_per_group", (s: SparkSession, d: String) => {
+      graft.ops.Sampling.fixedSizePerGroup(
+          table(s, d, "documents").select("doc_id", "lang", "source"),
+          "doc_id", "lang", n = 20)
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+        |                                     doc_id ASC) AS rnk
+        |  FROM documents
+        |) WHERE rnk <= 20
+        |ORDER BY doc_id""".stripMargin)),
+
     // The round-3 capstone composition: PII scrub → language-ID +
     // quality score → quality filter → NEAR-DUP dedup (LSH pair mining
     // + connected components, keep min-id representative) → temperature

@@ -36,6 +36,19 @@ class SamplingSpec extends SparkSpec {
       "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.5)).count())
   }
 
+  test("fixed-size per-group sample is exact-size and partitioning-independent") {
+    val docs = Tables.table(spark, sf, "documents")
+    val sample = Sampling.fixedSizePerGroup(docs, "doc_id", "lang", n = 10)
+    val sizes = sample.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (l, t) =>
+      assert(sizes.getOrElse(l, 0L) == math.min(10L, t), s"$l: $sizes vs $totals")
+    }
+    val again = Sampling.fixedSizePerGroup(docs.repartition(7), "doc_id", "lang", n = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(sample.select("doc_id").as[Long].collect().sorted.toSeq == again)
+  }
+
   test("temperature weights flatten the mixture; T=1 keeps natural shares") {
     // group by lang — the fixture's lang mixture is skewed (source is
     // uniform, which a temperature rescale would leave unchanged)
