@@ -215,6 +215,28 @@ object CatalogML2 {
         |WHERE dr.id IS NULL
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Count-min frequency sketches: per-day sketches per event type,
+    // exact elementwise union across days, literal-key point estimates
+    // read with pure least/element_at (no UDF on the read path) — the
+    // frequency complement of the q75 HLL distinct-count pattern.
+    // Sketch lane layout is engine-internal (XXH64 seeds) → rows-only;
+    // FunctionsSpec pins estimate >= truth, the error bound, and the
+    // bit-exact merge-equals-whole invariant.
+    ("q90_agg_cms", (s: SparkSession, d: String) => {
+      import graft.functions.CountMin
+      val daily = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(CountMin.agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(CountMin.unionAgg(col("sk")).as("sk"),
+          count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("n_days"),
+          CountMin.estimate(col("sk"), 1L).as("est_user_1"),
+          CountMin.estimate(col("sk"), 7L).as("est_user_7"),
+          CountMin.estimate(col("sk"), 13L).as("est_user_13"))
+        .orderBy("event_type")
+    }, None),
+
     // Exact-size per-group deterministic sample: smallest-md5(id) rows
     // per language. md5 exists in both engines, so unlike the
     // xxhash64-based rate sampling (q70, rows-only) this sampling

@@ -79,6 +79,31 @@ class FunctionsSpec extends SparkSpec {
     assert(byUser(2L) == ((1L, 10.0)))
   }
 
+  test("count-min sketch: never undercounts, bounded overcount, exact mergeability") {
+    import graft.functions.CountMin
+    val events = graft.ops.Tables.table(spark, sf, "events")
+    val truth = events.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val n = truth.values.sum
+    val sketch = events.agg(CountMin.agg(col("user_id")).as("sk"))
+      .select("sk").as[Array[Long]].head()
+    truth.foreach { case (u, exact) =>
+      val est = CountMin.estimateLocal(sketch, u)
+      assert(est >= exact, s"CMS undercounted user $u: $est < $exact")
+      assert(est <= exact + 4 * n / CountMin.DefaultWidth + 1,
+        s"CMS overcount out of bound for user $u: $est vs $exact (n=$n)")
+    }
+    // merge is exact elementwise addition → bit-identical to the whole
+    // sketch regardless of how the input was split
+    val merged = events.repartition(7)
+      .withColumn("part", pmod(col("event_id"), lit(3)))
+      .groupBy("part").agg(CountMin.agg(col("user_id")).as("sk"))
+      .agg(CountMin.unionAgg(col("sk")).as("sk"))
+      .select("sk").as[Array[Long]].head()
+    assert(merged.toSeq == sketch.toSeq,
+      "union of partial sketches must equal the whole-data sketch exactly")
+  }
+
   test("flatMapGroupsWithState emits an alert per threshold crossing") {
     val input = MemoryStream[(Long, Double)](20, spark, None)
     val q = StreamOps.thresholdAlerts(spark, input.toDS(), step = 10.0)
