@@ -120,4 +120,67 @@ class PropertySpec extends SparkSpec {
       assert(lsh == brute, s"seed $seed: lsh=$lsh brute=$brute")
     }
   }
+
+  test("bm25 equals a naive in-memory scorer on random corpora") {
+    val vocabulary = Vector("cat", "dog", "fish", "bird", "tree", "rock")
+    val docGen = Gen.listOfN(40, Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocabulary))))
+    val terms = Seq("cat", "fish")
+    val (k1, b) = (1.2, 0.75)
+    for (seed <- 1L to 5L) {
+      val docs = sample(docGen, seed).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val n = docs.size.toDouble
+      val avgdl = docs.map(_._2.split("\\s+").length).sum / n
+      def tf(d: String, t: String) = d.split("\\s+").count(_ == t).toDouble
+      val dfm = terms.map(t => t -> docs.count(d => tf(d._2, t) > 0).toDouble).toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val dl = text.split("\\s+").length.toDouble
+        val score = terms.map { t =>
+          val f = tf(text, t)
+          math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+            (f * (k1 + 1.0) / (f + k1 * ((1.0 - b) + b * (dl / avgdl))))
+        }.sum
+        if (terms.exists(t => tf(text, t) > 0)) Some(id -> score) else None
+      }.toMap
+      val got = graft.ops.Relevance.bm25(docs.toDF("id", "text"), "id", "text", terms)
+        .select("id", "score").as[(Long, Double)].collect().toMap
+      assert(got.keySet == expected.keySet, s"seed $seed: matched-doc sets differ")
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - expected(id)) < 1e-9, s"seed $seed doc $id: $s vs ${expected(id)}")
+      }
+    }
+  }
+
+  test("int8 quantization roundtrip error is within scale/2 on random vectors") {
+    val vecGen = Gen.listOfN(30, Gen.listOfN(16,
+      Gen.chooseNum(-1000, 1000).map(_ / 251.0f)))
+    for (seed <- 1L to 3L) {
+      val vecs = sample(vecGen, seed).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+      val out = graft.ops.Quantize.int8(vecs.toDF("id", "v"), "id", "v")
+        .join(vecs.toDF("id", "v"), "id")
+        .select($"id", $"scale",
+          graft.ops.Quantize.maxError($"v", $"q", $"scale").as("err"))
+        .as[(Long, Double, Double)].collect()
+      out.foreach { case (id, scale, err) =>
+        assert(err <= scale / 2 + 1e-12, s"seed $seed vec $id: err $err > scale/2 ${scale / 2}")
+      }
+    }
+  }
+
+  test("count-min estimates equal or exceed exact counts on random streams") {
+    val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
+    for (seed <- 1L to 3L) {
+      val keys = sample(keyGen, seed)
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sketch = keys.toDF("k")
+        .agg(graft.functions.CountMin.agg(col("k")).as("sk"))
+        .select("sk").as[Array[Long]].head()
+      exact.foreach { case (k, c) =>
+        val est = graft.functions.CountMin.estimateLocal(sketch, k)
+        assert(est >= c, s"seed $seed key $k: undercount $est < $c")
+      }
+    }
+  }
 }
