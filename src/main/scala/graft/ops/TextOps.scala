@@ -200,6 +200,33 @@ object TextOps {
         emailPattern, "[EMAIL]"),
       longNumPattern, "[NUM]")
 
+  /** Cross-document boilerplate signal: per document, the fraction of
+    * its non-blank lines that appear in at least `minDocs` DISTINCT
+    * documents corpus-wide (navigation chrome, license banners, cookie
+    * notices — the stuff intra-document dedup can't see). The companion
+    * to [[duplicateLineFraction]], which is intra-document only.
+    *
+    * Scale design: lines are keyed by md5 digest, so the two shuffles
+    * (line→doc-count, join back) carry 16-byte digests, never line
+    * text; the per-doc reduction is map-side (a document's lines are
+    * row-local before the explode). Returns (idCol, n_lines, n_boiler,
+    * boiler_frac). */
+  def interdocBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                          minDocs: Int = 2): DataFrame = {
+    val lines = docs.select(col(idCol),
+        explode(filter(split(col(textCol), "\n"), l => length(trim(l)) > lit(0)))
+          .as("__line"))
+      .select(col(idCol), md5(col("__line")).as("lh"))
+    val docCounts = lines.distinct()
+      .groupBy("lh").agg(count(lit(1)).as("docs_with"))
+    lines.join(docCounts, Seq("lh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("docs_with") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_lines").cast("double"))
+  }
+
   // --- corpus-statistics quality signals (unigram LM) -------------------
 
   /** Corpus-relative unigram statistics per document — the quality signal

@@ -215,6 +215,32 @@ object CatalogML2 {
         |WHERE dr.id IS NULL
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Cross-document boilerplate: fraction of each doc's lines that
+    // appear in >= 2 distinct docs corpus-wide (what intra-doc q78
+    // cannot see). Lines shuffle as md5 digests on both engines.
+    ("q91_text_boilerplate", (s: SparkSession, d: String) => {
+      graft.ops.TextOps.interdocBoilerplate(
+          spread(table(s, d, "documents"), "doc_id"), "doc_id", "text", minDocs = 2)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH l AS (
+        |  SELECT doc_id, md5(l) AS lh FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split_regex(text, '\n'),
+        |                              x -> len(trim(x)) > 0)) AS l
+        |    FROM documents)
+        |), dc AS (
+        |  SELECT lh, count(*) AS docs_with
+        |  FROM (SELECT DISTINCT doc_id, lh FROM l) GROUP BY lh
+        |)
+        |SELECT l.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN dc.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       CAST(sum(CASE WHEN dc.docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS boiler_frac
+        |FROM l JOIN dc USING (lh)
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
+
     // Count-min frequency sketches: per-day sketches per event type,
     // exact elementwise union across days, literal-key point estimates
     // read with pure least/element_at (no UDF on the read path) — the
