@@ -227,6 +227,32 @@ object TextOps {
         col("n_boiler").cast("double") / col("n_lines").cast("double"))
   }
 
+  /** Rewrite documents with corpus-wide boilerplate lines REMOVED (the
+    * transform [[interdocBoilerplate]] is the signal for): every
+    * non-blank line appearing in ≥ `minDocs` distinct documents is
+    * dropped, remaining lines keep their order. The boilerplate line
+    * set is aggregated once (as md5 digests) and broadcast; each
+    * document then filters its own line array per-row — the corpus is
+    * scanned once for counting and once for rewriting, and never
+    * shuffled as documents. Returns (idCol, clean_text, n_kept). */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int = 2): DataFrame = {
+    val linesOf = filter(split(col(textCol), "\n"), l => length(trim(l)) > lit(0))
+    val boiler = docs
+      .select(col(idCol), explode(linesOf).as("__line"))
+      .select(col(idCol), md5(col("__line")).as("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("docs_with"))
+      .where(col("docs_with") >= minDocs)
+      .agg(collect_set(col("lh")).as("__boiler"))
+      .select(coalesce(col("__boiler"), array()).as("__boiler"))
+    docs.crossJoin(broadcast(boiler))
+      .select(col(idCol),
+        filter(linesOf, l => !array_contains(col("__boiler"), md5(l))).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   // --- corpus-statistics quality signals (unigram LM) -------------------
 
   /** Corpus-relative unigram statistics per document — the quality signal

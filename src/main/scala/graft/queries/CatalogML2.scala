@@ -241,6 +241,34 @@ object CatalogML2 {
         |FROM l JOIN dc USING (lh)
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
 
+    // Boilerplate REMOVAL (the transform q91 is the signal for):
+    // corpus-wide repeated lines dropped from every document, order
+    // preserved. Boilerplate digests broadcast as one array; each doc
+    // filters its own line array per-row.
+    ("q92_text_boiler_strip", (s: SparkSession, d: String) => {
+      graft.ops.TextOps.removeBoilerplateLines(
+          spread(table(s, d, "documents"), "doc_id"), "doc_id", "text", minDocs = 2)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\n'), x -> len(trim(x)) > 0) AS lines
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, md5(unnest(lines)) AS lh FROM tok
+        |), dc AS (
+        |  SELECT lh, count(*) AS docs_with
+        |  FROM (SELECT DISTINCT doc_id, lh FROM l) GROUP BY lh
+        |), bl AS (
+        |  SELECT coalesce(list(lh), []) AS boiler FROM dc WHERE docs_with >= 2
+        |)
+        |SELECT doc_id,
+        |       array_to_string(list_filter(lines, x -> NOT list_contains(bl.boiler, md5(x))),
+        |                       chr(10)) AS clean_text,
+        |       CAST(len(list_filter(lines, x -> NOT list_contains(bl.boiler, md5(x)))) AS BIGINT)
+        |         AS n_kept
+        |FROM tok, bl ORDER BY doc_id""".stripMargin)),
+
     // Count-min frequency sketches: per-day sketches per event type,
     // exact elementwise union across days, literal-key point estimates
     // read with pure least/element_at (no UDF on the read path) — the
