@@ -147,6 +147,53 @@ object Dedup {
     else verified
   }
 
+  /** Cross-corpus near-duplicate pairs: documents in `a` whose
+    * word-shingle Jaccard against some document in `b` meets the
+    * threshold — the incremental-dedup shape (dedup a NEW crawl against
+    * the EXISTING corpus without re-mining the old corpus against
+    * itself). Same LSH machinery as [[minhashJaccardPairs]], but the
+    * bucket join is a↔b only (no self-join triangle) and both sides
+    * keep their own ids. Returns (id_a, id_b, jaccard). */
+  def crossCorpusJaccardPairs(a: DataFrame, b: DataFrame, idCol: String,
+                              textCol: String, shingleN: Int = 3,
+                              threshold: Double = 0.7, bands: Int = 32,
+                              rows: Int = 2,
+                              materialize: Boolean = true): DataFrame = {
+    val numHashes = bands * rows
+    def prep(df: DataFrame) =
+      spreadCompute(df, idCol).select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    def side(base: DataFrame, tag: String) = {
+      val sigs0 = minhashSignatures(base, idCol, col("sh"), numHashes)
+      val sigs = if (materialize) sigs0.persist() else sigs0
+      val buckets = sigs.select(col(idCol).as(s"id_$tag"),
+        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+      (sigs, buckets)
+    }
+    val (baseA, baseB) = (prep(a), prep(b))
+    val (sigsA, bucketsA) = side(baseA, "a")
+    val (sigsB, bucketsB) = side(baseB, "b")
+    val candidates = bucketsA.join(bucketsB, Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+      .cast("double") / numHashes
+    val prefiltered = candidates
+      .join(sigsA.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsB.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .where(est >= threshold - sixSigma)
+      .select("id_a", "id_b")
+    val verified = prefiltered
+      .join(baseA.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(baseB.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    if (materialize) materializeAndRelease(verified, sigsA, sigsB) else verified
+  }
+
   /** 64-bit SimHash over whitespace tokens. Pure column expressions: the
     * per-bit weighted vote is unrolled over 64 when/otherwise sums —
     * verbose but codegen-friendly (no UDF boxing on the 100 TB path). */

@@ -241,6 +241,36 @@ object CatalogML2 {
         |FROM l JOIN dc USING (lh)
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
 
+    // Cross-corpus (incremental) dedup: near-dup pairs between the
+    // even-id half (the "existing corpus") and odd-id half (the "new
+    // crawl") — the a↔b bucket join, no self-join triangle. Oracle =
+    // exact all-pairs Jaccard between the halves.
+    ("q93_dedup_cross", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      Dedup.crossCorpusJaccardPairs(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", shingleN = 3, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                        FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS sh
+        |  FROM tok
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |         / CAST(len(a.sh) + len(b.sh)
+        |                - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |        / CAST(len(a.sh) + len(b.sh)
+        |               - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // Boilerplate REMOVAL (the transform q91 is the signal for):
     // corpus-wide repeated lines dropped from every document, order
     // preserved. Boilerplate digests broadcast as one array; each doc

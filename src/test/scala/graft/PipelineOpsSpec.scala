@@ -149,6 +149,20 @@ class PipelineOpsSpec extends SparkSpec {
       "surprisal must be lower for the frequent-token doc")
   }
 
+  test("cross-corpus dedup finds pairs across sides and never within a side") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearCopy = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val existing = Seq((1L, base), (2L, "left-only words " + (50 to 90).map(i => s"x$i").mkString(" ")))
+      .toDF("id", "text")
+    val fresh = Seq((101L, nearCopy), (102L, "entirely different right side content here"),
+      (103L, base)).toDF("id", "text")
+    val pairs = Dedup.crossCorpusJaccardPairs(existing, fresh, "id", "text",
+        shingleN = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 101L), (1L, 103L)),
+      s"expected the near-copy and exact copy flagged against doc 1, got $pairs")
+  }
+
   test("keepRepresentatives: one survivor per cluster, singletons intact, string ids work") {
     // string ids exercise the convergence check that the numeric label
     // sum could not handle (clusters with diameter > 2)
