@@ -73,4 +73,60 @@ object Relevance {
       .select(col(idCol), matched.cast("long").as("n_terms_matched"),
         score.as("score"))
   }
+
+  /** Batch BM25 retrieval: top-`k` documents per query, for a TABLE of
+    * queries (qidCol, termsCol: array<string>) — the multi-query search
+    * shape, where the term set is data, not literals.
+    *
+    * Scale design: the query vocabulary (distinct terms over all
+    * queries) broadcasts, so the corpus-token explode is filtered to
+    * query terms immediately — per-(term, doc) counts partial-aggregate
+    * map-side, and everything after operates on the matched subset. The
+    * per-query top-k is a rank window over (qid, doc, score) rows only.
+    *
+    * Determinism: per-(query, doc) scores sum the per-term
+    * contributions through DECIMAL(18,12) — exact and
+    * accumulation-order-independent, so ranking is stable under any
+    * partitioning (and bit-reproducible cross-engine with
+    * `logIdf = false`, which the differential oracle uses). */
+  def bm25SearchTopK(docs: DataFrame, idCol: String, textCol: String,
+                     queries: DataFrame, qidCol: String, termsCol: String,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75,
+                     logIdf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val base = docs.select(col(idCol),
+        TextOps.lowerTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("double").as("dl"), col("__toks"))
+    val qexp = queries.select(col(qidCol),
+      explode(transform(col(termsCol), t => lower(t))).as("term"))
+    val qvocab = qexp.select("term").distinct()
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(qvocab), Seq("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val odds = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + odds) else odds
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl") / avgdl))))
+    val scores = tf
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qexp), Seq("term"))
+      .withColumn("__c", contrib.cast(DecimalType(18, 12)))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__c")).cast("double").as("score"),
+        count(lit(1)).as("n_terms_matched"))
+    val w = Window.partitionBy(qidCol).orderBy(col("score").desc, col(idCol).asc)
+    scores.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("score"),
+        col("n_terms_matched"))
+  }
 }

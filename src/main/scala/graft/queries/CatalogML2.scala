@@ -241,6 +241,58 @@ object CatalogML2 {
         |FROM l JOIN dc USING (lh)
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
 
+    // Batch BM25 retrieval: top-5 docs per query from a query TABLE
+    // (terms are data, not literals). Rational idf for the oracle;
+    // per-(query, doc) scores sum through DECIMAL(18,12) so ranking is
+    // partitioning-stable and cross-engine exact.
+    ("q94_text_search", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val queries = Seq(
+        (1, Seq("spark", "hash")),
+        (2, Seq("stream", "filter")),
+        (3, Seq("sort", "scan", "group"))).toDF("qid", "terms")
+      Relevance.bm25SearchTopK(
+          spread(table(s, d, "documents"), "doc_id"), "doc_id", "text",
+          queries, "qid", "terms", k = 5, logIdf = false)
+        .orderBy("qid", "rank")
+    }, Some(
+      """WITH q(qid, term) AS (
+        |  VALUES (1, 'spark'), (1, 'hash'), (2, 'stream'), (2, 'filter'),
+        |         (3, 'sort'), (3, 'scan'), (3, 'group')
+        |), tok AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM tok
+        |), qv AS (SELECT DISTINCT term FROM q),
+        |ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+        |tf AS (
+        |  SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM ex JOIN qv USING (term) GROUP BY term, doc_id, dl
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_dl
+        |  FROM base
+        |), co AS (
+        |  SELECT q.qid, tf.doc_id,
+        |         CAST(((n_docs - df + 0.5) / (df + 0.5))
+        |              * (tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75)
+        |                 + 0.75 * (dl / (sum_dl / n_docs))))) AS DECIMAL(18,12)) AS c
+        |  FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term CROSS JOIN st
+        |), sc AS (
+        |  SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score,
+        |         CAST(count(*) AS BIGINT) AS n_terms_matched
+        |  FROM co GROUP BY qid, doc_id
+        |)
+        |SELECT qid, rank, doc_id, score, n_terms_matched FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+        |               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // Cross-corpus (incremental) dedup: near-dup pairs between the
     // even-id half (the "existing corpus") and odd-id half (the "new
     // crawl") — the a↔b bucket join, no self-join triangle. Oracle =

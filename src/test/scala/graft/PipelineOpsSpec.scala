@@ -31,6 +31,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
+  test("bm25 batch search ranks agree with the single-query scorer") {
+    val docs = Seq(
+      (1L, "cat sat on the mat"),
+      (2L, "cat cat dog"),
+      (3L, "dog dog dog dog"),
+      (4L, "fish cat fish")
+    ).toDF("id", "text")
+    val queries = Seq((10, Seq("cat")), (20, Seq("dog", "fish"))).toDF("qid", "terms")
+    val ranked = Relevance.bm25SearchTopK(docs, "id", "text", queries, "qid", "terms", k = 2)
+      .select("qid", "rank", "id").as[(Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val single = Relevance.bm25(docs, "id", "text", Seq("cat"))
+      .orderBy(col("score").desc, col("id").asc)
+      .select("id").as[Long].collect().take(2).toSeq
+    assert(ranked(10) == single,
+      s"batch search must agree with single-query bm25: ${ranked(10)} vs $single")
+    assert(ranked(20).size == 2 && ranked(20).toSet.subsetOf(Set(2L, 3L, 4L)),
+      s"dog/fish query must rank dog/fish docs: ${ranked(20)}")
+  }
+
   test("bm25 scales without exploding tokens: no per-token shuffle in the plan") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("id", "text")
     val plan = Relevance.bm25(docs, "id", "text", Seq("b"))
