@@ -263,4 +263,68 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
   }
+
+  /** IVF × int8: the full 100 TB ANN composition — centroid cells prune
+    * the corpus to `nprobe/nlist` of its rows AND the candidate scan
+    * inside the probed cells reads packed int8 codes with the integer
+    * dot product (4× less memory traffic than floats), then the exact
+    * float re-rank touches shortlist rows only. The index table
+    * (id, cent_id, codes, vscale, vnorm) is what a deployment persists,
+    * bucketed by cent_id; here it is built inline from the corpus. */
+  def ivfTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int, nlist: Int = 16, nprobe: Int = 4,
+                       shortlist: Int = 0,
+                       trainIterations: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.{int8Dot, packInt8}
+    val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
+    val cents =
+      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      else seedCentroids(corpus, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "IVF needs a non-empty corpus")
+
+    // the persistable quantized index: cell id + packed codes + norms
+    val ma = Quantize.maxAbs(col(vecCol))
+    val index = Tables.spread(corpus, idCol).select(
+      col(idCol),
+      nearestCentId(col(vecCol), cents).as("cent_id"),
+      packInt8(Quantize.int8Codes(col(vecCol), ma)).as("codes"),
+      (ma / lit(127.0)).as("vscale"),
+      sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
+
+    val centStructs = array(cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(lit(cid).as("cent_id"), typedLit(cv).as("cent_vec"))
+    }: _*)
+    val wq = Window.partitionBy(qidCol)
+      .orderBy(col("__cos_c").desc, col("__c.cent_id").asc)
+    val queryCells = queries
+      .select(col(qidCol), col(qvecCol), explode(centStructs).as("__c"))
+      .withColumn("__cos_c", cosine(col(qvecCol), col("__c.cent_vec")))
+      .withColumn("__cr", row_number().over(wq))
+      .where(col("__cr") <= nprobe)
+      .select(col(qidCol),
+        packInt8(Quantize.int8Codes(col(qvecCol), Quantize.maxAbs(col(qvecCol))))
+          .as("qcodes"),
+        col("__c.cent_id").as("cent_id"))
+
+    val ws = Window.partitionBy(qidCol).orderBy(col("qscore").desc, col(idCol).asc)
+    val short = index.join(broadcast(queryCells), Seq("cent_id"))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("qscore",
+        when(col("vnorm") === 0.0, lit(0.0)).otherwise(
+          col("vscale") * int8Dot(col("qcodes"), col("codes")).cast("double") / col("vnorm")))
+      .select(col(qidCol), col(idCol), col("qscore"))
+      .withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= sl)
+      .select(col(qidCol), col(idCol))
+
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
+    corpus
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
 }

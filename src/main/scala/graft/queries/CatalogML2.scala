@@ -139,6 +139,20 @@ object CatalogML2 {
         .orderBy("qid", "rank")
     }, None),
 
+    // IVF × int8 ANN: cell pruning and quantized candidate scan
+    // composed — approximate twice over (probe recall × shortlist
+    // recall), so rows-only; PipelineOpsSpec pins agreement with the
+    // float IVF scan over the same cells.
+    ("q95_ann_ivf_quantized", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.ops.Similarity.ivfTopKQuantized(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 100)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rank")
+    }, None),
+
     // Temperature-scaled mixture weights (T=2): the data-mixing step.
     // sqrt is correctly-rounded IEEE (cross-engine bit-stable, unlike
     // libm pow); the normalizing sum is exact through DECIMAL(18,9).

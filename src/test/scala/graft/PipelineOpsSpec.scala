@@ -124,6 +124,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized ANN recall too low: $recall")
   }
 
+  test("IVF x int8 composition matches the float IVF scan on the same cells") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val float = sets(graft.ops.Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "qid", "qvec", 5, nlist = 8, nprobe = 4))
+    val quant = sets(graft.ops.Similarity.ivfTopKQuantized(
+      emb, "vec_id", "embedding", queries, "qid", "qvec", 5, nlist = 8, nprobe = 4))
+    val overlap = float.map { case (q, ns) =>
+      (ns intersect quant.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / float.size
+    assert(overlap >= 0.8,
+      s"quantized IVF diverged from float IVF on the same cells: $overlap")
+  }
+
   test("decontamination: eval docs are fully contaminated, disjoint docs are clean") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),        // eval member
