@@ -255,6 +255,69 @@ object CatalogML2 {
         |FROM l JOIN dc USING (lh)
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
 
+    // Data profiling: fixed-width value histogram. Bucket assignment is
+    // exact IEEE arithmetic + floor; counts are integers — fully
+    // deterministic on both engines.
+    ("q96_profile_histogram", (s: SparkSession, d: String) => {
+      val (lo, width, nb) = (0.0, 10000.0, 12)
+      val bucket = least(lit(nb - 1),
+        floor((col("l_extendedprice") - lit(lo)) / lit(width))).cast("long")
+      table(s, d, "lineitem")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("bucket")
+    }, Some(
+      """SELECT CAST(least(11, floor(l_extendedprice / 10000.0)) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Data profiling: per-group correlation and stddev from EXACT
+    // moment sums (DECIMAL-accumulated Σx, Σy, Σxy, Σx², Σy²), the
+    // formula then evaluated in doubles — unlike the built-in corr()
+    // (order-dependent float accumulation), this is bit-reproducible
+    // under any partitioning and across engines.
+    ("q97_profile_corr", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.DecimalType
+      def m(c: org.apache.spark.sql.Column, sc: Int) =
+        sum(c.cast(DecimalType(18, sc))).cast("double")
+      val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          m(x, 2).as("sx"), m(y, 2).as("sy"),
+          m(x * y, 2).as("sxy"), m(x * x, 2).as("sxx"), m(y * y, 2).as("syy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          (col("sx") / col("n")).as("mean_qty"),
+          (col("sy") / col("n")).as("mean_price"),
+          sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))
+            .as("stddev_pop_price"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |       sx / n AS mean_qty,
+        |       sy / n AS mean_price,
+        |       sqrt((syy - sy * sy / n) / n) AS stddev_pop_price,
+        |       (n * sxy - sx * sy)
+        |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // Batch BM25 retrieval: top-5 docs per query from a query TABLE
     // (terms are data, not literals). Rational idf for the oracle;
     // per-(query, doc) scores sum through DECIMAL(18,12) so ranking is
