@@ -18,6 +18,40 @@ object Dedup {
   private def spreadCompute(df: DataFrame, idCol: String): DataFrame =
     Tables.spread(df, idCol)
 
+  /** Default per-bucket population cap for LSH candidate joins. A bucket
+    * of B ids contributes ~B²/2 candidate pairs, so one degenerate key
+    * (thousands of near-identical boilerplate docs, all-zero embeddings)
+    * makes the self-join quadratic *in that bucket* — the one
+    * data-dependent blow-up in band-LSH mining. 1024 bounds any single
+    * bucket at ~500k pairs (one task-sized unit of work) while sitting
+    * far above every bucket a non-degenerate corpus produces.
+    *
+    * Recall trade (documented contract): pairs whose EVERY collision
+    * bucket exceeds the cap are lost. Identical-document pile-ups — the
+    * common way a bucket degenerates — should be removed by [[exact]]
+    * dedup first, which makes the cap safe; clusters of >1024 distinct
+    * near-dups are boilerplate-shaped and better handled by
+    * [[TextOps.interdocBoilerplate]] removal than by pair mining.
+    * Pass `maxBucket = Int.MaxValue` to disable. */
+  val DefaultMaxBucket: Int = 1024
+
+  /** Drop LSH buckets with more than `maxBucket` members. The population
+    * count runs as a whole-partition window over the bucket key — the
+    * same hash partitioning the candidate self-join needs next, so the
+    * exchange is shared (one extra sort, no extra shuffle) and the rows
+    * it moves are (id, bucket) tuples, never documents or vectors. */
+  private[graft] def capBuckets(buckets: DataFrame, keyCols: Seq[String],
+                                maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) buckets
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      buckets
+        .withColumn("__bucket_n", count(lit(1)).over(w))
+        .where(col("__bucket_n") <= maxBucket)
+        .drop("__bucket_n")
+    }
+
   /** Exact dedup: one representative (min id) per identical content.
     * Returns (h, keep_id, n_copies). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -67,10 +101,12 @@ object Dedup {
   def minhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, threshold: Double = 0.7,
                           bands: Int = 32, rows: Int = 2,
-                          materialize: Boolean = true): DataFrame = {
+                          materialize: Boolean = true,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     jaccardPairsFromShingles(
       spreadCompute(df, idCol).select(col(idCol), shingles(col(textCol), shingleN).as("sh")),
-      idCol, threshold, bands, rows, materialize = materialize)
+      idCol, threshold, bands, rows, materialize = materialize,
+      maxBucket = maxBucket)
   }
 
   /** Materialize `result` eagerly (lineage truncated to the checkpoint
@@ -104,13 +140,16 @@ object Dedup {
                                        threshold: Double, bands: Int,
                                        rows: Int,
                                        sigsOverride: Option[DataFrame] = None,
-                                       materialize: Boolean = true): DataFrame = {
+                                       materialize: Boolean = true,
+                                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val numHashes = bands * rows
     val sigs0 = sigsOverride
       .getOrElse(minhashSignatures(base0, idCol, col("sh"), numHashes))
     val sigs = if (materialize) sigs0.persist() else sigs0
-    val buckets = sigs.select(col(idCol),
-      posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val buckets = capBuckets(
+      sigs.select(col(idCol),
+        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
     val candidates = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
       .join(buckets.select(col(idCol).as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -158,15 +197,20 @@ object Dedup {
                               textCol: String, shingleN: Int = 3,
                               threshold: Double = 0.7, bands: Int = 32,
                               rows: Int = 2,
-                              materialize: Boolean = true): DataFrame = {
+                              materialize: Boolean = true,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val numHashes = bands * rows
     def prep(df: DataFrame) =
       spreadCompute(df, idCol).select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     def side(base: DataFrame, tag: String) = {
       val sigs0 = minhashSignatures(base, idCol, col("sh"), numHashes)
       val sigs = if (materialize) sigs0.persist() else sigs0
-      val buckets = sigs.select(col(idCol).as(s"id_$tag"),
-        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+      // cap each side independently: a bucket of A·B candidate pairs is
+      // bounded once either factor is
+      val buckets = capBuckets(
+        sigs.select(col(idCol).as(s"id_$tag"),
+          posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
+        Seq("band", "bucket"), maxBucket)
       (sigs, buckets)
     }
     val (baseA, baseB) = (prep(a), prep(b))
@@ -222,14 +266,17 @@ object Dedup {
     * 4×16-bit band exact-match candidates (guaranteed recall for
     * maxDist <= 3 by pigeonhole) + exact popcount verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, materialize: Boolean = true): DataFrame = {
+                   maxDist: Int = 3, materialize: Boolean = true,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sims0 = simhashes(spreadCompute(df, idCol), idCol, textCol)
     val sims = if (materialize) sims0.persist() else sims0
-    val banded = sims
-      .withColumn("band", explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)))
-      .select(col(idCol), col("band.band_id"), col("band.bucket"))
+    val banded = capBuckets(
+      sims
+        .withColumn("band", explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)))
+        .select(col(idCol), col("band.band_id"), col("band.bucket")),
+      Seq("band_id", "bucket"), maxBucket)
     val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("bucket"))
     // dedup candidates on the ids ALONE (a pair can collide in several
@@ -256,7 +303,8 @@ object Dedup {
     * oracle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.7,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val docs = spreadCompute(df, idCol)
     // signatures hash the sliding grams straight off the text
     // (MinHashSigChars — no gram-array materialization); the shingle
@@ -268,7 +316,7 @@ object Dedup {
     jaccardPairsFromShingles(
       docs.select(col(idCol), charShingles(col(textCol), n).as("sh")),
       idCol, threshold, bands = 16, rows = 3, sigsOverride = Some(sigs),
-      materialize = materialize)
+      materialize = materialize, maxBucket = maxBucket)
   }
 
   /** Connected components over an undirected near-duplicate edge list
@@ -354,7 +402,8 @@ object Dedup {
     * effectively exact, which is why the exact all-pairs oracle still
     * applies. */
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                              threshold: Double, dim: Int = 64): DataFrame =
+                              threshold: Double, dim: Int = 64,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame =
     Similarity.lshCosinePairs(spreadCompute(df, idCol), idCol, vecCol,
-      threshold, dim = dim)
+      threshold, dim = dim, maxBucket = maxBucket)
 }

@@ -141,24 +141,38 @@ object Similarity {
 
   /** All pairs with cosine >= threshold, via multi-table sign-LSH +
     * exact verification. Only candidate pairs (same table, same bucket)
-    * are materialized; the exact cosine then prunes false positives. */
+    * are materialized; the exact cosine then prunes false positives.
+    *
+    * Shuffle discipline (the 100 TB path): the bucket join and the
+    * multi-table candidate `distinct` carry (id, table, bucket) / two
+    * ids ONLY — the float vectors are re-joined from the (id, vec)
+    * projection after the pair set is deduplicated, so the widest
+    * shuffle rows are two ids instead of 2×dim floats (same shape as
+    * [[Dedup.simhashPairs]]). `maxBucket` drops degenerate buckets
+    * (e.g. thousands of all-zero or boilerplate-identical embeddings)
+    * whose per-bucket self-join would otherwise go quadratic; with 12
+    * independent tables a true near-pair in a dropped bucket is still
+    * found by any table where the bucket is not degenerate. */
   def lshCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 8, tables: Int = 12,
-                     dim: Int = 64, seed: Long = 42L): DataFrame = {
+                     dim: Int = 64, seed: Long = 42L,
+                     maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
-    // (id, vec, table, bucket) — one row per table per vector
-    val buckets = Tables.spread(vectors, idCol).select(
-      col(idCol), col(vecCol),
-      posexplode(array(planes.toIndexedSeq.map(t => bucketCol(col(vecCol), t)): _*))
-        .as(Seq("table_id", "bucket")))
-    val a = buckets.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("table_id"), col("bucket"))
-    val b = buckets.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      col("table_id"), col("bucket"))
+    val base = Tables.spread(vectors, idCol).select(col(idCol), col(vecCol))
+    // (id, table, bucket) — one row per table per vector; vectors stay out
+    val buckets = Dedup.capBuckets(
+      base.select(col(idCol),
+        posexplode(array(planes.toIndexedSeq.map(t => bucketCol(col(vecCol), t)): _*))
+          .as(Seq("table_id", "bucket"))),
+      Seq("table_id", "bucket"), maxBucket)
+    val a = buckets.select(col(idCol).as("id_a"), col("table_id"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id_b"), col("table_id"), col("bucket"))
     a.join(b, Seq("table_id", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several tables
+      .join(base.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -335,6 +335,46 @@ class OpsSpec extends SparkSpec {
       (1L, 1L, 0L, 0L), (3L, 1L, 600L, 1L)))
   }
 
+  test("sign-LSH pair mining shuffles ids only — vectors never ride the distinct") {
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val far = Array.tabulate(64)(i => math.cos(i * 3).toFloat)
+    val df = Seq((0L, base), (1L, nearDup), (2L, far)).toDF("id", "vec")
+    // exchanges are inserted by EnsureRequirements (a preparation rule)
+    // and AQE wraps the prepared plan in a leaf node — keep AQE off
+    // while executedPlan materializes so the concrete
+    // ShuffleExchangeExec nodes are visible to collect
+    val pairs = Similarity.lshCosinePairs(df, "id", "vec", threshold = 0.99, dim = 64)
+    // the candidate distinct shuffles on (id_a, id_b); those exchanges
+    // must carry two ids and nothing else — the r3 plan dragged both
+    // full float vectors through here
+    val exchanges =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        pairs.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val pairShuffles = exchanges.filter { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          val names = h.expressions.flatMap(_.references.map(_.name)).toSet
+          names.contains("id_a") && names.contains("id_b")
+        case _ => false
+      }
+    }
+    assert(pairShuffles.nonEmpty, "expected a candidate-pair distinct exchange")
+    pairShuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"pair shuffle carries an array payload: ${e.output.mkString(", ")}")
+      assert(e.output.size <= 2,
+        s"pair shuffle should carry the two ids only: ${e.output.mkString(", ")}")
+    }
+    // and the result is still right
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
   test("ivf topK plan has no single-partition exchange (centroid pick scales)") {
     val emb = graft.ops.Tables.table(spark, sf, "embeddings")
     val queries = emb.where(col("vec_id") < 10)

@@ -169,6 +169,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LSH bucket cap bounds degenerate buckets without losing clean pairs") {
+    // 1000 byte-identical documents — the adversarial crawl shape whose
+    // single band bucket would otherwise self-join into ~500k candidate
+    // pairs — plus one planted near-dup pair of distinct documents.
+    val boiler = (1 to 1000).map(i => (i.toLong, "lorem ipsum dolor sit amet " * 4))
+    val a = (5000L, (1 to 40).map(i => s"tok$i").mkString(" "))
+    val b = (5001L, (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY")
+    val docs = (boiler :+ a :+ b).toDF("doc_id", "text")
+
+    // capped run: the degenerate bucket is dropped, the clean pair survives
+    val capped = Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((5000L, 5001L)),
+      s"capped run should keep only the planted clean pair, got ${capped.size} pairs")
+
+    // the cap is what bounds the candidate set: uncapped, the identical
+    // docs produce the full quadratic pair count (shown on a 300-doc
+    // slice to keep the test fast — at 1000 docs that run would push
+    // ~16M candidate rows through the distinct, which is the point)
+    val slice = (boiler.take(300) :+ a :+ b).toDF("doc_id", "text")
+    val uncappedCount = Dedup.minhashJaccardPairs(slice, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxBucket = Int.MaxValue).count()
+    assert(uncappedCount == 300L * 299 / 2 + 1)
+
+    // same guard on the sign-LSH embedding miner: 300 identical vectors
+    // pile into one bucket per table; cap drops them, the planted
+    // near-dup pair of distinct vectors is still mined
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = base(0) + 0.001f
+    val pile = (1 to 300).map(i => (i.toLong, Array.tabulate(16)(j => (j + 1).toFloat)))
+    val vecs = (pile :+ (9000L, base) :+ (9001L, near)).toDF("id", "vec")
+    val vecPairs = graft.ops.Similarity.lshCosinePairs(vecs, "id", "vec",
+        threshold = 0.99, dim = 16, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(vecPairs == Set((9000L, 9001L)),
+      s"capped sign-LSH should keep only the planted pair, got ${vecPairs.size} pairs")
+  }
+
   test("count-min estimates equal or exceed exact counts on random streams") {
     val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
     for (seed <- 1L to 3L) {
