@@ -156,18 +156,22 @@ object Similarity {
   def lshCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 8, tables: Int = 12,
                      dim: Int = 64, seed: Long = 42L,
-                     maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+                     maxBucket: Int = Dedup.DefaultMaxBucket,
+                     materialize: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
     val base = Tables.spread(vectors, idCol).select(col(idCol), col(vecCol))
-    // (id, table, bucket) — one row per table per vector; vectors stay out
-    val buckets = Dedup.capBuckets(
-      base.select(col(idCol),
-        posexplode(array(planes.toIndexedSeq.map(t => bucketCol(col(vecCol), t)): _*))
-          .as(Seq("table_id", "bucket"))),
-      Seq("table_id", "bucket"), maxBucket)
+    // (id, table, bucket) — one row per table per vector; vectors stay
+    // out. Persisted (3 longs/row — the production "signature table")
+    // because the cap count, the a-side and the b-side all read it and
+    // the hyperplane projection is the expensive part of the row.
+    val bucketsRaw0 = base.select(col(idCol),
+      posexplode(array(planes.toIndexedSeq.map(t => bucketCol(col(vecCol), t)): _*))
+        .as(Seq("table_id", "bucket")))
+    val bucketsRaw = if (materialize) bucketsRaw0.persist() else bucketsRaw0
+    val buckets = Dedup.capBuckets(bucketsRaw, Seq("table_id", "bucket"), maxBucket)
     val a = buckets.select(col(idCol).as("id_a"), col("table_id"), col("bucket"))
     val b = buckets.select(col(idCol).as("id_b"), col("table_id"), col("bucket"))
-    a.join(b, Seq("table_id", "bucket"))
+    val out = a.join(b, Seq("table_id", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several tables
@@ -176,6 +180,7 @@ object Similarity {
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    if (materialize) Dedup.materializeAndRelease(out, bucketsRaw) else out
   }
 
   /** Elementwise-mean aggregate (O(dim) buffers, map-side combine). */

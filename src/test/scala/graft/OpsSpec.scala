@@ -343,18 +343,29 @@ class OpsSpec extends SparkSpec {
     // exchanges are inserted by EnsureRequirements (a preparation rule)
     // and AQE wraps the prepared plan in a leaf node — keep AQE off
     // while executedPlan materializes so the concrete
-    // ShuffleExchangeExec nodes are visible to collect
-    val pairs = Similarity.lshCosinePairs(df, "id", "vec", threshold = 0.99, dim = 64)
+    // ShuffleExchangeExec nodes are visible to collect;
+    // materialize=false keeps the full lazy plan inspectable (the
+    // materialized path returns a checkpoint scan with no exchanges)
+    val pairs = Similarity.lshCosinePairs(df, "id", "vec", threshold = 0.99,
+      dim = 64, materialize = false)
     // the candidate distinct shuffles on (id_a, id_b); those exchanges
     // must carry two ids and nothing else — the r3 plan dragged both
-    // full float vectors through here
+    // full float vectors through here. Auto-broadcast is disabled too:
+    // on a 3-row fixture every join (and with it the distinct's
+    // exchange) would otherwise collapse to broadcast and there would
+    // be no pair shuffle to inspect — at corpus scale the shuffle path
+    // is the one that runs.
     val exchanges =
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         pairs.queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     val pairShuffles = exchanges.filter { e =>
       e.outputPartitioning match {
         case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
