@@ -124,12 +124,16 @@ object TextOps {
       i => xxhash64(text.substr(i, lit(k)))))
 
   /** Polynomial rolling hash of the whole document (order-sensitive):
-    * h = (h*31 + code(c)) mod P with P < 2^40, so the multiply never
-    * overflows a long (Spark 4 runs ANSI arithmetic by default). */
-  def rollingHash(text: Column): Column = {
+    * h = (h*base + code(c)) mod P with P < 2^40, so the multiply never
+    * overflows a long (Spark 4 runs ANSI arithmetic by default).
+    * Different bases give independent fingerprints (a fingerprint
+    * vector for cheap order-sensitive near-equality checks); the
+    * arithmetic is plain bounded modular math, so an external engine
+    * (e.g. DuckDB `list_reduce`) reproduces it bit-exactly. */
+  def rollingHash(text: Column, base: Long = 31L): Column = {
     val P = 1099511627689L // prime < 2^40
     aggregate(split(text, ""), lit(0L),
-      (h, c) => pmod(h * 31L + ascii(c).cast("long"), lit(P)))
+      (h, c) => pmod(h * base + ascii(c).cast("long"), lit(P)))
   }
 
   // --- repetition / boilerplate signals ---------------------------------

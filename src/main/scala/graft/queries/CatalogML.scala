@@ -209,14 +209,28 @@ object CatalogML {
          |       CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern}')) AS INTEGER) AS bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Document fingerprints (hash-internal → rows-only + scalatest).
+    // Document fingerprints: two independent polynomial rolling hashes
+    // (bases 31 and 131, same prime modulus < 2^40) — an order-sensitive
+    // fingerprint vector. The arithmetic is bounded modular math, so
+    // DuckDB reproduces it bit-exactly with a list_reduce over the
+    // character codes. (The xxhash64-based minHashFingerprint stays
+    // covered by OpsSpec — xxhash64 is Spark-internal, no cross-engine
+    // oracle exists for it.)
     ("q41_text_fingerprint", (s: SparkSession, d: String) => {
       spread(table(s, d, "documents"), "doc_id")
         .select(col("doc_id"),
-          TextOps.minHashFingerprint(col("text")).as("fp_min8"),
-          TextOps.rollingHash(col("text")).as("fp_roll"))
+          TextOps.rollingHash(col("text")).as("fp_roll"),
+          TextOps.rollingHash(col("text"), base = 131L).as("fp_roll2"))
         .orderBy("doc_id")
-    }, None),
+    }, Some(
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    [ascii(c)::BIGINT FOR c IN string_split(text, '')]),
+        |    (h, c) -> (h * 31 + c) % 1099511627689) AS fp_roll,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    [ascii(c)::BIGINT FOR c IN string_split(text, '')]),
+        |    (h, c) -> (h * 131 + c) % 1099511627689) AS fp_roll2
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Char-n-gram Jaccard near-dup. Oracle = EXACT Jaccard, computed the
     // scalable SQL way (explode distinct 5-grams, self-join on gram,
