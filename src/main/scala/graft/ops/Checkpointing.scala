@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lineage-truncation strategy for the iterative / multi-stage dedup
+  * operators ([[Dedup.connectedComponents]]'s label-propagation rounds,
+  * [[Dedup]]'s `materializeAndRelease`, [[Similarity.lshCosinePairs]]).
+  *
+  * Two modes:
+  *
+  *  - '''local''' (default): `localCheckpoint()` — blocks live in
+  *    executor storage. Fast (no stable-storage write), the right
+  *    choice for single-node / local[] runs and short jobs. NOT
+  *    fault-tolerant: the truncated lineage cannot be replayed, so on
+  *    a cluster one lost executor kills the job.
+  *  - '''reliable''': `checkpoint()` into the SparkContext checkpoint
+  *    directory (HDFS/S3/DBFS). Each truncation pays one write to
+  *    stable storage, and the job survives executor loss — the mode a
+  *    100 TB multi-hour dedup/CC run should use. Enable with
+  *    [[Checkpointing.enableReliable]] (sets the checkpoint dir and
+  *    flips the session conf flag), or set the conf key directly if
+  *    the checkpoint dir is already configured.
+  *
+  * The switch is a session conf rather than a per-call parameter so
+  * the whole operator surface (catalog queries included) inherits the
+  * deployment's durability choice without API churn.
+  */
+object Checkpointing {
+
+  /** Session-conf flag: "true" → reliable `checkpoint()`; anything
+    * else → `localCheckpoint()`. */
+  val ReliableKey = "spark.graft.checkpoint.reliable"
+
+  /** Switch the session to reliable checkpointing into `dir` (must be
+    * on storage that survives executor loss — HDFS/S3 on a cluster). */
+  def enableReliable(spark: SparkSession, dir: String): Unit = {
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(ReliableKey, "true")
+  }
+
+  /** Back to executor-local (non-fault-tolerant) truncation. */
+  def disableReliable(spark: SparkSession): Unit =
+    spark.conf.set(ReliableKey, "false")
+
+  def isReliable(spark: SparkSession): Boolean =
+    spark.conf.getOption(ReliableKey).contains("true")
+
+  /** Eagerly materialize `df` and truncate its lineage by the
+    * configured strategy. */
+  def truncate(df: DataFrame): DataFrame =
+    if (isReliable(df.sparkSession)) df.checkpoint()
+    else df.localCheckpoint()
+}

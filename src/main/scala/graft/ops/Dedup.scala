@@ -116,10 +116,11 @@ object Dedup {
     * blocks) so the persisted intermediates it reads can be released
     * before returning — callers get a self-contained DataFrame and the
     * session cache stays clean across repeated library calls. The
-    * checkpoint blocks themselves are reclaimed by the ContextCleaner
-    * once the returned frame is garbage-collected. */
+    * truncation strategy (executor-local vs reliable stable-storage)
+    * comes from [[Checkpointing]]; local blocks are reclaimed by the
+    * ContextCleaner once the returned frame is garbage-collected. */
   private[ops] def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
+    val out = Checkpointing.truncate(result)
     cached.foreach(_.unpersist())
     out
   }
@@ -335,7 +336,10 @@ object Dedup {
     * 2-3 rounds in practice). Each round is one equi-join + one groupBy
     * — both shuffle on node id only, carrying two longs per node; the
     * documents themselves never move. Lineage is truncated per round
-    * with localCheckpoint so deep graphs don't blow up the planner, and
+    * (strategy from [[Checkpointing]]: executor-local by default,
+    * reliable stable-storage for cluster runs — an hour-long CC job
+    * should survive executor loss) so deep graphs don't blow up the
+    * planner, and
     * convergence is detected by checking whether ANY label changed this
     * round (labels only decrease under min, so "no row changed" ⇔
     * fixpoint) — one short-circuiting isEmpty action per round, no
@@ -346,9 +350,9 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
+    var labels = Checkpointing.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -356,9 +360,9 @@ object Dedup {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("cluster")), Seq("dst"))
         .select(col("src").as("id"), col("cluster"))
-      labels = labels.union(viaNbr)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
+      labels = Checkpointing.truncate(
+        labels.union(viaNbr)
+          .groupBy("id").agg(min("cluster").as("cluster")))
       done = labels
         .join(prev.select(col("id"), col("cluster").as("prev_cluster")), Seq("id"))
         .where(col("cluster") =!= col("prev_cluster"))

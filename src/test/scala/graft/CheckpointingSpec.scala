@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Checkpointing, Dedup}
+
+/** The reliable-checkpoint mode: same results as the default
+  * executor-local mode, and the truncated lineage demonstrably lands in
+  * the stable checkpoint directory (the property that lets a cluster
+  * run survive executor loss — local checkpoint blocks die with their
+  * executor and have no replay path). */
+class CheckpointingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+    (3L, "completely different content about spark shuffle partitioning"),
+    (4L, "completely different content about spark shuffle partitioning."),
+    (5L, "an unrelated singleton document with its own words entirely")
+  ).toDF("doc_id", "text")
+
+  private def pairs = Seq((1L, 2L), (2L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+
+  test("reliable checkpoint mode matches local mode and writes to the checkpoint dir") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+
+    def run(): (Set[(Long, Long, Double)], Set[(Long, Long)]) = {
+      val mined = Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val cc = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      (mined, cc)
+    }
+
+    val (minedLocal, ccLocal) = run()
+    assert(!Checkpointing.isReliable(spark))
+
+    Checkpointing.enableReliable(spark, dir)
+    try {
+      assert(Checkpointing.isReliable(spark))
+      val (minedReliable, ccReliable) = run()
+      assert(minedReliable == minedLocal)
+      assert(ccReliable == ccLocal)
+      assert(ccReliable == Set((1L, 1L), (2L, 1L), (6L, 1L), (3L, 3L), (4L, 3L)))
+      // the reliable path must actually have written RDD checkpoint
+      // data to the stable dir (this is what survives executor loss)
+      val wrote = Files.walk(Paths.get(dir)).filter(Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"expected checkpoint files under $dir")
+    } finally Checkpointing.disableReliable(spark)
+
+    // back on the default path: still correct, mode flag honored
+    assert(!Checkpointing.isReliable(spark))
+    val (minedAgain, _) = run()
+    assert(minedAgain == minedLocal)
+  }
+}
