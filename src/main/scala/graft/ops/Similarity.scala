@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -260,22 +260,15 @@ object Similarity {
     val corpusCells = Tables.spread(corpus, idCol)
       .withColumn("cent_id", nearestCentId(col(vecCol), cents))
 
-    // queries are small by contract: explode the centroid literals per
-    // query and keep the nprobe closest cells
-    val centStructs = array(cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(lit(cid).as("cent_id"), typedLit(cv).as("cent_vec"))
-    }: _*)
-    val wq = Window.partitionBy(qidCol)
-      .orderBy(col("__cos_c").desc, col("__c.cent_id").asc)
+    // queries are small by contract: rank the centroid literals per row
+    // (no explode-then-window — probing adds no exchange) and keep the
+    // nprobe closest cells
     val queryCells = queries
-      .select(col(qidCol), col(qvecCol), explode(centStructs).as("__c"))
-      .withColumn("__cos_c", cosine(col(qvecCol), col("__c.cent_vec")))
-      .withColumn("__cr", row_number().over(wq))
-      .where(col("__cr") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col("__c.cent_id").as("cent_id"))
+      .select(col(qidCol), col(qvecCol),
+        explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
 
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
-    queryCells.join(corpusCells, Seq("cent_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cent_id"))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
       .withColumn("rank", row_number().over(w))
@@ -295,37 +288,71 @@ object Similarity {
                        k: Int, nlist: Int = 16, nprobe: Int = 4,
                        shortlist: Int = 0,
                        trainIterations: Int = 0): DataFrame = {
-    import graft.functions.VectorFunctions.{int8Dot, packInt8}
-    val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
     val cents =
       if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")
+    // the persistable quantized index, built inline from the corpus
+    val index = ivfIndexFrame(corpus, idCol, vecCol, cents)
+    val queryCells = quantizedQueryCells(queries, qidCol, qvecCol, cents, nprobe)
+    quantizedShortlistRerank(index, queryCells, corpus, idCol, vecCol,
+      queries, qidCol, qvecCol, k, shortlist)
+  }
 
-    // the persistable quantized index: cell id + packed codes + norms
+  /** The persistable IVF×int8 index rows:
+    * (idCol, cent_id, codes, vscale, vnorm). */
+  private def ivfIndexFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[(Long, Array[Float])]): DataFrame = {
+    import graft.functions.VectorFunctions.packInt8
     val ma = Quantize.maxAbs(col(vecCol))
-    val index = Tables.spread(corpus, idCol).select(
+    Tables.spread(corpus, idCol).select(
       col(idCol),
       nearestCentId(col(vecCol), cents).as("cent_id"),
       packInt8(Quantize.int8Codes(col(vecCol), ma)).as("codes"),
       (ma / lit(127.0)).as("vscale"),
       sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
+  }
 
-    val centStructs = array(cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(lit(cid).as("cent_id"), typedLit(cv).as("cent_vec"))
-    }: _*)
-    val wq = Window.partitionBy(qidCol)
-      .orderBy(col("__cos_c").desc, col("__c.cent_id").asc)
-    val queryCells = queries
-      .select(col(qidCol), col(qvecCol), explode(centStructs).as("__c"))
-      .withColumn("__cos_c", cosine(col(qvecCol), col("__c.cent_vec")))
-      .withColumn("__cr", row_number().over(wq))
-      .where(col("__cr") <= nprobe)
-      .select(col(qidCol),
-        packInt8(Quantize.int8Codes(col(qvecCol), Quantize.maxAbs(col(qvecCol))))
-          .as("qcodes"),
-        col("__c.cent_id").as("cent_id"))
+  /** The `nprobe` nearest centroid ids for one query vector as a pure
+    * per-row expression: rank the inlined centroid literals with
+    * array_sort over (-cosine, cent_id) structs — cos desc, ties to the
+    * smaller cent_id — and slice. No explode-then-window, so probing
+    * adds NO exchange to the query side (the old window formulation
+    * shuffled the query vectors on qid just to rank nlist literals). */
+  private def probedCellIds(qvecCol: Column,
+                            cents: Array[(Long, Array[Float])],
+                            nprobe: Int): Column = {
+    val ranked = array_sort(array(cents.toIndexedSeq.map { case (cid, cv) =>
+      struct((lit(0.0) - cosine(qvecCol, typedLit(cv))).as("ncos"),
+        lit(cid).as("cent_id"))
+    }: _*))
+    transform(slice(ranked, 1, nprobe), c => c.getField("cent_id"))
+  }
 
+  /** Per-query probed cells with the quantized query codes:
+    * (qidCol, qcodes, cent_id), `nprobe` rows per query. */
+  private def quantizedQueryCells(queries: DataFrame, qidCol: String,
+                                  qvecCol: String,
+                                  cents: Array[(Long, Array[Float])],
+                                  nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.packInt8
+    queries.select(col(qidCol),
+      packInt8(Quantize.int8Codes(col(qvecCol), Quantize.maxAbs(col(qvecCol))))
+        .as("qcodes"),
+      explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
+  }
+
+  /** Shared tail of the quantized-IVF search: integer-dot candidate scan
+    * inside the probed cells → per-query shortlist → exact float re-rank
+    * on shortlist rows only. The index side is never shuffled (query
+    * cells and shortlists broadcast). */
+  private def quantizedShortlistRerank(index: DataFrame, queryCells: DataFrame,
+                                       corpus: DataFrame, idCol: String,
+                                       vecCol: String, queries: DataFrame,
+                                       qidCol: String, qvecCol: String,
+                                       k: Int, shortlist: Int): DataFrame = {
+    import graft.functions.VectorFunctions.int8Dot
+    val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
     val ws = Window.partitionBy(qidCol).orderBy(col("qscore").desc, col(idCol).asc)
     val short = index.join(broadcast(queryCells), Seq("cent_id"))
       .where(col(qidCol) =!= col(idCol))
@@ -345,5 +372,48 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  /** Build the IVF×int8 index ONCE and persist it as a parquet table
+    * bucketed (and sorted) by `cent_id` — the deployment shape: the
+    * expensive centroid assignment + quantization scan runs at build
+    * time, and every later query batch reads back only the probed
+    * cells' buckets. Returns the centroid model to hand to
+    * [[ivfTopKQuantizedFromIndex]] (a deployment stores it next to the
+    * table — nlist × dim floats). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    tableName: String, nlist: Int = 16, numBuckets: Int = 16,
+                    trainIterations: Int = 0): Array[(Long, Array[Float])] = {
+    val cents =
+      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      else seedCentroids(corpus, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "IVF needs a non-empty corpus")
+    Bucketing.writeBucketed(ivfIndexFrame(corpus, idCol, vecCol, cents),
+      tableName, "cent_id", numBuckets, sortCol = Some("cent_id"))
+    cents
+  }
+
+  /** Query a [[writeIvfIndex]]-persisted index. The probed cell ids are
+    * resolved driver-side (at most nlist longs — the same tiny-model
+    * contract as the centroids themselves) and pushed into the scan as
+    * a literal IN predicate, so the bucketed index table is read with
+    * bucket pruning: only the probed cells' buckets come off storage,
+    * the index is never shuffled (query cells and shortlists
+    * broadcast), and the exact re-rank touches shortlist rows only.
+    * `corpus` supplies the float vectors for the re-rank — the same
+    * corpus the index was built from. */
+  def ivfTopKQuantizedFromIndex(spark: SparkSession, tableName: String,
+                                cents: Array[(Long, Array[Float])],
+                                corpus: DataFrame, idCol: String, vecCol: String,
+                                queries: DataFrame, qidCol: String, qvecCol: String,
+                                k: Int, nprobe: Int = 4,
+                                shortlist: Int = 0): DataFrame = {
+    val queryCells = quantizedQueryCells(queries, qidCol, qvecCol, cents, nprobe)
+    val probed = queryCells.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val index = spark.table(tableName)
+      .where(col("cent_id").isin(probed.map(Long.box).toIndexedSeq: _*))
+    quantizedShortlistRerank(index, queryCells, corpus, idCol, vecCol,
+      queries, qidCol, qvecCol, k, shortlist)
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, Tables}
+
+/** The persisted IVF×int8 index path: build once as a cent_id-bucketed
+  * parquet table, read back per query batch with (a) identical results
+  * to the inline composition, (b) zero shuffle exchanges on the index
+  * side, and (c) bucket pruning at the scan — only the probed cells'
+  * buckets come off storage. This is the "persist once, scan bytes per
+  * query batch" deployment contract claimed in Similarity's docs. */
+class IvfIndexSpec extends SparkSpec {
+
+  private def dropHard(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(s"spark-warehouse/$table")
+    if (loc.exists()) {
+      loc.listFiles().foreach(_.delete()); loc.delete()
+    }
+  }
+
+  test("read-back probe matches the inline plan, is shuffle-free and bucket-pruned") {
+    dropHard("ivf_idx")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val nlist = 16
+    val cents = Similarity.writeIvfIndex(emb, "vec_id", "embedding", "ivf_idx",
+      nlist = nlist, numBuckets = nlist)
+
+    val fromIndex = Similarity.ivfTopKQuantizedFromIndex(spark, "ivf_idx",
+      cents, emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10, nprobe = 4)
+
+    // (a) bit-identical to the inline composition (same deterministic
+    // hash-seeded centroids, same shortlist, same re-rank)
+    val inline0 = Similarity.ivfTopKQuantized(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10, nlist = nlist, nprobe = 4)
+    val got = fromIndex.orderBy("qid", "rank").collect().toSeq
+    val want = inline0.orderBy("qid", "rank").collect().toSeq
+    assert(got == want)
+
+    // (b) + (c): plan shape of the probe — AQE off so the concrete
+    // scan/exchange nodes are visible to collect (AdaptiveSparkPlanExec
+    // hides its children)
+    val plan =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        Similarity.ivfTopKQuantizedFromIndex(spark, "ivf_idx",
+            cents, emb, "vec_id", "embedding", queries, "qid", "qvec",
+            k = 10, nprobe = 4)
+          .queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the only shuffles allowed are the per-query shortlist/re-rank
+    // windows: hash on the query id, rows of plain scalars. The index's
+    // packed codes and the corpus float vectors must never ride an
+    // exchange (query cells and shortlists broadcast instead).
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    exchanges.foreach { e =>
+      val heavy = e.output.filter(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        a.dataType == org.apache.spark.sql.types.BinaryType)
+      assert(heavy.isEmpty,
+        s"probe shuffle carries index/vector payload ${heavy.mkString(", ")}, plan:\n${plan.treeString}")
+    }
+    val indexScans = plan.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("ivf_idx")) => s
+    }
+    assert(indexScans.nonEmpty, "expected a scan of the persisted index table")
+    indexScans.foreach { s =>
+      val selected = s.optionalBucketSet
+      assert(selected.isDefined, "index scan should carry a bucket filter")
+      val n = selected.get.cardinality()
+      assert(n < nlist,
+        s"bucket pruning should select fewer than all $nlist buckets, got $n")
+    }
+  }
+}
