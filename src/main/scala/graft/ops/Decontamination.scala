@@ -64,6 +64,37 @@ object Decontamination {
         col("n_contaminated").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Same semantics as [[ngramOverlapJoin]] for the case where even the
+    * eval gram set exceeds broadcast range (cross-corpus decontamination:
+    * the "eval" side is itself a corpus slice) — a genuine shuffle
+    * equi-join on the gram. Gram frequency is Zipfian: a handful of
+    * stopword-heavy grams carry a disproportionate share of the corpus
+    * explode, so an unsalted shuffle lands those grams on single tasks.
+    * The probe (corpus) side is salted via [[SkewJoin.saltedJoin]]: each
+    * hot gram fans out across `saltFactor` tasks, the (distinct, smaller)
+    * eval side is replicated saltFactor×. `shuffle_hash` is hinted so the
+    * plan exercises the shuffle shape this variant exists for.
+    *
+    * Results are identical to [[ngramOverlap]]/[[ngramOverlapJoin]]
+    * (proven in PipelineOpsSpec; oracle-checked as q98). */
+  def ngramOverlapJoinSalted(docs: DataFrame, idCol: String, textCol: String,
+                             eval: DataFrame, evalTextCol: String, n: Int = 8,
+                             saltFactor: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextOps.shingles(col(evalTextCol), n)).as("__eg"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val corpusGrams =
+      docs.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("g"))
+    SkewJoin.saltedJoin(corpusGrams, evalGrams.hint("shuffle_hash"),
+        "g", "__eg", saltFactor, "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Streaming contamination gate: flag documents in a micro-batched
     * stream against a STATIC eval-set gram index (stream-static join —
     * the shape of an ingest-time decontamination filter; the per-row

@@ -16,17 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Probe rows tagged with a deterministic pseudo-random salt in
+    * [0, saltFactor) — derived from a hash of the full row, so rows
+    * sharing a hot key still spread across `saltFactor` shuffle
+    * partitions. Exposed so specs can measure the fan-out directly. */
+  def saltProbe(probe: DataFrame, saltFactor: Int): DataFrame =
+    probe.withColumn("__salt",
+      pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*)), lit(saltFactor))
+        .cast("int"))
+
+  /** Build rows replicated once per salt value (the build side pays
+    * saltFactor× its size — only sane when build ≪ probe). */
+  def replicateBuild(build: DataFrame, saltFactor: Int): DataFrame =
+    build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+
   def saltedJoin(probe: DataFrame, build: DataFrame,
                  probeKey: String, buildKey: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
-    // probe rows: deterministic pseudo-random salt in [0, saltFactor)
-    val salted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*)), lit(saltFactor))
-        .cast("int"))
-    // build rows: replicated once per salt value
-    val replicated = build.withColumn("__salt",
-      explode(sequence(lit(0), lit(saltFactor - 1))))
+    val salted = saltProbe(probe, saltFactor)
+    val replicated = replicateBuild(build, saltFactor)
     salted
       .join(replicated,
         salted("__salt") === replicated("__salt") &&

@@ -124,6 +124,39 @@ object CatalogML2 {
         |FROM sh s LEFT JOIN mt ON mt.doc_id = s.doc_id
         |ORDER BY s.doc_id""".stripMargin)),
 
+    // Cross-corpus decontamination via the salted shuffle gram join —
+    // the shape for eval sets beyond broadcast range, where Zipfian hot
+    // grams would otherwise pile one shuffle task high. Same semantics
+    // as q83's broadcast array-intersect (the oracle is the same SQL
+    // modulo the eval slice), exercised through SkewJoin.saltedJoin.
+    ("q98_decontam_salted", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      Decontamination.ngramOverlapJoinSalted(
+          spread(docs, "doc_id"), "doc_id", "text",
+          docs.where(col("doc_id") % 83 === 0), "text", n = 8, saltFactor = 8)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                        FOR i IN range(1, greatest(len(ts) - 7, 1) + 1)]) AS sh
+        |  FROM tok
+        |), ev AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 83 = 0
+        |), dg AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM sh
+        |), mt AS (
+        |  SELECT dg.doc_id, count(*) AS m FROM dg JOIN ev USING (g) GROUP BY dg.doc_id
+        |)
+        |SELECT s.doc_id,
+        |       CAST(len(s.sh) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(mt.m, 0) AS BIGINT) AS n_contaminated,
+        |       CAST(coalesce(mt.m, 0) AS DOUBLE) / CAST(len(s.sh) AS DOUBLE) AS contamination
+        |FROM sh s LEFT JOIN mt ON mt.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin)),
+
     // Two-stage quantized ANN: int8 candidate scan (packed binary codes,
     // integer dot product — 4× less memory traffic) + exact float
     // re-rank of the shortlist. Approximate by design (shortlist recall

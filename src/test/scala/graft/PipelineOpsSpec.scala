@@ -165,6 +165,10 @@ class PipelineOpsSpec extends SparkSpec {
     val b = Decontamination.ngramOverlapJoin(docs, "doc_id", "text", eval, "text", n = 8)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(a.toSeq == b.toSeq, "array-intersect and join variants must agree")
+    val c = Decontamination.ngramOverlapJoinSalted(
+        docs, "doc_id", "text", eval, "text", n = 8, saltFactor = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == c.toSeq, "salted shuffle-join variant must agree")
   }
 
   test("unigram LM: common-token docs score likelier than rare-token docs") {

@@ -25,6 +25,26 @@ class SkewJoinSpec extends SparkSpec {
     assert(plain.count(_._2 == "hot") == 1800)
   }
 
+  test("salting measurably bounds the hot-key shuffle partition") {
+    // 90% of 20k probe rows share one hot key: an unsalted shuffle on k
+    // lands them all in ONE task. Measure the actual max partition size
+    // under hash partitioning on k vs on (salt, k) — the distribution a
+    // shuffled join gives each side.
+    val probe = (1 to 20000).map(i =>
+      (i.toLong, if (i % 10 == 0) i.toLong % 7 else 42L)).toDF("row_id", "k")
+    // 256 partitions so the 8 salted hot-key groups rarely collide into
+    // one partition (at 32, balls-into-bins collisions blur the measure)
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+      df.repartition(256, keys.map(col): _*)
+        .rdd.mapPartitions(it => Iterator(it.size)).collect().max
+    val unsalted = maxPartitionRows(probe, Seq("k"))
+    val salted = maxPartitionRows(SkewJoin.saltProbe(probe, 8), Seq("__salt", "k"))
+    info(s"max partition rows: unsalted=$unsalted salted=$salted")
+    assert(unsalted >= 18000, s"hot key must dominate one partition: $unsalted")
+    assert(salted <= unsalted / 4,
+      s"saltFactor=8 must spread the hot key: max $salted vs $unsalted")
+  }
+
   test("stream-stream interval join matches events within the window") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val clicks = MemoryStream[(Long, Timestamp)](30, spark, None)
