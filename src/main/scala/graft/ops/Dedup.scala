@@ -402,10 +402,12 @@ object Dedup {
 
   /** Embedding near-duplicate pairs via sign-LSH candidate buckets +
     * exact cosine verification — the linear-candidates 100 TB path: the
-    * shuffle carries (id, bucket) pairs, never the |V|² pair space. At
-    * a dedup-grade threshold of 0.99 (angle ≈ 8°) each 8-bit table
-    * collides a true pair with prob ≈ (1 - θ/π)^8 ≈ 0.69, so 12
-    * independent tables miss it with prob (1 - 0.69)^12 < 2e-6 —
+    * shuffle carries (id, bucket) pairs, never the |V|² pair space. The
+    * bucket space auto-sizes with the corpus ([[Similarity.autoBits]]):
+    * at a dedup-grade threshold of 0.99 (angle ≈ 8°) each b-bit table
+    * collides a true pair with prob (1 - θ/π)^b — 0.69 at b=8, 0.40 at
+    * the 20-bit clamp — so 12 independent tables miss it with prob at
+    * most (1 - 0.40)^12 ≈ 2e-3 and ≈ 2e-6 at small-corpus b=8 —
     * effectively exact, which is why the exact all-pairs oracle still
     * applies. */
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,

@@ -139,6 +139,23 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Bucket-space sizing for sign-LSH: 2^bits buckets per table,
+    * targeting ~`targetOccupancy` vectors per bucket. A FIXED bits is a
+    * scale bug: per-bucket occupancy grows linearly with the corpus and
+    * the per-bucket self-join quadratically — measured by the x100
+    * scaling harness as a 44 GB spill from a 107 MB corpus at bits=8.
+    * Scaling bits with log2(n) keeps occupancy (and therefore candidate
+    * count per vector) constant. The cost is per-table recall: a true
+    * pair at cosine t collides in one table with prob (1-acos(t)/π)^bits,
+    * so at the dedup-grade thresholds this operator targets (≥ 0.95,
+    * where p ≥ 0.93/bit) even the 20-bit clamp keeps 12-table recall
+    * ≥ 0.99; for exploratory low thresholds pass explicit bits/tables. */
+  private[graft] def autoBits(n: Long, targetOccupancy: Long = 32L): Int = {
+    val buckets = math.max(1L, n / targetOccupancy)
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, buckets - 1))
+    math.min(20, math.max(8, b))
+  }
+
   /** All pairs with cosine >= threshold, via multi-table sign-LSH +
     * exact verification. Only candidate pairs (same table, same bucket)
     * are materialized; the exact cosine then prunes false positives.
@@ -152,14 +169,19 @@ object Similarity {
     * (e.g. thousands of all-zero or boilerplate-identical embeddings)
     * whose per-bucket self-join would otherwise go quadratic; with 12
     * independent tables a true near-pair in a dropped bucket is still
-    * found by any table where the bucket is not degenerate. */
+    * found by any table where the bucket is not degenerate.
+    *
+    * `bits = 0` (the default) sizes the bucket space from the corpus
+    * count via [[autoBits]] — one extra count() scan, paid only on the
+    * auto path. */
   def lshCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, bits: Int = 8, tables: Int = 12,
+                     threshold: Double, bits: Int = 0, tables: Int = 12,
                      dim: Int = 64, seed: Long = 42L,
                      maxBucket: Int = Dedup.DefaultMaxBucket,
                      materialize: Boolean = true): DataFrame = {
-    val planes = hyperplanes(dim, bits, tables, seed)
     val base = Tables.spread(vectors, idCol).select(col(idCol), col(vecCol))
+    val nBits = if (bits > 0) bits else autoBits(base.count())
+    val planes = hyperplanes(dim, nBits, tables, seed)
     // (id, table, bucket) — one row per table per vector; vectors stay
     // out. Persisted (3 longs/row — the production "signature table")
     // because the cap count, the a-side and the b-side all read it and

@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Catalog
+
+/** Scaling-curve harness: deterministically expand the sf0.1
+  * `documents`/`embeddings` fixtures 10× and 100×, run the dedup/ANN
+  * headline queries at each size, and print time-vs-size so SCALING.md
+  * can record a measured curve instead of a plan-shape argument.
+  *
+  * The expansion must NOT manufacture cross-copy near-duplicates (that
+  * would make pair-mining output quadratic in the copy count by
+  * construction, drowning the signal). Each copy i is therefore a
+  * *bijective re-encoding* of the base corpus:
+  *
+  *  - documents: `translate` through a copy-specific pseudo-random
+  *    permutation of 'a'..'z' (seeded by i). A bijection on characters
+  *    is a bijection on tokens and on char-ngrams, so every within-copy
+  *    Jaccard relation — token-level (q35/q84) and char-level (q42) —
+  *    is EXACTLY preserved, while cross-copy overlap is coincidental.
+  *    Near-dup density per row is constant in the copy count.
+  *  - embeddings: elementwise sign flip by a copy-specific ±1 mask
+  *    (a diagonal orthogonal transform): within-copy cosines are
+  *    bit-exactly preserved, cross-copy similarities randomized.
+  *    The ANN query set (vec_id < 100) stays fixed — only copy 0 keeps
+  *    low ids — so q38/q86/q95 measure corpus-side scaling at a
+  *    constant query load.
+  *
+  * Ids are offset by i·10⁶ per copy. Everything is seeded — two runs
+  * produce identical corpora.
+  */
+object ScalingCurve {
+
+  private val headliners =
+    Seq("q35", "q38", "q42", "q84", "q86", "q95")
+
+  private def permutedAlphabet(seed: Int): String = {
+    val arr = ('a' to 'z').toArray
+    val rnd = new scala.util.Random(seed * 2654435761L + 42L)
+    // Fisher-Yates; seeded → deterministic across runs/JVMs
+    var k = arr.length - 1
+    while (k > 0) {
+      val j = rnd.nextInt(k + 1)
+      val t = arr(k); arr(k) = arr(j); arr(j) = t
+      k -= 1
+    }
+    new String(arr)
+  }
+
+  private def signMask(seed: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { j =>
+      val h = (seed * 2654435761L + j * 40503L + 1013904223L) * 6364136223846793005L
+      if (((h >>> 32) & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  private def expand(spark: SparkSession, baseDir: String, outDir: String,
+                     copies: Int): Unit = {
+    val docs = graft.ops.Tables.table(spark, baseDir, "documents")
+    val emb = graft.ops.Tables.table(spark, baseDir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docCopies = (0 until copies).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        translate(col("text"), alpha, permutedAlphabet(i)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val embCopies = (0 until copies).map { i =>
+      val mask = signMask(i, dim)
+      emb.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        zip_with(col("embedding"), lit(mask), (x, m) => x * m).as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-scale")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val queries = Catalog.entries
+      .filter { case (n, _, _) => headliners.exists(n.startsWith) }
+      .map(e => (e._1, e._2))
+
+    factors.foreach { f =>
+      val dir = s"$workDir/x$f"
+      expand(spark, baseDir, dir, f)
+      println(s"[scale] expanded x$f -> $dir")
+    }
+
+    // JIT/codegen warmup at the smallest size (not recorded)
+    queries.foreach { case (_, fn) =>
+      fn(spark, s"$workDir/x${factors.min}")
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+
+    val rows = for (f <- factors; (name, fn) <- queries) yield {
+      val t0 = System.nanoTime()
+      fn(spark, s"$workDir/x$f").write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[scale] x$f%-4d $name%-24s ${dt}%8.2f s")
+      (name, f, dt)
+    }
+
+    println("| query | " + factors.map(f => s"x$f (s)").mkString(" | ") + " |")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
+      val byF = rs.map(r => r._2 -> r._3).toMap
+      println(s"| $name | " +
+        factors.map(f => f"${byF(f)}%.2f").mkString(" | ") + " |")
+    }
+    spark.stop()
+  }
+}

@@ -208,6 +208,18 @@ class PropertySpec extends SparkSpec {
       s"capped sign-LSH should keep only the planted pair, got ${vecPairs.size} pairs")
   }
 
+  test("sign-LSH bucket space scales with corpus size, clamped to [8,20] bits") {
+    import graft.ops.Similarity.autoBits
+    // small corpora keep the 8-bit floor (same behavior as before auto)
+    assert(autoBits(0L) == 8 && autoBits(500L) == 8 && autoBits(8192L) == 8)
+    // target ~32/bucket: 200k vectors -> ceil(log2(6250)) = 13 bits
+    assert(autoBits(200000L) == 13)
+    // occupancy stays ~constant as n grows 10x: +3..4 bits per decade
+    assert(autoBits(2000000L) - autoBits(200000L) >= 3)
+    // clamp: the recall floor at dedup thresholds bounds bits at 20
+    assert(autoBits(1000000000L) == 20)
+  }
+
   test("count-min estimates equal or exceed exact counts on random streams") {
     val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
     for (seed <- 1L to 3L) {
