@@ -180,7 +180,9 @@ object Similarity {
                      maxBucket: Int = Dedup.DefaultMaxBucket,
                      materialize: Boolean = true): DataFrame = {
     val base = Tables.spread(vectors, idCol).select(col(idCol), col(vecCol))
-    val nBits = if (bits > 0) bits else autoBits(base.count())
+    // count the RAW input, not the spread projection: a plain scan count
+    // is answered from parquet footer metadata (no shuffle, no compute)
+    val nBits = if (bits > 0) bits else autoBits(vectors.count())
     val planes = hyperplanes(dim, nBits, tables, seed)
     // (id, table, bucket) — one row per table per vector; vectors stay
     // out. Persisted (3 longs/row — the production "signature table")
