@@ -40,11 +40,29 @@ object Similarity {
   /** Codegen cosine (preferred). */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
+  /** (qid, rank, id, score) top-k per query from a scored candidate
+    * table, via the O(k)-heap aggregate (map-side combine; the shuffle
+    * carries ≤ k entries per query per map partition — never a full
+    * sort of the candidate set). Ordering: score desc, ties id asc. */
+  private def topKFromScores(scored: DataFrame, qidCol: String, idCol: String,
+                             scoreCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopKScoredIds.agg(col(scoreCol), col(idCol), k).as("__top"))
+      .select(col(qidCol), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col(qidCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__s.id").as(idCol), col("__s.score").as(scoreCol))
+
   /** Exact top-k neighbors for each query vector.
     *
     * `queries` is broadcast: the corpus side stays partition-local (no
-    * shuffle of the big side); the per-query top-k runs through a window
-    * after the map-side cross product.
+    * shuffle of the big side); the per-query top-k runs through the
+    * O(k)-heap [[graft.functions.TopKScoredIds]] aggregate with
+    * map-side combine — the shuffle carries at most k (cos, id)
+    * entries per query per map partition, where a row_number window
+    * would shuffle and fully sort every scored corpus row. Ordering
+    * semantics identical (cos desc, id asc), so results — and the
+    * exact-SQL oracle — are unchanged.
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
@@ -53,11 +71,7 @@ object Similarity {
       .crossJoin(broadcast(queries))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
-    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+    topKFromScores(joined, qidCol, idCol, "cos", k)
   }
 
   /** Two-stage ANN with an int8-quantized first pass: candidate
@@ -93,12 +107,16 @@ object Similarity {
       .withColumn("qscore",
         when(col("vnorm") === 0.0, lit(0.0)).otherwise(
           col("vscale") * int8Dot(col("qcodes"), col("codes")).cast("double") / col("vnorm")))
-    val ws = Window.partitionBy(qidCol).orderBy(col("qscore").desc, col(idCol).asc)
+    // shortlist via the O(sl)-heap aggregate, not a window: a window
+    // shuffles and fully sorts every scored (corpus × query) row per
+    // qid, while the heap combines map-side so the shuffle carries at
+    // most sl entries per qid per map partition (same ordering
+    // semantics: score desc, id asc)
     val short = approx
-      .select(col(qidCol), col(idCol), col("qscore"))
-      .withColumn("srank", row_number().over(ws))
-      .where(col("srank") <= sl)
-      .select(col(qidCol), col(idCol))
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopKScoredIds.agg(col("qscore"), col(idCol), sl).as("__sids"))
+      .select(col(qidCol), explode(col("__sids")).as("__s"))
+      .select(col(qidCol), col("__s.id").as(idCol))
     // plain broadcast join against the corpus scan — the probe +
     // shortlist-only cosine is too light to justify a spread shuffle
     val rerank = corpus
@@ -291,13 +309,10 @@ object Similarity {
       .select(col(qidCol), col(qvecCol),
         explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
 
-    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
-    corpusCells.join(broadcast(queryCells), Seq("cent_id"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cent_id"))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+    topKFromScores(scored, qidCol, idCol, "cos", k)
   }
 
   /** IVF × int8: the full 100 TB ANN composition — centroid cells prune
@@ -377,15 +392,13 @@ object Similarity {
                                        k: Int, shortlist: Int): DataFrame = {
     import graft.functions.VectorFunctions.int8Dot
     val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
-    val ws = Window.partitionBy(qidCol).orderBy(col("qscore").desc, col(idCol).asc)
-    val short = index.join(broadcast(queryCells), Seq("cent_id"))
-      .where(col(qidCol) =!= col(idCol))
-      .withColumn("qscore",
-        when(col("vnorm") === 0.0, lit(0.0)).otherwise(
-          col("vscale") * int8Dot(col("qcodes"), col("codes")).cast("double") / col("vnorm")))
-      .select(col(qidCol), col(idCol), col("qscore"))
-      .withColumn("srank", row_number().over(ws))
-      .where(col("srank") <= sl)
+    val short = topKFromScores(
+      index.join(broadcast(queryCells), Seq("cent_id"))
+        .where(col(qidCol) =!= col(idCol))
+        .withColumn("qscore",
+          when(col("vnorm") === 0.0, lit(0.0)).otherwise(
+            col("vscale") * int8Dot(col("qcodes"), col("codes")).cast("double") / col("vnorm"))),
+      qidCol, idCol, "qscore", sl)
       .select(col(qidCol), col(idCol))
 
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)

@@ -49,6 +49,32 @@ class FunctionsSpec extends SparkSpec {
     assert(s2 == Seq(5.0, 1.0))
   }
 
+  test("TopKScoredIds keeps the k best (score, id) pairs, ties toward smaller id") {
+    import org.apache.spark.sql.functions.col
+    // scores collide on purpose: ids 10/20/30 all score 5.0 — the two
+    // smaller ids must win the tie, in id order
+    val df = Seq((1L, 5.0), (10L, 5.0), (20L, 5.0), (30L, 5.0), (2L, 7.0), (3L, 1.0))
+      .toDF("id", "s").withColumn("g", org.apache.spark.sql.functions.lit(0))
+    val top = df.groupBy(col("g"))
+      .agg(graft.functions.TopKScoredIds.agg(col("s"), col("id"), 4).as("t"))
+      .selectExpr("t.id AS ids", "t.score AS scores")
+      .as[(Seq[Long], Seq[Double])].head()
+    assert(top._2 == Seq(7.0, 5.0, 5.0, 5.0))
+    assert(top._1 == Seq(2L, 1L, 10L, 20L),
+      s"expected score-desc then id-asc ordering, got ${top._1}")
+    // agrees with the window formulation on a larger random-ish set
+    val big = (1 to 500).map(i => ((i * 37 % 97).toLong + i, (i * 13 % 41).toDouble))
+      .toDF("id", "s").withColumn("g", col("id") % 3)
+    val viaAgg = big.groupBy(col("g"))
+      .agg(graft.functions.TopKScoredIds.agg(col("s"), col("id"), 7).as("t"))
+      .selectExpr("g", "explode(t.id) AS id").as[(Long, Long)].collect().sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("s").desc, col("id").asc)
+    val viaWin = big.withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("r") <= 7).select("g", "id").as[(Long, Long)].collect().sorted.toSeq
+    assert(viaAgg == viaWin, "heap aggregate must equal the window top-k")
+  }
+
   test("graft_cosine SQL registration works through spark.sql") {
     VectorFunctions.register(spark)
     Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
