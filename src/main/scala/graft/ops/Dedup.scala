@@ -173,10 +173,18 @@ object Dedup {
     val prefilteredM = if (materialize) prefiltered.persist() else prefiltered
     // shingle arrays ONLY for docs that appear in a surviving candidate,
     // materialized once (the id_a and id_b joins both read it); no
-    // distinct — left_semi dedups its build side inherently
+    // distinct — left_semi dedups its build side inherently.
+    // Grams are hashed to 64-bit longs at this boundary: |A∩B|/|A∪B|
+    // over xxhash64 images equals the string-gram Jaccard unless two
+    // distinct grams of one candidate pair collide (≤ |A∪B|²/2⁶⁴ ≈
+    // 1e-13 per pair — the same negligible-collision contract the
+    // MinHash signature stage already lives on), while the verify
+    // arrays shrink ~10× (8 B/gram vs ~40+ B/gram of String heap) and
+    // array_intersect compares longs instead of strings
     val candIds = prefilteredM.select(col("id_a").as(idCol))
       .union(prefilteredM.select(col("id_b").as(idCol)))
     val shCand0 = base0.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), transform(col("sh"), g => xxhash64(g)).as("sh"))
     val shCand = if (materialize) shCand0.persist() else shCand0
     val verified = prefilteredM
       .join(shCand.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -231,9 +239,14 @@ object Dedup {
       .join(sigsB.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(est >= threshold - sixSigma)
       .select("id_a", "id_b")
+    // hashed-gram verification — same contract as the self-join miner
+    // (see jaccardPairsFromShingles): bit-equal Jaccard absent 2⁻⁶⁴
+    // collisions, 8 B/gram arrays, integer compares
     val verified = prefiltered
-      .join(baseA.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(baseB.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(baseA.select(col(idCol).as("id_a"),
+        transform(col("sh"), g => xxhash64(g)).as("sh_a")), Seq("id_a"))
+      .join(baseB.select(col(idCol).as("id_b"),
+        transform(col("sh"), g => xxhash64(g)).as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
