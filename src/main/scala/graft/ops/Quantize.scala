@@ -33,13 +33,22 @@ object Quantize {
           floor(x.cast("double") * lit(127.0) / maxAbsCol + lit(0.5))))))
 
   /** Quantize an embedding column: (idCol, scale, q) where
-    * `v ≈ q * scale`. `scale = maxabs / 127` (double). */
-  def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val ma = maxAbs(col(vecCol))
-    df.select(col(idCol),
-      (ma / lit(127.0)).as("scale"),
-      int8Codes(col(vecCol), ma).as("q"))
-  }
+    * `v ≈ q * scale`. `scale = maxabs / 127` (double).
+    *
+    * The per-row max is materialized in its own projection BEFORE the
+    * code lambda references it: higher-order-function lambdas evaluate
+    * interpreted, and an expression nested inside one re-evaluates per
+    * ELEMENT — inlining maxAbs (itself an O(dim) array fold) into the
+    * per-element clamp made quantization O(dim²) interpreted ops per
+    * row (measured 64× overhead at dim=64). Two projections keep the
+    * lambda's captured input a plain attribute. CollapseProject leaves
+    * this alone: the alias is referenced more than once and is not
+    * cheap, so the optimizer does not re-inline it. */
+  def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), maxAbs(col(vecCol)).as("__ma"), col(vecCol).as("__v"))
+      .select(col(idCol),
+        (col("__ma") / lit(127.0)).as("scale"),
+        int8Codes(col("__v"), col("__ma")).as("q"))
 
   /** Dequantized reconstruction (array<double>), for error analysis. */
   def dequantize(qCol: Column, scaleCol: Column): Column =

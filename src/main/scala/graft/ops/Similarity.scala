@@ -98,9 +98,10 @@ object Similarity {
     import graft.functions.VectorFunctions.{int8Dot, packInt8}
     val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
     val corpusQ = quantizeCorpus(Tables.spread(corpus, idCol), idCol, vecCol)
-    val queriesQ = queries.select(col(qidCol),
-      packInt8(Quantize.int8Codes(col(qvecCol), Quantize.maxAbs(col(qvecCol))))
-        .as("qcodes"))
+    val queriesQ = queries
+      .select(col(qidCol), col(qvecCol), Quantize.maxAbs(col(qvecCol)).as("__ma"))
+      .select(col(qidCol),
+        packInt8(Quantize.int8Codes(col(qvecCol), col("__ma"))).as("qcodes"))
     val approx = corpusQ
       .crossJoin(broadcast(queriesQ))
       .where(col(qidCol) =!= col(idCol))
@@ -135,11 +136,14 @@ object Similarity {
     * the quantized scan never touches the float column. */
   def quantizeCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.packInt8
-    val ma = Quantize.maxAbs(col(vecCol))
-    corpus.select(col(idCol),
-      packInt8(Quantize.int8Codes(col(vecCol), ma)).as("codes"),
-      (ma / lit(127.0)).as("vscale"),
-      sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
+    // __ma materialized in its own projection: nested inside the code
+    // lambda it would re-evaluate per ELEMENT (see Quantize.int8)
+    corpus
+      .select(col(idCol), col(vecCol), Quantize.maxAbs(col(vecCol)).as("__ma"))
+      .select(col(idCol),
+        packInt8(Quantize.int8Codes(col(vecCol), col("__ma"))).as("codes"),
+        (col("__ma") / lit(127.0)).as("vscale"),
+        sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
   }
 
   /** Deterministic pseudo-random hyperplanes: `l` tables × `bits` planes
@@ -343,13 +347,14 @@ object Similarity {
   private def ivfIndexFrame(corpus: DataFrame, idCol: String, vecCol: String,
                             cents: Array[(Long, Array[Float])]): DataFrame = {
     import graft.functions.VectorFunctions.packInt8
-    val ma = Quantize.maxAbs(col(vecCol))
-    Tables.spread(corpus, idCol).select(
-      col(idCol),
-      nearestCentId(col(vecCol), cents).as("cent_id"),
-      packInt8(Quantize.int8Codes(col(vecCol), ma)).as("codes"),
-      (ma / lit(127.0)).as("vscale"),
-      sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
+    Tables.spread(corpus, idCol)
+      .select(col(idCol), col(vecCol), Quantize.maxAbs(col(vecCol)).as("__ma"))
+      .select(
+        col(idCol),
+        nearestCentId(col(vecCol), cents).as("cent_id"),
+        packInt8(Quantize.int8Codes(col(vecCol), col("__ma"))).as("codes"),
+        (col("__ma") / lit(127.0)).as("vscale"),
+        sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
   }
 
   /** The `nprobe` nearest centroid ids for one query vector as a pure
@@ -375,10 +380,11 @@ object Similarity {
                                   cents: Array[(Long, Array[Float])],
                                   nprobe: Int): DataFrame = {
     import graft.functions.VectorFunctions.packInt8
-    queries.select(col(qidCol),
-      packInt8(Quantize.int8Codes(col(qvecCol), Quantize.maxAbs(col(qvecCol))))
-        .as("qcodes"),
-      explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
+    queries
+      .select(col(qidCol), col(qvecCol), Quantize.maxAbs(col(qvecCol)).as("__ma"))
+      .select(col(qidCol),
+        packInt8(Quantize.int8Codes(col(qvecCol), col("__ma"))).as("qcodes"),
+        explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
   }
 
   /** Shared tail of the quantized-IVF search: integer-dot candidate scan
