@@ -23,13 +23,22 @@ object TextOps {
   def tokenCountBpeish(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(bpeishPattern), lit(0)))
 
-  /** Word n-gram shingles (distinct), the unit for MinHash / Jaccard. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles (distinct), the unit for MinHash / Jaccard.
+    *
+    * The token array is let-bound through a single-element-array
+    * `transform` so the index lambda sees it as a LAMBDA VARIABLE:
+    * higher-order-function lambdas evaluate interpreted and re-evaluate
+    * any captured expression per element, so inlining `tokens(text)`
+    * (a regex split) into the per-index lambda would re-split the text
+    * once per shingle — O(tokens × text_len) per row instead of
+    * O(text_len). */
+  def shingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), ts =>
+        array_distinct(
+          transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
+            i => concat_ws(" ", slice(ts, i + 1, lit(n)))))),
+      1)
 
   /** Character n-gram shingles (distinct). */
   def charShingles(text: Column, n: Int): Column = {
@@ -142,13 +151,15 @@ object TextOps {
     * multiplicity ([[shingles]] dedupes for Jaccard). Empty array when
     * the doc has fewer than n tokens, so no null-padded grams exist in
     * either engine. */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngramsAll(text: Column, n: Int): Column =
+    // token array let-bound as a lambda variable — see [[shingles]]
+    element_at(
+      transform(array(tokens(text)), ts =>
+        when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   /** Fraction of non-blank lines that are duplicates of an earlier line
     * — a boilerplate signal (repeated headers/footers/navigation). */
