@@ -376,7 +376,10 @@ object Dedup {
       labels = Checkpointing.truncate(
         labels.union(viaNbr)
           .groupBy("id").agg(min("cluster").as("cluster")))
-      done = labels
+      // round 1 always changes labels when any edge exists (the larger
+      // endpoint adopts the smaller id), so the convergence check —
+      // itself a join + action over the label table — starts at round 2
+      done = iter > 0 && labels
         .join(prev.select(col("id"), col("cluster").as("prev_cluster")), Seq("id"))
         .where(col("cluster") =!= col("prev_cluster"))
         .isEmpty
