@@ -39,15 +39,21 @@ object Relevance {
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = TextOps.lowerTokens(col(textCol))
     def tfCol(i: Int) = col(s"tf_$i")
     def dfCol(i: Int) = col(s"df_$i")
-    val perDoc = docs.select(
-      col(idCol) +:
-        size(toks).cast("double").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t.toLowerCase))).cast("double").as(s"tf_$i")
-        }: _*)
+    // tokenize ONCE into a column: the dl size and every per-term filter
+    // read the same array — inlining the tokenization expression would
+    // re-run the regex split + lowercasing 1 + |terms| times per row
+    // (interpreted HOFs get no common-subexpression elimination)
+    val perDoc = docs
+      .select(col(idCol), TextOps.lowerTokens(col(textCol)).as("__toks"))
+      .select(
+        col(idCol) +:
+          size(col("__toks")).cast("double").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t.toLowerCase)))
+              .cast("double").as(s"tf_$i")
+          }: _*)
     // one-row corpus stats: N, Σdl (exact in long — dl is an int count),
     // and per-term document frequency
     val statCols =
