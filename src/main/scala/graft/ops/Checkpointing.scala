@@ -50,4 +50,27 @@ object Checkpointing {
   def truncate(df: DataFrame): DataFrame =
     if (isReliable(df.sparkSession)) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Delete the stable-storage files behind a frame a previous
+    * [[truncate]] produced, once a successor has superseded it.
+    * Without rotation an iterative operator (CC label propagation:
+    * one truncate per round, up to maxIter=50) leaves a full copy of
+    * its state table on HDFS/S3 per round —
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    * false, so the copies outlive the job. The PeriodicCheckpointer
+    * pattern: delete N-1 only after N is materialized.
+    *
+    * Local mode is a no-op (the ContextCleaner reclaims local blocks
+    * when the frame is garbage-collected). Callers must own `df`
+    * exclusively — never call this on a frame handed to user code. */
+  def release(df: DataFrame): Unit =
+    if (isReliable(df.sparkSession)) {
+      org.apache.spark.sql.GraftSqlShim.checkpointFile(df).foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(path, true)
+        ()
+      }
+    }
 }

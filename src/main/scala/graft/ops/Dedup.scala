@@ -383,6 +383,9 @@ object Dedup {
         .join(prev.select(col("id"), col("cluster").as("prev_cluster")), Seq("id"))
         .where(col("cluster") =!= col("prev_cluster"))
         .isEmpty
+      // rotate: the superseded round's checkpoint files are dead once
+      // the new labels are materialized and the check has read them
+      Checkpointing.release(prev)
       iter += 1
     }
     edges.unpersist()
@@ -429,6 +432,10 @@ object Dedup {
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double, dim: Int = 64,
                               maxBucket: Int = DefaultMaxBucket): DataFrame =
+    // bits sized from the RAW input: counting after spreadCompute would
+    // execute the repartition shuffle just to size the bucket space,
+    // where a plain scan count comes from parquet footer metadata
     Similarity.lshCosinePairs(spreadCompute(df, idCol), idCol, vecCol,
-      threshold, dim = dim, maxBucket = maxBucket)
+      threshold, bits = Similarity.autoBits(df.count()), dim = dim,
+      maxBucket = maxBucket)
 }

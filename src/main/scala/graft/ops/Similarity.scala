@@ -43,15 +43,26 @@ object Similarity {
   /** (qid, rank, id, score) top-k per query from a scored candidate
     * table, via the O(k)-heap aggregate (map-side combine; the shuffle
     * carries ≤ k entries per query per map partition — never a full
-    * sort of the candidate set). Ordering: score desc, ties id asc. */
+    * sort of the candidate set). Ordering: score desc, ties id asc.
+    *
+    * The heap state holds (double, long) pairs, so corpus ids must be
+    * NUMERIC (they come back as longs). Checked eagerly: a string-id
+    * corpus would otherwise fail mid-job (ANSI cast) or, with ANSI off,
+    * silently return empty results. */
   private def topKFromScores(scored: DataFrame, qidCol: String, idCol: String,
-                             scoreCol: String, k: Int): DataFrame =
+                             scoreCol: String, k: Int): DataFrame = {
+    require(scored.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ANN top-k requires a numeric id column; '$idCol' is " +
+        s"${scored.schema(idCol).dataType.simpleString}. Map string/UUID ids " +
+        "to a numeric surrogate (e.g. xxhash64) before the search.")
     scored
       .groupBy(col(qidCol))
       .agg(graft.functions.TopKScoredIds.agg(col(scoreCol), col(idCol), k).as("__top"))
       .select(col(qidCol), posexplode(col("__top")).as(Seq("__pos", "__s")))
       .select(col(qidCol), (col("__pos") + 1).cast("int").as("rank"),
         col("__s.id").as(idCol), col("__s.score").as(scoreCol))
+  }
 
   /** Exact top-k neighbors for each query vector.
     *
@@ -108,16 +119,10 @@ object Similarity {
       .withColumn("qscore",
         when(col("vnorm") === 0.0, lit(0.0)).otherwise(
           col("vscale") * int8Dot(col("qcodes"), col("codes")).cast("double") / col("vnorm")))
-    // shortlist via the O(sl)-heap aggregate, not a window: a window
-    // shuffles and fully sorts every scored (corpus × query) row per
-    // qid, while the heap combines map-side so the shuffle carries at
-    // most sl entries per qid per map partition (same ordering
-    // semantics: score desc, id asc)
-    val short = approx
-      .groupBy(col(qidCol))
-      .agg(graft.functions.TopKScoredIds.agg(col("qscore"), col(idCol), sl).as("__sids"))
-      .select(col(qidCol), explode(col("__sids")).as("__s"))
-      .select(col(qidCol), col("__s.id").as(idCol))
+    // shortlist via the O(sl)-heap aggregate, not a window (see
+    // topKFromScores)
+    val short = topKFromScores(approx, qidCol, idCol, "qscore", sl)
+      .select(col(qidCol), col(idCol))
     // plain broadcast join against the corpus scan — the probe +
     // shortlist-only cosine is too light to justify a spread shuffle
     val rerank = corpus
@@ -202,8 +207,10 @@ object Similarity {
                      maxBucket: Int = Dedup.DefaultMaxBucket,
                      materialize: Boolean = true): DataFrame = {
     val base = Tables.spread(vectors, idCol).select(col(idCol), col(vecCol))
-    // count the RAW input, not the spread projection: a plain scan count
-    // is answered from parquet footer metadata (no shuffle, no compute)
+    // auto path counts `vectors` as passed — callers that pre-spread
+    // should size bits from the raw input themselves and pass it
+    // explicitly (as Dedup.embeddingCosinePairsLsh does), so the count
+    // is a parquet-footer-metadata read rather than a shuffle
     val nBits = if (bits > 0) bits else autoBits(vectors.count())
     val planes = hyperplanes(dim, nBits, tables, seed)
     // (id, table, bucket) — one row per table per vector; vectors stay
@@ -451,7 +458,12 @@ object Similarity {
                                 queries: DataFrame, qidCol: String, qvecCol: String,
                                 k: Int, nprobe: Int = 4,
                                 shortlist: Int = 0): DataFrame = {
-    val queryCells = quantizedQueryCells(queries, qidCol, qvecCol, cents, nprobe)
+    // materialize the (small: nprobe rows per query) cell table once —
+    // the driver-side probed-cell collect AND the shortlist join both
+    // read it, and without truncation the second use would re-run the
+    // query quantization + centroid probing as a second Spark job
+    val queryCells = Checkpointing.truncate(
+      quantizedQueryCells(queries, qidCol, qvecCol, cents, nprobe))
     val probed = queryCells.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val index = spark.table(tableName)

@@ -213,9 +213,15 @@ object CatalogML {
     // (bases 31 and 131, same prime modulus < 2^40) — an order-sensitive
     // fingerprint vector. The arithmetic is bounded modular math, so
     // DuckDB reproduces it bit-exactly with a list_reduce over the
-    // character codes. (The xxhash64-based minHashFingerprint stays
-    // covered by OpsSpec — xxhash64 is Spark-internal, no cross-engine
-    // oracle exists for it.)
+    // character codes. (The xxhash64-based minHashFingerprint is covered
+    // by OpsSpec's differential/invariant test — xxhash64 is
+    // Spark-internal, no cross-engine oracle exists for it.)
+    //
+    // Oracle contract: ASCII text only. Spark's ascii() returns the
+    // first UTF-8 BYTE of the character while DuckDB's returns the
+    // Unicode code point, so the hashes diverge on any non-ASCII char.
+    // The driver fixture is pure ASCII (verified); a multilingual
+    // corpus needs a byte-level formulation on both sides.
     ("q41_text_fingerprint", (s: SparkSession, d: String) => {
       spread(table(s, d, "documents"), "doc_id")
         .select(col("doc_id"),

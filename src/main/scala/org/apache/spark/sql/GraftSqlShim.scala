@@ -32,6 +32,14 @@ object GraftSqlShim {
                         spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 
+  /** The reliable-checkpoint file behind a frame returned by
+    * `Dataset.checkpoint()`, if any — the checkpointed RDD rides inside
+    * the plan's `LogicalRDD` leaf (`private[sql]`, hence this shim). */
+  def checkpointFile(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
+
   /** Register (idempotently) a temp SQL function backed by an expression
     * builder on the given session. */
   def registerFunction(spark: SparkSession, name: String,

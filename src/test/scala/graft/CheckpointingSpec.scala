@@ -51,6 +51,16 @@ class CheckpointingSpec extends SparkSpec {
       // data to the stable dir (this is what survives executor loss)
       val wrote = Files.walk(Paths.get(dir)).filter(Files.isRegularFile(_)).count()
       assert(wrote > 0, s"expected checkpoint files under $dir")
+      // ... and rotated the superseded rounds: CC truncates once per
+      // propagation round, but each round's release() deletes the
+      // previous round's files, so only a bounded number of rdd-*
+      // checkpoint dirs may remain (not one per round)
+      import scala.jdk.CollectionConverters._
+      val rddDirs = Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("rdd-"))
+        .size
+      assert(rddDirs <= 4,
+        s"superseded CC round checkpoints must be rotated away, found $rddDirs rdd-* dirs under $dir")
     } finally Checkpointing.disableReliable(spark)
 
     // back on the default path: still correct, mode flag honored

@@ -407,4 +407,32 @@ class OpsSpec extends SparkSpec {
     assert(seedPlan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject centroid pick:\n$seedPlan")
   }
+
+  test("minHashFingerprint equals the min over exploded k-gram hashes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "short")).toDF("id", "text") // shorter than k → one truncated gram
+    val viaExpr = docs
+      .select(col("id"), graft.ops.TextOps.minHashFingerprint(col("text"), 8).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    // independent formulation of the same window: explode each 8-char
+    // start offset, hash the substring, take the min per doc
+    val viaExplode = docs
+      .select(col("id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"))
+      .select(col("id"), xxhash64(col("text").substr(col("i"), lit(8))).as("h"))
+      .groupBy("id").agg(min("h").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaExplode, "windowed expression must equal the exploded min")
+    // gram-superset invariant: concatenation only ADDS grams, so its
+    // min-hash can only be <= the min of either part's fingerprint
+    val cat = Seq((9L,
+      "the quick brown fox jumps over the lazy dog pack my box with five dozen liquor jugs"))
+      .toDF("id", "text")
+    val fpCat = cat.select(graft.ops.TextOps.minHashFingerprint(col("text"), 8))
+      .as[Long].head()
+    assert(fpCat <= math.min(viaExpr(1L), viaExpr(2L)))
+  }
 }
