@@ -171,6 +171,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.toSeq == c.toSeq, "salted shuffle-join variant must agree")
   }
 
+  test("salted decontamination: disjoint eval set leaves every doc clean (left-outer edge)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("id", "text")
+    val eval = Seq((9L, "z y x w v u zz yy xx ww")).toDF("id", "text")
+    val out = Decontamination.ngramOverlapJoinSalted(
+        docs, "id", "text", eval, "text", n = 8, saltFactor = 4)
+      .orderBy("id").collect()
+    assert(out.length == 2, "left outer must keep every corpus doc")
+    out.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0,
+        s"no eval gram matches, doc must be clean: $r")
+    }
+  }
+
   test("unigram LM: common-token docs score likelier than rare-token docs") {
     val docs = Seq(
       (1L, "the the the cat"),   // all tokens frequent

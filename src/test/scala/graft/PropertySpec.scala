@@ -220,6 +220,25 @@ class PropertySpec extends SparkSpec {
     assert(autoBits(1000000000L) == 20)
   }
 
+  test("auto-bits end-to-end: mid-size corpus mines the planted pair under a wider bucket space") {
+    // 20k vectors -> autoBits picks 10 bits (20000/32 = 625 buckets ->
+    // ceil log2 = 10), exercising the auto path beyond the 8-bit floor
+    // that the fixture-scale tests stay under
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(seed * 31 + j * 7 + 1).toFloat)
+    val base = vec(9000)
+    val near = base.clone(); near(0) = base(0) + 1e-4f
+    val corpus = ((1 to 20000).map(i => (i.toLong, vec(i))) :+
+      (90000L, base) :+ (90001L, near)).toDF("id", "vec")
+    assert(graft.ops.Similarity.autoBits(20002L) == 10)
+    val pairs = graft.ops.Similarity.lshCosinePairs(
+        corpus, "id", "vec", threshold = 0.9999, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((90000L, 90001L)),
+      s"planted near-identical pair must survive the 10-bit bucket space, got ${pairs.size} pairs")
+  }
+
   test("count-min estimates equal or exceed exact counts on random streams") {
     val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
     for (seed <- 1L to 3L) {
