@@ -15,10 +15,20 @@ object Bucketing {
 
   /** Write `df` as a bucketed managed table (parquet). */
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
-                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+                    numBuckets: Int, sortCol: Option[String] = None): Unit =
+    writeBucketedBy(df, tableName, numBuckets, Seq(bucketCol), sortCol.toSeq)
+
+  /** Multi-column variant (e.g. an LSH bucket table keyed by
+    * (band, bucket)): hash-bucketed on `bucketCols`, optionally sorted
+    * within files. */
+  def writeBucketedBy(df: DataFrame, tableName: String, numBuckets: Int,
+                      bucketCols: Seq[String],
+                      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty)
     val w = df.write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, bucketCol)
-    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(tableName)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))
+      .saveAsTable(tableName)
   }
 
   /** Join two same-bucketed tables on their bucket key — planner sees the

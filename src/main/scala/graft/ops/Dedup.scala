@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextOps._
@@ -334,6 +334,116 @@ object Dedup {
       docs.select(col(idCol), charShingles(col(textCol), n).as("sh")),
       idCol, threshold, bands = 16, rows = 3, sigsOverride = Some(sigs),
       materialize = materialize, maxBucket = maxBucket)
+  }
+
+  /** Persist the MinHash-LSH index of a corpus — the incremental-dedup
+    * deployment shape: signature and band-bucket tables are written
+    * ONCE, and every subsequent crawl probes them via
+    * [[crossCorpusJaccardPairsFromIndex]] without recomputing anything
+    * over the existing corpus (at 100 TB, re-signaturing the archive
+    * per crawl is the dominant cost this index removes).
+    *
+    *  - `sigTable`: (idCol, sig) bucketed+sorted by id — the prefilter
+    *    joins candidate ids against it without shuffling the index.
+    *  - `bucketTable`: (idCol, band, bucket) bucketed by (band, bucket)
+    *    — the candidate join reads it pre-partitioned on its join key,
+    *    so only the (small) new-crawl side shuffles.
+    *
+    * `maxBucket` is applied at WRITE time: degenerate buckets never
+    * enter the index (same recall trade as the online miners, decided
+    * once instead of per probe — probing never scans the index to
+    * count bucket sizes). */
+  def writeSignatureIndex(docs: DataFrame, idCol: String, textCol: String,
+                          bucketTable: String, sigTable: String,
+                          shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
+                          numBuckets: Int = 32,
+                          maxBucket: Int = DefaultMaxBucket): Unit = {
+    val spark = docs.sparkSession
+    val base = spreadCompute(docs, idCol)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    Bucketing.writeBucketedBy(
+      minhashSignatures(base, idCol, col("sh"), bands * rows),
+      sigTable, numBuckets, Seq(idCol), Seq(idCol))
+    // signatures re-read from the table (not recomputed) to derive the
+    // bucket rows; the write-time cap keeps probe plans scan-free
+    val buckets = capBuckets(
+      spark.table(sigTable).select(col(idCol),
+        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
+    Bucketing.writeBucketedBy(buckets, bucketTable, numBuckets,
+      Seq("band", "bucket"), Seq("band", "bucket"))
+  }
+
+  /** Near-duplicate pairs between a NEW corpus and a
+    * [[writeSignatureIndex]]-persisted one. Same semantics as
+    * [[crossCorpusJaccardPairs]] (given the same cap), but the existing
+    * corpus contributes only bucketed table READS:
+    *
+    *  - candidate join on (band, bucket): the index side is
+    *    pre-bucketed on the join key, so it takes NO exchange — only
+    *    the new-crawl buckets shuffle (or broadcast);
+    *  - signature prefilter: candidate ids join the id-bucketed
+    *    `sigTable`, again exchange-free on the index side;
+    *  - exact verification re-derives shingle arrays from
+    *    `existingDocs` ONLY for prefilter survivors (semi-join
+    *    pushdown, hashed-gram arrays — same contract as the online
+    *    miners).
+    *
+    * `existingDocs` supplies the raw text for that last stage — the
+    * same frame the index was built from. */
+  def crossCorpusJaccardPairsFromIndex(spark: SparkSession,
+                                       bucketTable: String, sigTable: String,
+                                       newDocs: DataFrame,
+                                       existingDocs: DataFrame,
+                                       idCol: String, textCol: String,
+                                       shingleN: Int = 3,
+                                       threshold: Double = 0.7,
+                                       bands: Int = 32, rows: Int = 2,
+                                       materialize: Boolean = true,
+                                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val numHashes = bands * rows
+    val baseA = spreadCompute(newDocs, idCol)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val sigsA0 = minhashSignatures(baseA, idCol, col("sh"), numHashes)
+    val sigsA = if (materialize) sigsA0.persist() else sigsA0
+    val bucketsA = capBuckets(
+      sigsA.select(col(idCol).as("id_a"),
+        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
+    val candidates = bucketsA
+      .join(spark.table(bucketTable)
+          .select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+      .cast("double") / numHashes
+    val prefiltered0 = candidates
+      .join(sigsA.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(spark.table(sigTable)
+          .select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .where(est >= threshold - sixSigma)
+      .select("id_a", "id_b")
+    val prefiltered = if (materialize) prefiltered0.persist() else prefiltered0
+    // b-side shingles only for surviving candidates (the index variant
+    // improves on crossCorpusJaccardPairs here: the archive's shingles
+    // are rebuilt for the near-linear survivor set, never corpus-wide)
+    val shB = existingDocs
+      .join(prefiltered.select(col("id_b").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_b"),
+        transform(shingles(col(textCol), shingleN), g => xxhash64(g)).as("sh_b"))
+    val verified = prefiltered
+      .join(baseA.select(col(idCol).as("id_a"),
+        transform(col("sh"), g => xxhash64(g)).as("sh_a")), Seq("id_a"))
+      .join(shB, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    if (materialize) materializeAndRelease(verified, sigsA, prefiltered)
+    else verified
   }
 
   /** Connected components over an undirected near-duplicate edge list
