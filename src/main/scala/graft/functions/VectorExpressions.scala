@@ -177,6 +177,49 @@ case class Int8DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Number of positions where two long-array signatures agree — the
+  * MinHash prefilter kernel: estimated Jaccard = matches / numHashes.
+  * Runs per CANDIDATE PAIR (millions at scale), which is why it is a
+  * codegen expression rather than the interpreted
+  * `size(filter(zip_with(a, b, _ === _), identity))` formulation it
+  * replaces (that allocates two intermediate arrays and walks three
+  * interpreted lambdas per pair). */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "graft_sig_matches"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var m = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) m += 1; i += 1 }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level cosine similarity backed by the codegen expression. */
   def cosine(a: Column, b: Column): Column =
@@ -192,6 +235,10 @@ object VectorFunctions {
   /** Integer dot product over packed-int8 code vectors. */
   def int8Dot(a: Column, b: Column): Column =
     GraftSqlShim.column(Int8DotProduct(expr(a), expr(b)))
+
+  /** Count of agreeing lanes between two minhash signatures. */
+  def sigMatchCount(a: Column, b: Column): Column =
+    GraftSqlShim.column(SigMatchCount(expr(a), expr(b)))
 
   private def expr(c: Column): Expression = GraftSqlShim.expression(c)
 

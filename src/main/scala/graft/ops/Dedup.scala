@@ -162,9 +162,10 @@ object Dedup {
       .distinct()
     // prefilter: fraction of matching signature entries ≈ jaccard
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val est = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-      .cast("double") / numHashes
+    // codegen lane-match count — this runs once per CANDIDATE PAIR, so
+    // the interpreted zip_with/filter formulation was the prefilter's cost
+    val est = graft.functions.VectorFunctions
+      .sigMatchCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
     val prefiltered = candidates
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -231,9 +232,8 @@ object Dedup {
     val candidates = bucketsA.join(bucketsB, Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val est = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
-      .cast("double") / numHashes
+    val est = graft.functions.VectorFunctions
+      .sigMatchCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
     val prefiltered = candidates
       .join(sigsA.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigsB.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -416,9 +416,8 @@ object Dedup {
         Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val est = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
-      .cast("double") / numHashes
+    val est = graft.functions.VectorFunctions
+      .sigMatchCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
     val prefiltered0 = candidates
       .join(sigsA.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(spark.table(sigTable)

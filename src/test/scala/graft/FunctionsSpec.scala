@@ -75,6 +75,21 @@ class FunctionsSpec extends SparkSpec {
     assert(viaAgg == viaWin, "heap aggregate must equal the window top-k")
   }
 
+  test("SigMatchCount equals the zip_with/filter lane-match formulation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)), // 2 matches
+      (Seq(5L, 5L), Seq(5L, 5L)),                 // all match
+      (Seq(1L, 2L), Seq(3L, 4L))                  // none
+    ).toDF("a", "b")
+    val got = df.select(
+        VectorFunctions.sigMatchCount(col("a"), col("b")).as("m"),
+        size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), v => v)).as("ref"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (m, ref) => assert(m == ref, s"$m != $ref") }
+    assert(got.map(_._1).toSeq == Seq(2, 2, 0))
+  }
+
   test("graft_cosine SQL registration works through spark.sql") {
     VectorFunctions.register(spark)
     Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
