@@ -88,6 +88,12 @@ class FunctionsSpec extends SparkSpec {
       .as[(Int, Int)].collect()
     got.foreach { case (m, ref) => assert(m == ref, s"$m != $ref") }
     assert(got.map(_._1).toSeq == Seq(2, 2, 0))
+    // SQL surface
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("sig_match_in")
+    val viaSql = spark.sql("SELECT graft_sig_matches(a, b) FROM sig_match_in")
+      .as[Int].collect().toSeq
+    assert(viaSql == Seq(2, 2, 0))
   }
 
   test("graft_cosine SQL registration works through spark.sql") {
