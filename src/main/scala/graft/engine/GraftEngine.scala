@@ -20,24 +20,57 @@ import graft.functions.VectorFunctions
   */
 object GraftEngine {
 
-  /** Session with the scale-sane defaults this engine assumes: AQE on
-    * (runtime shuffle coalescing + skew-join splitting), 32 shuffle
-    * partitions for local[32] (a real cluster sets ~2-3× total cores). */
+  /** The session-conf posture this engine's scale claims assume — THE
+    * one place a deployment copies (SCALING.md cross-references it).
+    * Rationale per key:
+    *
+    *  - AQE on with partition coalescing and skew-join splitting: the
+    *    LSH bucket joins and decontamination joins are exactly the
+    *    shapes where runtime re-planning absorbs residual skew the
+    *    static plan cannot see (salting handles the known-key case).
+    *  - `autoBroadcastJoinThreshold` pinned to 10 MB (Spark's default,
+    *    stated explicitly): every "corpus never shuffles" plan in
+    *    [[graft.ops.Dedup]]/[[graft.ops.Similarity]] relies on the
+    *    small side broadcasting; a deployment that zeroes it silently
+    *    converts those to shuffle joins.
+    *  - ObjectHashAggregate fallback at 64k groups: the typed-aggregate
+    *    buffers here are small (≤ 0.5 KB signature arrays / k-bounded
+    *    heaps), so hash mode stays safe far past the 128-group default
+    *    (64k groups/task ≈ 34 MB of buffers) — falling back to sort
+    *    mode would re-sort every signature shuffle.
+    *  - UTC + nanosAsLong: deterministic timestamp semantics against
+    *    the parquet fixtures regardless of cluster-local zone.
+    *
+    * `spark.sql.shuffle.partitions` is deliberately NOT here: it is
+    * cluster-sized (~2-3× total cores; 32 on local[32]), so
+    * [[sessionBuilder]] takes it as a parameter instead. */
+  val recommendedConfs: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> (10L * 1024 * 1024).toString,
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Session with the scale-sane defaults this engine assumes
+    * ([[recommendedConfs]]), 32 shuffle partitions for local[32] (a
+    * real cluster sets ~2-3× total cores). */
   def sessionBuilder(master: String = "local[32]",
                      shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // typed-aggregate buffers here are small (≤ 0.5 KB signature
-      // arrays), so keep ObjectHashAggregate in hash mode well past the
-      // 128-group default; 64k groups/task ≈ 34 MB of buffers
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      .config("spark.ui.enabled", "false")
+    recommendedConfs.foldLeft(
+      SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.ui.enabled", "false")) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
+  /** Apply [[recommendedConfs]] to an already-built session (all keys
+    * are runtime-settable SQL confs) — the path for sessions the
+    * library did not construct, e.g. a notebook or harness session. */
+  def applyRecommendedConfs(spark: SparkSession): Unit =
+    recommendedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
 
   /** Create the session and register the engine's SQL functions. */
   def start(master: String = "local[32]"): SparkSession = {

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -183,9 +183,15 @@ case class Int8DotProduct(left: Expression, right: Expression)
   * codegen expression rather than the interpreted
   * `size(filter(zip_with(a, b, _ === _), identity))` formulation it
   * replaces (that allocates two intermediate arrays and walks three
-  * interpreted lambdas per pair). */
+  * interpreted lambdas per pair).
+  *
+  * ImplicitCastInputTypes so the SQL surface (`graft_sig_matches`)
+  * accepts array<int> and other implicitly-castable inputs instead of
+  * failing analysis. Null lanes never count as matches (a null lane
+  * previously read as 0, so two null lanes "agreed") — the engine's own
+  * signatures are null-free, but the SQL surface cannot assume that. */
 case class SigMatchCount(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def prettyName: String = "graft_sig_matches"
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
@@ -196,7 +202,10 @@ case class SigMatchCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var m = 0; var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) m += 1; i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) m += 1
+      i += 1
+    }
     m
   }
 
@@ -209,7 +218,8 @@ case class SigMatchCount(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $m = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $m++;
          |}
          |${ev.value} = $m;
        """.stripMargin

@@ -62,7 +62,12 @@ object Checkpointing {
     *
     * Local mode is a no-op (the ContextCleaner reclaims local blocks
     * when the frame is garbage-collected). Callers must own `df`
-    * exclusively — never call this on a frame handed to user code. */
+    * exclusively — never call this on a frame handed to user code.
+    * Enforced guard: only a frame whose analyzed plan ROOT is the
+    * checkpointed leaf (i.e. a direct [[truncate]] result) is
+    * released — a frame that merely embeds a checkpointed leaf deeper
+    * in its plan is a no-op here, so files a derived live frame still
+    * reads can never be deleted through this path. */
   def release(df: DataFrame): Unit =
     if (isReliable(df.sparkSession)) {
       org.apache.spark.sql.GraftSqlShim.checkpointFile(df).foreach { p =>

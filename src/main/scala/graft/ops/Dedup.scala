@@ -461,44 +461,52 @@ object Dedup {
     * (strategy from [[Checkpointing]]: executor-local by default,
     * reliable stable-storage for cluster runs — an hour-long CC job
     * should survive executor loss) so deep graphs don't blow up the
-    * planner, and
-    * convergence is detected by checking whether ANY label changed this
-    * round (labels only decrease under min, so "no row changed" ⇔
-    * fixpoint) — one short-circuiting isEmpty action per round, no
-    * driver-side data, and it works for any orderable id type (string
-    * or UUID ids included — a numeric-sum check would not). */
+    * planner.
+    *
+    * Convergence is detected INSIDE the round's own aggregate: each
+    * node's previous label rides through the min-groupBy as a second
+    * aggregate (`min(own label)` — exactly one "own" row per id), so
+    * "did anything change" is a per-row `new < old` flag on the already
+    * materialized round output. The check is a filter scan over the
+    * round's checkpoint blocks — no extra join against the previous
+    * label table, no second shuffle per round (the old labels⋈prev
+    * formulation paid both). Works for any orderable id type (string
+    * or UUID ids included — a numeric-sum check would not), because
+    * labels only decrease under min, so "no row changed" ⇔ fixpoint. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist()
+    // schema throughout the loop: (id, cluster, __changed)
     var labels = Checkpointing.truncate(
       edges.select(col("src").as("id")).distinct()
-        .withColumn("cluster", col("id")))
+        .select(col("id"), col("id").as("cluster"), lit(true).as("__changed")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val prev = labels
+      val own = labels.select(col("id"), col("cluster"), lit(true).as("own"))
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("cluster")), Seq("dst"))
-        .select(col("src").as("id"), col("cluster"))
+        .select(col("src").as("id"), col("cluster"), lit(false).as("own"))
       labels = Checkpointing.truncate(
-        labels.union(viaNbr)
-          .groupBy("id").agg(min("cluster").as("cluster")))
-      // round 1 always changes labels when any edge exists (the larger
-      // endpoint adopts the smaller id), so the convergence check —
-      // itself a join + action over the label table — starts at round 2
-      done = iter > 0 && labels
-        .join(prev.select(col("id"), col("cluster").as("prev_cluster")), Seq("id"))
-        .where(col("cluster") =!= col("prev_cluster"))
-        .isEmpty
+        own.union(viaNbr)
+          .groupBy("id")
+          .agg(min("cluster").as("cluster"),
+            min(when(col("own"), col("cluster"))).as("__old"))
+          .select(col("id"), col("cluster"),
+            (col("cluster") < col("__old")).as("__changed")))
+      // the check reads the just-materialized checkpoint blocks — a
+      // short-circuiting filter scan, not a job-sized recompute
+      done = labels.where(col("__changed")).isEmpty
       // rotate: the superseded round's checkpoint files are dead once
-      // the new labels are materialized and the check has read them
+      // the new labels are materialized
       Checkpointing.release(prev)
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels.select("id", "cluster")
   }
 
   /** Materialize a near-dup-deduplicated corpus: keep exactly one
@@ -540,11 +548,17 @@ object Dedup {
     * applies. */
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double, dim: Int = 64,
-                              maxBucket: Int = DefaultMaxBucket): DataFrame =
+                              maxBucket: Int = DefaultMaxBucket,
+                              expectedCount: Long = -1L): DataFrame =
     // bits sized from the RAW input: counting after spreadCompute would
     // execute the repartition shuffle just to size the bucket space,
-    // where a plain scan count comes from parquet footer metadata
+    // where a plain scan count comes from parquet footer metadata. On a
+    // filtered/computed input even that count is a full job — callers
+    // that know the size pass `expectedCount` (within-2× is enough;
+    // bits only need the magnitude) and the sizing scan disappears.
     Similarity.lshCosinePairs(spreadCompute(df, idCol), idCol, vecCol,
-      threshold, bits = Similarity.autoBits(df.count()), dim = dim,
-      maxBucket = maxBucket)
+      threshold,
+      bits = Similarity.autoBits(
+        if (expectedCount >= 0) expectedCount else df.count()),
+      dim = dim, maxBucket = maxBucket)
 }

@@ -24,17 +24,46 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.where(hashFraction(col(idCol)) < fraction)
 
+  /** 32-hex-digit lower bound covering `fraction` of the md5 space:
+    * `md5(x) < hexThreshold(f)` holds for fraction f of uniformly
+    * distributed inputs (md5 hex is lowercase in every engine, so the
+    * string comparison is portable). Digits come from the base-16
+    * expansion of the fraction. */
+  private[graft] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val digits = "0123456789abcdef"
+    val sb = new StringBuilder(32)
+    var f = BigDecimal(fraction)
+    var i = 0
+    while (i < 32) {
+      f = f * 16
+      val d = math.min(15, f.toInt)
+      sb.append(digits(d))
+      f -= d
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Disjoint, exhaustive named splits, e.g.
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Adds a `split`
-    * column; fractions must sum to 1. */
+    * column; fractions must sum to 1.
+    *
+    * Membership compares md5 of the id's decimal string form against
+    * per-split hex thresholds — a pure per-row function (reproducible
+    * across runs, partitionings, and engines) that every engine can
+    * recompute verbatim, so split assignment is differentially testable
+    * (q70's DuckDB oracle re-derives it from the same SQL). The
+    * xxhash64-based [[hashFraction]] stays for the rate samplers where
+    * a cheaper hash matters and the exact member set does not. */
   def deterministicSplit(df: DataFrame, idCol: String,
                          splits: Seq[(String, Double)]): DataFrame = {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val f = hashFraction(col(idCol))
+    val h = md5(col(idCol).cast("string"))
     val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
     val expr = splits.zip(cumulative).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
-        when(f < hi, name).otherwise(acc)
+        when(h < lit(hexThreshold(hi)), name).otherwise(acc)
       }
     df.withColumn("split", expr)
   }

@@ -46,22 +46,26 @@ object Similarity {
     * sort of the candidate set). Ordering: score desc, ties id asc.
     *
     * The heap state holds (double, long) pairs, so corpus ids must be
-    * NUMERIC (they come back as longs). Checked eagerly: a string-id
-    * corpus would otherwise fail mid-job (ANSI cast) or, with ANSI off,
-    * silently return empty results. */
+    * NUMERIC (checked eagerly: a string-id corpus would otherwise fail
+    * mid-job (ANSI cast) or, with ANSI off, silently return empty
+    * results). Ids are cast back to the input id type on the way out —
+    * an int-id corpus gets int ids back; the score is always double
+    * (every ANN scorer here computes in double). Null-scored/null-id
+    * rows never reach a heap and are dropped — no ANN scorer produces
+    * them. */
   private def topKFromScores(scored: DataFrame, qidCol: String, idCol: String,
                              scoreCol: String, k: Int): DataFrame = {
-    require(scored.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+    val idType = scored.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"ANN top-k requires a numeric id column; '$idCol' is " +
-        s"${scored.schema(idCol).dataType.simpleString}. Map string/UUID ids " +
+        s"${idType.simpleString}. Map string/UUID ids " +
         "to a numeric surrogate (e.g. xxhash64) before the search.")
     scored
       .groupBy(col(qidCol))
       .agg(graft.functions.TopKScoredIds.agg(col(scoreCol), col(idCol), k).as("__top"))
       .select(col(qidCol), posexplode(col("__top")).as(Seq("__pos", "__s")))
       .select(col(qidCol), (col("__pos") + 1).cast("int").as("rank"),
-        col("__s.id").as(idCol), col("__s.score").as(scoreCol))
+        col("__s.id").cast(idType).as(idCol), col("__s.score").as(scoreCol))
   }
 
   /** Exact top-k neighbors for each query vector.
@@ -74,6 +78,9 @@ object Similarity {
     * would shuffle and fully sort every scored corpus row. Ordering
     * semantics identical (cos desc, id asc), so results — and the
     * exact-SQL oracle — are unchanged.
+    *
+    * Output schema (all ANN entry points):
+    * (qidCol, rank: int, idCol: the corpus id type, cos: double).
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
@@ -200,18 +207,25 @@ object Similarity {
     *
     * `bits = 0` (the default) sizes the bucket space from the corpus
     * count via [[autoBits]] — one extra count() scan, paid only on the
-    * auto path. */
+    * auto path. Callers that already know the (approximate) corpus size
+    * — a filtered/computed input whose count() would be a full extra
+    * job, or a catalog with row statistics — pass it as `expectedCount`
+    * to skip that scan entirely; bits only need the magnitude, so a
+    * within-2× estimate yields the same bucket sizing ±1 bit. */
   def lshCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 0, tables: Int = 12,
                      dim: Int = 64, seed: Long = 42L,
                      maxBucket: Int = Dedup.DefaultMaxBucket,
-                     materialize: Boolean = true): DataFrame = {
+                     materialize: Boolean = true,
+                     expectedCount: Long = -1L): DataFrame = {
     val base = Tables.spread(vectors, idCol).select(col(idCol), col(vecCol))
     // auto path counts `vectors` as passed — callers that pre-spread
     // should size bits from the raw input themselves and pass it
     // explicitly (as Dedup.embeddingCosinePairsLsh does), so the count
     // is a parquet-footer-metadata read rather than a shuffle
-    val nBits = if (bits > 0) bits else autoBits(vectors.count())
+    val nBits =
+      if (bits > 0) bits
+      else autoBits(if (expectedCount >= 0) expectedCount else vectors.count())
     val planes = hyperplanes(dim, nBits, tables, seed)
     // (id, table, bucket) — one row per table per vector; vectors stay
     // out. Persisted (3 longs/row — the production "signature table")

@@ -485,16 +485,26 @@ object CatalogML {
         |       CAST(len(embedding) AS INTEGER) AS centroid_dim
         |FROM embeddings GROUP BY label, len(embedding) ORDER BY label""".stripMargin)),
 
-    // Deterministic train/val/test split (hash-of-id membership — pure
-    // per-row function, reproducible across partitionings; hash family is
-    // engine-internal → rows-only + SamplingSpec invariants).
+    // Deterministic train/val/test split (md5-of-id membership — pure
+    // per-row function, reproducible across partitionings AND engines:
+    // the oracle recomputes the same md5-hex-threshold comparison in
+    // DuckDB, so the split is fully differentially testable).
     ("q70_sampling_split", (s: SparkSession, d: String) => {
       graft.ops.Sampling.deterministicSplit(table(s, d, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split")
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("split")
-    }, None),
+    }, Some(
+      s"""SELECT split, count(*) AS n, min(doc_id) AS min_id FROM (
+        |  SELECT doc_id,
+        |         CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+        |                   '${graft.ops.Sampling.hexThreshold(0.8)}' THEN 'train'
+        |              WHEN md5(CAST(doc_id AS VARCHAR)) <
+        |                   '${graft.ops.Sampling.hexThreshold(0.9)}' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin)),
 
     // Catalyst TypedImperativeAggregate surface: exact top-k heap with
     // O(k) buffers (order-independent → oracle-checkable). The k=5 array

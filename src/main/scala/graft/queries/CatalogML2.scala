@@ -484,9 +484,9 @@ object CatalogML2 {
     }, None),
 
     // Exact-size per-group deterministic sample: smallest-md5(id) rows
-    // per language. md5 exists in both engines, so unlike the
-    // xxhash64-based rate sampling (q70, rows-only) this sampling
-    // variant is fully differentially testable.
+    // per language. md5 exists in both engines, so like the md5-threshold
+    // split (q70) this sampling variant is fully differentially
+    // testable; only the xxhash64 rate samplers stay engine-internal.
     ("q89_sample_per_group", (s: SparkSession, d: String) => {
       graft.ops.Sampling.fixedSizePerGroup(
           table(s, d, "documents").select("doc_id", "lang", "source"),

@@ -36,17 +36,31 @@ object ScalingCurve {
   private val headliners =
     Seq("q35", "q38", "q42", "q84", "q86", "q95")
 
-  private def permutedAlphabet(seed: Int): String = {
-    val arr = ('a' to 'z').toArray
-    val rnd = new scala.util.Random(seed * 2654435761L + 42L)
+  // The full character classes the copy-permutation covers. Uppercase
+  // and digits are permuted too (uppercase mirrors the lowercase
+  // permutation; digits get their own) so digit/uppercase-heavy docs
+  // don't keep shared grams across copies — the harness's "cross-copy
+  // near-dup density stays constant" invariant needs every frequent
+  // character class scrambled, not just a-z.
+  private val FromChars = "abcdefghijklmnopqrstuvwxyz" +
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "0123456789"
+
+  private def shuffled(chars: Array[Char], rnd: scala.util.Random): String = {
     // Fisher-Yates; seeded → deterministic across runs/JVMs
-    var k = arr.length - 1
+    var k = chars.length - 1
     while (k > 0) {
       val j = rnd.nextInt(k + 1)
-      val t = arr(k); arr(k) = arr(j); arr(j) = t
+      val t = chars(k); chars(k) = chars(j); chars(j) = t
       k -= 1
     }
-    new String(arr)
+    new String(chars)
+  }
+
+  private def permutedChars(seed: Int): String = {
+    val rnd = new scala.util.Random(seed * 2654435761L + 42L)
+    val lower = shuffled(('a' to 'z').toArray, rnd)
+    val digits = shuffled(('0' to '9').toArray, rnd)
+    lower + lower.toUpperCase + digits
   }
 
   private def signMask(seed: Int, dim: Int): Array[Float] =
@@ -60,11 +74,10 @@ object ScalingCurve {
     val docs = graft.ops.Tables.table(spark, baseDir, "documents")
     val emb = graft.ops.Tables.table(spark, baseDir, "embeddings")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
     val docCopies = (0 until copies).map { i =>
       docs.select(
         (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
-        translate(col("text"), alpha, permutedAlphabet(i)).as("text"),
+        translate(col("text"), FromChars, permutedChars(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     docCopies.reduce(_.unionAll(_))

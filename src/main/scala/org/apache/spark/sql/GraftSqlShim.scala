@@ -34,11 +34,24 @@ object GraftSqlShim {
 
   /** The reliable-checkpoint file behind a frame returned by
     * `Dataset.checkpoint()`, if any — the checkpointed RDD rides inside
-    * the plan's `LogicalRDD` leaf (`private[sql]`, hence this shim). */
+    * the plan's `LogicalRDD` leaf (`private[sql]`, hence this shim).
+    * Matches the analyzed plan ROOT only: a frame that merely embeds a
+    * checkpointed leaf deeper in its plan (e.g. a select over a
+    * truncate() result) returns None, so `Checkpointing.release` can
+    * never delete files a derived live frame still reads. */
   def checkpointFile(df: DataFrame): Option[String] =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.flatMap(_.getCheckpointFile)
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  /** The config options accumulated on a not-yet-built session builder
+    * — lets tests assert a builder pins the conf posture without paying
+    * for a second SparkContext. `options` is `protected` in Scala but
+    * public in bytecode, so plain reflection reads it. */
+  def builderOptions(b: SparkSession.Builder): Map[String, String] =
+    b.getClass.getMethod("options").invoke(b)
+      .asInstanceOf[scala.collection.mutable.HashMap[String, String]].toMap
 
   /** Register (idempotently) a temp SQL function backed by an expression
     * builder on the given session. */

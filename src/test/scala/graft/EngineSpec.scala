@@ -126,6 +126,30 @@ class EngineSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 8)
   }
 
+  test("recommended conf posture is applied by the builder and settable at runtime") {
+    // the builder path: every recommended key must be baked into the
+    // builder's options (the session under test was built elsewhere, so
+    // assert on the builder rather than a second context)
+    val opts = org.apache.spark.sql.GraftSqlShim.builderOptions(
+      GraftEngine.sessionBuilder("local[2]", shufflePartitions = 2))
+    GraftEngine.recommendedConfs.foreach { case (k, v) =>
+      assert(opts.get(k).contains(v), s"builder must pin $k=$v, got ${opts.get(k)}")
+    }
+    assert(opts.get("spark.sql.shuffle.partitions").contains("2"))
+    // the retrofit path: every key is a runtime-settable SQL conf
+    val before = GraftEngine.recommendedConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      GraftEngine.applyRecommendedConfs(spark)
+      GraftEngine.recommendedConfs.foreach { case (k, v) =>
+        assert(spark.conf.get(k) == v, s"applyRecommendedConfs must set $k=$v")
+      }
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("backoff supervision restarts a failing query with growing delays") {
     val dir = Files.createTempDirectory("graft-sup").toString
     graft.ops.Tables.table(spark, sf, "region")

@@ -60,13 +60,26 @@ class IvfIndexSpec extends SparkSpec {
     // exchange (query cells and shortlists broadcast instead).
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
     exchanges.foreach { e =>
+      // the TopKScoredIds partial-aggregate buffer is a k-bounded
+      // serialized heap (≤ sl (double,long) entries per query per map
+      // partition) — top-k state, not index/vector payload. Exempt it
+      // STRUCTURALLY: only agg-buffer attributes produced by a partial
+      // object-hash aggregate feeding this exchange qualify (a data
+      // column that merely happens to be named "buf" would not).
+      val partialAggBuffers: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+        e.child match {
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+              if a.aggregateExpressions.forall(_.mode ==
+                org.apache.spark.sql.catalyst.expressions.aggregate.Partial) =>
+            a.aggregateExpressions
+              .flatMap(_.aggregateFunction.inputAggBufferAttributes)
+              .map(_.exprId).toSet
+          case _ => Set.empty
+        }
       val heavy = e.output.filter(a =>
         (a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
           a.dataType == org.apache.spark.sql.types.BinaryType) &&
-        // the TopKScoredIds partial-aggregate buffer is a k-bounded
-        // serialized heap (≤ sl (double,long) entries per query per map
-        // partition) — top-k state, not index/vector payload
-        a.name != "buf")
+        !partialAggBuffers.contains(a.exprId))
       assert(heavy.isEmpty,
         s"probe shuffle carries index/vector payload ${heavy.mkString(", ")}, plan:\n${plan.treeString}")
     }

@@ -239,6 +239,29 @@ class PropertySpec extends SparkSpec {
       s"planted near-identical pair must survive the 10-bit bucket space, got ${pairs.size} pairs")
   }
 
+  test("expectedCount skips the auto-bits sizing job on filtered inputs, same results") {
+    // a FILTERED input: the auto path's df.count() is a real extra job
+    // here (no parquet footer shortcut), which expectedCount removes
+    val docs = graft.ops.Tables.table(spark, sf, "embeddings")
+      .where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def mine(expected: Long): (Set[(Long, Long)], Int) = {
+      val group = s"lsh-jobs-$expected"
+      spark.sparkContext.setJobGroup(group, group)
+      val got =
+        try graft.ops.Dedup.embeddingCosinePairsLsh(docs, "id", "vec",
+            threshold = 0.99, expectedCount = expected)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        finally spark.sparkContext.clearJobGroup()
+      (got, spark.sparkContext.statusTracker.getJobIdsForGroup(group).length)
+    }
+    val (auto, jobsAuto) = mine(-1L)
+    val (hinted, jobsHinted) = mine(250L)
+    assert(hinted == auto, "expectedCount must not change the mined pairs")
+    assert(jobsHinted < jobsAuto,
+      s"expectedCount must skip the sizing count job: $jobsHinted vs $jobsAuto")
+  }
+
   test("count-min estimates equal or exceed exact counts on random streams") {
     val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
     for (seed <- 1L to 3L) {
