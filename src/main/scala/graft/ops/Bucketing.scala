@@ -31,6 +31,23 @@ object Bucketing {
       .saveAsTable(tableName)
   }
 
+  /** Append rows into an EXISTING bucketed table. The bucket spec must
+    * match the table's (Spark validates against the catalog and throws
+    * on mismatch); appended rows are hashed into per-bucket files like
+    * the original write, so bucketed reads — and their no-exchange join
+    * plans — keep working over old + new data together. This is what
+    * makes a bucketed table an *incrementally maintainable* index
+    * rather than a write-once artifact. */
+  def appendBucketedBy(df: DataFrame, tableName: String, numBuckets: Int,
+                       bucketCols: Seq[String],
+                       sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty)
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))
+      .saveAsTable(tableName)
+  }
+
   /** Join two same-bucketed tables on their bucket key — planner sees the
     * matching output partitioning and elides both exchanges. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -374,6 +374,50 @@ object Dedup {
       Seq("band", "bucket"), Seq("band", "bucket"))
   }
 
+  /** Absorb a new crawl into a [[writeSignatureIndex]]-persisted index
+    * WITHOUT touching the archive's rows — the missing piece of the
+    * incremental-dedup loop: each crawl first probes the index
+    * ([[crossCorpusJaccardPairsFromIndex]]), then appends its own
+    * signature and bucket rows so the NEXT crawl dedups against it too.
+    * The append computes signatures over the new crawl only (the
+    * archive is never re-read, let alone re-signatured) and writes them
+    * into the existing bucketed tables with the same bucket spec —
+    * Spark hashes the appended rows into per-bucket files, so probe
+    * plans stay exchange-free on the index side over old + new data.
+    *
+    * Contracts carried over from the index build:
+    *  - `bands`/`rows`/`shingleN`/`numBuckets` must equal the values
+    *    the index was written with (the bucket spec is validated by
+    *    Spark; the signature geometry cannot be — mixing geometries
+    *    silently breaks the prefilter, so pass the same config).
+    *  - ids must be unique ACROSS crawls (same contract as the
+    *    cross-corpus miners).
+    *  - `maxBucket` caps each appended batch on its own: a bucket can
+    *    grow to (number of appends) × maxBucket across crawls. A
+    *    boilerplate-shaped key that keeps filling up across crawls is
+    *    a compaction signal — rebuild with [[writeSignatureIndex]] to
+    *    re-cap globally (the same periodic-rebuild policy any
+    *    LSM-shaped index needs). */
+  def appendToSignatureIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                             bucketTable: String, sigTable: String,
+                             shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
+                             numBuckets: Int = 32,
+                             maxBucket: Int = DefaultMaxBucket): Unit = {
+    val base = spreadCompute(newDocs, idCol)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    // crawl-sized, read by both appends — persist instead of re-signaturing
+    val sigs = minhashSignatures(base, idCol, col("sh"), bands * rows).persist()
+    try {
+      Bucketing.appendBucketedBy(sigs, sigTable, numBuckets, Seq(idCol), Seq(idCol))
+      val buckets = capBuckets(
+        sigs.select(col(idCol),
+          posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
+        Seq("band", "bucket"), maxBucket)
+      Bucketing.appendBucketedBy(buckets, bucketTable, numBuckets,
+        Seq("band", "bucket"), Seq("band", "bucket"))
+    } finally { sigs.unpersist(); () }
+  }
+
   /** Near-duplicate pairs between a NEW corpus and a
     * [[writeSignatureIndex]]-persisted one. Same semantics as
     * [[crossCorpusJaccardPairs]] (given the same cap), but the existing

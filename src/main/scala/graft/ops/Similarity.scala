@@ -452,9 +452,41 @@ object Similarity {
       if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")
+    writeIvfIndexWith(corpus, idCol, vecCol, tableName, cents, numBuckets)
+    cents
+  }
+
+  /** [[writeIvfIndex]] with a PINNED centroid model — the rebuild path
+    * (re-lay-out an index under the model it already serves) and the
+    * base case appends grow from. */
+  def writeIvfIndexWith(corpus: DataFrame, idCol: String, vecCol: String,
+                        tableName: String, cents: Array[(Long, Array[Float])],
+                        numBuckets: Int = 16): Unit = {
+    require(cents.nonEmpty, "IVF needs a non-empty centroid model")
     Bucketing.writeBucketed(ivfIndexFrame(corpus, idCol, vecCol, cents),
       tableName, "cent_id", numBuckets, sortCol = Some("cent_id"))
-    cents
+  }
+
+  /** Absorb new vectors into a [[writeIvfIndex]]-persisted index
+    * without rewriting it: assign + quantize the NEW rows under the
+    * index's OWN centroid model (`cents` must be the model returned at
+    * build time — an index is (table, model) as a pair) and append them
+    * into the cent_id-bucketed table; bucket pruning and the
+    * exchange-free probe keep working over old + new rows.
+    *
+    * Centroid-drift policy: appends never move the centroids, so as the
+    * appended distribution drifts from the model, cells imbalance and
+    * recall at fixed nprobe decays. The deployment signal is the cell
+    * occupancy histogram (one groupBy(cent_id).count over the index —
+    * bucketed, no shuffle); when the max/median ratio degrades, rebuild
+    * with [[writeIvfIndex]] (fresh or `trainIterations`-refined model)
+    * — the same periodic-retrain policy every IVF deployment carries. */
+  def appendToIvfIndex(newCorpus: DataFrame, idCol: String, vecCol: String,
+                       tableName: String, cents: Array[(Long, Array[Float])],
+                       numBuckets: Int = 16): Unit = {
+    require(cents.nonEmpty, "IVF needs a non-empty centroid model")
+    Bucketing.appendBucketedBy(ivfIndexFrame(newCorpus, idCol, vecCol, cents),
+      tableName, numBuckets, Seq("cent_id"), Seq("cent_id"))
   }
 
   /** Query a [[writeIvfIndex]]-persisted index. The probed cell ids are

@@ -96,4 +96,34 @@ class IvfIndexSpec extends SparkSpec {
         s"bucket pruning should select fewer than all $nlist buckets, got $n")
     }
   }
+
+  test("append under the index's own model equals the one-shot index") {
+    dropHard("ivf_app"); dropHard("ivf_one")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // one pinned model for every table — an IVF index is (table, model)
+    // as a pair, and appends must reuse the model the index serves
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val half1 = emb.where(col("vec_id") % 2 === 0)
+    val half2 = emb.where(col("vec_id") % 2 === 1)
+
+    Similarity.writeIvfIndexWith(half1, "vec_id", "embedding", "ivf_app", cents)
+    Similarity.appendToIvfIndex(half2, "vec_id", "embedding", "ivf_app", cents)
+    Similarity.writeIvfIndexWith(emb, "vec_id", "embedding", "ivf_one", cents)
+
+    def topk(tableName: String) =
+      Similarity.ivfTopKQuantizedFromIndex(spark, tableName, cents,
+          emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10, nprobe = 4)
+        .orderBy("qid", "rank").collect().toSeq
+
+    val appended = topk("ivf_app")
+    assert(appended == topk("ivf_one"),
+      "index grown by append must answer identically to a one-shot build")
+    // neighbors from BOTH the original write and the appended half must
+    // appear — otherwise the append silently served nothing
+    val ids = appended.map(_.getLong(2))
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1),
+      s"results must draw from both index generations: $ids")
+  }
 }

@@ -54,17 +54,25 @@ class SignatureIndexSpec extends SparkSpec {
       s"index probe must equal the online miner: ${fromIndex.size} vs ${online.size} pairs")
     assert(fromIndex.nonEmpty, "planted near-copies must be mined")
 
-    // plan shape: NO shuffle exchange may sit above either index-table
-    // scan — the bucket table is pre-partitioned on the (band, bucket)
-    // join key, the sig table on id. AQE off so concrete nodes are
-    // visible; broadcast off so the joins actually exercise the
-    // bucketed-shuffle shape a too-big-to-broadcast crawl would take.
+    assertIndexSideExchangeFree("sig_idx", "sig_idx_buckets", "sig_idx_sigs",
+      newCrawl, existing)
+  }
+
+  /** Plan shape: NO shuffle exchange may sit above either index-table
+    * scan — the bucket table is pre-partitioned on the (band, bucket)
+    * join key, the sig table on id. AQE off so concrete nodes are
+    * visible; broadcast off so the joins actually exercise the
+    * bucketed-shuffle shape a too-big-to-broadcast crawl would take. */
+  private def assertIndexSideExchangeFree(
+      pathTag: String, bucketTable: String, sigTable: String,
+      newCrawl: org.apache.spark.sql.DataFrame,
+      existing: org.apache.spark.sql.DataFrame): Unit = {
     val plan =
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         Dedup.crossCorpusJaccardPairsFromIndex(spark,
-            "sig_idx_buckets", "sig_idx_sigs", newCrawl, existing,
+            bucketTable, sigTable, newCrawl, existing,
             "doc_id", "text", shingleN = 3, threshold = 0.5,
             materialize = false)
           .queryExecution.executedPlan
@@ -78,7 +86,7 @@ class SignatureIndexSpec extends SparkSpec {
     // not the archive) are expected and fine
     def rawIndexBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
       case s: FileSourceScanExec =>
-        s.relation.location.rootPaths.exists(_.toString.contains("sig_idx"))
+        s.relation.location.rootPaths.exists(_.toString.contains(pathTag))
       case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
       case other => other.children.exists(rawIndexBelow)
     }
@@ -89,12 +97,55 @@ class SignatureIndexSpec extends SparkSpec {
       s"raw index rows must never ride a shuffle exchange, found ${rawIndexShuffles.size}:\n${plan.treeString}")
     val indexScans = plan.collect {
       case s: FileSourceScanExec if s.relation.location.rootPaths
-        .exists(p => p.toString.contains("sig_idx")) => s
+        .exists(p => p.toString.contains(pathTag)) => s
     }
     // >= 2: the lazy plan (materialize = false) duplicates the prefilter
     // subtree under the survivor semi-join, so the sig table can appear
     // twice; the production path truncates and reads it once
     assert(indexScans.size >= 2, s"expected both index tables scanned:\n${plan.treeString}")
     assert(indexScans.forall(_.bucketedScan), "index scans must be bucketed reads")
+  }
+
+  test("append absorbs a new crawl: probe equals the one-shot index over the union") {
+    Seq("sig_app_buckets", "sig_app_sigs", "sig_one_buckets", "sig_one_sigs")
+      .foreach(dropHard)
+    val docs = Tables.table(spark, sf, "documents")
+    // crawl A and crawl B form the archive; the probe crawl carries
+    // near-copies of one doc from EACH (found only if both crawls'
+    // rows are live in the index)
+    val crawlA = docs.where(col("doc_id") % 3 === 1)
+    val crawlB = docs.where(col("doc_id") % 3 === 2)
+    val nearCopies = docs.where(col("doc_id").isin(1L, 2L))
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val probeCrawl = docs.where(col("doc_id") % 3 === 0).unionAll(nearCopies)
+    val archive = crawlA.unionAll(crawlB)
+
+    Dedup.writeSignatureIndex(crawlA, "doc_id", "text",
+      "sig_app_buckets", "sig_app_sigs", shingleN = 3, numBuckets = 8)
+    Dedup.appendToSignatureIndex(crawlB, "doc_id", "text",
+      "sig_app_buckets", "sig_app_sigs", shingleN = 3, numBuckets = 8)
+    Dedup.writeSignatureIndex(archive, "doc_id", "text",
+      "sig_one_buckets", "sig_one_sigs", shingleN = 3, numBuckets = 8)
+
+    def probePairs(bucketTable: String, sigTable: String) =
+      Dedup.crossCorpusJaccardPairsFromIndex(spark, bucketTable, sigTable,
+          probeCrawl, archive, "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+
+    val appended = probePairs("sig_app_buckets", "sig_app_sigs")
+    val oneShot = probePairs("sig_one_buckets", "sig_one_sigs")
+    assert(appended == oneShot,
+      s"appended index must equal the one-shot index over A∪B: " +
+        s"${appended.size} vs ${oneShot.size} pairs")
+    // both planted near-copies mined — i.e. rows from the ORIGINAL
+    // write and from the APPEND both serve the probe
+    assert(appended.exists(p => p._2 == 1L || p._1 == 1L), s"crawl-A pair missing: $appended")
+    assert(appended.exists(p => p._2 == 2L || p._1 == 2L), s"crawl-B pair missing: $appended")
+    // appended files land in the right buckets: probe stays exchange-free
+    assertIndexSideExchangeFree("sig_app", "sig_app_buckets", "sig_app_sigs",
+      probeCrawl, archive)
   }
 }
