@@ -373,13 +373,14 @@ object CatalogML {
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
 
-    // Multimodal: stubbed decode over binary payloads via typed
-    // mapPartitions (plumbing real, codec stubbed). The stub derives
-    // dims from the first two payload BYTES + a SHA-256 — all
-    // reproducible in DuckDB by hexing the UTF-8 encoding and converting
-    // hex digits positionally (no BLOB substring needed).
+    // Multimodal: decode over binary payloads via typed mapPartitions.
+    // The header parse (PNG/JPEG/GIF) is real (MultimodalSpec); these
+    // text-derived payloads are no recognized container, so they take
+    // the deterministic fallback: dims from the first two payload BYTES
+    // + a SHA-256 — all reproducible in DuckDB by hexing the UTF-8
+    // encoding and converting hex digits positionally.
     ("q44_multimodal_decode", (s: SparkSession, d: String) => {
-      Multimodal.decodeStub(s,
+      Multimodal.decode(s,
           Multimodal.mediaFromDocuments(spread(table(s, d, "documents"), "doc_id"),
             "doc_id", "text"))
         .toDF()

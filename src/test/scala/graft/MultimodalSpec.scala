@@ -26,13 +26,59 @@ class MultimodalSpec extends SparkSpec {
     assert(meta._2 == "616C7068") // 'alph'
   }
 
-  test("decode stub is deterministic and partition-local") {
-    val d1 = Multimodal.decodeStub(spark, media()).collect().sortBy(_.media_id)
-    val d2 = Multimodal.decodeStub(spark, media().repartition(3)).collect().sortBy(_.media_id)
+  test("decode fallback is deterministic and partition-local") {
+    val d1 = Multimodal.decode(spark, media()).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decode(spark, media().repartition(3)).collect().sortBy(_.media_id)
     assert(d1.toSeq == d2.toSeq, "decode must not depend on partitioning")
     assert(d1.forall(r => r.width >= 16 && r.height >= 16))
     assert(d1.head.channels == 3) // media_id 0 cycles to image
     assert(d1(1).channels == 2)   // media_id 1 cycles to audio
+  }
+
+  // minimal REAL container headers, built to the public format specs
+  private def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(colorType.toByte) // bit depth, color type
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+  private def jpegBytes(w: Int, h: Int, ncomp: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 18 + 10)
+    bb.put(0xFF.toByte).put(0xD8.toByte)                  // SOI
+    bb.put(0xFF.toByte).put(0xE0.toByte).putShort(16)     // APP0, len 16
+    bb.put("JFIF".getBytes("US-ASCII")).put(new Array[Byte](10))
+    bb.put(0xFF.toByte).put(0xC0.toByte).putShort(8)      // SOF0 header
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(ncomp.toByte)
+    bb.array()
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+
+  test("decode parses real PNG/JPEG/GIF headers for dimensions and channels") {
+    // direct unit checks of the parser, incl. PNG channel mapping
+    assert(Multimodal.parseImageHeader(pngBytes(640, 480, 2)) == Some((640, 480, 3)))
+    assert(Multimodal.parseImageHeader(pngBytes(31, 17, 6)) == Some((31, 17, 4)))
+    assert(Multimodal.parseImageHeader(pngBytes(8, 8, 0)) == Some((8, 8, 1)))
+    assert(Multimodal.parseImageHeader(jpegBytes(1920, 1080, 3)) == Some((1920, 1080, 3)))
+    assert(Multimodal.parseImageHeader(gifBytes(320, 200)) == Some((320, 200, 3)))
+    assert(Multimodal.parseImageHeader("plain text payload".getBytes("UTF-8")).isEmpty)
+    // ... and through the distributed decode stage
+    val mediaDf = Seq(
+      (1L, "image", pngBytes(640, 480, 6)),
+      (2L, "image", jpegBytes(800, 600, 1)),
+      (3L, "image", gifBytes(99, 44)))
+      .toDF("media_id", "media_type", "bytes")
+    val decoded = Multimodal.decode(spark, mediaDf).collect().sortBy(_.media_id)
+    assert(decoded.map(d => (d.width, d.height, d.channels)).toSeq ==
+      Seq((640, 480, 4), (800, 600, 1), (99, 44, 3)))
   }
 
   test("byte-histogram features count high nibbles and sum to payload size") {
