@@ -99,15 +99,9 @@ object ScalingCurve {
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the one true conf posture: GraftEngine.recommendedConfs
+    val spark = graft.engine.GraftEngine
+      .sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val queries = Catalog.entries
@@ -141,6 +135,60 @@ object ScalingCurve {
       val byF = rs.map(r => r._2 -> r._3).toMap
       println(s"| $name | " +
         factors.map(f => f"${byF(f)}%.2f").mkString(" | ") + " |")
+    }
+
+    // Index-probe vs online-remine — the deployment question the
+    // persisted indexes answer, measured on the same curve. The crawl
+    // split is the incremental shape: 5% new crawl, 95% archive. The
+    // one-time build is reported separately from the per-crawl probe;
+    // "probing beats re-mining" should hold (and widen) with scale,
+    // because the probe never recomputes anything over the archive.
+    val indexRows = for (f <- factors) yield {
+      import graft.ops.{Dedup, Similarity}
+      val dir = s"$workDir/x$f"
+      val docs = graft.ops.Tables.table(spark, dir, "documents")
+      val crawl = docs.where(col("doc_id") % 20 === 0)
+      val archive = docs.where(col("doc_id") % 20 =!= 0)
+      def timed(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); dt
+      }
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val tOnline = timed(noop(Dedup.crossCorpusJaccardPairs(
+        crawl, archive, "doc_id", "text", threshold = 0.7)))
+      val (bucketT, sigT) = (s"scale_sig_buckets_x$f", s"scale_sig_sigs_x$f")
+      val tBuild = timed(Dedup.writeSignatureIndex(
+        archive, "doc_id", "text", bucketT, sigT))
+      val tProbe = timed(noop(Dedup.crossCorpusJaccardPairsFromIndex(
+        spark, bucketT, sigT, crawl, archive, "doc_id", "text", threshold = 0.7)))
+
+      val emb = graft.ops.Tables.table(spark, dir, "embeddings")
+      val annQueries = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val tIvfOnline = timed(noop(Similarity.ivfTopKQuantized(
+        emb, "vec_id", "embedding", annQueries, "qid", "qvec",
+        k = 10, nlist = 16, nprobe = 4)))
+      val ivfT = s"scale_ivf_x$f"
+      var cents: Array[(Long, Array[Float])] = null
+      val tIvfBuild = timed {
+        cents = Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfT,
+          nlist = 16, numBuckets = 16)
+      }
+      val tIvfProbe = timed(noop(Similarity.ivfTopKQuantizedFromIndex(
+        spark, ivfT, cents, emb, "vec_id", "embedding",
+        annQueries, "qid", "qvec", k = 10, nprobe = 4)))
+      println(f"[scale] x$f%-4d sig online/build/probe ${tOnline}%.2f/${tBuild}%.2f/${tProbe}%.2f s" +
+        f"  ivf online/build/probe ${tIvfOnline}%.2f/${tIvfBuild}%.2f/${tIvfProbe}%.2f s")
+      (f, Seq(tOnline, tBuild, tProbe, tIvfOnline, tIvfBuild, tIvfProbe))
+    }
+    val indexMetrics = Seq("sig_online_remine", "sig_index_build",
+      "sig_index_probe", "ivf_online", "ivf_index_build", "ivf_index_probe")
+    println("| metric | " + factors.map(f => s"x$f (s)").mkString(" | ") + " |")
+    indexMetrics.zipWithIndex.foreach { case (m, i) =>
+      println(s"| $m | " +
+        indexRows.map { case (_, ts) => f"${ts(i)}%.2f" }.mkString(" | ") + " |")
     }
     spark.stop()
   }
