@@ -42,7 +42,16 @@ object Dedup {
     * result broadcasts and the filter is a broadcast anti-join: the
     * bucket rows themselves never take an extra exchange or sort.
     * (A whole-partition window was measured 1.7-2.2x slower here: it
-    * buffers every bucket row through its own hash exchange.) */
+    * buffers every bucket row through its own hash exchange.)
+    *
+    * Used where the bucket rows must stay a JOINABLE STREAM — the index
+    * probe (the other side is a pre-bucketed table that must not be
+    * re-grouped) and the index write. The self-join miners use
+    * [[bucketedSelfPairs]]/[[bucketedCrossPairs]] instead, where the
+    * cap is free: a round-4→5 interleaved bench bisect measured this
+    * extra pass + anti-join at ~1-2 s per miner call at sf0.1 (q36
+    * 0.92→1.91 s, q42 3.19→5.23 s, q93 0.90→1.76 s same-condition),
+    * which the grouped pair enumeration eliminates. */
   private[graft] def capBuckets(buckets: DataFrame, keyCols: Seq[String],
                                 maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) buckets
@@ -54,6 +63,60 @@ object Dedup {
         .select(keyCols.map(col): _*)
       buckets.join(broadcast(oversized), keyCols, "left_anti")
     }
+
+  /** Within-bucket candidate pairs (id_a < id_b, distinct) from one
+    * stream of (keyCols..., id) bucket rows — the classic LSH pair
+    * enumeration: ONE shuffle groups members per bucket
+    * (collect_list), the degenerate-bucket cap is a free `size()`
+    * filter on the same aggregate (no second counting pass, no
+    * broadcast anti-join — see [[capBuckets]] for the measured cost
+    * this removes), and pairs explode bucket-locally. The old
+    * formulation self-joined the bucket stream on the key: two
+    * exchanges + the cap pass where this takes one exchange total.
+    *
+    * Transient-memory note: an oversized bucket's member list IS
+    * materialized in its aggregation buffer before the size filter
+    * discards it (bucket-sized, one buffer) — the price of counting
+    * and collecting in one pass; at 8 bytes/member a pathological
+    * million-member key costs one 8 MB buffer, transiently. */
+  private[graft] def bucketedSelfPairs(buckets: DataFrame, idCol: String,
+                                       keyCols: Seq[String],
+                                       maxBucket: Int): DataFrame = {
+    val grouped = buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .where(size(col("__ids")).between(2,
+        if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket))
+    grouped
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct() // a pair may collide in several bands/tables
+  }
+
+  /** Cross-corpus variant of [[bucketedSelfPairs]]: candidate pairs
+    * between an a-side and a b-side bucket stream sharing key columns.
+    * Both sides union into ONE grouped pass (collect_list skips the
+    * other side's nulls); the per-side cap is the same free size
+    * filter — a bucket of A·B candidate pairs is bounded once either
+    * factor is. */
+  private[graft] def bucketedCrossPairs(bucketsA: DataFrame, bucketsB: DataFrame,
+                                        keyCols: Seq[String],
+                                        maxBucket: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val tagged = bucketsA.select(keys :+ col("id_a").as("__id") :+ lit(true).as("__a"): _*)
+      .unionAll(bucketsB.select(keys :+ col("id_b").as("__id") :+ lit(false).as("__a"): _*))
+    val cap = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket
+    tagged
+      .groupBy(keys: _*)
+      .agg(collect_list(when(col("__a"), col("__id"))).as("__ids_a"),
+        collect_list(when(!col("__a"), col("__id"))).as("__ids_b"))
+      .where(size(col("__ids_a")).between(1, cap) &&
+        size(col("__ids_b")).between(1, cap))
+      .select(explode(col("__ids_a")).as("id_a"), col("__ids_b"))
+      .select(col("id_a"), explode(col("__ids_b")).as("id_b"))
+      .distinct()
+  }
 
   /** Exact dedup: one representative (min id) per identical content.
     * Returns (h, keep_id, n_copies). */
@@ -150,16 +213,10 @@ object Dedup {
     val sigs0 = sigsOverride
       .getOrElse(minhashSignatures(base0, idCol, col("sh"), numHashes))
     val sigs = if (materialize) sigs0.persist() else sigs0
-    val buckets = capBuckets(
-      sigs.select(col(idCol),
-        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
+    val bucketRows = sigs.select(col(idCol),
+      posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val candidates = bucketedSelfPairs(bucketRows, idCol,
       Seq("band", "bucket"), maxBucket)
-    val candidates = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-      .join(buckets.select(col(idCol).as("id_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
     // prefilter: fraction of matching signature entries ≈ jaccard
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
     // codegen lane-match count — this runs once per CANDIDATE PAIR, so
@@ -218,19 +275,17 @@ object Dedup {
     def side(base: DataFrame, tag: String) = {
       val sigs0 = minhashSignatures(base, idCol, col("sh"), numHashes)
       val sigs = if (materialize) sigs0.persist() else sigs0
-      // cap each side independently: a bucket of A·B candidate pairs is
-      // bounded once either factor is
-      val buckets = capBuckets(
-        sigs.select(col(idCol).as(s"id_$tag"),
-          posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
-        Seq("band", "bucket"), maxBucket)
+      val buckets = sigs.select(col(idCol).as(s"id_$tag"),
+        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
       (sigs, buckets)
     }
     val (baseA, baseB) = (prep(a), prep(b))
     val (sigsA, bucketsA) = side(baseA, "a")
     val (sigsB, bucketsB) = side(baseB, "b")
-    val candidates = bucketsA.join(bucketsB, Seq("band", "bucket"))
-      .select("id_a", "id_b").distinct()
+    // each side capped independently inside the grouped pass: a bucket
+    // of A·B candidate pairs is bounded once either factor is
+    val candidates = bucketedCrossPairs(bucketsA, bucketsB,
+      Seq("band", "bucket"), maxBucket)
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val est = graft.functions.VectorFunctions
       .sigMatchCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
@@ -287,22 +342,15 @@ object Dedup {
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sims0 = simhashes(spreadCompute(df, idCol), idCol, textCol)
     val sims = if (materialize) sims0.persist() else sims0
-    val banded = capBuckets(
-      sims
-        .withColumn("band", explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band_id"),
-            shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)))
-        .select(col(idCol), col("band.band_id"), col("band.bucket")),
-      Seq("band_id", "bucket"), maxBucket)
-    val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("bucket"))
-    // dedup candidates on the ids ALONE (a pair can collide in several
+    val banded = sims
+      .withColumn("band", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)))
+      .select(col(idCol), col("band.band_id"), col("band.bucket"))
+    // candidates dedup on the ids ALONE (a pair can collide in several
     // bands); the fingerprints are re-joined from the tiny (id, sim)
     // table afterwards, so the distinct shuffle carries two longs per pair
-    val verified = a.join(b, Seq("band_id", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val verified = bucketedSelfPairs(banded, idCol, Seq("band_id", "bucket"), maxBucket)
       .join(sims.select(col(idCol).as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
       .join(sims.select(col(idCol).as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))

@@ -228,26 +228,20 @@ object Similarity {
       else autoBits(if (expectedCount >= 0) expectedCount else vectors.count())
     val planes = hyperplanes(dim, nBits, tables, seed)
     // (id, table, bucket) — one row per table per vector; vectors stay
-    // out. Persisted (3 longs/row — the production "signature table")
-    // because the cap count, the a-side and the b-side all read it and
-    // the hyperplane projection is the expensive part of the row.
-    val bucketsRaw0 = base.select(col(idCol),
+    // out. The grouped pair enumeration is the rows' ONLY consumer
+    // (the cap is a size() filter inside the same aggregate), so the
+    // hyperplane projection runs exactly once and nothing persists.
+    val bucketRows = base.select(col(idCol),
       posexplode(array(planes.toIndexedSeq.map(t => bucketCol(col(vecCol), t)): _*))
         .as(Seq("table_id", "bucket")))
-    val bucketsRaw = if (materialize) bucketsRaw0.persist() else bucketsRaw0
-    val buckets = Dedup.capBuckets(bucketsRaw, Seq("table_id", "bucket"), maxBucket)
-    val a = buckets.select(col(idCol).as("id_a"), col("table_id"), col("bucket"))
-    val b = buckets.select(col(idCol).as("id_b"), col("table_id"), col("bucket"))
-    val out = a.join(b, Seq("table_id", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // a pair may collide in several tables
+    val out = Dedup.bucketedSelfPairs(bucketRows, idCol,
+        Seq("table_id", "bucket"), maxBucket)
       .join(base.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), Seq("id_a"))
       .join(base.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-    if (materialize) Dedup.materializeAndRelease(out, bucketsRaw) else out
+    if (materialize) Dedup.materializeAndRelease(out) else out
   }
 
   /** Elementwise-mean aggregate (O(dim) buffers, map-side combine). */
