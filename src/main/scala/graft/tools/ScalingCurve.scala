@@ -69,6 +69,20 @@ object ScalingCurve {
       if (((h >>> 32) & 1L) == 0L) 1.0f else -1.0f
     }
 
+  /** Drop an index table AND its warehouse location — a previous
+    * harness run killed mid-flight leaves an orphan directory that the
+    * in-memory catalog no longer knows about, which fails the next
+    * saveAsTable with LOCATION_ALREADY_EXISTS. Rerun-safety only; the
+    * library write paths themselves never implicitly overwrite. */
+  private def dropIndexTables(spark: SparkSession, names: String*): Unit =
+    names.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   private def expand(spark: SparkSession, baseDir: String, outDir: String,
                      copies: Int): Unit = {
     val docs = graft.ops.Tables.table(spark, baseDir, "documents")
@@ -159,6 +173,7 @@ object ScalingCurve {
       val tOnline = timed(noop(Dedup.crossCorpusJaccardPairs(
         crawl, archive, "doc_id", "text", threshold = 0.7)))
       val (bucketT, sigT) = (s"scale_sig_buckets_x$f", s"scale_sig_sigs_x$f")
+      dropIndexTables(spark, bucketT, sigT)
       val tBuild = timed(Dedup.writeSignatureIndex(
         archive, "doc_id", "text", bucketT, sigT))
       val tProbe = timed(noop(Dedup.crossCorpusJaccardPairsFromIndex(
@@ -171,6 +186,7 @@ object ScalingCurve {
         emb, "vec_id", "embedding", annQueries, "qid", "qvec",
         k = 10, nlist = 16, nprobe = 4)))
       val ivfT = s"scale_ivf_x$f"
+      dropIndexTables(spark, ivfT)
       var cents: Array[(Long, Array[Float])] = null
       val tIvfBuild = timed {
         cents = Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfT,
