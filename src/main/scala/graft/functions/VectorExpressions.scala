@@ -230,6 +230,90 @@ case class SigMatchCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-LSH bucket ids of a vector in ONE pass:
+  * `output(t) = Σ_i (dot(vec, planes(t)(i)) >= 0 ? 1L << i : 0)`.
+  *
+  * Why one fused expression instead of composing `tables × bits`
+  * [[DotProduct]]-under-`when` columns: the composed tree generates one
+  * inlined dot loop per bit — at 12 tables × 13 bits the projection
+  * stage's generated code exceeds JVM method limits and Spark silently
+  * falls back to interpreted per-bit evaluation with per-element
+  * boxing. Measured on the x100 scaling corpus (200k × 64 floats):
+  * 92.5 s of a 94 s sign-LSH mining run was this projection; the fused
+  * loop nest brings it to scan speed. Bit-exact parity with the
+  * composed form: same double accumulation in ascending element order,
+  * same `>= 0` sign rule, same `1L << i` bit placement.
+  *
+  * The plane tensor rides the expression as a plan-serialized reference
+  * object (tables × bits × dim floats — ~40 KB at mining defaults). */
+case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def prettyName: String = "graft_sign_lsh_buckets"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var acc = 0L
+      var i = 0
+      while (i < table.length) {
+        val p = table(i)
+        val n = math.min(x.numElements(), p.length)
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += x.getFloat(j).toDouble * p(j).toDouble; j += 1 }
+        if (dot >= 0.0) acc |= (1L << i)
+        i += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signLshPlanes", planes, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val table = ctx.freshName("table")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val j = ctx.freshName("j")
+      s"""
+         |long[] $out = new long[$planesRef.length];
+         |for (int $t = 0; $t < $planesRef.length; $t++) {
+         |  float[][] $table = $planesRef[$t];
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $table.length; $i++) {
+         |    float[] $p = $table[$i];
+         |    int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $dot += (double) $v.getFloat($j) * (double) $p[$j];
+         |    }
+         |    if ($dot >= 0.0) $acc |= (1L << $i);
+         |  }
+         |  $out[$t] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level cosine similarity backed by the codegen expression. */
   def cosine(a: Column, b: Column): Column =
@@ -249,6 +333,10 @@ object VectorFunctions {
   /** Count of agreeing lanes between two minhash signatures. */
   def sigMatchCount(a: Column, b: Column): Column =
     GraftSqlShim.column(SigMatchCount(expr(a), expr(b)))
+
+  /** All sign-LSH table buckets of a vector in one fused pass. */
+  def signLshBuckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
+    GraftSqlShim.column(SignLshBuckets(expr(vec), planes))
 
   private def expr(c: Column): Expression = GraftSqlShim.expression(c)
 

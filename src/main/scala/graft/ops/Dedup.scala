@@ -94,6 +94,51 @@ object Dedup {
       .distinct() // a pair may collide in several bands/tables
   }
 
+  /** Scored variant of [[bucketedSelfPairs]] for miners whose exact
+    * verification needs only a small fixed-width per-row payload (a
+    * simhash long, an embedding vector): the payload rides the ONE
+    * bucket exchange inside the grouped member list, `score` evaluates
+    * bucket-locally on each within-bucket pair, and `keep` filters
+    * BEFORE the cross-band distinct — so the only post-bucket shuffle
+    * carries verified (id_a, id_b, score) survivors instead of every
+    * candidate pair re-joining the corpus twice for its payloads.
+    *
+    * Shuffle accounting vs the join-back formulation (why this wins
+    * whenever payload bytes ≪ candidatesPerRow × payload bytes, i.e.
+    * whenever bucket occupancy ≫ 2): the payload is shuffled once per
+    * bucket row (×bands/tables), while the join-back path shuffles it
+    * once per CANDIDATE side (×occupancy×tables/2) plus two sort-merge
+    * sorts of the pair stream. Measured on the x100 sign-LSH curve
+    * (SCALING.md): 200k×64-float corpus, ~29M candidates — payload
+    * rows ~700 MB through one exchange vs ~8 GB through the pair
+    * joins. NOT for gram-array/signature verification (q35/q42): those
+    * payloads are KB-sized per row and band-multiplied, so the id-only
+    * enumeration + semi-join pushdown stays cheaper there.
+    *
+    * `score` must be deterministic — a pair surviving in several
+    * bands/tables yields bit-identical rows, and the final distinct
+    * collapses them exactly. */
+  private[graft] def bucketedSelfPairsScored(
+      buckets: DataFrame, idCol: String, payloadCol: String,
+      keyCols: Seq[String], maxBucket: Int,
+      score: (Column, Column) => Column,
+      keep: Column => Column): DataFrame = {
+    val grouped = buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(col(idCol).as("id"), col(payloadCol).as("p")))
+        .as("__ms"))
+      .where(size(col("__ms")).between(2,
+        if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket))
+    grouped
+      .select(explode(col("__ms")).as("__a"), col("__ms"))
+      .select(col("__a"), explode(col("__ms")).as("__b"))
+      .where(col("__a")("id") < col("__b")("id"))
+      .select(col("__a")("id").as("id_a"), col("__b")("id").as("id_b"),
+        score(col("__a")("p"), col("__b")("p")).as("score"))
+      .where(keep(col("score")))
+      .distinct()
+  }
+
   /** Cross-corpus variant of [[bucketedSelfPairs]]: candidate pairs
     * between an a-side and a b-side bucket stream sharing key columns.
     * Both sides union into ONE grouped pass (collect_list skips the
@@ -340,23 +385,22 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, materialize: Boolean = true,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sims0 = simhashes(spreadCompute(df, idCol), idCol, textCol)
-    val sims = if (materialize) sims0.persist() else sims0
-    val banded = sims
+    // the fingerprint IS the verification payload (one long), so it
+    // rides the band rows into the grouped enumeration and hamming
+    // evaluates bucket-locally before the cross-band distinct
+    // ([[bucketedSelfPairsScored]]) — no fingerprint re-join, no
+    // persist: the banded stream is the signature stage's one consumer
+    val banded = simhashes(spreadCompute(df, idCol), idCol, textCol)
       .withColumn("band", explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)))
-      .select(col(idCol), col("band.band_id"), col("band.bucket"))
-    // candidates dedup on the ids ALONE (a pair can collide in several
-    // bands); the fingerprints are re-joined from the tiny (id, sim)
-    // table afterwards, so the distinct shuffle carries two longs per pair
-    val verified = bucketedSelfPairs(banded, idCol, Seq("band_id", "bucket"), maxBucket)
-      .join(sims.select(col(idCol).as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
-      .join(sims.select(col(idCol).as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .where(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
-    if (materialize) materializeAndRelease(verified, sims) else verified
+      .select(col(idCol), col("sim"), col("band.band_id"), col("band.bucket"))
+    val verified = bucketedSelfPairsScored(banded, idCol, "sim",
+        Seq("band_id", "bucket"), maxBucket,
+        (a, b) => bit_count(a.bitwiseXOR(b)),
+        _ <= maxDist)
+      .select(col("id_a"), col("id_b"), col("score").as("hamming"))
+    if (materialize) materializeAndRelease(verified) else verified
   }
 
   /** Character n-gram Jaccard pairs (candidate generation shared with

@@ -166,7 +166,7 @@ object Similarity {
   }
 
   /** Sign-bit bucket id of a vector under one table's hyperplanes. */
-  private def bucketCol(vecCol: Column, planes: Array[Array[Float]]): Column = {
+  private[graft] def bucketCol(vecCol: Column, planes: Array[Array[Float]]): Column = {
     planes.zipWithIndex.map { case (p, i) =>
       val pc = array(p.map(v => lit(v)).toIndexedSeq: _*)
       when(VectorFunctions.dot(vecCol, pc) >= 0.0, lit(1L << i)).otherwise(lit(0L))
@@ -194,11 +194,18 @@ object Similarity {
     * exact verification. Only candidate pairs (same table, same bucket)
     * are materialized; the exact cosine then prunes false positives.
     *
-    * Shuffle discipline (the 100 TB path): the bucket join and the
-    * multi-table candidate `distinct` carry (id, table, bucket) / two
-    * ids ONLY — the float vectors are re-joined from the (id, vec)
-    * projection after the pair set is deduplicated, so the widest
-    * shuffle rows are two ids instead of 2×dim floats (same shape as
+    * Shuffle discipline (the 100 TB path): the vector rides the bucket
+    * rows into the grouped pair enumeration and the exact cosine
+    * evaluates bucket-locally, BEFORE the threshold filter and the
+    * cross-table distinct ([[Dedup.bucketedSelfPairsScored]]) — the
+    * corpus payload is shuffled once per (vector, table) and the only
+    * post-bucket shuffle carries verified (id_a, id_b, cos) survivors.
+    * The previous formulation kept the bucket exchange id-only and
+    * re-joined vectors per candidate side; at the x100 curve point
+    * (~29M candidates, 64 floats/vector) those two joins shuffled ~8 GB
+    * against the ~700 MB payload-carrying exchange — candidates per
+    * vector (occupancy×tables/2 ≈ 150) dwarf the tables× (12) payload
+    * duplication, so carrying wins at any occupancy ≫ 2 (same shape as
     * [[Dedup.simhashPairs]]). `maxBucket` drops degenerate buckets
     * (e.g. thousands of all-zero or boilerplate-identical embeddings)
     * whose per-bucket self-join would otherwise go quadratic; with 12
@@ -227,20 +234,22 @@ object Similarity {
       if (bits > 0) bits
       else autoBits(if (expectedCount >= 0) expectedCount else vectors.count())
     val planes = hyperplanes(dim, nBits, tables, seed)
-    // (id, table, bucket) — one row per table per vector; vectors stay
-    // out. The grouped pair enumeration is the rows' ONLY consumer
-    // (the cap is a size() filter inside the same aggregate), so the
-    // hyperplane projection runs exactly once and nothing persists.
-    val bucketRows = base.select(col(idCol),
-      posexplode(array(planes.toIndexedSeq.map(t => bucketCol(col(vecCol), t)): _*))
+    // (id, vec, table, bucket) — one row per table per vector; the
+    // grouped pair enumeration is the rows' ONLY consumer (the cap is
+    // a size() filter inside the same aggregate), so the hyperplane
+    // projection runs exactly once and nothing persists. The whole
+    // tables×bits projection is ONE fused codegen expression
+    // ([[graft.functions.SignLshBuckets]]) — composing it from
+    // per-bit dot columns overflowed codegen and fell back to
+    // interpreted eval, measured as 92.5 s of a 94 s x100 mining run.
+    val bucketRows = base.select(col(idCol), col(vecCol),
+      posexplode(graft.functions.VectorFunctions.signLshBuckets(col(vecCol), planes))
         .as(Seq("table_id", "bucket")))
-    val out = Dedup.bucketedSelfPairs(bucketRows, idCol,
-        Seq("table_id", "bucket"), maxBucket)
-      .join(base.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), Seq("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
-      .where(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+    val out = Dedup.bucketedSelfPairsScored(bucketRows, idCol, vecCol,
+        Seq("table_id", "bucket"), maxBucket,
+        (a, b) => cosine(a, b),
+        _ >= threshold)
+      .select(col("id_a"), col("id_b"), col("score").as("cos"))
     if (materialize) Dedup.materializeAndRelease(out) else out
   }
 

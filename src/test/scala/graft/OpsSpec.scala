@@ -335,7 +335,7 @@ class OpsSpec extends SparkSpec {
       (1L, 1L, 0L, 0L), (3L, 1L, 600L, 1L)))
   }
 
-  test("sign-LSH pair mining shuffles ids only — vectors never ride the distinct") {
+  test("sign-LSH pair mining: vectors never ride the pair distinct") {
     val base = Array.tabulate(64)(i => math.sin(i).toFloat)
     val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
     val far = Array.tabulate(64)(i => math.cos(i * 3).toFloat)
@@ -348,9 +348,12 @@ class OpsSpec extends SparkSpec {
     // materialized path returns a checkpoint scan with no exchanges)
     val pairs = Similarity.lshCosinePairs(df, "id", "vec", threshold = 0.99,
       dim = 64, materialize = false)
-    // the candidate distinct shuffles on (id_a, id_b); those exchanges
-    // must carry two ids and nothing else — the r3 plan dragged both
-    // full float vectors through here. Auto-broadcast is disabled too:
+    // the verified-pair distinct shuffles on (id_a, id_b); those
+    // exchanges must carry the ids plus the scalar cosine and nothing
+    // else — the r3 plan dragged both full float vectors through here,
+    // and in the r5 payload-carrying formulation the vector rides ONLY
+    // the pre-enumeration bucket exchange (once per table), never the
+    // pair stream. Auto-broadcast is disabled too:
     // on a 3-row fixture every join (and with it the distinct's
     // exchange) would otherwise collapse to broadcast and there would
     // be no pair shuffle to inspect — at corpus scale the shuffle path
@@ -378,8 +381,8 @@ class OpsSpec extends SparkSpec {
     pairShuffles.foreach { e =>
       assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
         s"pair shuffle carries an array payload: ${e.output.mkString(", ")}")
-      assert(e.output.size <= 2,
-        s"pair shuffle should carry the two ids only: ${e.output.mkString(", ")}")
+      assert(e.output.size <= 3,
+        s"pair shuffle should carry ids + scalar score only: ${e.output.mkString(", ")}")
     }
     // and the result is still right
     val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet

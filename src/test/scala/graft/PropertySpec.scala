@@ -262,6 +262,72 @@ class PropertySpec extends SparkSpec {
       s"expectedCount must skip the sizing count job: $jobsHinted vs $jobsAuto")
   }
 
+  test("grouped pair enumeration equals the naive capped self-join on random buckets") {
+    // bucketedSelfPairs folds the bucket cap into one collect_list
+    // aggregate; this checks it against the formulation it replaced —
+    // per-key self-join with oversized keys dropped — on skewed random
+    // bucket streams (some singleton keys, some heavy).
+    val rowGen = Gen.listOfN(400, for {
+      key <- Gen.frequency(6 -> Gen.choose(0, 60), 1 -> Gen.const(99))
+      id <- Gen.choose(0L, 120L)
+    } yield (key, id))
+    for (seed <- 1L to 3L; cap <- Seq(5, Int.MaxValue)) {
+      val rows = sample(rowGen, seed).distinct
+      val buckets = rows.toDF("b", "id")
+      val got = Dedup.bucketedSelfPairs(buckets, "id", Seq("b"), cap)
+        .as[(Long, Long)].collect().toSet
+      val byKey = rows.groupBy(_._1).filter(_._2.size <= cap)
+      val want = (for {
+        (_, members) <- byKey.toSeq
+        Seq(a, b) <- members.map(_._2).combinations(2)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b))).toSet
+      assert(got == want, s"seed $seed cap $cap: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
+  test("grouped cross-pair enumeration equals the naive capped a-b join") {
+    val sideGen = Gen.listOfN(200, for {
+      key <- Gen.choose(0, 40)
+      id <- Gen.choose(0L, 300L)
+    } yield (key, id))
+    for (seed <- 1L to 3L) {
+      val aRows = sample(sideGen, seed).distinct
+      val bRows = sample(sideGen, seed + 100).distinct
+      val cap = 4
+      val got = Dedup.bucketedCrossPairs(
+          aRows.toDF("b", "id_a"), bRows.toDF("b", "id_b"), Seq("b"), cap)
+        .as[(Long, Long)].collect().toSet
+      val aByKey = aRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val bByKey = bRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val want = (for {
+        k <- (aByKey.keySet ++ bByKey.keySet).toSeq
+        as = aByKey.getOrElse(k, Nil) if as.nonEmpty && as.size <= cap
+        bs = bByKey.getOrElse(k, Nil) if bs.nonEmpty && bs.size <= cap
+        a <- as; b <- bs
+      } yield (a, b)).toSet
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size} cross pairs")
+    }
+  }
+
+  test("fused sign-LSH projection equals the composed per-bit dot columns") {
+    import graft.ops.Similarity
+    val planes = Similarity.hyperplanes(dim = 16, bits = 13, l = 12, seed = 7L)
+    val vecGen = Gen.listOfN(50, Gen.listOfN(16, Gen.chooseNum(-1f, 1f)))
+    for (seed <- 1L to 2L) {
+      val vecs = sample(vecGen, seed).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+      val df = vecs.toDF("id", "vec")
+      def collect(b: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        b.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val fused = collect(df.select($"id",
+        graft.functions.VectorFunctions.signLshBuckets($"vec", planes).as("b")))
+      val composed = collect(df.select($"id",
+        array(planes.toIndexedSeq.map(t => Similarity.bucketCol($"vec", t)): _*).as("b")))
+      assert(fused == composed, s"seed $seed: fused/composed bucket mismatch")
+    }
+  }
+
   test("count-min estimates equal or exceed exact counts on random streams") {
     val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
     for (seed <- 1L to 3L) {
