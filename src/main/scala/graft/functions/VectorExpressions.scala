@@ -230,6 +230,96 @@ case class SigMatchCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature packed to ONE BYTE per lane (multiplicative hash,
+  * top byte) for the prefilter ESTIMATOR join. Lane agreement survives
+  * packing exactly (equal lanes ⇒ equal bytes), and a false byte match
+  * only INFLATES the estimate by (1−j)/256 ≈ 0.4% — conservative in
+  * the only direction that matters for a ≥-cutoff prefilter (a true
+  * pair's estimate never drops). What it buys: the estimate join
+  * attaches the signature to every candidate pair, and that column
+  * rides a per-CANDIDATE shuffle — at 192 lanes the array<long> form
+  * is 1.5 KB/pair-side (measured: a 96M-candidate x100 mine spilled
+  * ~150 GB sorting the second join's input and OOM'd the spill
+  * reader), the packed form 192 B. Null lanes (not produced by any
+  * graft signature expression) hash as a fixed code. */
+case class PackSigBytes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_pack_sig_bytes"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = BinaryType
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = if (x.isNullAt(i)) 0L else x.getLong(i)
+      out(i) = ((v * -7046029254386353131L) >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $a.isNullAt($i) ? 0L : $a.getLong($i);
+         |  $out[$i] = (byte) (($v * -7046029254386353131L) >>> 56);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of equal bytes between two [[PackSigBytes]]-packed signatures
+  * (positions past the shorter input don't match). */
+case class ByteMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_byte_matches"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = IntegerType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var m = 0; var i = 0
+    while (i < n) { if (x(i) == y(i)) m += 1; i += 1 }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) { if ($a[$i] == $b[$i]) $m++; }
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All sign-LSH bucket ids of a vector in ONE pass:
   * `output(t) = Σ_i (dot(vec, planes(t)(i)) >= 0 ? 1L << i : 0)`.
   *
@@ -333,6 +423,14 @@ object VectorFunctions {
   /** Count of agreeing lanes between two minhash signatures. */
   def sigMatchCount(a: Column, b: Column): Column =
     GraftSqlShim.column(SigMatchCount(expr(a), expr(b)))
+
+  /** Signature packed to one byte per lane (estimator-join form). */
+  def packSigBytes(sig: Column): Column =
+    GraftSqlShim.column(PackSigBytes(expr(sig)))
+
+  /** Count of agreeing bytes between two packed signatures. */
+  def byteMatchCount(a: Column, b: Column): Column =
+    GraftSqlShim.column(ByteMatchCount(expr(a), expr(b)))
 
   /** All sign-LSH table buckets of a vector in one fused pass. */
   def signLshBuckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =

@@ -35,6 +35,21 @@ object Dedup {
     * Pass `maxBucket = Int.MaxValue` to disable. */
   val DefaultMaxBucket: Int = 1024
 
+  /** Default signature length for the prefilter ESTIMATOR. The bucket
+    * stage only needs bands×rows lanes (48-64), but the 6σ prefilter
+    * cutoff is `threshold − 6·sqrt(t(1−t)/lanes)` — at 48 lanes that is
+    * est ≥ 0.30, which on template-heavy corpora admits tens of
+    * millions of mid-similarity pairs into the exact gram verify (the
+    * measured q42@x100 profile: 21M of 96M candidates survived, and
+    * the verify's per-pair multi-KB array joins were ~70% of the
+    * miner's runtime). At 192 lanes the same 6σ guarantee tightens the
+    * cutoff to est ≥ 0.50, which on that profile admits ~50k — the
+    * signature cost grows by ~3× (still a rounding error next to the
+    * verify it starves) and a true ≥-threshold pair is still dropped
+    * with probability ≤ 1e-9. Lanes beyond bands×rows change NO bucket
+    * decisions — enumeration recall is untouched. */
+  val DefaultEstHashes: Int = 192
+
   /** Drop LSH buckets with more than `maxBucket` members. Oversized
     * keys are found with a partial-aggregating groupBy count — the
     * shuffle moves one (key, count) row per bucket, not per member —
@@ -213,11 +228,12 @@ object Dedup {
                           shingleN: Int = 3, threshold: Double = 0.7,
                           bands: Int = 32, rows: Int = 2,
                           materialize: Boolean = true,
-                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                          maxBucket: Int = DefaultMaxBucket,
+                          estHashes: Int = DefaultEstHashes): DataFrame = {
     jaccardPairsFromShingles(
       spreadCompute(df, idCol).select(col(idCol), shingles(col(textCol), shingleN).as("sh")),
       idCol, threshold, bands, rows, materialize = materialize,
-      maxBucket = maxBucket)
+      maxBucket = maxBucket, estHashes = estHashes)
   }
 
   /** Materialize `result` eagerly (lineage truncated to the checkpoint
@@ -253,8 +269,11 @@ object Dedup {
                                        rows: Int,
                                        sigsOverride: Option[DataFrame] = None,
                                        materialize: Boolean = true,
-                                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val numHashes = bands * rows
+                                       maxBucket: Int = DefaultMaxBucket,
+                                       estHashes: Int = DefaultEstHashes): DataFrame = {
+    // first bands×rows lanes drive the buckets; ALL lanes drive the
+    // prefilter estimate (a sigsOverride must be built with this length)
+    val numHashes = math.max(bands * rows, estHashes)
     val sigs0 = sigsOverride
       .getOrElse(minhashSignatures(base0, idCol, col("sh"), numHashes))
     val sigs = if (materialize) sigs0.persist() else sigs0
@@ -262,15 +281,23 @@ object Dedup {
       posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val candidates = bucketedSelfPairs(bucketRows, idCol,
       Seq("band", "bucket"), maxBucket)
-    // prefilter: fraction of matching signature entries ≈ jaccard
+    // prefilter: fraction of matching signature entries ≈ jaccard.
+    // The signature joins onto every candidate pair and the attached
+    // column rides the second join's per-CANDIDATE shuffle, so the
+    // estimator uses the byte-PACKED signature (see [[PackSigBytes]]:
+    // 8× smaller, lane agreement preserved, byte collisions only ever
+    // raise the estimate — the 6σ recall floor is untouched)
+    val sigb0 = sigs.select(col(idCol),
+      graft.functions.VectorFunctions.packSigBytes(col("sig")).as("sigb"))
+    val sigb = if (materialize) sigb0.persist() else sigb0
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    // codegen lane-match count — this runs once per CANDIDATE PAIR, so
+    // codegen byte-match count — this runs once per CANDIDATE PAIR, so
     // the interpreted zip_with/filter formulation was the prefilter's cost
     val est = graft.functions.VectorFunctions
-      .sigMatchCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
+      .byteMatchCount(col("sigb_a"), col("sigb_b")).cast("double") / numHashes
     val prefiltered = candidates
-      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigb.select(col(idCol).as("id_a"), col("sigb").as("sigb_a")), Seq("id_a"))
+      .join(sigb.select(col(idCol).as("id_b"), col("sigb").as("sigb_b")), Seq("id_b"))
       .where(est >= threshold - sixSigma)
       .select("id_a", "id_b")
     val prefilteredM = if (materialize) prefiltered.persist() else prefiltered
@@ -297,7 +324,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    if (materialize) materializeAndRelease(verified, sigs, prefilteredM, shCand)
+    if (materialize) materializeAndRelease(verified, sigs, sigb, prefilteredM, shCand)
     else verified
   }
 
@@ -313,12 +340,19 @@ object Dedup {
                               threshold: Double = 0.7, bands: Int = 32,
                               rows: Int = 2,
                               materialize: Boolean = true,
-                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val numHashes = bands * rows
+                              maxBucket: Int = DefaultMaxBucket,
+                              estHashes: Int = DefaultEstHashes): DataFrame = {
+    val numHashes = math.max(bands * rows, estHashes)
     def prep(df: DataFrame) =
       spreadCompute(df, idCol).select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     def side(base: DataFrame, tag: String) = {
+      // packed-byte signatures for the estimator join (see
+      // jaccardPairsFromShingles — the long form would ride the
+      // per-candidate shuffle), long form only feeds the bucket stage
       val sigs0 = minhashSignatures(base, idCol, col("sh"), numHashes)
+        .select(col(idCol),
+          graft.functions.VectorFunctions.packSigBytes(col("sig")).as("sigb"),
+          col("sig"))
       val sigs = if (materialize) sigs0.persist() else sigs0
       val buckets = sigs.select(col(idCol).as(s"id_$tag"),
         posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
@@ -333,10 +367,10 @@ object Dedup {
       Seq("band", "bucket"), maxBucket)
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val est = graft.functions.VectorFunctions
-      .sigMatchCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
+      .byteMatchCount(col("sigb_a"), col("sigb_b")).cast("double") / numHashes
     val prefiltered = candidates
-      .join(sigsA.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigsB.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigsA.select(col(idCol).as("id_a"), col("sigb").as("sigb_a")), Seq("id_a"))
+      .join(sigsB.select(col(idCol).as("id_b"), col("sigb").as("sigb_b")), Seq("id_b"))
       .where(est >= threshold - sixSigma)
       .select("id_a", "id_b")
     // hashed-gram verification — same contract as the self-join miner
@@ -413,7 +447,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.7,
                         materialize: Boolean = true,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                        maxBucket: Int = DefaultMaxBucket,
+                        estHashes: Int = DefaultEstHashes): DataFrame = {
     val docs = spreadCompute(df, idCol)
     // signatures hash the sliding grams straight off the text
     // (MinHashSigChars — no gram-array materialization); the shingle
@@ -421,11 +456,12 @@ object Dedup {
     // semi-join pushdown means they are built only for prefilter
     // survivors (see jaccardPairsFromShingles)
     val sigs = docs.select(col(idCol),
-      graft.functions.MinHashSig.sigCharsRow(col(textCol), n, 16 * 3).as("sig"))
+      graft.functions.MinHashSig.sigCharsRow(col(textCol), n,
+        math.max(16 * 3, estHashes)).as("sig"))
     jaccardPairsFromShingles(
       docs.select(col(idCol), charShingles(col(textCol), n).as("sh")),
       idCol, threshold, bands = 16, rows = 3, sigsOverride = Some(sigs),
-      materialize = materialize, maxBucket = maxBucket)
+      materialize = materialize, maxBucket = maxBucket, estHashes = estHashes)
   }
 
   /** Persist the MinHash-LSH index of a corpus — the incremental-dedup
@@ -449,12 +485,13 @@ object Dedup {
                           bucketTable: String, sigTable: String,
                           shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
                           numBuckets: Int = 32,
-                          maxBucket: Int = DefaultMaxBucket): Unit = {
+                          maxBucket: Int = DefaultMaxBucket,
+                          estHashes: Int = DefaultEstHashes): Unit = {
     val spark = docs.sparkSession
     val base = spreadCompute(docs, idCol)
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     Bucketing.writeBucketedBy(
-      minhashSignatures(base, idCol, col("sh"), bands * rows),
+      minhashSignatures(base, idCol, col("sh"), math.max(bands * rows, estHashes)),
       sigTable, numBuckets, Seq(idCol), Seq(idCol))
     // signatures re-read from the table (not recomputed) to derive the
     // bucket rows; the write-time cap keeps probe plans scan-free
@@ -478,10 +515,11 @@ object Dedup {
     * plans stay exchange-free on the index side over old + new data.
     *
     * Contracts carried over from the index build:
-    *  - `bands`/`rows`/`shingleN`/`numBuckets` must equal the values
-    *    the index was written with (the bucket spec is validated by
-    *    Spark; the signature geometry cannot be — mixing geometries
-    *    silently breaks the prefilter, so pass the same config).
+    *  - `bands`/`rows`/`shingleN`/`numBuckets`/`estHashes` must equal
+    *    the values the index was written with (the bucket spec is
+    *    validated by Spark; the signature geometry cannot be — mixing
+    *    geometries silently breaks the prefilter, so pass the same
+    *    config).
     *  - ids must be unique ACROSS crawls (same contract as the
     *    cross-corpus miners).
     *  - `maxBucket` caps each appended batch on its own: a bucket can
@@ -494,11 +532,13 @@ object Dedup {
                              bucketTable: String, sigTable: String,
                              shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
                              numBuckets: Int = 32,
-                             maxBucket: Int = DefaultMaxBucket): Unit = {
+                             maxBucket: Int = DefaultMaxBucket,
+                             estHashes: Int = DefaultEstHashes): Unit = {
     val base = spreadCompute(newDocs, idCol)
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     // crawl-sized, read by both appends — persist instead of re-signaturing
-    val sigs = minhashSignatures(base, idCol, col("sh"), bands * rows).persist()
+    val sigs = minhashSignatures(base, idCol, col("sh"),
+      math.max(bands * rows, estHashes)).persist()
     try {
       Bucketing.appendBucketedBy(sigs, sigTable, numBuckets, Seq(idCol), Seq(idCol))
       val buckets = capBuckets(
@@ -536,8 +576,11 @@ object Dedup {
                                        threshold: Double = 0.7,
                                        bands: Int = 32, rows: Int = 2,
                                        materialize: Boolean = true,
-                                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val numHashes = bands * rows
+                                       maxBucket: Int = DefaultMaxBucket,
+                                       estHashes: Int = DefaultEstHashes): DataFrame = {
+    // must equal the estHashes the index was written with (same
+    // geometry contract as bands/rows — see appendToSignatureIndex)
+    val numHashes = math.max(bands * rows, estHashes)
     val baseA = spreadCompute(newDocs, idCol)
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     val sigsA0 = minhashSignatures(baseA, idCol, col("sh"), numHashes)
@@ -552,12 +595,17 @@ object Dedup {
         Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // estimator over byte-packed signatures (the index stores the long
+    // form; packing is a per-row projection on the bucketed scan — no
+    // exchange added, and the per-candidate join payload shrinks 8×)
     val est = graft.functions.VectorFunctions
-      .sigMatchCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
+      .byteMatchCount(col("sigb_a"), col("sigb_b")).cast("double") / numHashes
     val prefiltered0 = candidates
-      .join(sigsA.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsA.select(col(idCol).as("id_a"),
+        graft.functions.VectorFunctions.packSigBytes(col("sig")).as("sigb_a")), Seq("id_a"))
       .join(spark.table(sigTable)
-          .select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .select(col(idCol).as("id_b"),
+            graft.functions.VectorFunctions.packSigBytes(col("sig")).as("sigb_b")), Seq("id_b"))
       .where(est >= threshold - sixSigma)
       .select("id_a", "id_b")
     val prefiltered = if (materialize) prefiltered0.persist() else prefiltered0

@@ -96,6 +96,40 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == Seq(2, 2, 0))
   }
 
+  test("packed-byte signature match count preserves lane agreement and only over-counts") {
+    import org.apache.spark.sql.functions._
+    // random-ish signatures with planted agreement patterns
+    val rows = (1 to 200).map { i =>
+      val a = Array.tabulate(48)(j => (i * 7919L + j * 104729L) % 1000003L)
+      // b agrees with a on lanes where (i+j) % 3 == 0, else differs
+      val b = Array.tabulate(48)(j =>
+        if ((i + j) % 3 == 0) a(j) else a(j) + 1 + (j % 5))
+      (a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        VectorFunctions.sigMatchCount(col("a"), col("b")).as("exact"),
+        VectorFunctions.byteMatchCount(
+          VectorFunctions.packSigBytes(col("a")),
+          VectorFunctions.packSigBytes(col("b"))).as("packed"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (exact, packed) =>
+      // equal lanes always produce equal bytes; unequal lanes can
+      // collide into a byte match but never the reverse — the packed
+      // count is an upper bound on the exact count
+      assert(packed >= exact, s"packed $packed < exact $exact")
+      assert(packed <= 48)
+    }
+    // identical signatures: every byte matches
+    val self = df.select(VectorFunctions.byteMatchCount(
+      VectorFunctions.packSigBytes(col("a")),
+      VectorFunctions.packSigBytes(col("a"))).as("m")).as[Int].collect()
+    assert(self.forall(_ == 48))
+    // packing is 1 byte per lane
+    val len = df.select(length(VectorFunctions.packSigBytes(col("a")))).as[Int].head()
+    assert(len == 48)
+  }
+
   test("graft_cosine SQL registration works through spark.sql") {
     VectorFunctions.register(spark)
     Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
