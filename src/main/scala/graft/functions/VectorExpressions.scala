@@ -284,8 +284,15 @@ case class PackSigBytes(child: Expression)
     copy(child = newChild)
 }
 
-/** Count of equal bytes between two [[PackSigBytes]]-packed signatures
-  * (positions past the shorter input don't match). */
+/** Count of equal bytes between two [[PackSigBytes]]-packed signatures.
+  *
+  * STRICT on length: two packed signatures of different lengths mean
+  * the two sides were built with different `estHashes` geometries (e.g.
+  * probing an index written under an older default), and a lenient
+  * min-length count would silently push every estimate under the
+  * prefilter cutoff — a probe that "works" but returns zero pairs.
+  * That failure mode is invisible; the thrown geometry error is not,
+  * and it names the fix (pass the index's estHashes to the probe). */
 case class ByteMatchCount(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
@@ -296,7 +303,8 @@ case class ByteMatchCount(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) ByteMatchCount.geometryError(x.length, y.length)
+    val n = x.length
     var m = 0; var i = 0
     while (i < n) { if (x(i) == y(i)) m += 1; i += 1 }
     m
@@ -308,7 +316,9 @@ case class ByteMatchCount(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
+         |if ($a.length != $b.length)
+         |  graft.functions.ByteMatchCount.geometryError($a.length, $b.length);
+         |int $n = $a.length;
          |int $m = 0;
          |for (int $i = 0; $i < $n; $i++) { if ($a[$i] == $b[$i]) $m++; }
          |${ev.value} = $m;
@@ -318,6 +328,15 @@ case class ByteMatchCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object ByteMatchCount {
+  /** Called from generated code too — keep the signature stable. */
+  def geometryError(a: Int, b: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"packed-signature geometry mismatch: $a vs $b lanes — the two " +
+        "sides were built with different estHashes (bands*rows/estHashes " +
+        "must match the values the signatures/index were written with)")
 }
 
 /** All sign-LSH bucket ids of a vector in ONE pass:

@@ -517,9 +517,9 @@ object Dedup {
     * Contracts carried over from the index build:
     *  - `bands`/`rows`/`shingleN`/`numBuckets`/`estHashes` must equal
     *    the values the index was written with (the bucket spec is
-    *    validated by Spark; the signature geometry cannot be — mixing
-    *    geometries silently breaks the prefilter, so pass the same
-    *    config).
+    *    validated by Spark; a signature-geometry mismatch fails loudly
+    *    at estimate time — [[graft.functions.ByteMatchCount]] throws on
+    *    unequal lane counts rather than silently dropping every pair).
     *  - ids must be unique ACROSS crawls (same contract as the
     *    cross-corpus miners).
     *  - `maxBucket` caps each appended batch on its own: a bucket can

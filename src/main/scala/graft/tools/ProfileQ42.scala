@@ -39,19 +39,26 @@ object ProfileQ42 {
     // prefilter so its cost/selectivity is attributed separately from
     // the exact gram verify
     timed("prefilter (join sigs, 6σ)") {
-      val threshold = 0.7; val numHashes = bands * rows
-      val sigsP = sigs.persist()
+      // mirrors the SHIPPED estimator: estHashes wide, byte-packed for
+      // the per-candidate join (see Dedup.jaccardPairsFromShingles)
+      val threshold = 0.7
+      val numHashes = math.max(bands * rows, graft.ops.Dedup.DefaultEstHashes)
+      val sigsW = base.select(col("doc_id"),
+        graft.functions.MinHashSig.sigCharsRow(col("text"), n, numHashes).as("sig"))
+      val sigsP = sigsW.persist()
       val bucketRows2 = sigsP.select(col("doc_id"),
         posexplode(graft.ops.Dedup.lshBuckets(col("sig"), bands, rows))
           .as(Seq("band", "bucket")))
       val cand = graft.ops.Dedup.bucketedSelfPairs(bucketRows2, "doc_id",
         Seq("band", "bucket"), graft.ops.Dedup.DefaultMaxBucket)
       val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+      val sigb = sigsP.select(col("doc_id"),
+        graft.functions.VectorFunctions.packSigBytes(col("sig")).as("sigb"))
       val est = graft.functions.VectorFunctions
-        .sigMatchCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
+        .byteMatchCount(col("sigb_a"), col("sigb_b")).cast("double") / numHashes
       val joined = cand
-        .join(sigsP.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sigsP.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .join(sigb.select(col("doc_id").as("id_a"), col("sigb").as("sigb_a")), Seq("id_a"))
+        .join(sigb.select(col("doc_id").as("id_b"), col("sigb").as("sigb_b")), Seq("id_b"))
       // distribution of the estimator over ALL candidates: how many
       // pairs a tighter cutoff would spare the exact verify
       val hist = joined

@@ -130,6 +130,21 @@ class FunctionsSpec extends SparkSpec {
     assert(len == 48)
   }
 
+  test("packed signature geometry mismatch fails loudly, not as zero matches") {
+    import org.apache.spark.sql.functions._
+    // probing an index written with a different estHashes must throw —
+    // a lenient min-length count would silently drop every pair
+    val df = Seq((Seq.fill(192)(7L), Seq.fill(48)(7L))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(VectorFunctions.byteMatchCount(
+        VectorFunctions.packSigBytes(col("a")),
+        VectorFunctions.packSigBytes(col("b")))).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert(root(ex).getMessage.contains("geometry mismatch"))
+  }
+
   test("graft_cosine SQL registration works through spark.sql") {
     VectorFunctions.register(spark)
     Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
