@@ -178,6 +178,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Scored variant of [[bucketedCrossPairs]] (mirrors
+    * [[bucketedSelfPairsScored]]): both sides carry a small fixed-width
+    * payload column `p` through the one bucket exchange, `score`
+    * evaluates bucket-locally on each a×b pair and `keep` filters
+    * before the cross-band distinct. Input frames: (keyCols…, id_a, p)
+    * and (keyCols…, id_b, p). */
+  private[graft] def bucketedCrossPairsScored(
+      bucketsA: DataFrame, bucketsB: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, score: (Column, Column) => Column,
+      keep: Column => Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val tagged = bucketsA.select(
+        keys :+ struct(col("id_a").as("id"), col("p")).as("__m")
+          :+ lit(true).as("__a"): _*)
+      .unionAll(bucketsB.select(
+        keys :+ struct(col("id_b").as("id"), col("p")).as("__m")
+          :+ lit(false).as("__a"): _*))
+    val cap = if (maxBucket == Int.MaxValue) Int.MaxValue else maxBucket
+    tagged
+      .groupBy(keys: _*)
+      .agg(collect_list(when(col("__a"), col("__m"))).as("__ms_a"),
+        collect_list(when(!col("__a"), col("__m"))).as("__ms_b"))
+      .where(size(col("__ms_a")).between(1, cap) &&
+        size(col("__ms_b")).between(1, cap))
+      .select(explode(col("__ms_a")).as("__pa"), col("__ms_b"))
+      .select(col("__pa"), explode(col("__ms_b")).as("__pb"))
+      .select(col("__pa")("id").as("id_a"), col("__pb")("id").as("id_b"),
+        score(col("__pa")("p"), col("__pb")("p")).as("score"))
+      .where(keep(col("score")))
+      .distinct()
+  }
+
   /** Exact dedup: one representative (min id) per identical content.
     * Returns (h, keep_id, n_copies). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -274,31 +306,30 @@ object Dedup {
     // first bands×rows lanes drive the buckets; ALL lanes drive the
     // prefilter estimate (a sigsOverride must be built with this length)
     val numHashes = math.max(bands * rows, estHashes)
-    val sigs0 = sigsOverride
+    val sigs = sigsOverride
       .getOrElse(minhashSignatures(base0, idCol, col("sh"), numHashes))
-    val sigs = if (materialize) sigs0.persist() else sigs0
+    // prefilter: fraction of matching signature entries ≈ jaccard,
+    // evaluated BUCKET-LOCALLY. The byte-PACKED signature (see
+    // [[PackSigBytes]]: 8× smaller than the long form, lane agreement
+    // preserved, byte collisions only ever raise the estimate — the 6σ
+    // recall floor is untouched) is a fixed-width ~estHashes-byte
+    // payload, so it rides the ONE bucket exchange inside the grouped
+    // member list and the estimate filters candidates BEFORE the
+    // cross-band distinct (bucketedSelfPairsScored). The previous
+    // join-back formulation shuffled the signature once per CANDIDATE
+    // side — measured at x100/q42: 96M candidates × 2 × 192 B ≈ 37 GB
+    // through two sort-merge joins plus a 96M-pair distinct, vs
+    // 500k docs × 16 bands × 192 B ≈ 1.5 GB through the bucket
+    // exchange here (and the distinct shrinks to the ~25k survivors).
     val bucketRows = sigs.select(col(idCol),
-      posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val candidates = bucketedSelfPairs(bucketRows, idCol,
-      Seq("band", "bucket"), maxBucket)
-    // prefilter: fraction of matching signature entries ≈ jaccard.
-    // The signature joins onto every candidate pair and the attached
-    // column rides the second join's per-CANDIDATE shuffle, so the
-    // estimator uses the byte-PACKED signature (see [[PackSigBytes]]:
-    // 8× smaller, lane agreement preserved, byte collisions only ever
-    // raise the estimate — the 6σ recall floor is untouched)
-    val sigb0 = sigs.select(col(idCol),
+      posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")),
       graft.functions.VectorFunctions.packSigBytes(col("sig")).as("sigb"))
-    val sigb = if (materialize) sigb0.persist() else sigb0
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    // codegen byte-match count — this runs once per CANDIDATE PAIR, so
-    // the interpreted zip_with/filter formulation was the prefilter's cost
-    val est = graft.functions.VectorFunctions
-      .byteMatchCount(col("sigb_a"), col("sigb_b")).cast("double") / numHashes
-    val prefiltered = candidates
-      .join(sigb.select(col(idCol).as("id_a"), col("sigb").as("sigb_a")), Seq("id_a"))
-      .join(sigb.select(col(idCol).as("id_b"), col("sigb").as("sigb_b")), Seq("id_b"))
-      .where(est >= threshold - sixSigma)
+    val prefiltered = bucketedSelfPairsScored(
+        bucketRows, idCol, "sigb", Seq("band", "bucket"), maxBucket,
+        score = (a, b) => graft.functions.VectorFunctions
+          .byteMatchCount(a, b).cast("double") / numHashes,
+        keep = _ >= threshold - sixSigma)
       .select("id_a", "id_b")
     val prefilteredM = if (materialize) prefiltered.persist() else prefiltered
     // shingle arrays ONLY for docs that appear in a surviving candidate,
@@ -324,7 +355,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    if (materialize) materializeAndRelease(verified, sigs, sigb, prefilteredM, shCand)
+    if (materialize) materializeAndRelease(verified, prefilteredM, shCand)
     else verified
   }
 
@@ -345,33 +376,24 @@ object Dedup {
     val numHashes = math.max(bands * rows, estHashes)
     def prep(df: DataFrame) =
       spreadCompute(df, idCol).select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-    def side(base: DataFrame, tag: String) = {
-      // packed-byte signatures for the estimator join (see
-      // jaccardPairsFromShingles — the long form would ride the
-      // per-candidate shuffle), long form only feeds the bucket stage
-      val sigs0 = minhashSignatures(base, idCol, col("sh"), numHashes)
-        .select(col(idCol),
-          graft.functions.VectorFunctions.packSigBytes(col("sig")).as("sigb"),
-          col("sig"))
-      val sigs = if (materialize) sigs0.persist() else sigs0
-      val buckets = sigs.select(col(idCol).as(s"id_$tag"),
-        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-      (sigs, buckets)
-    }
+    // byte-packed signature as the bucket-row payload: the estimate
+    // evaluates bucket-locally and filters before the cross-band
+    // distinct (see jaccardPairsFromShingles for the shuffle
+    // accounting); each side capped independently inside the grouped
+    // pass — a bucket of A·B candidate pairs is bounded once either
+    // factor is
+    def side(base: DataFrame, tag: String) =
+      minhashSignatures(base, idCol, col("sh"), numHashes)
+        .select(col(idCol).as(s"id_$tag"),
+          posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")),
+          graft.functions.VectorFunctions.packSigBytes(col("sig")).as("p"))
     val (baseA, baseB) = (prep(a), prep(b))
-    val (sigsA, bucketsA) = side(baseA, "a")
-    val (sigsB, bucketsB) = side(baseB, "b")
-    // each side capped independently inside the grouped pass: a bucket
-    // of A·B candidate pairs is bounded once either factor is
-    val candidates = bucketedCrossPairs(bucketsA, bucketsB,
-      Seq("band", "bucket"), maxBucket)
     val sixSigma = 6.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val est = graft.functions.VectorFunctions
-      .byteMatchCount(col("sigb_a"), col("sigb_b")).cast("double") / numHashes
-    val prefiltered = candidates
-      .join(sigsA.select(col(idCol).as("id_a"), col("sigb").as("sigb_a")), Seq("id_a"))
-      .join(sigsB.select(col(idCol).as("id_b"), col("sigb").as("sigb_b")), Seq("id_b"))
-      .where(est >= threshold - sixSigma)
+    val prefiltered = bucketedCrossPairsScored(
+        side(baseA, "a"), side(baseB, "b"), Seq("band", "bucket"), maxBucket,
+        score = (pa, pb) => graft.functions.VectorFunctions
+          .byteMatchCount(pa, pb).cast("double") / numHashes,
+        keep = _ >= threshold - sixSigma)
       .select("id_a", "id_b")
     // hashed-gram verification — same contract as the self-join miner
     // (see jaccardPairsFromShingles): bit-equal Jaccard absent 2⁻⁶⁴
@@ -386,7 +408,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    if (materialize) materializeAndRelease(verified, sigsA, sigsB) else verified
+    if (materialize) materializeAndRelease(verified) else verified
   }
 
   /** 64-bit SimHash over whitespace tokens. Pure column expressions: the

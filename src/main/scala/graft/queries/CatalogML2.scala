@@ -518,7 +518,13 @@ object CatalogML2 {
         .select(col("doc_id"), col("clean"),
           TextOps.langIdFromTokens(col("__toks")).as("pred_lang"),
           TextOps.qualityScoreFromTokens(col("clean"), col("__toks")).as("quality"))
-      val filtered = scored.where(col("quality") >= 0.5)
+      // the filtered intermediate feeds BOTH the pair miner (signature
+      // scan) and the keep-one anti-join — persist it so the scrub +
+      // tokenize + score regexes run once, not once per consumer (the
+      // pattern a real pipeline uses for any multi-consumer stage;
+      // Bench clears the cache after each query, so every timed pass
+      // pays its own materialization)
+      val filtered = scored.where(col("quality") >= 0.5).persist()
       val pairs = Dedup.minhashJaccardPairs(filtered, "doc_id", "clean",
         shingleN = 3, threshold = 0.7)
       val kept = Dedup.keepRepresentatives(filtered, "doc_id", pairs)
