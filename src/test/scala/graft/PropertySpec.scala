@@ -310,6 +310,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scored cross-pair enumeration equals unscored enumeration plus a payload join") {
+    // bucketedCrossPairsScored carries the payload through the bucket
+    // exchange and filters bucket-locally; it must emit exactly the
+    // pairs the join-back formulation keeps — enumerate unscored, join
+    // payloads back, score, filter — on skewed random bucket streams
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val sideGen = Gen.listOfN(150, for {
+      key <- Gen.frequency(4 -> Gen.choose(0, 25), 1 -> Gen.const(7))
+      id <- Gen.choose(0L, 200L)
+    } yield (key, id))
+    for (seed <- 1L to 3L) {
+      val aRows = sample(sideGen, seed).distinct
+      val bRows = sample(sideGen, seed + 50).distinct
+      val cap = 6
+      // payload: a deterministic per-id byte string; score: count of
+      // equal bytes (the real miners' estimator shape)
+      def payload(id: Column) = concat(md5(id.cast("string")).cast("binary"))
+      val a = aRows.toDF("b", "id_a").withColumn("p", payload(col("id_a")))
+      val bdf = bRows.toDF("b", "id_b").withColumn("p", payload(col("id_b")))
+      val score = (pa: Column, pb: Column) =>
+        graft.functions.VectorFunctions.byteMatchCount(pa, pb).cast("double")
+      val keepAt = 20.0
+      val got = Dedup.bucketedCrossPairsScored(a, bdf, Seq("b"), cap,
+          score, _ >= keepAt)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = Dedup.bucketedCrossPairs(
+          aRows.toDF("b", "id_a"), bRows.toDF("b", "id_b"), Seq("b"), cap)
+        .join(a.select(col("id_a"), col("p").as("pa")).distinct(), Seq("id_a"))
+        .join(bdf.select(col("id_b"), col("p").as("pb")).distinct(), Seq("id_b"))
+        .where(score(col("pa"), col("pb")) >= keepAt)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size} scored pairs")
+    }
+  }
+
   test("fused sign-LSH projection equals the composed per-bit dot columns") {
     import graft.ops.Similarity
     val planes = Similarity.hyperplanes(dim = 16, bits = 13, l = 12, seed = 7L)
