@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Single-pass signature aggregates for near-duplicate mining.
   *
@@ -387,13 +387,36 @@ case class MinHashSigChars(child: Expression, n: Int, numHashes: Int)
   * same explode-free reasoning as [[MinHashSigRow]]: tokens are
   * row-local, so the fingerprint folds in one JVM loop per document
   * (hash each token once with xxhash64 seed 42, 64 ±1 votes, assemble).
-  * Bit-identical to explode + [[SimHashAgg]]. */
+  * Bit-identical to explode + [[SimHashAgg]].
+  *
+  * Accepts either `array<string>` (tokens, hashed internally with
+  * xxhash64) or `array<long>` (PRE-hashed tokens — e.g. the portable
+  * md5-derived hash a differential oracle can recompute verbatim,
+  * [[graft.ops.Dedup.portableHash64]]); the vote/assemble fold is
+  * identical in both modes. */
 case class SimHashRow(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def prettyName: String = "graft_simhash_row"
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+
+  /** True when the input carries pre-hashed 64-bit token hashes.
+    * Lazy: child.dataType is only callable once the child is resolved. */
+  private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> or array<long>, got ${other.catalogString}")
+    }
 
   /** Whole-fingerprint loop; codegen target (one call per row, see
     * [[MinHashSigRow.compute]]). */
@@ -402,10 +425,11 @@ case class SimHashRow(child: Expression)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (s != null) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, org.apache.spark.sql.types.StringType, 42L)
+      if (!arr.isNullAt(i)) {
+        val h =
+          if (preHashed) arr.getLong(i)
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(arr.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
         var bit = 0
         while (bit < 64) {
           votes(bit) += (if (((h >> bit) & 1L) == 1L) 1L else -1L)

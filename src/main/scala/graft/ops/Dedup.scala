@@ -425,28 +425,47 @@ object Dedup {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Portable 64-bit token hash built from the two 32-bit halves of the
+    * md5 hex digest — bit-for-bit reproducible in any engine with `md5`
+    * (each half parses 8 hex chars, so no engine-side 64-bit shift
+    * overflow; the halves recombine to Java's wrapping `hi<<32 | lo`).
+    * The differential-testing twin of the default engine-internal
+    * xxhash64 token hash: pass as `tokenHash` to [[simhashes]] /
+    * [[simhashPairs]] when the output must be recomputable verbatim by
+    * an external oracle (same role as the md5 membership thresholds in
+    * [[Sampling.deterministicSplit]]). */
+  def portableHash64(c: Column): Column =
+    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
+
   /** SimHash table as a pure per-row map (mirrors [[minhashSignatures]]):
     * the token array is row-local, so the 64-bit fingerprint folds inside
     * ONE [[graft.functions.SimHashRow]] expression — no explode, no
     * aggregation, no shuffle. (The explode + SimHashAgg aggregate form
     * remains for pre-exploded token streams; bit-identical output.)
+    * `tokenHash` swaps the engine-internal xxhash64 for a caller-chosen
+    * per-token hash (see [[portableHash64]]); the fold is unchanged.
     * Returns (idCol, sim: bigint). */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      graft.functions.SimHashAgg.simRow(tokens(col(textCol))).as("sim"))
+  def simhashes(df: DataFrame, idCol: String, textCol: String,
+                tokenHash: Option[Column => Column] = None): DataFrame = {
+    val toks = tokens(col(textCol))
+    val in = tokenHash.fold(toks)(h => transform(toks, h))
+    df.select(col(idCol), graft.functions.SimHashAgg.simRow(in).as("sim"))
+  }
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist, using
     * 4×16-bit band exact-match candidates (guaranteed recall for
     * maxDist <= 3 by pigeonhole) + exact popcount verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, materialize: Boolean = true,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket,
+                   tokenHash: Option[Column => Column] = None): DataFrame = {
     // the fingerprint IS the verification payload (one long), so it
     // rides the band rows into the grouped enumeration and hamming
     // evaluates bucket-locally before the cross-band distinct
     // ([[bucketedSelfPairsScored]]) — no fingerprint re-join, no
     // persist: the banded stream is the signature stage's one consumer
-    val banded = simhashes(spreadCompute(df, idCol), idCol, textCol)
+    val banded = simhashes(spreadCompute(df, idCol), idCol, textCol, tokenHash)
       .withColumn("band", explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)))

@@ -126,11 +126,48 @@ object CatalogML {
         |               - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin)),
 
-    // SimHash near-dup pairs (hash family is engine-internal → rows-only).
+    // SimHash near-dup pairs. The portable md5-derived token hash
+    // (Dedup.portableHash64) makes the 64-bit fingerprints engine-
+    // independent, so the oracle recomputes them verbatim: per-token
+    // ±1 votes per bit, majority assemble, then EXACT all-pairs
+    // Hamming <= 3 — which the banded Spark path equals by pigeonhole
+    // (<= 3 differing bits leave at least one of the 4×16-bit bands
+    // identical, and popcount verification is exact). DuckDB's 64-bit
+    // left shift overflow-errors, so the oracle carries the fingerprint
+    // as two 32-bit halves; Hamming adds the halves' popcounts.
     ("q36_dedup_simhash", (s: SparkSession, d: String) => {
-      Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxDist = 3)
+      Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxDist = 3,
+          tokenHash = Some(Dedup.portableHash64))
         .orderBy("id_a", "id_b")
-    }, None),
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_hi,
+        |         ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_lo
+        |  FROM toks
+        |), votes AS (
+        |  SELECT doc_id, bit,
+        |         sum(CASE WHEN bit < 32
+        |                  THEN (h_lo >> bit) & 1
+        |                  ELSE (h_hi >> (bit - 32)) & 1 END * 2 - 1) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+        |  GROUP BY doc_id, bit
+        |), sims AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN v > 0 AND bit < 32
+        |                  THEN (1::BIGINT << bit) ELSE 0 END) AS lo,
+        |         sum(CASE WHEN v > 0 AND bit >= 32
+        |                  THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     // Exact ANN: top-5 cosine neighbors for the first 100 vectors.
     // Both engines compute the cosine in double precision over the same
@@ -533,14 +570,27 @@ object CatalogML {
         |ORDER BY l_returnflag""".stripMargin)),
 
     // UDF surface: scalar entropy quality signal (UDF by necessity —
-    // data-dependent control flow; deterministic per row but kept
-    // rows-only since no SQL-expressible oracle).
+    // data-dependent control flow). Oracle: DuckDB's entropy() aggregate
+    // is the same base-2 Shannon entropy over the character multiset;
+    // both sides round to 6 decimals because FP summation order differs
+    // between the UDF's hash-map fold and the aggregate (≈1e-15 relative
+    // drift, ~9 orders below the rounding grain). The corpus is pure
+    // ASCII (FIXTURES.md), so UTF-16 code units == code points and the
+    // two engines agree on "character".
     ("q48_text_entropy", (s: SparkSession, d: String) => {
       graft.functions.GraftUdfs.register(s)
       spread(table(s, d, "documents"), "doc_id")
-        .selectExpr("doc_id", "graft_char_entropy(text) AS entropy_bits")
+        .selectExpr("doc_id", "round(graft_char_entropy(text), 6) AS entropy_bits")
         .orderBy("doc_id")
-    }, None),
+    }, Some(
+      """SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS entropy_bits
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, entropy(ch) AS ent
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents)
+        |  GROUP BY doc_id
+        |) e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // IVF approximate ANN (recall < 1 by design → rows-only; exactness is
     // covered by q37, the scalatest suite checks recall vs brute force).
