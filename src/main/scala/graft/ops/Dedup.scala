@@ -786,4 +786,158 @@ object Dedup {
       bits = Similarity.autoBits(
         if (expectedCount >= 0) expectedCount else df.count()),
       dim = dim, maxBucket = maxBucket)
+
+  // ─────────────────────── duplicated spans (ExactSubstr) ───────────────────
+
+  /** One 64-bit half of an md5 hex digest already held in column `m`:
+    * parses 8+8 hex chars at 1-based `off` (each half < 2^32, so the
+    * conv→long cast cannot overflow) and recombines with a wrapping
+    * shift — the same recipe as [[portableHash64]], reused here so the
+    * digest is computed once and split twice. */
+  private def md5Half64(m: Column, off: Int): Column =
+    shiftleft(conv(substring(m, off, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(m, off + 8, 8), 16, 10).cast("long"))
+
+  /** Merge marked gram positions into maximal [start, end] character
+    * intervals per document: each pos covers [pos, pos+spanLen-1], and
+    * marks whose covered regions overlap or touch merge (gaps-and-
+    * islands over a per-document window — document-local state, no
+    * global sort). */
+  private def mergeSpans(marks: DataFrame, idCol: String, spanLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("pos") + lit((spanLen - 1).toLong))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marks
+      // first mark per doc: prevEnd is null → condition null → new island
+      .withColumn("__brk", when(col("pos") <= prevEnd + lit(1L), lit(0L)).otherwise(lit(1L)))
+      .withColumn("__isl", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit((spanLen - 1).toLong)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1L)).as("span_chars"))
+  }
+
+  /** Shared tail of the two span miners: count occurrences of each
+    * 128-bit gram hash, keep hashes seen at least `minOcc` times, mark
+    * the contributing positions, merge into intervals. The gram stream
+    * is shuffled by (h1, h2) for BOTH the partial-agg count and the
+    * mark join, and the two shuffles are the same exchange subtree —
+    * Spark's ReuseExchange materializes it once and reads it twice. */
+  private def spansFromGrams(grams: DataFrame, idCol: String,
+                             spanLen: Int, minOcc: Int): DataFrame = {
+    val occ = grams.groupBy("h1", "h2").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minOcc)
+    val marks = grams.join(occ, Seq("h1", "h2")).select(col(idCol), col("pos"))
+    mergeSpans(marks, idCol, spanLen)
+  }
+
+  /** Exact duplicated-span detection — the ExactSubstr dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-expressed relationally: every `spanLen`-char window
+    * of `textCol` occurring at least `minOcc` times anywhere in the
+    * corpus (across documents or repeated within one) marks its
+    * positions, and overlapping/touching marks merge into removable
+    * character intervals per document.
+    *
+    * Scale design: the span TEXT never leaves its source row — the
+    * stream that shuffles is (id, pos, h1, h2) where (h1, h2) is the
+    * full 128-bit md5 of the span (16-byte key: collision-odds
+    * cryptographic, and PORTABLE — an external engine recomputes the
+    * digest verbatim, same differential-testing property as
+    * [[portableHash64]]). Occurrence counting is a partial-aggregating
+    * groupBy on that key, and the mark join re-reads the same exchange
+    * (ReuseExchange), so the stride-1 stream pays ONE shuffle of ~28
+    * bytes per corpus character. That prices per-char exactness to
+    * ~corpus-size × 28 shuffle bytes — fine into the tens of TB; past
+    * that, [[duplicatedSpansWinnowed]] trades a detection-length floor
+    * for a ~window× smaller stream.
+    *
+    * Returns (idCol, span_start, span_end, span_chars); positions are
+    * 1-based inclusive bigints. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      spanLen: Int, minOcc: Int = 2): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
+    val grams = spreadCompute(docs, idCol)
+      .where(length(col(textCol)) >= spanLen)
+      .select(col(idCol), col(textCol).as("__t"))
+      // explode positions first, then hash: the substring + md5 run
+      // inside the same whole-stage-codegen pipeline as the explode, so
+      // the per-position text copies never materialize beyond a register
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("__t")) - lit(spanLen - 1))).as("__p"),
+        col("__t"))
+      .select(col(idCol), col("__p").cast("long").as("pos"),
+        md5(col("__t").substr(col("__p"), lit(spanLen))).as("__m"))
+      .select(col(idCol), col("pos"),
+        md5Half64(col("__m"), 1).as("h1"), md5Half64(col("__m"), 17).as("h2"))
+    spansFromGrams(grams, idCol, spanLen, minOcc)
+  }
+
+  /** Duplicated-span detection for corpora where the stride-1 gram
+    * stream is too large: winnowing anchor selection (Schleimer,
+    * Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003). Each document keeps, for every
+    * window of `window` consecutive grams, the position of the
+    * lexicographically smallest gram md5 (leftmost on ties) — a
+    * CONTENT-DEFINED choice, so two copies of a span select the same
+    * anchors regardless of their alignment in their documents (the
+    * failure mode of fixed-stride sampling, where copies at different
+    * offsets sample disjoint substrings and never match). The rule
+    * must be argmin-of-EACH-window, not "gram equals its trailing-
+    * window min": the latter lets a small hash just before a shared
+    * region veto the region's argmin in one document but not the
+    * other, which silently breaks the guarantee below (caught by
+    * DupSpansSpec's planted-alignment test).
+    *
+    * Guarantee (winnowing theorem): any duplicated region of at least
+    * `window + spanLen - 1` characters contains a full gram window,
+    * whose argmin both copies select — so it shares at least one
+    * anchor; shorter duplicates may be missed, a recall floor, not a
+    * correctness bug. With `window <= spanLen`, anchors of one region
+    * always merge into one interval (consecutive selected positions
+    * are at most `window` grams apart — winnowing's density bound —
+    * less than the `spanLen` cover). Reported boundaries are anchor-
+    * cover approximations: up to ~`window` grams tighter than the true
+    * duplicated region. Documents with fewer than `window` grams use
+    * one whole-document window (strict winnowing would fingerprint
+    * nothing there and could never match short documents).
+    *
+    * Scale design: selection happens INSIDE one per-row projection
+    * (array HOFs over the row-local gram-hash array — O(len × window)
+    * comparisons, zero shuffle), so unselected grams never become rows
+    * and the shuffled stream shrinks ~window× vs [[duplicatedSpans]].
+    * The downstream count/mark/merge is shared ([[spansFromGrams]]). */
+  def duplicatedSpansWinnowed(docs: DataFrame, idCol: String, textCol: String,
+                              spanLen: Int, window: Int = 8,
+                              minOcc: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    val hashes = transform(
+      sequence(lit(1), length(col(textCol)) - lit(spanLen - 1)),
+      p => md5(col(textCol).substr(p, lit(spanLen))))
+    // argmin position of each full window (leftmost min via strict-<
+    // fold — lexicographic on hex strings, identical in any engine,
+    // which keeps the selection differentially testable), deduplicated
+    val wEff = least(lit(window), size(col("__hs")))
+    val anchorPositions = array_distinct(transform(
+      sequence(wEff, size(col("__hs"))),
+      e => aggregate(
+        sequence(e - wEff + 1, e),
+        struct(element_at(col("__hs"), e - wEff + 1).as("m"),
+          (e - wEff + 1).as("p")),
+        (acc, i) => when(element_at(col("__hs"), i) < acc.getField("m"),
+          struct(element_at(col("__hs"), i).as("m"), i.as("p")))
+          .otherwise(acc))
+        .getField("p")))
+    val grams = spreadCompute(docs, idCol)
+      .where(length(col(textCol)) >= spanLen)
+      .select(col(idCol), hashes.as("__hs"))
+      .select(col(idCol), explode(anchorPositions).as("__p"), col("__hs"))
+      .select(col(idCol), col("__p").cast("long").as("pos"),
+        element_at(col("__hs"), col("__p")).as("__m"))
+      .select(col(idCol), col("pos"),
+        md5Half64(col("__m"), 1).as("h1"), md5Half64(col("__m"), 17).as("h2"))
+    spansFromGrams(grams, idCol, spanLen, minOcc)
+  }
 }

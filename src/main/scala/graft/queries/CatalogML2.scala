@@ -553,6 +553,90 @@ object CatalogML2 {
         |t AS (SELECT sum(wd) AS wt FROM w)
         |SELECT pred_lang, n_docs, CAST(wd AS DOUBLE) AS weight,
         |       CAST(wd AS DOUBLE) / CAST(wt AS DOUBLE) AS target_frac
-        |FROM w, t ORDER BY pred_lang""".stripMargin))
+        |FROM w, t ORDER BY pred_lang""".stripMargin)),
+
+    // Exact duplicated-span detection (ExactSubstr dedup): every 30-char
+    // window occurring >= 2 times anywhere in the corpus marks its
+    // positions; overlapping/touching marks merge into removable
+    // [start, end] intervals per doc. The gram hash is the full 128-bit
+    // md5 (portable), so the oracle recomputes the whole pipeline
+    // verbatim — grouping by the hex digest is the same partition as
+    // Spark's (h1, h2) split, and the interval merge is the identical
+    // gaps-and-islands window on both engines.
+    ("q99_dedup_spans", (s: SparkSession, d: String) => {
+      Dedup.duplicatedSpans(table(s, d, "documents"), "doc_id", "text",
+          spanLen = 30)
+        .orderBy("doc_id", "span_start")
+    }, Some(
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, md5(substring(text, i, 30)) AS h
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 30 + 2)) AS i)
+        |  WHERE len(text) >= 30
+        |), occ AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        |), dup AS (
+        |  SELECT doc_id, pos FROM g JOIN occ USING (h)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM brk
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+        |       max(pos) + 29 - min(pos) + 1 AS span_chars
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Winnowed duplicated spans — the 100 TB path: per-doc content-
+    // defined anchor selection (the argmin gram md5 of every 8-gram
+    // window, leftmost on ties — Schleimer et al., SIGMOD 2003)
+    // shrinks the shuffled gram stream ~8x while guaranteeing
+    // detection of any duplicated region >= 37 chars
+    // (window + spanLen - 1). The anchor rule compares md5 hex strings
+    // lexicographically — identical in DuckDB, where the same fold is
+    // a list_reduce over the windowed slice of (hash, pos) structs —
+    // so even the approximate variant carries a full differential
+    // oracle.
+    ("q100_dedup_spans_winnow", (s: SparkSession, d: String) => {
+      Dedup.duplicatedSpansWinnowed(table(s, d, "documents"), "doc_id", "text",
+          spanLen = 30, window = 8)
+        .orderBy("doc_id", "span_start")
+    }, Some(
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         [{'m': md5(substring(text, i, 30)), 'p': i}
+        |          FOR i IN range(1, len(text) - 30 + 2)] AS hsp
+        |  FROM documents WHERE len(text) >= 30
+        |), selraw AS (
+        |  SELECT doc_id,
+        |         unnest([
+        |           list_reduce(hsp[e - least(8, len(hsp)) + 1 : e],
+        |             (acc, x) -> CASE WHEN x.m < acc.m THEN x ELSE acc END)
+        |           FOR e IN range(least(8, len(hsp)), len(hsp) + 1)]) AS a
+        |  FROM g
+        |), anch AS (
+        |  SELECT DISTINCT doc_id, a.p AS pos, a.m AS h FROM selraw
+        |), occ AS (
+        |  SELECT h FROM anch GROUP BY h HAVING count(*) >= 2
+        |), dup AS (
+        |  SELECT doc_id, pos FROM anch JOIN occ USING (h)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM brk
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+        |       max(pos) + 29 - min(pos) + 1 AS span_chars
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin))
   )
 }

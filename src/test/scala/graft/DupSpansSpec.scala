@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Dedup
+
+/** Duplicated-span detection (ExactSubstr / winnowing): differential
+  * check against a plain-Scala reference, planted-copy detection, the
+  * winnowing detection-length guarantee, and degenerate inputs. */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(docs: Seq[(Long, String)]): DataFrame =
+    docs.toDF("doc_id", "text")
+
+  private def collect(out: DataFrame): Seq[(Long, Long, Long, Long)] =
+    out.select("doc_id", "span_start", "span_end", "span_chars")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+  /** Reference: brute-force gram count + mark + interval merge. */
+  private def refSpans(docs: Seq[(Long, String)], spanLen: Int,
+                       minOcc: Int = 2): Seq[(Long, Long, Long, Long)] = {
+    val grams = for {
+      (id, t) <- docs if t.length >= spanLen
+      p <- 1 to (t.length - spanLen + 1)
+    } yield (id, p, t.substring(p - 1, p - 1 + spanLen))
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val marks = grams.collect { case (id, p, g) if counts(g) >= minOcc => (id, p) }
+    marks.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2.toLong).sorted
+      val islands = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, p) =>
+        if (p <= acc.head.head + spanLen) (p :: acc.head) :: acc.tail
+        else List(p) :: acc
+      }
+      islands.map { isl =>
+        val (s, e) = (isl.min, isl.max + spanLen - 1)
+        (id, s, e, e - s + 1)
+      }
+    }.sorted
+  }
+
+  test("exact spans match the brute-force reference on a planted corpus") {
+    val boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE GREAT CONTENT TODAY"
+    val docs = Seq(
+      1L -> s"alpha beta gamma delta $boiler and then unique tail one",
+      2L -> s"$boiler completely different middle text follows here now",
+      3L -> s"unrelated document with no shared content at all in it xyzw",
+      4L -> s"prefix text $boiler suffix $boiler twice in one document!")
+    val got = collect(Dedup.duplicatedSpans(df(docs), "doc_id", "text", spanLen = 20))
+    assert(got == refSpans(docs, 20))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L)) // doc 3 untouched
+  }
+
+  test("exact spans: within-doc repetition alone is marked") {
+    val rep = "0123456789abcdefghij" // 20 chars, repeated inside one doc
+    val docs = Seq(1L -> s"start $rep middle $rep end",
+      2L -> "nothing shared with the first document at all here")
+    val got = collect(Dedup.duplicatedSpans(df(docs), "doc_id", "text", spanLen = 15))
+    assert(got == refSpans(docs, 15))
+    assert(got.nonEmpty && got.forall(_._1 == 1L))
+  }
+
+  test("exact spans: differential on a seeded random corpus with planted copies") {
+    val rnd = new scala.util.Random(42)
+    def txt(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString // small alphabet → natural collisions
+    val shared = txt(45)
+    val docs = (0L until 30L).map { i =>
+      val body = txt(120)
+      val t = if (i % 5 == 0) body.take(40) + shared + body.drop(40) else body
+      i -> t
+    }
+    for (spanLen <- Seq(12, 30)) {
+      val got = collect(Dedup.duplicatedSpans(df(docs), "doc_id", "text", spanLen))
+      assert(got == refSpans(docs, spanLen), s"spanLen=$spanLen")
+    }
+  }
+
+  test("winnowed spans detect every duplicated region >= window+spanLen-1") {
+    val rnd = new scala.util.Random(7)
+    def txt(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val (spanLen, window) = (30, 8)
+    val shared = txt(spanLen + window - 1) // exactly the guarantee floor
+    val docs = (0L until 10L).map { i =>
+      val body = txt(200)
+      val off = 20 + 11 * i.toInt // different alignment per doc
+      i -> (body.take(off) + shared + body.drop(off))
+    }
+    val got = collect(
+      Dedup.duplicatedSpansWinnowed(df(docs), "doc_id", "text", spanLen, window))
+    // every doc carries the planted region, so every doc must report a
+    // span overlapping it (content-defined anchors survive the per-doc
+    // alignment shift — the property fixed-stride sampling lacks)
+    val byDoc = got.groupBy(_._1)
+    docs.foreach { case (id, t) =>
+      val s = t.indexOf(shared) + 1L
+      val e = s + shared.length - 1
+      assert(byDoc.get(id).exists(_.exists(sp => sp._2 <= e && sp._3 >= s)),
+        s"doc $id: planted region [$s,$e] not covered by ${byDoc.get(id)}")
+    }
+  }
+
+  test("winnowed marks are a subset of exact marks (reported regions nest)") {
+    val boiler = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN"
+    val docs = Seq(
+      1L -> s"intro $boiler outro padding text to make the document longer",
+      2L -> s"different beginning $boiler and a different ending as well ok")
+    val exact = collect(Dedup.duplicatedSpans(df(docs), "doc_id", "text", 20))
+    val win = collect(Dedup.duplicatedSpansWinnowed(df(docs), "doc_id", "text", 20, 8))
+    // every winnowed interval lies inside some exact interval: anchors
+    // are a subset of the stride-1 grams, minus hash-collision noise
+    // (none at these sizes)
+    win.foreach { w =>
+      assert(exact.exists(e => e._1 == w._1 && e._2 <= w._2 && e._3 >= w._3),
+        s"winnowed $w not nested in any of $exact")
+    }
+    assert(win.nonEmpty)
+  }
+
+  test("degenerate inputs: short docs, empty corpus, no duplicates") {
+    val short = df(Seq(1L -> "tiny", 2L -> "also small"))
+    assert(collect(Dedup.duplicatedSpans(short, "doc_id", "text", 30)).isEmpty)
+    assert(collect(Dedup.duplicatedSpansWinnowed(short, "doc_id", "text", 30)).isEmpty)
+    val unique = df(Seq(
+      1L -> "every document in this corpus is completely distinct text a",
+      2L -> "and shares no thirty character window with any other one bbb"))
+    assert(collect(Dedup.duplicatedSpans(unique, "doc_id", "text", 30)).isEmpty)
+  }
+
+  test("exact spans: mark join broadcasts the count side or reuses the gram exchange") {
+    val docs = df(Seq(
+      1L -> "shared window of text that repeats shared window of text that repeats",
+      2L -> "shared window of text that repeats plus some unshared trailing text"))
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", 20)
+    out.collect() // materialize so AQE finalizes the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    // two acceptable shapes: AQE broadcasts the (small) qualifying-hash
+    // side so the gram stream shuffles ONCE (groupBy only), or — when
+    // the count side is big — a shuffled join whose gram-side exchange
+    // is the groupBy's, deduplicated by ReuseExchange. Either way the
+    // gram stream pays one shuffle.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ReusedExchange"),
+      s"expected broadcast mark join or exchange reuse in:\n$plan")
+  }
+}
