@@ -787,6 +787,52 @@ object Dedup {
         if (expectedCount >= 0) expectedCount else df.count()),
       dim = dim, maxBucket = maxBucket)
 
+  /** SemDeDup — semantic deduplication via embedding clustering (Abbas
+    * et al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): partition the embedding
+    * space into `nlist` cells by nearest seed centroid, mine cosine ≥
+    * `tau` pairs ONLY within each cell, collapse pair clusters, keep the
+    * min-id representative of each. Returns kept rows (idCol, cent_id).
+    *
+    * Scale design, piecewise: centroid assignment is the inlined-literal
+    * argmax (one projection — no join, no shuffle; the model is
+    * driver-resident and nlist-sized, the MLlib k-means shape). The
+    * quadratic term is confined to one cell (SemDeDup's defining
+    * approximation — cross-cell near-dups are invisible BY DESIGN,
+    * that's what makes it linear-ish at corpus scale), and pair scoring
+    * rides the one (cent_id) bucket exchange via
+    * [[bucketedSelfPairsScored]]: vectors never ride a second shuffle,
+    * the threshold filters before the distinct, and `maxCluster` caps a
+    * degenerate cell the way LSH bucket caps do. The drop set is
+    * duplicate-cluster-sized, so the final filter is a broadcast
+    * anti-join — the corpus never shuffles.
+    *
+    * Differential testing: the seed pick is [[Similarity.portableSeedCentroids]]
+    * (md5-ordered — any engine reproduces the model), assignment
+    * tie-breaks toward the smaller centroid id exactly like `row_number
+    * OVER (ORDER BY cos DESC, cent_id ASC)`, and cosine is the same
+    * double arithmetic as `list_cosine_similarity(DOUBLE[], DOUBLE[])`
+    * — so the WHOLE pipeline (model → assignment → pairs → closure →
+    * keep-one) is reproducible verbatim in SQL, no rows-only escape
+    * hatch needed even though the operator is approximate vs all-pairs. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, tau: Double,
+                    maxCluster: Int = 1 << 20): DataFrame = {
+    require(nlist >= 1, s"nlist must be positive, got $nlist")
+    val cents = Similarity.portableSeedCentroids(corpus, idCol, vecCol, nlist)
+    def assigned = spreadCompute(corpus, idCol)
+      .withColumn("cent_id", Similarity.nearestCentId(col(vecCol), cents))
+    val pairs = bucketedSelfPairsScored(
+      assigned.select(col("cent_id"), col(idCol), col(vecCol)),
+      idCol, vecCol, Seq("cent_id"), maxCluster,
+      (a, b) => Similarity.cosine(a, b), s => s >= tau)
+    val drop = connectedComponents(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    assigned.join(broadcast(drop), Seq(idCol), "left_anti")
+      .select(col(idCol), col("cent_id"))
+  }
+
   // ─────────────────────── duplicated spans (ExactSubstr) ───────────────────
 
   /** One 64-bit half of an md5 hex digest already held in column `m`:

@@ -278,11 +278,26 @@ object Similarity {
     seedCentroidsPlan(corpus, idCol, vecCol, nlist)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
+  /** [[seedCentroids]] with a PORTABLE pick rule: the `nlist` rows with
+    * the smallest md5 of the id's decimal string form (ties by id).
+    * Same TakeOrderedAndProject plan as the xxhash64 pick, but an
+    * external engine can reproduce the seed set verbatim (`ORDER BY
+    * md5(CAST(id AS VARCHAR)), id LIMIT nlist`) — which makes every
+    * operator built on the seed model differentially testable
+    * end-to-end (used by [[graft.ops.Dedup.semanticDedup]]). */
+  def portableSeedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                            nlist: Int): Array[(Long, Array[Float])] =
+    corpus
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(md5(col(idCol).cast("string")).asc, col("cent_id").asc)
+      .limit(nlist)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
   /** Nearest-centroid id as a pure column expression: the centroids are
     * inlined as literals and the argmax runs as array_max over
     * (cosine, -id) structs — assignment adds NO join and NO shuffle to
     * the corpus scan. Ties break toward the smaller centroid id. */
-  private def nearestCentId(vecCol: Column, cents: Array[(Long, Array[Float])]): Column = {
+  private[graft] def nearestCentId(vecCol: Column, cents: Array[(Long, Array[Float])]): Column = {
     val best = array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
       struct(cosine(vecCol, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
     }: _*))

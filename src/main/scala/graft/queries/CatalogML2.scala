@@ -637,6 +637,57 @@ object CatalogML2 {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
         |       max(pos) + 29 - min(pos) + 1 AS span_chars
         |FROM isl GROUP BY doc_id, isl
-        |ORDER BY doc_id, span_start""".stripMargin))
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): embedding-space clustering confines
+    // the quadratic cosine term to one cell; within-cell pairs at
+    // cos >= tau collapse to one representative. The synthetic
+    // embeddings carry no natural near-dups (max pairwise cos 0.51), so
+    // the corpus here is the table plus id-shifted EXACT copies of the
+    // first 50 vectors — copies score cos = 1.0, two engines agree far
+    // from the threshold, and the drop decision is exercised for real.
+    // Every stage (md5-ordered seed model, argmax assignment with
+    // cos-DESC/id-ASC tie-break, double cosine, recursive closure,
+    // min-id keep) is reproduced verbatim by the oracle — no rows-only
+    // escape despite the operator being approximate vs all-pairs.
+    ("q101_dedup_semantic", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.where(col("vec_id") < 50)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.semanticDedup(corpus, "vec_id", "embedding", nlist = 8, tau = 0.95)
+        .orderBy("vec_id")
+    }, Some(
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+        |), seeds AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec
+        |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8
+        |), asg AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT c.vec_id, c.embedding, s.cent_id,
+        |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                    CAST(s.cent_vec AS DOUBLE[])) DESC,
+        |             s.cent_id ASC) AS rn
+        |    FROM corpus c CROSS JOIN seeds s) WHERE rn = 1
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.95
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS id, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+        |), lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+        |SELECT a.vec_id, a.cent_id FROM asg a
+        |LEFT JOIN (SELECT id FROM lab WHERE id != cluster) dr ON a.vec_id = dr.id
+        |WHERE dr.id IS NULL
+        |ORDER BY a.vec_id""".stripMargin))
   )
 }

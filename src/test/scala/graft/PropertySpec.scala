@@ -364,6 +364,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup keeps the min-id representative per duplicate group; unpaired rows survive") {
+    // 40 mutually ORTHOGONAL base vectors (one-hot, pairwise cos
+    // exactly 0) + exact copies of 5 of them under larger ids: the only
+    // pairs at any positive threshold are copy↔original at cos 1
+    def vec(i: Int): Array[Float] = Array.tabulate(40)(j => if (j == i - 1) 1f else 0f)
+    val base = (1 to 40).map(i => (i.toLong, vec(i)))
+    val copies = (1 to 5).map(i => (100L + i, vec(i)))
+    val corpus = (base ++ copies).toDF("id", "vec")
+    val kept = Dedup.semanticDedup(corpus, "id", "vec", nlist = 4, tau = 0.98)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (1L to 40L).toSet,
+      s"copies must collapse onto their min-id originals, got $kept")
+  }
+
+  test("semantic dedup is blind to cross-cell pairs — the documented SemDeDup approximation") {
+    // pick the two corpus ids the PORTABLE seed rule will choose (the
+    // smallest md5 of the decimal id string) and give them orthogonal
+    // directions; then plant a near-identical pair straddling the
+    // bisector, one member on each side. The pair scores cos ~1 but is
+    // never co-clustered, so BOTH members survive keep-one — exactly
+    // the recall trade SemDeDup makes for linearity.
+    val dim = 24
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (1L to 20L)
+    val Seq(seedA, seedB) = ids.sortBy(i => (md5hex(i.toString), i)).take(2).sorted.toSeq
+    def oneHot(d: Int): Array[Float] = Array.tabulate(dim)(j => if (j == d) 1f else 0f)
+    def row(id: Long): (Long, Array[Float]) = id match {
+      case `seedA` => (id, oneHot(0))
+      case `seedB` => (id, oneHot(1))
+      case 19L     => (id, Array(1.000f, 1.001f) ++ Array.fill(dim - 2)(0f)) // leans to seedB's cell
+      case 20L     => (id, Array(1.001f, 1.000f) ++ Array.fill(dim - 2)(0f)) // leans to seedA's cell
+      case i       => (id, oneHot(2 + i.toInt)) // orthogonal filler, pairs with nothing
+    }
+    assert(!Seq(seedA, seedB).exists(s => s == 19L || s == 20L), "fixture ids collide with seeds")
+    val corpus = ids.map(row).toDF("id", "vec")
+    val kept = Dedup.semanticDedup(corpus, "id", "vec", nlist = 2, tau = 0.99)
+      .select("id", "cent_id").as[(Long, Long)].collect().toMap
+    assert(kept.contains(19L) && kept.contains(20L),
+      s"cross-cell near-identical pair must BOTH survive, kept=${kept.keySet}")
+    assert(kept(19L) != kept(20L), "fixture must actually straddle two cells")
+  }
+
+  test("semantic dedup maxCluster cap bounds a degenerate cell instead of mining it") {
+    val same = Array.tabulate(8)(j => math.sin(j + 1).toFloat)
+    val corpus = (1L to 30L).map(i => (i, same)).toDF("id", "vec")
+    val capped = Dedup.semanticDedup(corpus, "id", "vec", nlist = 2, tau = 0.9,
+      maxCluster = 8).select("id").as[Long].collect().toSet
+    assert(capped == (1L to 30L).toSet,
+      "an over-cap cell must be skipped (bounded work), not mined quadratically")
+    val uncapped = Dedup.semanticDedup(corpus, "id", "vec", nlist = 2, tau = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(uncapped == Set(1L), s"identical corpus must collapse to min id, got $uncapped")
+  }
+
   test("count-min estimates equal or exceed exact counts on random streams") {
     val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
     for (seed <- 1L to 3L) {
