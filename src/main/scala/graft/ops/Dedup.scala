@@ -799,13 +799,34 @@ object Dedup {
     * driver-resident and nlist-sized, the MLlib k-means shape). The
     * quadratic term is confined to one cell (SemDeDup's defining
     * approximation — cross-cell near-dups are invisible BY DESIGN,
-    * that's what makes it linear-ish at corpus scale), and pair scoring
-    * rides the one (cent_id) bucket exchange via
-    * [[bucketedSelfPairsScored]]: vectors never ride a second shuffle,
-    * the threshold filters before the distinct, and `maxCluster` caps a
-    * degenerate cell the way LSH bucket caps do. The drop set is
-    * duplicate-cluster-sized, so the final filter is a broadcast
-    * anti-join — the corpus never shuffles.
+    * that's what makes it linear-ish at corpus scale; pass `probes` > 1
+    * to mine each row in its `probes` nearest cells, the standard
+    * multi-probe mitigation — the final assignment stays top-1 and
+    * [[bucketedSelfPairsScored]]'s distinct collapses a pair seen from
+    * both cells), and pair scoring rides the one (cent_id) bucket
+    * exchange via [[bucketedSelfPairsScored]]: vectors never ride a
+    * second shuffle, the threshold filters before the distinct, and
+    * `maxCluster` skips a degenerate cell the way LSH bucket caps do.
+    * Note what the cap does and does not bound: an over-cap cell is
+    * SKIPPED (no quadratic work), but the size filter runs AFTER
+    * collect_list, so the aggregation still buffers up to `maxCluster`
+    * (id, vector) structs in one row — size `nlist` so typical cells
+    * sit well under the cap (the default 2^14 is ~16 MB of buffered
+    * 256-dim floats and ~1.3e8 worst-case scored candidates in one
+    * task; the old 2^20 default was an executor-OOM wall). The drop set
+    * is duplicate-cluster-sized, so the final filter is a broadcast
+    * anti-join — the corpus never shuffles for the dedup filter itself,
+    * though the assignment projection (incl. spreadCompute's spreading
+    * repartition) is evaluated twice: once feeding pair mining, once
+    * under the final anti-join. Persist `corpus` upstream if its scan
+    * is expensive.
+    *
+    * Representative choice deviates from the paper deliberately: Abbas
+    * et al. keep the member with the LOWEST cosine to its cluster
+    * centroid (diversity-maximizing); we keep the min-id member so the
+    * keep decision is engine-independent and the whole pipeline stays
+    * differentially testable (same trade as every other dedup operator
+    * here — see [[keepRepresentatives]]).
     *
     * Differential testing: the seed pick is [[Similarity.portableSeedCentroids]]
     * (md5-ordered — any engine reproduces the model), assignment
@@ -817,19 +838,26 @@ object Dedup {
     * hatch needed even though the operator is approximate vs all-pairs. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, tau: Double,
-                    maxCluster: Int = 1 << 20): DataFrame = {
+                    maxCluster: Int = 1 << 14,
+                    probes: Int = 1): DataFrame = {
     require(nlist >= 1, s"nlist must be positive, got $nlist")
+    require(probes >= 1 && probes <= nlist,
+      s"probes must be in [1, nlist=$nlist], got $probes")
     val cents = Similarity.portableSeedCentroids(corpus, idCol, vecCol, nlist)
-    def assigned = spreadCompute(corpus, idCol)
+    val assigned = spreadCompute(corpus, idCol)
       .withColumn("cent_id", Similarity.nearestCentId(col(vecCol), cents))
+    // multi-probe: mine each row in its `probes` nearest cells so a
+    // near-identical pair straddling a cell bisector is co-bucketed in
+    // at least one of them; the OUTPUT assignment stays top-1
+    val mined =
+      if (probes == 1) assigned.select(col("cent_id"), col(idCol), col(vecCol))
+      else spreadCompute(corpus, idCol).select(
+        explode(Similarity.nearestCentIds(col(vecCol), cents, probes)).as("cent_id"),
+        col(idCol), col(vecCol))
     val pairs = bucketedSelfPairsScored(
-      assigned.select(col("cent_id"), col(idCol), col(vecCol)),
-      idCol, vecCol, Seq("cent_id"), maxCluster,
+      mined, idCol, vecCol, Seq("cent_id"), maxCluster,
       (a, b) => Similarity.cosine(a, b), s => s >= tau)
-    val drop = connectedComponents(pairs)
-      .where(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
-    assigned.join(broadcast(drop), Seq(idCol), "left_anti")
+    keepRepresentatives(assigned, idCol, pairs)
       .select(col(idCol), col("cent_id"))
   }
 
@@ -990,5 +1018,56 @@ object Dedup {
       .select(col(idCol), col("__a.p").cast("long").as("pos"),
         md5Half64(col("__a.m"), 1).as("h1"), md5Half64(col("__a.m"), 17).as("h2"))
     spansFromGrams(grams, idCol, spanLen, minOcc)
+  }
+
+  /** Corpus rewrite: CUT mined duplicated spans out of each document,
+    * order-preserving — the second half of the ExactSubstr method (Lee
+    * et al. ACL 2022 remove every duplicated span, not just report it).
+    * `spans` is the output of [[duplicatedSpans]] /
+    * [[duplicatedSpansWinnowed]] (or any (idCol, span_start, span_end)
+    * frame with 1-based inclusive character intervals); intervals are
+    * re-merged here, so overlapping inputs are also safe. Documents
+    * with no spans pass through byte-identical; all non-text columns
+    * are preserved.
+    *
+    * Scale design: the cut itself is row-local — the per-doc interval
+    * array folds over the text in ONE projection (concat of the
+    * between-interval substrings), so the rewrite adds no shuffle on
+    * top of the join that delivers intervals to their document. That
+    * join keys the interval side by doc id; the interval payload is a
+    * few longs per affected doc (duplicate-density-sized, ~KBs/doc vs
+    * the document text), so when the affected-doc set is small Spark's
+    * stats/AQE broadcast it and the corpus never moves; in the
+    * worst case (duplication everywhere) it degrades to one id-keyed
+    * shuffle of corpus text — the same price as the miners' gram
+    * stream, not above it. */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val iv = spans
+      .select(col(idCol), col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__iv"))
+    // fold the sorted intervals over the text: acc carries (kept-so-far,
+    // cursor); each interval appends text[cursor, s-1] and jumps the
+    // cursor to e+1; finish appends the tail. The greatest() clamps make
+    // overlapping/touching input intervals collapse naturally (gap
+    // length 0, cursor monotone), so no separate merge pass is needed
+    val cut = aggregate(
+      col("__iv"),
+      struct(lit("").as("acc"), lit(1L).as("cur")),
+      (st, i) => struct(
+        concat(st.getField("acc"),
+          col(textCol).substr(st.getField("cur").cast("int"),
+            greatest(i.getField("s") - st.getField("cur"), lit(0L)).cast("int")))
+          .as("acc"),
+        greatest(i.getField("e") + 1L, st.getField("cur")).as("cur")),
+      st => concat(st.getField("acc"),
+        col(textCol).substr(st.getField("cur").cast("int"),
+          greatest(length(col(textCol)).cast("long") - st.getField("cur") + 1L, lit(0L))
+            .cast("int"))))
+    docs.join(iv, Seq(idCol), "left")
+      .withColumn(textCol, when(col("__iv").isNull, col(textCol)).otherwise(cut))
+      .drop("__iv")
   }
 }

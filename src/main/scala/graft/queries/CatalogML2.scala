@@ -688,6 +688,117 @@ object CatalogML2 {
         |SELECT a.vec_id, a.cent_id FROM asg a
         |LEFT JOIN (SELECT id FROM lab WHERE id != cluster) dr ON a.vec_id = dr.id
         |WHERE dr.id IS NULL
-        |ORDER BY a.vec_id""".stripMargin))
+        |ORDER BY a.vec_id""".stripMargin)),
+
+    // Span REMOVAL — the second half of ExactSubstr dedup (Lee et al.
+    // ACL 2022 CUT every duplicated span, they don't just report them):
+    // mine q99's intervals, then rewrite each document by concatenating
+    // the between-interval substrings, order-preserving. The cut is one
+    // row-local fold over the per-doc interval array; the oracle redoes
+    // the same surgery as segment rows + ordered string_agg, so the
+    // rewritten text is compared byte-for-byte.
+    ("q102_dedup_spans_remove", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", spanLen = 30)
+      Dedup.removeSpans(docs, spans, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, md5(substring(text, i, 30)) AS h
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 30 + 2)) AS i)
+        |  WHERE len(text) >= 30
+        |), occ AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        |), dup AS (
+        |  SELECT doc_id, pos FROM g JOIN occ USING (h)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM brk
+        |), sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 29 AS e
+        |  FROM isl GROUP BY doc_id, isl
+        |), iv AS (
+        |  SELECT doc_id, s, e,
+        |         lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        |  FROM sp
+        |), seg AS (
+        |  SELECT doc_id, pe + 1 AS st, s - pe - 1 AS ln FROM iv
+        |  UNION ALL
+        |  SELECT doc_id, max(e) + 1 AS st, 2000000000 AS ln FROM sp GROUP BY doc_id
+        |), cutd AS (
+        |  SELECT sg.doc_id,
+        |         string_agg(substring(d.text, sg.st, sg.ln), '' ORDER BY sg.st) AS text
+        |  FROM seg sg JOIN documents d USING (doc_id)
+        |  GROUP BY sg.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(c.text, d.text) AS text
+        |FROM documents d LEFT JOIN cutd c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Pipeline capstone for span-level dedup: mine -> cut -> corpus
+    // stats, the ExactSubstr retrain-accounting loop (how many chars
+    // did dedup reclaim, per language). The intermediate IS the q102
+    // rewrite; the oracle recomputes the whole chain and aggregates the
+    // same rewritten text, so the composition is oracled end-to-end.
+    ("q103_pipeline_span_rewrite", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", spanLen = 30)
+      Dedup.removeSpans(docs, spans, "doc_id", "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("orig_chars"),
+          sum(length(col("text")).cast("long")).as("kept_chars"),
+          sum(col("n_chars") - length(col("text")).cast("long")).as("removed_chars"))
+        .orderBy("lang")
+    }, Some(
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, md5(substring(text, i, 30)) AS h
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 30 + 2)) AS i)
+        |  WHERE len(text) >= 30
+        |), occ AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        |), dup AS (
+        |  SELECT doc_id, pos FROM g JOIN occ USING (h)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM brk
+        |), sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 29 AS e
+        |  FROM isl GROUP BY doc_id, isl
+        |), iv AS (
+        |  SELECT doc_id, s, e,
+        |         lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        |  FROM sp
+        |), seg AS (
+        |  SELECT doc_id, pe + 1 AS st, s - pe - 1 AS ln FROM iv
+        |  UNION ALL
+        |  SELECT doc_id, max(e) + 1 AS st, 2000000000 AS ln FROM sp GROUP BY doc_id
+        |), cutd AS (
+        |  SELECT sg.doc_id,
+        |         string_agg(substring(d.text, sg.st, sg.ln), '' ORDER BY sg.st) AS text
+        |  FROM seg sg JOIN documents d USING (doc_id)
+        |  GROUP BY sg.doc_id
+        |), rw AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, coalesce(c.text, d.text) AS text
+        |  FROM documents d LEFT JOIN cutd c USING (doc_id)
+        |)
+        |SELECT lang, count(*) AS n_docs, sum(n_chars) AS orig_chars,
+        |       sum(len(text)) AS kept_chars,
+        |       sum(n_chars - len(text)) AS removed_chars
+        |FROM rw GROUP BY lang
+        |ORDER BY lang""".stripMargin))
   )
 }

@@ -155,8 +155,29 @@ object ScalingCurve {
       (name, f, dt)
     }
 
+    // SemDeDup scales by growing nlist with the corpus so the expected
+    // cell stays task-sized (the paper's own posture: cluster count
+    // grows with the data; per-cell quadratic work is constant). The
+    // catalog's fixed nlist=8 is right for the oracle fixture but at
+    // x100 a 1/8th-corpus cell would blow past maxCluster and be
+    // (correctly) skipped — measuring nothing. So the curve drives
+    // semanticDedup directly: nlist = 8·f keeps E[cell] ≈ 625 rows.
+    val semRows = for (f <- factors
+        if only.forall(_.exists("q101_dedup_semantic".startsWith))) yield {
+      val emb = graft.ops.Tables.table(spark, s"$workDir/x$f", "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          nlist = 8 * f, tau = 0.95)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[scale] x$f%-4d q101_semantic(nlist=${8 * f}%d) ${dt}%8.2f s")
+      ("q101_dedup_semantic", f, dt)
+    }
+
     println("| query | " + factors.map(f => s"x$f (s)").mkString(" | ") + " |")
-    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
+    (rows ++ semRows).groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
       val byF = rs.map(r => r._2 -> r._3).toMap
       println(s"| $name | " +
         factors.map(f => f"${byF(f)}%.2f").mkString(" | ") + " |")

@@ -141,4 +141,58 @@ class DupSpansSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("ReusedExchange"),
       s"expected broadcast mark join or exchange reuse in:\n$plan")
   }
+
+  test("removeSpans cuts mined intervals order-preserving; re-mining finds nothing") {
+    val shared = "this exact thirty-plus character span is duplicated verbatim"
+    val docs = df(Seq(
+      1L -> s"prefix one $shared middle bit $shared suffix one",
+      2L -> s"totally different opening here $shared and a different close",
+      3L -> "this document shares no thirty character window with anything"))
+    val spanLen = 30
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", spanLen)
+    val rewritten = Dedup.removeSpans(docs, spans, "doc_id", "text")
+    val byId = rewritten.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    // untouched doc passes through byte-identical
+    assert(byId(3L) == "this document shares no thirty character window with anything")
+    // the cut equals reference substring surgery over the mined intervals
+    val ivs = collect(spans).groupBy(_._1)
+    val orig = Map(
+      1L -> s"prefix one $shared middle bit $shared suffix one",
+      2L -> s"totally different opening here $shared and a different close")
+    for ((id, text) <- orig) {
+      val merged = ivs(id).map { case (_, s, e, _) => (s.toInt, e.toInt) }.sorted
+      val kept = new StringBuilder
+      var cur = 1
+      for ((s, e) <- merged) {
+        kept ++= text.substring(cur - 1, math.max(s - 1, cur - 1))
+        cur = math.max(e + 1, cur)
+      }
+      kept ++= text.substring(math.min(cur - 1, text.length))
+      assert(byId(id) == kept.toString, s"doc $id cut mismatch")
+      assert(byId(id).length < text.length, s"doc $id must actually shrink")
+    }
+    // the ExactSubstr fixpoint property: mining the rewritten corpus
+    // again finds no duplicated span at the same spanLen/minOcc
+    val again = Dedup.duplicatedSpans(
+      rewritten.select("doc_id", "text"), "doc_id", "text", spanLen)
+    assert(collect(again).isEmpty,
+      s"rewritten corpus must be span-dup-free, got ${collect(again)}")
+  }
+
+  test("removeSpans handles overlapping and unsorted input intervals") {
+    val docs = df(Seq(10L -> "abcdefghijklmnopqrstuvwxyz"))
+    // overlapping + touching + out-of-order intervals: [4,9], [8,12], [13,15]
+    // all collapse into one cut [4,15] -> keep "abc" + "pqrstuvwxyz"
+    val spans = Seq((10L, 8L, 12L), (10L, 4L, 9L), (10L, 13L, 15L))
+      .toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .select("text").as[String].collect()
+    assert(out.toSeq == Seq("abc" + "pqrstuvwxyz"))
+    // a span covering the document head and one covering the tail
+    val edges = Seq((10L, 1L, 3L), (10L, 20L, 26L)).toDF("doc_id", "span_start", "span_end")
+    val out2 = Dedup.removeSpans(docs, edges, "doc_id", "text")
+      .select("text").as[String].collect()
+    assert(out2.toSeq == Seq("defghijklmnopqrs"))
+  }
 }

@@ -390,21 +390,34 @@ class PropertySpec extends SparkSpec {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val ids = (1L to 20L)
     val Seq(seedA, seedB) = ids.sortBy(i => (md5hex(i.toString), i)).take(2).sorted.toSeq
+    // plant the straddling pair on two ids the seed rule did NOT pick,
+    // derived from the fixture itself (round 5 hardcoded 19/20 and the
+    // md5 order of 1..20 starts [6, 19] — seedB collided with the pair)
+    val Seq(p1, p2) = ids.filterNot(Set(seedA, seedB)).takeRight(2).toSeq
     def oneHot(d: Int): Array[Float] = Array.tabulate(dim)(j => if (j == d) 1f else 0f)
     def row(id: Long): (Long, Array[Float]) = id match {
       case `seedA` => (id, oneHot(0))
       case `seedB` => (id, oneHot(1))
-      case 19L     => (id, Array(1.000f, 1.001f) ++ Array.fill(dim - 2)(0f)) // leans to seedB's cell
-      case 20L     => (id, Array(1.001f, 1.000f) ++ Array.fill(dim - 2)(0f)) // leans to seedA's cell
+      case `p1`    => (id, Array(1.000f, 1.001f) ++ Array.fill(dim - 2)(0f)) // leans to seedB's cell
+      case `p2`    => (id, Array(1.001f, 1.000f) ++ Array.fill(dim - 2)(0f)) // leans to seedA's cell
       case i       => (id, oneHot(2 + i.toInt)) // orthogonal filler, pairs with nothing
     }
-    assert(!Seq(seedA, seedB).exists(s => s == 19L || s == 20L), "fixture ids collide with seeds")
     val corpus = ids.map(row).toDF("id", "vec")
     val kept = Dedup.semanticDedup(corpus, "id", "vec", nlist = 2, tau = 0.99)
       .select("id", "cent_id").as[(Long, Long)].collect().toMap
-    assert(kept.contains(19L) && kept.contains(20L),
+    assert(kept.contains(p1) && kept.contains(p2),
       s"cross-cell near-identical pair must BOTH survive, kept=${kept.keySet}")
-    assert(kept(19L) != kept(20L), "fixture must actually straddle two cells")
+    assert(kept(p1) != kept(p2), "fixture must actually straddle two cells")
+
+    // multi-probe mitigation: mining each row in its top-2 cells
+    // co-buckets the straddling pair in at least one cell, so keep-one
+    // collapses it — while every other row is untouched (orthogonal
+    // fillers pair with nothing even when probed into a second cell)
+    val kept2 = Dedup.semanticDedup(corpus, "id", "vec", nlist = 2, tau = 0.99,
+        probes = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == (ids.toSet - math.max(p1, p2)),
+      s"probes=2 must collapse the straddling pair onto its min id, got $kept2")
   }
 
   test("semantic dedup maxCluster cap bounds a degenerate cell instead of mining it") {
