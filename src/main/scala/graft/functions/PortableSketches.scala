@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable sketches: HyperLogLog distinct-count and Count-Min
+  * frequency, built ONLY from operations every SQL engine evaluates
+  * bit-identically (md5, hex parsing, integer shifts, `bin`, IEEE
+  * double +,-,*,/ in a fixed expression order). The point is the
+  * differential-testing property the engine-internal sketches
+  * (Spark's HLL++/Datasketches, the XXH64 [[CountMin]]) cannot have:
+  * a DuckDB oracle recomputes the ESTIMATES verbatim, so the
+  * approximate operators get full rows+schema+hash checks instead of
+  * rows-only escapes.
+  *
+  * Relational shape (the Spark-first form of "mergeable sketch"): a
+  * sketch is a small set of (bucket, register) / (lane, bucket, count)
+  * rows. Pre-aggregation = groupBy to those rows (map-side combine,
+  * shuffle carries ≤ m rows per group); merge = max (HLL) / sum (CMS)
+  * over the same keys — associative, so daily→total re-aggregation is
+  * exact by construction, the same property the object sketches prove
+  * in their specs.
+  *
+  * The one genuinely engine-risky spot is the HLL small-range branch:
+  * linear counting needs ln(m/V), and libm `ln` differs across
+  * engines in the last ulp (measured on this box: 6/5000 arguments for
+  * `log`). [[lnOfInt]] therefore computes ln of the INTEGER V with a
+  * fixed range-reduction (bit length via `bin`) and a 7-term atanh
+  * Horner series — pure +,-,*,/ on doubles in one documented order, so
+  * both engines produce the same 64 bits. Series truncation error is
+  * < 5e-12 relative (|z| ≤ 0.2), irrelevant next to the estimator's
+  * own ~6.5% standard error at m=256 — accuracy is pinned in
+  * FunctionsSpec, portability by the q43/q75 oracles. */
+object PortableSketches {
+
+  // ───────────────────────────── portable HLL ─────────────────────────────
+
+  /** Register-index bits: m = 256 buckets (first hex byte of the md5),
+    * standard error 1.04/sqrt(256) ≈ 6.5%. */
+  val HllP: Int = 8
+  val HllM: Int = 1 << HllP
+  /** w carries the next 14 hex chars = 56 bits; rho ∈ [1, 57]. */
+  private val RhoMax = 57
+  private val Pow2R = 1L << RhoMax // 2^57, the register-term scale
+
+  /** alpha_m · m² · 2^57 — the raw-estimate numerator over the
+    * 2^57-scaled integer harmonic sum. One double literal, shared with
+    * the SQL side via [[hllEstimateSql]]. */
+  private val HllA: Double = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    alpha * HllM.toDouble * HllM.toDouble * Pow2R.toDouble
+  }
+  private val LincountGate: Double = 2.5 * HllM // raw-vs-lincount switch
+  private val LnM: Double = math.log(HllM.toDouble)
+  private val Ln2 = 0.6931471805599453 // nearest double to ln 2
+  private val Ln15 = 0.4054651081081644 // nearest double to ln 1.5
+  private val SeriesC: Seq[Double] = Seq(3, 5, 7, 9, 11, 13).map(1.0 / _.toDouble)
+
+  private def shl1(bits: Column): Column =
+    call_function("shiftleft", lit(1L), bits)
+
+  /** (bucket, rho) of one value: bucket = first md5 hex byte, rho =
+    * leading-zero count of the next 56 bits + 1 (via `bin` bit length —
+    * both engines print minimal binary). */
+  private[graft] def hllBucket(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 2), 16, 10).cast("int")
+
+  private[graft] def hllRho(value: Column): Column = {
+    val w = conv(substring(md5(value.cast("string")), 3, 14), 16, 10).cast("long")
+    when(w === 0L, lit(RhoMax)).otherwise(lit(RhoMax) - length(bin(w)))
+  }
+
+  /** ln of a positive integer column (≤ ~2^30) with engine-identical
+    * arithmetic: v = 2^k·f with k = bitlen−1, f ∈ [1,2);
+    * ln v = k·ln2 + ln(1.5) + 2·atanh(z), z = (f−1.5)/(f+1.5),
+    * |z| ≤ 0.2, atanh as a 7-term Horner in z². The SQL twin
+    * ([[lnOfIntSql]]) spells the identical tree. */
+  private[graft] def lnOfInt(v: Column): Column = {
+    val k = (length(bin(v.cast("long"))) - 1).cast("int")
+    val f = v.cast("double") / shl1(k).cast("double")
+    val z = (f - lit(1.5)) / (f + lit(1.5))
+    val z2 = z * z
+    val horner = SeriesC.reverse.tail.foldLeft(lit(SeriesC.last): Column)(
+      (acc, c) => lit(c) + z2 * acc)
+    val s = z * (lit(1.0) + z2 * horner)
+    k.cast("double") * lit(Ln2) + lit(Ln15) + lit(2.0) * s
+  }
+
+  private[graft] def lnOfIntSql(v: String): String = {
+    val k = s"(len(bin(CAST($v AS BIGINT))) - 1)"
+    val f = s"(CAST($v AS DOUBLE) / CAST((1::BIGINT << $k) AS DOUBLE))"
+    val z = s"(($f - 1.5) / ($f + 1.5))"
+    val z2 = s"($z * $z)"
+    val horner = SeriesC.reverse.tail.foldLeft(SeriesC.last.toString)(
+      (acc, c) => s"($c + $z2 * $acc)")
+    val s0 = s"($z * (1.0 + $z2 * $horner))"
+    s"(CAST($k AS DOUBLE) * $Ln2 + $Ln15 + 2.0 * $s0)"
+  }
+
+  /** Estimate column from per-group register aggregates: `zsum` =
+    * Σ 2^(57−r) over PRESENT registers (exact DECIMAL), `present` =
+    * their count. Absent registers contribute 2^57 each; the raw
+    * estimate is A / Z, switched to linear counting m·ln(m/V) below
+    * the standard 2.5m gate. Branch condition and both branch values
+    * are engine-identical doubles. */
+  private[graft] def hllRegisterTerm(r: Column): Column =
+    shl1(lit(RhoMax) - r).cast("decimal(20,0)")
+
+  private[graft] def hllEstimate(zsum: Column, present: Column): Column = {
+    val vZero = (lit(HllM.toLong) - present).cast("long")
+    val z = zsum + vZero.cast("decimal(4,0)") * lit(Pow2R).cast("decimal(18,0)")
+    val eRaw = lit(HllA) / z.cast("double")
+    when(eRaw <= lit(LincountGate) && vZero > 0L,
+      lit(HllM.toDouble) * (lit(LnM) - lnOfInt(vZero)))
+      .otherwise(eRaw)
+  }
+
+  /** The SQL twins. `hllGramSql(v)` yields the per-row (bucket, rho)
+    * select-list fragment; the register/estimate fragments mirror
+    * [[hllRegisterTerm]]/[[hllEstimate]] over columns named
+    * bucket/r/zsum/present. */
+  private[graft] def hllBucketSql(v: String): String =
+    s"('0x' || substr(md5(CAST($v AS VARCHAR)), 1, 2))::INT"
+
+  private[graft] def hllRhoSql(v: String): String = {
+    val w = s"('0x' || substr(md5(CAST($v AS VARCHAR)), 3, 14))::BIGINT"
+    s"(CASE WHEN $w = 0 THEN $RhoMax ELSE $RhoMax - len(bin($w)) END)"
+  }
+
+  private[graft] val hllRegisterTermSql: String =
+    s"CAST((1::BIGINT << ($RhoMax - r)) AS DECIMAL(20,0))"
+
+  private[graft] def hllEstimateSql(zsum: String, present: String): String = {
+    val vZero = s"(${HllM}::BIGINT - $present)"
+    // exact integer arithmetic; DuckDB does it in HUGEINT (its DECIMAL
+    // multiply caps at the operand width), Spark in DECIMAL — only the
+    // VALUE must match, and both cast the exact integer to DOUBLE once
+    val z = s"(CAST($zsum AS HUGEINT) + CAST($vZero AS HUGEINT) * ${Pow2R}::HUGEINT)"
+    val eRaw = s"($HllA / CAST($z AS DOUBLE))"
+    s"(CASE WHEN $eRaw <= $LincountGate AND $vZero > 0 " +
+      s"THEN ${HllM.toDouble} * ($LnM - ${lnOfIntSql(vZero)}) ELSE $eRaw END)"
+  }
+
+  // ───────────────────────────── portable CMS ─────────────────────────────
+
+  /** depth 4 × width 1024: ε = e/1024 ≈ 0.27% of the stream per lane,
+    * overcount prob per point query ≈ (1/e)^4 < 2%. Lane hash i =
+    * first 8 md5 hex chars of "value#i" mod width — pure integers, so
+    * estimates are exact-matchable with no FP caveats at all. */
+  val CmsDepth: Int = 4
+  val CmsWidth: Int = 1024
+
+  private[graft] def cmsBucket(value: Column, lane: Int): Column =
+    conv(substring(md5(concat(value.cast("string"), lit(s"#$lane"))), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** All-lane (lane, bucket) array for one value — posexplode to rows. */
+  private[graft] def cmsBuckets(value: Column): Column =
+    array((0 until CmsDepth).map(i => cmsBucket(value, i)): _*)
+
+  private[graft] def cmsBucketSql(v: String, lane: Int): String =
+    s"(('0x' || substr(md5(CAST($v AS VARCHAR) || '#$lane'), 1, 8))::BIGINT % $CmsWidth)"
+
+  /** The constant lane buckets of a LITERAL key — precomputed JVM-side
+    * (same md5), inlined in both engines' point-query expressions. */
+  def cmsKeyBuckets(key: String): Seq[Long] = {
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    (0 until CmsDepth).map { i =>
+      val hex = mdi.digest(s"$key#$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % CmsWidth
+    }
+  }
+}

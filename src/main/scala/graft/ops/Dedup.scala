@@ -852,7 +852,7 @@ object Dedup {
     val mined =
       if (probes == 1) assigned.select(col("cent_id"), col(idCol), col(vecCol))
       else spreadCompute(corpus, idCol).select(
-        explode(Similarity.nearestCentIds(col(vecCol), cents, probes)).as("cent_id"),
+        explode(Similarity.probedCellIds(col(vecCol), cents, probes)).as("cent_id"),
         col(idCol), col(vecCol))
     val pairs = bucketedSelfPairsScored(
       mined, idCol, vecCol, Seq("cent_id"), maxCluster,

@@ -304,19 +304,6 @@ object Similarity {
     -best.getField("ncid")
   }
 
-  /** Top-`k` nearest-centroid ids, same no-join no-shuffle shape as
-    * [[nearestCentId]]: sort the inlined (cosine, -id) struct array
-    * descending and take the first k ids. Element 0 equals
-    * [[nearestCentId]] (same cos-DESC, id-ASC tie-break). Used for
-    * multi-probe mining (semanticDedup probes > 1, IVF nprobe). */
-  private[graft] def nearestCentIds(vecCol: Column, cents: Array[(Long, Array[Float])],
-                                    k: Int): Column = {
-    val ranked = reverse(array_sort(array(cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(cosine(vecCol, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
-    }: _*)))
-    transform(slice(ranked, 1, k), s => -s.getField("ncid"))
-  }
-
   /** Lloyd-refined IVF centroids — distributed k-means where each
     * iteration is ONE corpus scan: nearest-centroid assignment is the
     * inlined-literal argmax above (no join, no per-row shuffle), and the
@@ -415,7 +402,7 @@ object Similarity {
     * smaller cent_id — and slice. No explode-then-window, so probing
     * adds NO exchange to the query side (the old window formulation
     * shuffled the query vectors on qid just to rank nlist literals). */
-  private def probedCellIds(qvecCol: Column,
+  private[graft] def probedCellIds(qvecCol: Column,
                             cents: Array[(Long, Array[Float])],
                             nprobe: Int): Column = {
     val ranked = array_sort(array(cents.toIndexedSeq.map { case (cid, cv) =>

@@ -369,30 +369,103 @@ object CatalogML {
         |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
         |FROM o GROUP BY shard, pack ORDER BY shard, pack""".stripMargin)),
 
-    // Approximate distinct (HLL sketch differs per engine → rows-only).
+    // Approximate distinct via the PORTABLE HLL (md5-bucketed
+    // registers, integer-exact harmonic sum, series-ln linear counting
+    // — PortableSketches): every arithmetic step is engine-identical,
+    // so the ESTIMATE itself is differentially checked, not just row
+    // counts. (Spark's builtin approx_count_distinct remains available;
+    // this surface exists precisely because its HLL++ bytes aren't
+    // reproducible outside the JVM.) Register rows shuffle as
+    // (event_type, bucket, max-rho) — ≤ m per group, the mergeable-
+    // sketch scaling shape.
     ("q43_agg_approx_distinct", (s: SparkSession, d: String) => {
-      table(s, d, "events")
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .orderBy("event_type")
-    }, None),
+      import graft.functions.PortableSketches._
+      val ev = table(s, d, "events")
+      val regs = ev.groupBy(col("event_type"),
+          hllBucket(col("user_id")).as("bucket"))
+        .agg(max(hllRho(col("user_id"))).as("r"))
+      val approx = regs.groupBy("event_type")
+        .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
+          count(lit(1)).as("present"))
+        .select(col("event_type"),
+          hllEstimate(col("zsum"), col("present")).as("approx_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      approx.join(exact, Seq("event_type")).orderBy("event_type")
+    }, Some {
+      import graft.functions.PortableSketches._
+      s"""WITH regs AS (
+         |  SELECT event_type, ${hllBucketSql("user_id")} AS bucket,
+         |         max(${hllRhoSql("user_id")}) AS r
+         |  FROM events GROUP BY 1, 2
+         |), z AS (
+         |  SELECT event_type, sum($hllRegisterTermSql) AS zsum,
+         |         count(*) AS present
+         |  FROM regs GROUP BY event_type
+         |), approx AS (
+         |  SELECT event_type,
+         |         ${hllEstimateSql("zsum", "present")} AS approx_users
+         |  FROM z
+         |), exact AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_type, approx_users, exact_users
+         |FROM approx JOIN exact USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    }),
 
-    // Mergeable distinct-count sketches: per-day HLL sketches unioned
+    // Mergeable distinct-count sketches: per-day register sets unioned
     // per event type — the pre-aggregate/reaggregate pattern that lets a
     // 100 TB pipeline answer "distinct users over any date range" from
-    // tiny daily sketches instead of raw events. Sketch bytes are
-    // engine-internal (Datasketches) → rows-only; accuracy and
-    // merge-equals-whole invariants are pinned in OpsSpec.
+    // tiny daily sketches instead of raw events. The sketch is the
+    // PORTABLE HLL's (day, bucket, r) rows; union = max over days on
+    // the same buckets (associative — merge-equals-whole BY
+    // CONSTRUCTION, the property OpsSpec pins for the object sketches),
+    // and the merged estimate is differentially checked end-to-end.
     ("q75_agg_sketch_merge", (s: SparkSession, d: String) => {
+      import graft.functions.PortableSketches._
       val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      daily.groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"),
-          count(lit(1)).as("n_days"))
-        .orderBy("event_type")
-    }, None),
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          hllBucket(col("user_id")).as("bucket"))
+        .agg(max(hllRho(col("user_id"))).as("r"))
+      val merged = daily.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val est = merged.groupBy("event_type")
+        .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
+          count(lit(1)).as("present"))
+        .select(col("event_type"),
+          hllEstimate(col("zsum"), col("present")).as("merged_users"))
+      val days = daily.select("event_type", "day").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      est.join(days, Seq("event_type")).orderBy("event_type")
+    }, Some {
+      import graft.functions.PortableSketches._
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         ${hllBucketSql("user_id")} AS bucket,
+         |         max(${hllRhoSql("user_id")}) AS r
+         |  FROM events GROUP BY 1, 2, 3
+         |), merged AS (
+         |  SELECT event_type, bucket, max(r) AS r
+         |  FROM daily GROUP BY event_type, bucket
+         |), z AS (
+         |  SELECT event_type, sum($hllRegisterTermSql) AS zsum,
+         |         count(*) AS present
+         |  FROM merged GROUP BY event_type
+         |), est AS (
+         |  SELECT event_type,
+         |         ${hllEstimateSql("zsum", "present")} AS merged_users
+         |  FROM z
+         |), days AS (
+         |  SELECT event_type, count(*) AS n_days
+         |  FROM (SELECT DISTINCT event_type, day FROM daily)
+         |  GROUP BY event_type
+         |)
+         |SELECT event_type, merged_users, n_days
+         |FROM est JOIN days USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    }),
 
     // Corpus vocabulary: exact token frequencies, top 20. Map-side
     // partial counts collapse each partition's explode before the one

@@ -461,27 +461,76 @@ object CatalogML2 {
         |         AS n_kept
         |FROM tok, bl ORDER BY doc_id""".stripMargin)),
 
-    // Count-min frequency sketches: per-day sketches per event type,
-    // exact elementwise union across days, literal-key point estimates
-    // read with pure least/element_at (no UDF on the read path) — the
-    // frequency complement of the q75 HLL distinct-count pattern.
-    // Sketch lane layout is engine-internal (XXH64 seeds) → rows-only;
-    // FunctionsSpec pins estimate >= truth, the error bound, and the
-    // bit-exact merge-equals-whole invariant.
+    // Count-min frequency sketches: per-day (lane, bucket, count) rows
+    // per event type, exact union (sum) across days, literal-key point
+    // estimates as min-over-lanes — the frequency complement of the q75
+    // HLL distinct-count pattern, in the PORTABLE md5-laned form
+    // (PortableSketches): pure integer arithmetic end-to-end, so the
+    // ESTIMATES are differentially checked, not just row counts. The
+    // literal keys' lane buckets are md5 constants computed JVM-side
+    // and inlined in both engines. (The compact XXH64 object sketch —
+    // functions.CountMin — remains the wire-efficient variant;
+    // FunctionsSpec pins its never-undercounts/merge invariants.)
     ("q90_agg_cms", (s: SparkSession, d: String) => {
-      import graft.functions.CountMin
+      import graft.functions.PortableSketches._
       val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(CountMin.agg(col("user_id")).as("sk"))
-      daily.groupBy("event_type")
-        .agg(CountMin.unionAgg(col("sk")).as("sk"),
-          count(lit(1)).as("n_days"))
-        .select(col("event_type"), col("n_days"),
-          CountMin.estimate(col("sk"), 1L).as("est_user_1"),
-          CountMin.estimate(col("sk"), 7L).as("est_user_7"),
-          CountMin.estimate(col("sk"), 13L).as("est_user_13"))
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          posexplode(cmsBuckets(col("user_id"))).as(Seq("lane", "bucket")))
+        .groupBy("event_type", "day", "lane", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val merged = daily.groupBy("event_type", "lane", "bucket")
+        .agg(sum(col("cnt")).as("cnt"))
+      def pointEst(key: String): org.apache.spark.sql.Column =
+        least(cmsKeyBuckets(key).zipWithIndex.map { case (bk, lane) =>
+          sum(when(col("lane") === lane && col("bucket") === bk, col("cnt"))
+            .otherwise(0L))
+        }: _*)
+      val est = merged.groupBy("event_type")
+        .agg(pointEst("1").as("est_user_1"),
+          pointEst("7").as("est_user_7"),
+          pointEst("13").as("est_user_13"))
+      val days = daily.select("event_type", "day").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      est.join(days, Seq("event_type"))
+        .select("event_type", "n_days", "est_user_1", "est_user_7", "est_user_13")
         .orderBy("event_type")
-    }, None),
+    }, Some {
+      import graft.functions.PortableSketches._
+      val laneCols = (0 until CmsDepth).map(i =>
+        s"${cmsBucketSql("user_id", i)} AS b$i").mkString(",\n         ")
+      def pointEstSql(key: String): String =
+        "least(" + cmsKeyBuckets(key).zipWithIndex.map { case (bk, lane) =>
+          s"sum(CASE WHEN lane = $lane AND bucket = $bk THEN cnt ELSE 0 END)"
+        }.mkString(", ") + ")"
+      val unpivot = (0 until CmsDepth).map(i =>
+        s"SELECT event_type, day, $i AS lane, b$i AS bucket FROM h").mkString("\n  UNION ALL\n  ")
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         $laneCols
+         |  FROM events
+         |), lanes AS (
+         |  $unpivot
+         |), daily AS (
+         |  SELECT event_type, day, lane, bucket, count(*) AS cnt
+         |  FROM lanes GROUP BY 1, 2, 3, 4
+         |), merged AS (
+         |  SELECT event_type, lane, bucket, sum(cnt) AS cnt
+         |  FROM daily GROUP BY 1, 2, 3
+         |), est AS (
+         |  SELECT event_type,
+         |         ${pointEstSql("1")} AS est_user_1,
+         |         ${pointEstSql("7")} AS est_user_7,
+         |         ${pointEstSql("13")} AS est_user_13
+         |  FROM merged GROUP BY event_type
+         |), days AS (
+         |  SELECT event_type, count(*) AS n_days
+         |  FROM (SELECT DISTINCT event_type, day FROM daily)
+         |  GROUP BY event_type
+         |)
+         |SELECT event_type, n_days, est_user_1, est_user_7, est_user_13
+         |FROM est JOIN days USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    }),
 
     // Exact-size per-group deterministic sample: smallest-md5(id) rows
     // per language. md5 exists in both engines, so like the md5-threshold

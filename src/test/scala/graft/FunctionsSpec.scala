@@ -212,4 +212,56 @@ class FunctionsSpec extends SparkSpec {
     val crossings = spark.table("alerts").select("crossedAt").as[Long].collect().sorted
     assert(crossings.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("portable HLL: series-ln matches math.log and estimates stay in 3-sigma") {
+    import graft.functions.PortableSketches._
+    import org.apache.spark.sql.functions._
+    // the fixed-order atanh series vs libm, over the whole lincount
+    // input range (V in 1..m): truncation must be far below a double ulp
+    // of the downstream estimate
+    val lnRows = spark.range(1, 257).select(col("id"),
+      graft.functions.PortableSketches.lnOfInt(col("id")).as("s"))
+      .collect()
+    lnRows.foreach { r =>
+      val (v, s) = (r.getLong(0), r.getDouble(1))
+      assert(math.abs(s - math.log(v.toDouble)) < 1e-11,
+        s"series ln($v)=$s vs ${math.log(v.toDouble)}")
+    }
+    // estimator accuracy across the lincount/raw-HLL switch: distinct
+    // cardinalities below and above the 2.5m = 640 gate
+    for (n <- Seq(40, 150, 640, 5000, 50000)) {
+      val est = spark.range(1, n + 1)
+        .groupBy(hllBucket(col("id")).as("bucket"))
+        .agg(max(hllRho(col("id"))).as("r"))
+        .agg(sum(hllRegisterTerm(col("r"))).as("zsum"), count(lit(1)).as("present"))
+        .select(hllEstimate(col("zsum"), col("present")).as("est"))
+        .head().getDouble(0)
+      val sigma = 1.04 / math.sqrt(HllM.toDouble)
+      assert(math.abs(est - n) / n < 3 * sigma + 0.02,
+        s"portable HLL n=$n est=$est outside 3 sigma")
+    }
+  }
+
+  test("portable CMS: estimates never undercount and hit exact counts sans collisions") {
+    import graft.functions.PortableSketches._
+    import org.apache.spark.sql.functions._
+    // zipf-ish stream: key k appears 1000/k times, k = 1..50
+    val rows = (1 to 50).flatMap(k => Seq.fill(1000 / k)(k.toLong))
+    val df = rows.toDF("v")
+    val lanes = df
+      .select(posexplode(cmsBuckets(col("v"))).as(Seq("lane", "bucket")))
+      .groupBy("lane", "bucket").agg(count(lit(1)).as("cnt"))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (k <- Seq(1L, 7L, 29L, 50L)) {
+      val est = lanes.agg(
+        least(cmsKeyBuckets(k.toString).zipWithIndex.map { case (bk, lane) =>
+          sum(when(col("lane") === lane && col("bucket") === bk, col("cnt"))
+            .otherwise(0L))
+        }: _*).as("est")).head().getLong(0)
+      assert(est >= truth(k), s"CMS undercounted key $k: $est < ${truth(k)}")
+      // stream is ~4.5k values over width 1024 — collisions add at most
+      // a few spurious counts per lane; min-over-4-lanes is exact here
+      assert(est <= truth(k) + 50, s"CMS est for $k implausibly high: $est")
+    }
+  }
 }
