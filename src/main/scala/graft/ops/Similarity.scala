@@ -336,9 +336,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
-              trainIterations: Int = 0): DataFrame = {
+              trainIterations: Int = 0,
+              portableSeeds: Boolean = false): DataFrame = {
     val cents =
       if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")
 
@@ -369,9 +371,11 @@ object Similarity {
                        queries: DataFrame, qidCol: String, qvecCol: String,
                        k: Int, nlist: Int = 16, nprobe: Int = 4,
                        shortlist: Int = 0,
-                       trainIterations: Int = 0): DataFrame = {
+                       trainIterations: Int = 0,
+                       portableSeeds: Boolean = false): DataFrame = {
     val cents =
       if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")
     // the persistable quantized index, built inline from the corpus

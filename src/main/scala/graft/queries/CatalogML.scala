@@ -665,17 +665,53 @@ object CatalogML {
         |) e USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
-    // IVF approximate ANN (recall < 1 by design → rows-only; exactness is
-    // covered by q37, the scalatest suite checks recall vs brute force).
+    // IVF approximate ANN. Approximate vs BRUTE FORCE (probe recall
+    // < 1, pinned by the scalatest recall spec and exact q37) — but the
+    // IVF pipeline itself is deterministic, and with the PORTABLE
+    // md5-seed centroids every stage (seed model → rn=1 cell
+    // assignment → top-nprobe probe → in-cell exact cosine top-k) is
+    // reproducible verbatim in SQL. Same full-oracle posture as q101.
     ("q46_ann_ivf", (s: SparkSession, d: String) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfTopK(
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 20)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-          "qid", "qvec", k = 5)
+          "qid", "qvec", k = 5, portableSeeds = true)
         .orderBy("qid", "rank")
-    }, None),
+    }, Some(
+      """WITH seeds AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+        |  LIMIT 16
+        |), asg AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT c.vec_id, c.embedding, s.cent_id,
+        |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                    CAST(s.cent_vec AS DOUBLE[])) DESC,
+        |             s.cent_id ASC) AS rn
+        |    FROM embeddings c CROSS JOIN seeds s) WHERE rn = 1
+        |), qcells AS (
+        |  SELECT qid, qvec, cent_id FROM (
+        |    SELECT q.vec_id AS qid, q.embedding AS qvec, s.cent_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                    CAST(s.cent_vec AS DOUBLE[])) DESC,
+        |             s.cent_id ASC) AS rn
+        |    FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id < 20) WHERE rn <= 4
+        |), scored AS (
+        |  SELECT qc.qid, a.vec_id,
+        |         list_cosine_similarity(CAST(qc.qvec AS DOUBLE[]),
+        |                                CAST(a.embedding AS DOUBLE[])) AS cos
+        |  FROM qcells qc JOIN asg a USING (cent_id)
+        |  WHERE qc.qid != a.vec_id
+        |)
+        |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+        |  SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // Repetition / boilerplate signals (Gopher-style quality filters):
     // duplicate-line fraction and the share of the most frequent word

@@ -159,9 +159,12 @@ object CatalogML2 {
 
     // Two-stage quantized ANN: int8 candidate scan (packed binary codes,
     // integer dot product — 4× less memory traffic) + exact float
-    // re-rank of the shortlist. Approximate by design (shortlist recall
-    // < 1), so rows-only here; PipelineOpsSpec pins recall >= 0.9
-    // against the exact float top-k.
+    // re-rank of the shortlist. Approximate vs the exact top-k
+    // (shortlist recall < 1, pinned by PipelineOpsSpec), but every
+    // stage is deterministic IEEE/integer arithmetic — the codes are
+    // floor(x*127/ma + 0.5) clamps, the candidate score is an exact
+    // integer dot scaled once — so the oracle replays the whole
+    // two-stage search verbatim.
     ("q86_ann_quantized", (s: SparkSession, d: String) => {
       val emb = table(s, d, "embeddings")
       graft.ops.Similarity.bruteForceTopKQuantized(
@@ -170,21 +173,121 @@ object CatalogML2 {
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           "qid", "qvec", k = 5)
         .orderBy("qid", "rank")
-    }, None),
+    }, Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |  FROM embeddings
+         |), enc AS (
+         |  SELECT vec_id, embedding,
+         |         CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding, x ->
+         |                CAST(greatest(-127.0, least(127.0,
+         |                  floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5))) AS BIGINT)) END AS q,
+         |         ma / 127.0 AS vscale,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS vnorm
+         |  FROM base
+         |), approx AS (
+         |  SELECT qe.vec_id AS qid, ce.vec_id AS vec_id,
+         |         CASE WHEN ce.vnorm = 0 THEN 0.0
+         |              ELSE ce.vscale * CAST(list_sum(list_transform(range(1, len(qe.q) + 1),
+         |                     i -> qe.q[i] * ce.q[i])) AS DOUBLE) / ce.vnorm END AS qscore
+         |  FROM enc qe JOIN enc ce ON qe.vec_id < 100 AND ce.vec_id != qe.vec_id
+         |), short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id ASC) AS rn
+         |    FROM approx) WHERE rn <= 32
+         |), rerank AS (
+         |  SELECT s.qid, s.vec_id,
+         |         list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+         |                                CAST(cv.embedding AS DOUBLE[])) AS cos
+         |  FROM short s JOIN embeddings qv ON qv.vec_id = s.qid
+         |               JOIN embeddings cv ON cv.vec_id = s.vec_id
+         |)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM rerank) WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin)),
 
     // IVF × int8 ANN: cell pruning and quantized candidate scan
     // composed — approximate twice over (probe recall × shortlist
-    // recall), so rows-only; PipelineOpsSpec pins agreement with the
-    // float IVF scan over the same cells.
+    // recall, pinned by PipelineOpsSpec) — with the portable md5-seed
+    // model the full composition (seed cells → probe → int8 shortlist
+    // → float re-rank) replays verbatim in the oracle, like q46 + q86.
     ("q95_ann_ivf_quantized", (s: SparkSession, d: String) => {
       val emb = table(s, d, "embeddings")
       graft.ops.Similarity.ivfTopKQuantized(
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 100)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-          "qid", "qvec", k = 5, nlist = 16, nprobe = 4)
+          "qid", "qvec", k = 5, nlist = 16, nprobe = 4,
+          portableSeeds = true)
         .orderBy("qid", "rank")
-    }, None),
+    }, Some(
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent_vec
+         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |  LIMIT 16
+         |), base AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |  FROM embeddings
+         |), enc AS (
+         |  SELECT vec_id, embedding,
+         |         CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding, x ->
+         |                CAST(greatest(-127.0, least(127.0,
+         |                  floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5))) AS BIGINT)) END AS q,
+         |         ma / 127.0 AS vscale,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS vnorm
+         |  FROM base
+         |), asg AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT c.vec_id, s.cent_id,
+         |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |                                    CAST(s.cent_vec AS DOUBLE[])) DESC,
+         |             s.cent_id ASC) AS rn
+         |    FROM embeddings c CROSS JOIN seeds s) WHERE rn = 1
+         |), qcells AS (
+         |  SELECT qid, cent_id FROM (
+         |    SELECT q.vec_id AS qid, s.cent_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                    CAST(s.cent_vec AS DOUBLE[])) DESC,
+         |             s.cent_id ASC) AS rn
+         |    FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id < 100) WHERE rn <= 4
+         |), approx AS (
+         |  SELECT qc.qid, a.vec_id,
+         |         CASE WHEN ce.vnorm = 0 THEN 0.0
+         |              ELSE ce.vscale * CAST(list_sum(list_transform(range(1, len(qe.q) + 1),
+         |                     i -> qe.q[i] * ce.q[i])) AS DOUBLE) / ce.vnorm END AS qscore
+         |  FROM qcells qc
+         |  JOIN asg a USING (cent_id)
+         |  JOIN enc ce ON ce.vec_id = a.vec_id
+         |  JOIN enc qe ON qe.vec_id = qc.qid
+         |  WHERE a.vec_id != qc.qid
+         |), short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id ASC) AS rn
+         |    FROM approx) WHERE rn <= 32
+         |), rerank AS (
+         |  SELECT s.qid, s.vec_id,
+         |         list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+         |                                CAST(cv.embedding AS DOUBLE[])) AS cos
+         |  FROM short s JOIN embeddings qv ON qv.vec_id = s.qid
+         |               JOIN embeddings cv ON cv.vec_id = s.vec_id
+         |)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM rerank) WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin)),
 
     // Temperature-scaled mixture weights (T=2): the data-mixing step.
     // sqrt is correctly-rounded IEEE (cross-engine bit-stable, unlike
