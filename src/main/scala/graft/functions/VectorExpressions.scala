@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Custom Catalyst expressions for vector similarity (SURVEY.md §2b
@@ -339,6 +339,100 @@ object ByteMatchCount {
         "must match the values the signatures/index were written with)")
 }
 
+/** Top-`k` nearest-centroid ids of a vector against a driver-resident
+  * centroid model, as ONE reference-object expression.
+  *
+  * Why not the inlined-literal argmax (`array_max`/`array_sort` over
+  * per-centroid cosine struct literals): that formulation generates
+  * Java proportional to nlist × dim, and past a few hundred centroids
+  * the projection method crosses Janino's 64 KB limit — the x100
+  * semantic-dedup curve (nlist = 800) fell back to interpreted mode,
+  * which is exactly the q38 composed-sign-LSH failure shape again.
+  * Here the model rides along as ONE reference object (the same way
+  * [[SignLshBuckets]] carries its planes) and the per-row work is a
+  * tight JVM loop, so codegen size is constant in nlist.
+  *
+  * Bit-compatibility contract (the q46/q95/q101 oracles replay this in
+  * SQL): per-centroid score is EXACTLY [[CosineSimilarity]]'s
+  * arithmetic — per-index float→double promotion, dot/norm
+  * accumulation in index order, 0.0 on zero norms — with the query
+  * norm computed once (same double every per-pair evaluation would
+  * produce) and centroid norms precomputed likewise; ranking is
+  * cos DESC with ties to the SMALLER centroid id (Double.compare
+  * semantics, as the struct orderings used before). */
+case class NearestCentroids(child: Expression,
+                            cents: Array[(Long, Array[Float])], k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  require(cents.nonEmpty, "centroid model must be non-empty")
+  require(k >= 1 && k <= cents.length,
+    s"k must be in [1, ${cents.length}], got $k")
+
+  override def prettyName: String = "graft_nearest_centroids"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val centNorms: Array[Double] =
+    cents.map { case (_, cv) =>
+      var ny = 0.0
+      var i = 0
+      while (i < cv.length) { val v = cv(i).toDouble; ny += v * v; i += 1 }
+      math.sqrt(ny)
+    }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val xn = arr.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < xn) { val v = arr.getFloat(i).toDouble; nx += v * v; i += 1 }
+    val sqnx = math.sqrt(nx)
+    // top-k by (cos desc, id asc) via insertion into k-sized arrays
+    val bestCos = new Array[Double](k)
+    val bestId = new Array[Long](k)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val (cid, cv) = cents(c)
+      val n = math.min(xn, cv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += arr.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+      val cos = if (nx == 0.0 || centNorms(c) == 0.0) 0.0
+        else dot / (sqnx * centNorms(c))
+      // find insertion point among the current top-k
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(cos, bestCos(pos - 1))
+        cmp > 0 || (cmp == 0 && cid < bestId(pos - 1))
+      }) pos -= 1
+      if (pos < k) {
+        val lim = math.min(filled, k - 1)
+        var m = lim
+        while (m > pos) { bestCos(m) = bestCos(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
+        bestCos(pos) = cos
+        bestId(pos) = cid
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestId, filled))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCents", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** All sign-LSH bucket ids of a vector in ONE pass:
   * `output(t) = Σ_i (dot(vec, planes(t)(i)) >= 0 ? 1L << i : 0)`.
   *
@@ -454,6 +548,11 @@ object VectorFunctions {
   /** All sign-LSH table buckets of a vector in one fused pass. */
   def signLshBuckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
     GraftSqlShim.column(SignLshBuckets(expr(vec), planes))
+
+  /** Top-k nearest centroid ids against a driver-resident model. */
+  def nearestCentroids(vec: Column, cents: Array[(Long, Array[Float])],
+                       k: Int): Column =
+    GraftSqlShim.column(NearestCentroids(expr(vec), cents, k))
 
   private def expr(c: Column): Expression = GraftSqlShim.expression(c)
 

@@ -933,19 +933,19 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       spanLen: Int, minOcc: Int = 2): DataFrame = {
     require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
-    // hash every gram ROW-LOCALLY into one array, then posexplode only
-    // (pos, digest). Exploding positions and substring-ing afterwards
-    // was measured ~2x slower: the Generate operator copies every
-    // retained column into each output row, so the full document text
-    // rode along once PER GRAM (~300 bytes x n_grams vs 32).
-    val gramDigests = transform(
-      sequence(lit(1), length(col(textCol)) - lit(spanLen - 1)),
-      p => md5(col(textCol).substr(p, lit(spanLen))))
+    // hash every gram ROW-LOCALLY inside one compiled expression
+    // ([[graft.functions.GramAnchors]], window = 0) and explode only the
+    // slim (pos, h1, h2) structs. Two measured traps this avoids: an
+    // explode-then-substring formulation copies the full document text
+    // once PER GRAM through the Generate (~300 bytes × n_grams vs 24),
+    // and the earlier `transform(sequence, md5(substr))` HOF paid the
+    // interpreted CodegenFallback lambda walk per gram.
     val grams = spreadCompute(docs, idCol)
       .where(length(col(textCol)) >= spanLen)
-      .select(col(idCol), posexplode(gramDigests).as(Seq("__p", "__m")))
-      .select(col(idCol), (col("__p") + 1).cast("long").as("pos"),
-        md5Half64(col("__m"), 1).as("h1"), md5Half64(col("__m"), 17).as("h2"))
+      .select(col(idCol),
+        explode(graft.functions.GramAnchors.grams(col(textCol), spanLen, 0)).as("__a"))
+      .select(col(idCol), col("__a.pos").as("pos"),
+        col("__a.h1").as("h1"), col("__a.h2").as("h2"))
     spansFromGrams(grams, idCol, spanLen, minOcc)
   }
 
@@ -987,36 +987,24 @@ object Dedup {
                               spanLen: Int, window: Int = 8,
                               minOcc: Int = 2): DataFrame = {
     require(window >= 1, s"window must be positive, got $window")
-    val hashes = transform(
-      sequence(lit(1), length(col(textCol)) - lit(spanLen - 1)),
-      p => md5(col(textCol).substr(p, lit(spanLen))))
-    // argmin position of each full window (leftmost min via strict-<
-    // fold — lexicographic on hex strings, identical in any engine,
-    // which keeps the selection differentially testable), deduplicated
-    val wEff = least(lit(window), size(col("__hs")))
-    val anchorPositions = array_distinct(transform(
-      sequence(wEff, size(col("__hs"))),
-      e => aggregate(
-        sequence(e - wEff + 1, e),
-        struct(element_at(col("__hs"), e - wEff + 1).as("m"),
-          (e - wEff + 1).as("p")),
-        (acc, i) => when(element_at(col("__hs"), i) < acc.getField("m"),
-          struct(element_at(col("__hs"), i).as("m"), i.as("p")))
-          .otherwise(acc))
-        .getField("p")))
-    // resolve each anchor to its (pos, digest) ROW-LOCALLY and explode
-    // only that slim pair: exploding positions with __hs retained was
-    // measured ~2x slower — Generate copies retained columns per output
-    // row, so the whole n_grams x 32-byte hash array rode along once
-    // per anchor
-    val anchorPairs = transform(anchorPositions,
-      p => struct(p.as("p"), element_at(col("__hs"), p).as("m")))
+    // hashing + argmin-of-each-window selection run as tight JVM loops
+    // inside ONE compiled expression ([[graft.functions.GramAnchors]]:
+    // reusable digest, byte-sliced ASCII grams, O(n) monotonic-deque
+    // sliding argmin). The previous builtin-HOF formulation — a
+    // `transform(sequence, aggregate(...))` nested-lambda argmin — was
+    // CodegenFallback-interpreted and paid window× re-scans per gram;
+    // on the x100 scaling corpus it made winnowed mining SLOWER than
+    // the stride-1 exact miner (284.7 s vs 208.7 s) even though its
+    // shuffled stream is ~window× smaller. Selection semantics are
+    // bit-identical (leftmost argmin on the md5 hex = unsigned-byte
+    // order, whole-document window for short docs, positions deduped) —
+    // pinned by the q100 differential oracle and DupSpansSpec.
     val grams = spreadCompute(docs, idCol)
       .where(length(col(textCol)) >= spanLen)
-      .select(col(idCol), hashes.as("__hs"))
-      .select(col(idCol), explode(anchorPairs).as("__a"))
-      .select(col(idCol), col("__a.p").cast("long").as("pos"),
-        md5Half64(col("__a.m"), 1).as("h1"), md5Half64(col("__a.m"), 17).as("h2"))
+      .select(col(idCol),
+        explode(graft.functions.GramAnchors.grams(col(textCol), spanLen, window)).as("__a"))
+      .select(col(idCol), col("__a.pos").as("pos"),
+        col("__a.h1").as("h1"), col("__a.h2").as("h2"))
     spansFromGrams(grams, idCol, spanLen, minOcc)
   }
 

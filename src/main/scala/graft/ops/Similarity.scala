@@ -297,12 +297,8 @@ object Similarity {
     * inlined as literals and the argmax runs as array_max over
     * (cosine, -id) structs — assignment adds NO join and NO shuffle to
     * the corpus scan. Ties break toward the smaller centroid id. */
-  private[graft] def nearestCentId(vecCol: Column, cents: Array[(Long, Array[Float])]): Column = {
-    val best = array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(cosine(vecCol, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
-    }: _*))
-    -best.getField("ncid")
-  }
+  private[graft] def nearestCentId(vecCol: Column, cents: Array[(Long, Array[Float])]): Column =
+    element_at(VectorFunctions.nearestCentroids(vecCol, cents, 1), 1)
 
   /** Lloyd-refined IVF centroids — distributed k-means where each
     * iteration is ONE corpus scan: nearest-centroid assignment is the
@@ -408,13 +404,8 @@ object Similarity {
     * shuffled the query vectors on qid just to rank nlist literals). */
   private[graft] def probedCellIds(qvecCol: Column,
                             cents: Array[(Long, Array[Float])],
-                            nprobe: Int): Column = {
-    val ranked = array_sort(array(cents.toIndexedSeq.map { case (cid, cv) =>
-      struct((lit(0.0) - cosine(qvecCol, typedLit(cv))).as("ncos"),
-        lit(cid).as("cent_id"))
-    }: _*))
-    transform(slice(ranked, 1, nprobe), c => c.getField("cent_id"))
-  }
+                            nprobe: Int): Column =
+    VectorFunctions.nearestCentroids(qvecCol, cents, nprobe)
 
   /** Per-query probed cells with the quantized query codes:
     * (qidCol, qcodes, cent_id), `nprobe` rows per query. */
