@@ -381,9 +381,10 @@ object CatalogML {
     ("q43_agg_approx_distinct", (s: SparkSession, d: String) => {
       import graft.functions.PortableSketches._
       val ev = table(s, d, "events")
-      val regs = ev.groupBy(col("event_type"),
-          hllBucket(col("user_id")).as("bucket"))
-        .agg(max(hllRho(col("user_id"))).as("r"))
+      val regs = ev
+        .select(col("event_type"), hllDigest(col("user_id")).as("__d"))
+        .groupBy(col("event_type"), hllBucket(col("__d")).as("bucket"))
+        .agg(max(hllRho(col("__d"))).as("r"))
       val approx = regs.groupBy("event_type")
         .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
           count(lit(1)).as("present"))
@@ -395,9 +396,10 @@ object CatalogML {
     }, Some {
       import graft.functions.PortableSketches._
       s"""WITH regs AS (
-         |  SELECT event_type, ${hllBucketSql("user_id")} AS bucket,
-         |         max(${hllRhoSql("user_id")}) AS r
-         |  FROM events GROUP BY 1, 2
+         |  SELECT event_type, ${hllBucketSql("d")} AS bucket,
+         |         max(${hllRhoSql("d")}) AS r
+         |  FROM (SELECT event_type, ${hllDigestSql("user_id")} AS d FROM events)
+         |  GROUP BY 1, 2
          |), z AS (
          |  SELECT event_type, sum($hllRegisterTermSql) AS zsum,
          |         count(*) AS present
@@ -426,9 +428,10 @@ object CatalogML {
     ("q75_agg_sketch_merge", (s: SparkSession, d: String) => {
       import graft.functions.PortableSketches._
       val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
-          hllBucket(col("user_id")).as("bucket"))
-        .agg(max(hllRho(col("user_id"))).as("r"))
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          hllDigest(col("user_id")).as("__d"))
+        .groupBy(col("event_type"), col("day"), hllBucket(col("__d")).as("bucket"))
+        .agg(max(hllRho(col("__d"))).as("r"))
       val merged = daily.groupBy(col("event_type"), col("bucket"))
         .agg(max(col("r")).as("r"))
       val est = merged.groupBy("event_type")
@@ -442,10 +445,11 @@ object CatalogML {
     }, Some {
       import graft.functions.PortableSketches._
       s"""WITH daily AS (
-         |  SELECT event_type, CAST(ts AS DATE) AS day,
-         |         ${hllBucketSql("user_id")} AS bucket,
-         |         max(${hllRhoSql("user_id")}) AS r
-         |  FROM events GROUP BY 1, 2, 3
+         |  SELECT event_type, day, ${hllBucketSql("d")} AS bucket,
+         |         max(${hllRhoSql("d")}) AS r
+         |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+         |               ${hllDigestSql("user_id")} AS d FROM events)
+         |  GROUP BY 1, 2, 3
          |), merged AS (
          |  SELECT event_type, bucket, max(r) AS r
          |  FROM daily GROUP BY event_type, bucket

@@ -231,14 +231,99 @@ class FunctionsSpec extends SparkSpec {
     // cardinalities below and above the 2.5m = 640 gate
     for (n <- Seq(40, 150, 640, 5000, 50000)) {
       val est = spark.range(1, n + 1)
-        .groupBy(hllBucket(col("id")).as("bucket"))
-        .agg(max(hllRho(col("id"))).as("r"))
+        .select(hllDigest(col("id")).as("d"))
+        .groupBy(hllBucket(col("d")).as("bucket"))
+        .agg(max(hllRho(col("d"))).as("r"))
         .agg(sum(hllRegisterTerm(col("r"))).as("zsum"), count(lit(1)).as("present"))
         .select(hllEstimate(col("zsum"), col("present")).as("est"))
         .head().getDouble(0)
       val sigma = 1.04 / math.sqrt(HllM.toDouble)
       assert(math.abs(est - n) / n < 3 * sigma + 0.02,
         s"portable HLL n=$n est=$est outside 3 sigma")
+    }
+  }
+
+  test("GramAnchors equals the builtin-HOF formulation, ASCII and multibyte") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260813L)
+    val alphaAscii = "abcdefgh "
+    val alphaUni = "abcδλ語 é" // forces the codepoint slow path
+    def doc(alpha: String, len: Int): String =
+      Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+    // repetition-heavy so windows tie often (leftmost-tie rule exercised)
+    val docs = ((1 to 12).map(i => (i.toLong, doc(alphaAscii, 40 + rnd.nextInt(120)))) ++
+      (13 to 24).map(i => (i.toLong, doc(alphaUni, 40 + rnd.nextInt(120)))) ++
+      Seq(25L -> "short", 26L -> doc(alphaAscii, 12))).toDF("id", "text")
+    val spanLen = 10
+    for (window <- Seq(0, 1, 4, 8, 64)) {
+      // reference: the round-5 column formulation (hex-string hashes,
+      // per-window argmin fold, distinct), evaluated via Spark builtins
+      val hashes = transform(
+        sequence(lit(1), length(col("text")) - lit(spanLen - 1)),
+        p => md5(col("text").substr(p, lit(spanLen))))
+      def half(m: org.apache.spark.sql.Column, off: Int) =
+        shiftleft(conv(substring(m, off, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(m, off + 8, 8), 16, 10).cast("long"))
+      val refRows =
+        if (window == 0)
+          docs.where(length(col("text")) >= spanLen)
+            .select(col("id"), posexplode(hashes).as(Seq("__p", "__m")))
+            .select(col("id"), (col("__p") + 1).cast("long").as("pos"),
+              half(col("__m"), 1).as("h1"), half(col("__m"), 17).as("h2"))
+        else {
+          val wEff = least(lit(window), size(col("__hs")))
+          val anchorPositions = array_distinct(transform(
+            sequence(wEff, size(col("__hs"))),
+            e => aggregate(
+              sequence(e - wEff + 1, e),
+              struct(element_at(col("__hs"), e - wEff + 1).as("m"),
+                (e - wEff + 1).as("p")),
+              (acc, i) => when(element_at(col("__hs"), i) < acc.getField("m"),
+                struct(element_at(col("__hs"), i).as("m"), i.as("p")))
+                .otherwise(acc))
+              .getField("p")))
+          val anchorPairs = transform(anchorPositions,
+            p => struct(p.as("p"), element_at(col("__hs"), p).as("m")))
+          docs.where(length(col("text")) >= spanLen)
+            .select(col("id"), hashes.as("__hs"))
+            .select(col("id"), explode(anchorPairs).as("__a"))
+            .select(col("id"), col("__a.p").cast("long").as("pos"),
+              half(col("__a.m"), 1).as("h1"), half(col("__a.m"), 17).as("h2"))
+        }
+      val got = docs.where(length(col("text")) >= spanLen)
+        .select(col("id"),
+          explode(graft.functions.GramAnchors.grams(col("text"), spanLen, window)).as("__a"))
+        .select(col("id"), col("__a.pos").as("pos"),
+          col("__a.h1").as("h1"), col("__a.h2").as("h2"))
+      val r = refRows.as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val g = got.as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(g == r, s"GramAnchors mismatch at window=$window: " +
+        s"got ${g.take(5)}... expected ${r.take(5)}...")
+    }
+  }
+
+  test("NearestCentroids equals the inlined argmax/sort formulation, ties included") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(424242L)
+    val dim = 16
+    def cents0(d: Int): Array[Float] = Array.tabulate(d)(j => if (j == 0) 1f else 0f)
+    val cents: Array[(Long, Array[Float])] = Array.tabulate(7) { i =>
+      ((i + 3).toLong, Array.fill(dim)((rnd.nextInt(5) - 2).toFloat))
+    } :+ ((99L, cents0(dim))) :+ ((100L, cents0(dim))) // two identical -> cos tie
+    val vecs = ((1 to 60).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextInt(7) - 3).toFloat))
+    } :+ (61L, Array.fill(dim)(0f))).toDF("id", "vec") // zero vector edge
+    for (k <- Seq(1, 2, 4)) {
+      val ref = vecs.select(col("id"),
+        transform(slice(array_sort(array(cents.toIndexedSeq.map { case (cid, cv) =>
+          struct((lit(0.0) - graft.functions.VectorFunctions.cosine(col("vec"), typedLit(cv))).as("ncos"),
+            lit(cid).as("cent_id"))
+        }: _*)), 1, k), c => c.getField("cent_id")).as("cells"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val got = vecs.select(col("id"),
+        graft.functions.VectorFunctions.nearestCentroids(col("vec"), cents, k).as("cells"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got == ref, s"NearestCentroids mismatch at k=$k")
     }
   }
 
