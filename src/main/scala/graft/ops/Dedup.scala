@@ -1008,6 +1008,46 @@ object Dedup {
     spansFromGrams(grams, idCol, spanLen, minOcc)
   }
 
+  /** Cross-corpus duplicated spans: every `spanLen`-char window of
+    * `docs` that occurs ANYWHERE in `refDocs` marks its positions;
+    * marks merge into per-doc intervals ([[mergeSpans]]). The span-
+    * level complement of [[crossCorpusJaccardPairs]] and the
+    * span-granular sibling of [[Decontamination]] — the "cut the
+    * training spans that leak the eval set" / "dedup the new crawl
+    * against the archive" shape from Lee et al.; feed the result to
+    * [[removeSpans]] for the rewrite.
+    *
+    * `window` = 0 (default) is exact stride-1 on BOTH sides; `window`
+    * ≥ 1 winnows both sides with the same content-defined anchor rule,
+    * so a shared region of at least `window + spanLen - 1` chars still
+    * shares an anchor (the [[duplicatedSpansWinnowed]] guarantee,
+    * cross-corpus) at ~window× less shuffle.
+    *
+    * Scale design: the reference side reduces to DISTINCT 128-bit
+    * digests (16 B per ref char at stride 1, ~window× less winnowed —
+    * the ref text never shuffles), and the mark is a LEFT SEMI join on
+    * (h1, h2): the docs-side stream carries (id, pos, h1, h2) once,
+    * Spark keeps semi-join build sides hash-only, and AQE broadcasts a
+    * small reference outright. */
+  def duplicatedSpansAgainst(docs: DataFrame, refDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             spanLen: Int, window: Int = 0): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
+    require(window >= 0, s"window must be >= 0, got $window")
+    def gramsOf(df: DataFrame): DataFrame =
+      spreadCompute(df, idCol)
+        .where(length(col(textCol)) >= spanLen)
+        .select(col(idCol),
+          explode(graft.functions.GramAnchors.grams(col(textCol), spanLen, window)).as("__a"))
+        .select(col(idCol), col("__a.pos").as("pos"),
+          col("__a.h1").as("h1"), col("__a.h2").as("h2"))
+    val refHashes = gramsOf(refDocs).select("h1", "h2").distinct()
+    val marks = gramsOf(docs)
+      .join(refHashes, Seq("h1", "h2"), "left_semi")
+      .select(col(idCol), col("pos"))
+    mergeSpans(marks, idCol, spanLen)
+  }
+
   /** Corpus rewrite: CUT mined duplicated spans out of each document,
     * order-preserving — the second half of the ExactSubstr method (Lee
     * et al. ACL 2022 remove every duplicated span, not just report it).

@@ -951,6 +951,49 @@ object CatalogML2 {
         |       sum(len(text)) AS kept_chars,
         |       sum(n_chars - len(text)) AS removed_chars
         |FROM rw GROUP BY lang
-        |ORDER BY lang""".stripMargin))
+        |ORDER BY lang""".stripMargin)),
+
+    // Cross-corpus span contamination: every 30-char window of the
+    // crawl split (doc_id % 5 != 0) that occurs anywhere in the
+    // reference split (doc_id % 5 = 0) marks its positions; marks merge
+    // into per-doc intervals. The span-granular "dedup the crawl
+    // against the archive / cut eval leakage" operator; removeSpans
+    // consumes its output unchanged (q102 shape).
+    ("q104_dedup_spans_cross", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      Dedup.duplicatedSpansAgainst(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", spanLen = 30)
+        .orderBy("doc_id", "span_start")
+    }, Some(
+      """WITH crawl AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+        |), ref AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |), g AS (
+        |  SELECT doc_id, i AS pos, md5(substring(text, i, 30)) AS h
+        |  FROM crawl, LATERAL (SELECT unnest(range(1, len(text) - 30 + 2)) AS i)
+        |  WHERE len(text) >= 30
+        |), rg AS (
+        |  SELECT DISTINCT md5(substring(text, i, 30)) AS h
+        |  FROM ref, LATERAL (SELECT unnest(range(1, len(text) - 30 + 2)) AS i)
+        |  WHERE len(text) >= 30
+        |), dup AS (
+        |  SELECT doc_id, pos FROM g SEMI JOIN rg USING (h)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM brk
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+        |       max(pos) + 29 - min(pos) + 1 AS span_chars
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin))
   )
 }

@@ -180,6 +180,37 @@ class DupSpansSpec extends SparkSpec {
       s"rewritten corpus must be span-dup-free, got ${collect(again)}")
   }
 
+  test("duplicatedSpansAgainst marks only cross-corpus spans; winnowed floor holds") {
+    val leak = "this exact thirty-plus character span leaked from the reference set"
+    val inner = "crawl-internal duplicate window repeated twice in one document!!"
+    val crawl = df(Seq(
+      1L -> s"crawl preamble $leak crawl tail",
+      2L -> s"$inner and again $inner",                // internal dup, NOT in ref
+      3L -> "clean document sharing nothing with the reference corpus at all"))
+    val ref = df(Seq(
+      100L -> s"reference context $leak reference tail"))
+    val spanLen = 30
+    val out = collect(Dedup.duplicatedSpansAgainst(crawl, ref, "doc_id", "text", spanLen))
+    // only doc 1 is marked, and its interval covers exactly the leaked span
+    assert(out.map(_._1).distinct == Seq(1L), s"only the leaking doc, got $out")
+    val (_, s, e, _) = out.head
+    // the maximal shared region includes the flanking spaces (both
+    // corpora surround the leak with a space on each side)
+    val text1 = s"crawl preamble $leak crawl tail"
+    val shared = s" $leak "
+    val start = text1.indexOf(shared) + 1
+    assert(s == start && e == start + shared.length - 1,
+      s"interval [$s,$e] must cover the shared region [$start,${start + shared.length - 1}]")
+    // winnowed: the shared region is >= window+spanLen-1 chars, so the
+    // content-defined anchors coincide across corpora and it is found
+    val win = collect(Dedup.duplicatedSpansAgainst(crawl, ref, "doc_id", "text",
+      spanLen, window = 8))
+    assert(win.map(_._1).distinct == Seq(1L))
+    val (_, ws, we, _) = win.head
+    assert(ws >= s && we <= e && we - ws + 1 >= spanLen,
+      s"winnowed interval [$ws,$we] must nest in exact [$s,$e]")
+  }
+
   test("removeSpans handles overlapping and unsorted input intervals") {
     val docs = df(Seq(10L -> "abcdefghijklmnopqrstuvwxyz"))
     // overlapping + touching + out-of-order intervals: [4,9], [8,12], [13,15]
