@@ -994,6 +994,74 @@ object CatalogML2 {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
         |       max(pos) + 29 - min(pos) + 1 AS span_chars
         |FROM isl GROUP BY doc_id, isl
-        |ORDER BY doc_id, span_start""".stripMargin))
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Decontaminate-then-account, composed end-to-end: q104's
+    // cross-corpus leak intervals -> q102's order-preserving cut over
+    // the crawl split -> per-source reclaimed-chars stats. The
+    // mine -> cut -> retrain-stats loop against a REFERENCE corpus
+    // (eval-set scrubbing), oracled through the whole chain.
+    ("q105_pipeline_decontam_spans", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      val crawl = docs.where(col("doc_id") % 5 =!= 0)
+      val ref = docs.where(col("doc_id") % 5 === 0)
+      val spans = Dedup.duplicatedSpansAgainst(crawl, ref, "doc_id", "text",
+        spanLen = 30)
+      Dedup.removeSpans(crawl, spans, "doc_id", "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("orig_chars"),
+          sum(length(col("text")).cast("long")).as("kept_chars"),
+          sum(col("n_chars") - length(col("text")).cast("long")).as("removed_chars"))
+        .orderBy("source")
+    }, Some(
+      """WITH crawl AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id % 5 != 0
+        |), ref AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |), g AS (
+        |  SELECT doc_id, i AS pos, md5(substring(text, i, 30)) AS h
+        |  FROM crawl, LATERAL (SELECT unnest(range(1, len(text) - 30 + 2)) AS i)
+        |  WHERE len(text) >= 30
+        |), rg AS (
+        |  SELECT DISTINCT md5(substring(text, i, 30)) AS h
+        |  FROM ref, LATERAL (SELECT unnest(range(1, len(text) - 30 + 2)) AS i)
+        |  WHERE len(text) >= 30
+        |), dup AS (
+        |  SELECT doc_id, pos FROM g SEMI JOIN rg USING (h)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM brk
+        |), sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 29 AS e
+        |  FROM isl GROUP BY doc_id, isl
+        |), iv AS (
+        |  SELECT doc_id, s, e,
+        |         lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        |  FROM sp
+        |), seg AS (
+        |  SELECT doc_id, pe + 1 AS st, s - pe - 1 AS ln FROM iv
+        |  UNION ALL
+        |  SELECT doc_id, max(e) + 1 AS st, 2000000000 AS ln FROM sp GROUP BY doc_id
+        |), cutd AS (
+        |  SELECT sg.doc_id,
+        |         string_agg(substring(c.text, sg.st, sg.ln), '' ORDER BY sg.st) AS text
+        |  FROM seg sg JOIN crawl c USING (doc_id)
+        |  GROUP BY sg.doc_id
+        |), rw AS (
+        |  SELECT c.doc_id, c.source, c.n_chars, coalesce(cu.text, c.text) AS text
+        |  FROM crawl c LEFT JOIN cutd cu USING (doc_id)
+        |)
+        |SELECT source, count(*) AS n_docs, sum(n_chars) AS orig_chars,
+        |       sum(len(text)) AS kept_chars,
+        |       sum(n_chars - len(text)) AS removed_chars
+        |FROM rw GROUP BY source
+        |ORDER BY source""".stripMargin))
   )
 }

@@ -150,6 +150,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(flags.get(2L) == false, s"clean doc must pass: $flags")
   }
 
+  test("streaming span gate: duplicatedSpansAgainst + removeSpans in foreachBatch") {
+    import java.util.concurrent.ConcurrentHashMap
+    // the span-granular ingest gate: each micro-batch mines its leaked
+    // spans against the static reference corpus and cuts them before
+    // the write — the q104 -> q102 composition in its deployment shape
+    val leak = "this exact thirty-plus character span leaked from the reference set"
+    val ref = Seq((900L, s"reference context $leak reference tail")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](42, spark, None)
+    input.addData(
+      (1L, s"stream head $leak stream tail"),
+      (2L, "a perfectly clean streamed document with no reference overlap"))
+    val out = new ConcurrentHashMap[Long, String]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val spans = graft.ops.Dedup.duplicatedSpansAgainst(
+          batch, ref, "doc_id", "text", spanLen = 30)
+        graft.ops.Dedup.removeSpans(batch, spans, "doc_id", "text")
+          .collect().foreach(r => out.put(r.getLong(0), r.getString(1)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(out.get(2L) == "a perfectly clean streamed document with no reference overlap")
+    val cut = out.get(1L)
+    assert(!cut.contains(leak) && cut.startsWith("stream head") && cut.endsWith("stream tail"),
+      s"leaked span must be cut order-preserving, got: $cut")
+  }
+
   test("graft_minhash / graft_simhash SQL functions match the library ops") {
     graft.functions.MinHashSig.register(spark)
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(20)
