@@ -162,19 +162,20 @@ object ScalingCurve {
     // x100 a 1/8th-corpus cell would blow past maxCluster and be
     // (correctly) skipped — measuring nothing. So the curve drives
     // semanticDedup directly: nlist = 8·f keeps E[cell] ≈ 625 rows.
-    val semRows = for (f <- factors
-        if only.forall(_.exists("q101_dedup_semantic".startsWith))) yield {
+    val semRows = (for (f <- factors
+        if only.forall(_.exists("q101_dedup_semantic".startsWith));
+        probes <- Seq(1, 2)) yield {
       val emb = graft.ops.Tables.table(spark, s"$workDir/x$f", "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding"))
       val t0 = System.nanoTime()
       graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
-          nlist = 8 * f, tau = 0.95)
+          nlist = 8 * f, tau = 0.95, probes = probes)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"[scale] x$f%-4d q101_semantic(nlist=${8 * f}%d) ${dt}%8.2f s")
-      ("q101_dedup_semantic", f, dt)
-    }
+      println(f"[scale] x$f%-4d q101_semantic(nlist=${8 * f}%d,probes=$probes%d) ${dt}%8.2f s")
+      (s"q101_dedup_semantic_p$probes", f, dt)
+    })
 
     println("| query | " + factors.map(f => s"x$f (s)").mkString(" | ") + " |")
     (rows ++ semRows).groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
