@@ -907,6 +907,19 @@ object Dedup {
     mergeSpans(marks, idCol, spanLen)
   }
 
+  /** The slim (id, pos, h1, h2) gram/anchor stream every span miner
+    * shuffles: [[graft.functions.GramAnchors]] computes digests (and,
+    * for window ≥ 1, winnowing anchors) row-locally; only the 24-byte
+    * structs explode. */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                       spanLen: Int, window: Int): DataFrame =
+    spreadCompute(docs, idCol)
+      .where(length(col(textCol)) >= spanLen)
+      .select(col(idCol),
+        explode(graft.functions.GramAnchors.grams(col(textCol), spanLen, window)).as("__a"))
+      .select(col(idCol), col("__a.pos").as("pos"),
+        col("__a.h1").as("h1"), col("__a.h2").as("h2"))
+
   /** Exact duplicated-span detection — the ExactSubstr dedup of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"
     * (ACL 2022), re-expressed relationally: every `spanLen`-char window
@@ -940,13 +953,8 @@ object Dedup {
     // once PER GRAM through the Generate (~300 bytes × n_grams vs 24),
     // and the earlier `transform(sequence, md5(substr))` HOF paid the
     // interpreted CodegenFallback lambda walk per gram.
-    val grams = spreadCompute(docs, idCol)
-      .where(length(col(textCol)) >= spanLen)
-      .select(col(idCol),
-        explode(graft.functions.GramAnchors.grams(col(textCol), spanLen, 0)).as("__a"))
-      .select(col(idCol), col("__a.pos").as("pos"),
-        col("__a.h1").as("h1"), col("__a.h2").as("h2"))
-    spansFromGrams(grams, idCol, spanLen, minOcc)
+    spansFromGrams(gramRows(docs, idCol, textCol, spanLen, 0),
+      idCol, spanLen, minOcc)
   }
 
   /** Duplicated-span detection for corpora where the stride-1 gram
@@ -999,13 +1007,8 @@ object Dedup {
     // bit-identical (leftmost argmin on the md5 hex = unsigned-byte
     // order, whole-document window for short docs, positions deduped) —
     // pinned by the q100 differential oracle and DupSpansSpec.
-    val grams = spreadCompute(docs, idCol)
-      .where(length(col(textCol)) >= spanLen)
-      .select(col(idCol),
-        explode(graft.functions.GramAnchors.grams(col(textCol), spanLen, window)).as("__a"))
-      .select(col(idCol), col("__a.pos").as("pos"),
-        col("__a.h1").as("h1"), col("__a.h2").as("h2"))
-    spansFromGrams(grams, idCol, spanLen, minOcc)
+    spansFromGrams(gramRows(docs, idCol, textCol, spanLen, window),
+      idCol, spanLen, minOcc)
   }
 
   /** Cross-corpus duplicated spans: every `spanLen`-char window of
@@ -1034,15 +1037,9 @@ object Dedup {
                              spanLen: Int, window: Int = 0): DataFrame = {
     require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
     require(window >= 0, s"window must be >= 0, got $window")
-    def gramsOf(df: DataFrame): DataFrame =
-      spreadCompute(df, idCol)
-        .where(length(col(textCol)) >= spanLen)
-        .select(col(idCol),
-          explode(graft.functions.GramAnchors.grams(col(textCol), spanLen, window)).as("__a"))
-        .select(col(idCol), col("__a.pos").as("pos"),
-          col("__a.h1").as("h1"), col("__a.h2").as("h2"))
-    val refHashes = gramsOf(refDocs).select("h1", "h2").distinct()
-    val marks = gramsOf(docs)
+    val refHashes = gramRows(refDocs, idCol, textCol, spanLen, window)
+      .select("h1", "h2").distinct()
+    val marks = gramRows(docs, idCol, textCol, spanLen, window)
       .join(refHashes, Seq("h1", "h2"), "left_semi")
       .select(col(idCol), col("pos"))
     mergeSpans(marks, idCol, spanLen)

@@ -39,7 +39,8 @@ object ScalingCurve {
   // grams never collide — span density per row stays constant in the
   // copy count, the same invariant the Jaccard miners rely on.
   private val headliners =
-    Seq("q35", "q38", "q42", "q84", "q86", "q95", "q99", "q100")
+    Seq("q35", "q38", "q42", "q84", "q86", "q95", "q99", "q100",
+      "q102", "q104")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase
