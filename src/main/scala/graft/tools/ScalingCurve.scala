@@ -40,7 +40,11 @@ object ScalingCurve {
   // copy count, the same invariant the Jaccard miners rely on.
   private val headliners =
     Seq("q35", "q38", "q42", "q84", "q86", "q95", "q99", "q100",
-      "q102", "q104")
+      "q102", "q104",
+      // text-quality per-row list algebra — measured to check whether
+      // the CodegenFallback HOF tax that bit the span miners also
+      // dominates these at x100
+      "q39", "q78", "q87")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase
