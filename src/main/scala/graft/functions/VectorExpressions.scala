@@ -371,7 +371,11 @@ case class NearestCentroids(child: Expression,
 
   override def prettyName: String = "graft_nearest_centroids"
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val centNorms: Array[Double] =
@@ -417,7 +421,13 @@ case class NearestCentroids(child: Expression,
       }
       c += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(bestId, filled))
+    val rows = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(bestId(r), bestCos(r))
+      r += 1
+    }
+    new GenericArrayData(rows)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -549,10 +559,17 @@ object VectorFunctions {
   def signLshBuckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
     GraftSqlShim.column(SignLshBuckets(expr(vec), planes))
 
+  /** Top-k nearest (centroid id, cosine) structs against a
+    * driver-resident model, ranked cos DESC / id ASC. */
+  def nearestCentroidsScored(vec: Column, cents: Array[(Long, Array[Float])],
+                             k: Int): Column =
+    GraftSqlShim.column(NearestCentroids(expr(vec), cents, k))
+
   /** Top-k nearest centroid ids against a driver-resident model. */
   def nearestCentroids(vec: Column, cents: Array[(Long, Array[Float])],
                        k: Int): Column =
-    GraftSqlShim.column(NearestCentroids(expr(vec), cents, k))
+    org.apache.spark.sql.functions.transform(
+      nearestCentroidsScored(vec, cents, k), s => s.getField("cid"))
 
   private def expr(c: Column): Expression = GraftSqlShim.expression(c)
 

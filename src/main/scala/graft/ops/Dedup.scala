@@ -821,12 +821,14 @@ object Dedup {
     * under the final anti-join. Persist `corpus` upstream if its scan
     * is expensive.
     *
-    * Representative choice deviates from the paper deliberately: Abbas
-    * et al. keep the member with the LOWEST cosine to its cluster
-    * centroid (diversity-maximizing); we keep the min-id member so the
-    * keep decision is engine-independent and the whole pipeline stays
-    * differentially testable (same trade as every other dedup operator
-    * here — see [[keepRepresentatives]]).
+    * Representative choice: the default keeps the min-id member (the
+    * engine-independent convention every other dedup operator here
+    * uses — see [[keepRepresentatives]]); `keep = "diverse"` keeps the
+    * member with the LOWEST cosine to its cluster centroid instead —
+    * the paper-faithful, diversity-maximizing policy of Abbas et al.
+    * §3. Both policies are deterministic and fully differentially
+    * testable (the centroid cosine is the same double arithmetic an
+    * external oracle recomputes; ties break toward the smaller id).
     *
     * Differential testing: the seed pick is [[Similarity.portableSeedCentroids]]
     * (md5-ordered — any engine reproduces the model), assignment
@@ -839,13 +841,21 @@ object Dedup {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, tau: Double,
                     maxCluster: Int = 1 << 14,
-                    probes: Int = 1): DataFrame = {
+                    probes: Int = 1,
+                    keep: String = "minId"): DataFrame = {
     require(nlist >= 1, s"nlist must be positive, got $nlist")
     require(probes >= 1 && probes <= nlist,
       s"probes must be in [1, nlist=$nlist], got $probes")
+    require(keep == "minId" || keep == "diverse",
+      s"""keep must be "minId" or "diverse", got "$keep"""")
     val cents = Similarity.portableSeedCentroids(corpus, idCol, vecCol, nlist)
-    val assigned = spreadCompute(corpus, idCol)
-      .withColumn("cent_id", Similarity.nearestCentId(col(vecCol), cents))
+    val scored = spreadCompute(corpus, idCol)
+      .withColumn("__nc", element_at(
+        graft.functions.VectorFunctions.nearestCentroidsScored(col(vecCol), cents, 1), 1))
+      .withColumn("cent_id", col("__nc.cid"))
+      .withColumn("__ccos", col("__nc.cos"))
+      .drop("__nc")
+    val assigned = scored.drop("__ccos")
     // multi-probe: mine each row in its `probes` nearest cells so a
     // near-identical pair straddling a cell bisector is co-bucketed in
     // at least one of them; the OUTPUT assignment stays top-1
@@ -857,8 +867,31 @@ object Dedup {
     val pairs = bucketedSelfPairsScored(
       mined, idCol, vecCol, Seq("cent_id"), maxCluster,
       (a, b) => Similarity.cosine(a, b), s => s >= tau)
-    keepRepresentatives(assigned, idCol, pairs)
-      .select(col(idCol), col("cent_id"))
+    if (keep == "minId")
+      keepRepresentatives(assigned, idCol, pairs)
+        .select(col(idCol), col("cent_id"))
+    else {
+      // the paper's policy (Abbas et al. §3): keep the duplicate-group
+      // member with the LOWEST cosine to its cluster centroid — the
+      // diversity-maximizing choice. Labels and scores are duplicate-
+      // cluster-sized (broadcast); the representative per cluster is
+      // min by (centroid-cos, id), so the whole policy stays
+      // deterministic and differentially testable (the cosine is the
+      // same double arithmetic the oracle recomputes).
+      val labels = connectedComponents(pairs)
+        .withColumnRenamed("id", "__lab_id") // idCol may itself be "id"
+      val memberScores = scored
+        .join(broadcast(labels), col(idCol) === col("__lab_id"))
+        .select(col("cluster"), col(idCol).as("__mid"), col("__ccos"))
+      val reps = memberScores.groupBy("cluster")
+        .agg(min(struct(col("__ccos"), col("__mid"))).as("__rep"))
+        .select(col("cluster"), col("__rep.__mid").as("__keep_id"))
+      val drop = labels.join(broadcast(reps), Seq("cluster"))
+        .where(col("__lab_id") =!= col("__keep_id"))
+        .select(col("__lab_id").as(idCol))
+      assigned.join(broadcast(drop), Seq(idCol), "left_anti")
+        .select(col(idCol), col("cent_id"))
+    }
   }
 
   // ─────────────────────── duplicated spans (ExactSubstr) ───────────────────

@@ -842,6 +842,64 @@ object CatalogML2 {
         |WHERE dr.id IS NULL
         |ORDER BY a.vec_id""".stripMargin)),
 
+    // SemDeDup with the PAPER's representative policy (Abbas et al.
+    // §3): keep the duplicate-group member with the LOWEST cosine to
+    // its cluster centroid (diversity-maximizing), not the min id.
+    // Same corpus/model as q101; the oracle replays seed model ->
+    // assignment (keeping the centroid cosine) -> pairs -> closure ->
+    // min-by-(cos, id) representative verbatim.
+    ("q106_dedup_semantic_diverse", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.where(col("vec_id") < 50)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.semanticDedup(corpus, "vec_id", "embedding", nlist = 8, tau = 0.95,
+          keep = "diverse")
+        .orderBy("vec_id")
+    }, Some(
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+        |), seeds AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec
+        |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8
+        |), asg AS (
+        |  SELECT vec_id, embedding, cent_id, c FROM (
+        |    SELECT c.vec_id, c.embedding, s.cent_id,
+        |           list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                  CAST(s.cent_vec AS DOUBLE[])) AS c,
+        |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                    CAST(s.cent_vec AS DOUBLE[])) DESC,
+        |             s.cent_id ASC) AS rn
+        |    FROM corpus c CROSS JOIN seeds s) WHERE rn = 1
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.95
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS id, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+        |), lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+        |), rep AS (
+        |  SELECT cluster, vec_id AS keep_id FROM (
+        |    SELECT l.cluster, a.vec_id,
+        |           row_number() OVER (PARTITION BY l.cluster
+        |                              ORDER BY a.c ASC, a.vec_id ASC) AS rn
+        |    FROM lab l JOIN asg a ON a.vec_id = l.id) WHERE rn = 1
+        |), dr AS (
+        |  SELECT l.id FROM lab l JOIN rep r USING (cluster) WHERE l.id != r.keep_id
+        |)
+        |SELECT a.vec_id, a.cent_id FROM asg a
+        |LEFT JOIN dr ON a.vec_id = dr.id
+        |WHERE dr.id IS NULL
+        |ORDER BY a.vec_id""".stripMargin)),
+
     // Span REMOVAL — the second half of ExactSubstr dedup (Lee et al.
     // ACL 2022 CUT every duplicated span, they don't just report them):
     // mine q99's intervals, then rewrite each document by concatenating

@@ -247,7 +247,7 @@ class FunctionsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(20260813L)
     val alphaAscii = "abcdefgh "
-    val alphaUni = "abcδλ語 é" // forces the codepoint slow path
+    val alphaUni = "abcδλ語 é𝕏" // multibyte incl. an astral (surrogate-pair) char
     def doc(alpha: String, len: Int): String =
       Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
     // repetition-heavy so windows tie often (leftmost-tie rule exercised)

@@ -420,6 +420,46 @@ class PropertySpec extends SparkSpec {
       s"probes=2 must collapse the straddling pair onto its min id, got $kept2")
   }
 
+  test("semantic dedup keep policies: minId vs the paper's lowest-centroid-cos") {
+    // one duplicate group of three near-identical vectors whose
+    // centroid-cosines ORDER AGAINST their ids: the smallest id sits
+    // closest to the centroid, the largest id farthest — so the two
+    // policies must pick different representatives
+    val dim = 16
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (1L to 12L)
+    val Seq(seedA, seedB) = ids.sortBy(i => (md5hex(i.toString), i)).take(2).sorted.toSeq
+    val Seq(g1, g2, g3) = ids.filterNot(Set(seedA, seedB)).takeRight(3).sorted.toSeq
+    def oneHot(d: Int): Array[Float] = Array.tabulate(dim)(j => if (j == d) 1f else 0f)
+    // group members lean on seedA's axis with growing off-axis tilt:
+    // cos-to-centroid strictly decreases g1 > g2 > g3 while ids grow
+    def tilted(t: Float): Array[Float] =
+      Array.tabulate(dim)(j => if (j == 0) 1f else if (j == dim - 1) t else 0f)
+    def row(id: Long): (Long, Array[Float]) = id match {
+      case `seedA` => (id, oneHot(0))
+      case `seedB` => (id, oneHot(1))
+      // tilt large enough that cos to seedA (1/sqrt(1+t²) ≤ 0.958)
+      // stays under tau — otherwise the seed joins the cluster — while
+      // pairwise member cos stays ≥ 0.998
+      case `g1`    => (id, tilted(0.30f))
+      case `g2`    => (id, tilted(0.33f))
+      case `g3`    => (id, tilted(0.36f))
+      case i       => (id, oneHot(2 + i.toInt))
+    }
+    val corpus = ids.map(row).toDF("id", "vec")
+    val minId = Dedup.semanticDedup(corpus, "id", "vec", nlist = 2, tau = 0.99)
+      .select("id").as[Long].collect().toSet
+    val diverse = Dedup.semanticDedup(corpus, "id", "vec", nlist = 2, tau = 0.99,
+        keep = "diverse")
+      .select("id").as[Long].collect().toSet
+    val others = ids.toSet -- Set(g1, g2, g3)
+    assert(minId == others + g1,
+      s"minId policy must keep the smallest id $g1, got $minId")
+    assert(diverse == others + g3,
+      s"diverse policy must keep the farthest-from-centroid member $g3, got $diverse")
+  }
+
   test("semantic dedup maxCluster cap bounds a degenerate cell instead of mining it") {
     val same = Array.tabulate(8)(j => math.sin(j + 1).toFloat)
     val corpus = (1L to 30L).map(i => (i, same)).toDF("id", "vec")
