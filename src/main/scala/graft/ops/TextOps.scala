@@ -332,4 +332,42 @@ object TextOps {
       .agg((-avg(col("logp"))).as("mean_neg_logp"),
         count(lit(1)).as("n_tokens"))
   }
+
+  // --- URL canonicalization (crawl dedup key) -------------------------
+
+  /** The (pattern, replacement) chain of [[canonicalUrl]], exposed so
+    * the DuckDB oracle interpolates the IDENTICAL regexes. Every
+    * pattern is RE2-safe (no lookbehind/backrefs) so Java regex and
+    * RE2 agree on it. Order matters: strip fragment → drop tracking
+    * params → clean leftover separators → default ports → duplicate
+    * slashes (path only — the scheme's // is protected by the
+    * non-slash lookahead on the match start) → trailing slash. */
+  val UrlCanonSteps: Seq[(String, String)] = Seq(
+    "#.*$" -> "",                                  // fragment
+    "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)=[^&#]*" -> "$1", // tracking params, keep separator
+    "&&+" -> "&",                                  // runs left by removals
+    "\\?&" -> "?",                                 // ?&rest -> ?rest
+    "[?&]+$" -> "",                                // dangling separators
+    "/\\?" -> "?",                                 // slash before query
+    ":80/" -> "/", ":443/" -> "/",                 // default ports (path follows)
+    ":80$" -> "", ":443$" -> "",                   // default ports (bare host)
+    "([^:/])//+" -> "$1/",                         // duplicate path slashes
+    "/$" -> "")                                    // trailing slash
+
+  /** Canonical form of a URL column: lowercase scheme+host (the part
+    * before the first path/query/fragment character), then the
+    * [[UrlCanonSteps]] regex chain. The standard crawl-pipeline dedup
+    * key — exact dedup on the RAW url misses the ~30-50% of crawl
+    * duplicates that differ only in tracking params, fragments,
+    * default ports, or case (the reason CC-style pipelines canonicalize
+    * before URL-level dedup). Pure per-row column expressions; at
+    * corpus scale the dedup itself is [[Dedup.exact]] on this column. */
+  def canonicalUrl(url: Column): Column = {
+    val hostLowered = concat(
+      lower(regexp_extract(url, "^([^/?#]*//[^/?#]*)", 1)),
+      regexp_replace(url, "^([^/?#]*//[^/?#]*)", ""))
+    UrlCanonSteps.foldLeft(hostLowered) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+  }
 }

@@ -900,6 +900,67 @@ object CatalogML2 {
         |WHERE dr.id IS NULL
         |ORDER BY a.vec_id""".stripMargin)),
 
+    // URL canonicalization + URL-level dedup — the crawl-pipeline key
+    // normalization exact-URL dedup misses (tracking params, fragments,
+    // default ports, host case, slash noise). The fixture derives four
+    // messy variants per (source, doc_id/4) target IN the query — both
+    // engines build identical raw URLs — and the canonical chain
+    // (TextOps.UrlCanonSteps, RE2-safe regexes interpolated into the
+    // oracle with $1 -> \1) must collapse each quartet to ONE key.
+    ("q107_url_dedup", (s: SparkSession, d: String) => {
+      import graft.ops.TextOps
+      val base = floor(col("doc_id") / lit(4)).cast("long")
+      val idq = concat(lit("id="), base.cast("string"))
+      val host = concat(lit("www.h"), (base % 3).cast("string"), lit(".com"))
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://"), upper(host), lit(":443/a//"), base.cast("string"),
+            lit("/?utm_source=feed&"), idq))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://"), host, lit("/a/"), base.cast("string"), lit("?"), idq))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), upper(host), lit("/a/"), base.cast("string"),
+            lit("?"), idq, lit("&utm_medium=email")))
+        .otherwise(
+          concat(lit("https://"), host, lit(":443/a/"), base.cast("string"),
+            lit("?"), idq, lit("#frag")))
+      table(s, d, "documents")
+        .select(col("doc_id"), TextOps.canonicalUrl(url).as("curl"))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper_id"))
+        .orderBy("curl")
+    }, Some {
+      import graft.ops.TextOps
+      val chain = TextOps.UrlCanonSteps.foldLeft(
+        "(lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1)) || " +
+          "regexp_replace(url, '^([^/?#]*//[^/?#]*)', '', 'g'))") {
+        case (acc, (p, r)) =>
+          val rr = r.replace("$1", "\\1").replace("'", "''")
+          val pp = p.replace("\\", "\\").replace("'", "''")
+          s"regexp_replace($acc, '$pp', '$rr', 'g')"
+      }
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         CASE CAST(doc_id % 4 AS INT)
+         |           WHEN 0 THEN 'HTTPS://' || upper('www.h' || CAST((doc_id // 4) % 3 AS VARCHAR) || '.com')
+         |                       || ':443/a//' || CAST(doc_id // 4 AS VARCHAR)
+         |                       || '/?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR)
+         |           WHEN 1 THEN 'https://www.h' || CAST((doc_id // 4) % 3 AS VARCHAR) || '.com/a/'
+         |                       || CAST(doc_id // 4 AS VARCHAR)
+         |                       || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+         |           WHEN 2 THEN 'https://' || upper('www.h' || CAST((doc_id // 4) % 3 AS VARCHAR) || '.com')
+         |                       || '/a/' || CAST(doc_id // 4 AS VARCHAR)
+         |                       || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_medium=email'
+         |           ELSE 'https://www.h' || CAST((doc_id // 4) % 3 AS VARCHAR) || '.com:443/a/'
+         |                || CAST(doc_id // 4 AS VARCHAR)
+         |                || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+         |         END AS url
+         |  FROM documents
+         |)
+         |SELECT $chain AS curl,
+         |       count(*) AS n_variants, min(doc_id) AS keeper_id
+         |FROM raw GROUP BY 1 ORDER BY curl""".stripMargin
+    }),
+
     // Span REMOVAL — the second half of ExactSubstr dedup (Lee et al.
     // ACL 2022 CUT every duplicated span, they don't just report them):
     // mine q99's intervals, then rewrite each document by concatenating

@@ -438,4 +438,34 @@ class OpsSpec extends SparkSpec {
       .as[Long].head()
     assert(fpCat <= math.min(viaExpr(1L), viaExpr(2L)))
   }
+
+  test("canonicalUrl: host case, ports, tracking params, fragments, slash noise") {
+    val cases = Seq(
+      // host/scheme lowercased, path case preserved
+      "HTTPS://WWW.Ex.COM/Path/File" -> "https://www.ex.com/Path/File",
+      // default ports stripped, bare host and with path
+      "http://ex.com:80" -> "http://ex.com",
+      "https://ex.com:443/x" -> "https://ex.com/x",
+      // non-default port kept
+      "https://ex.com:8443/x" -> "https://ex.com:8443/x",
+      // fragment stripped
+      "https://ex.com/x#section-2" -> "https://ex.com/x",
+      // tracking params dropped wherever they sit; real params survive in order
+      "https://ex.com/x?utm_source=a&id=1&utm_medium=b&q=2" -> "https://ex.com/x?id=1&q=2",
+      "https://ex.com/x?fbclid=abc" -> "https://ex.com/x",
+      "https://ex.com/x?id=1&gclid=zzz" -> "https://ex.com/x?id=1",
+      // duplicate path slashes collapse; scheme's // survives
+      "https://ex.com//a///b" -> "https://ex.com/a/b",
+      // trailing slash and slash-before-query normalize
+      "https://ex.com/a/" -> "https://ex.com/a",
+      "https://ex.com/a/?id=1" -> "https://ex.com/a?id=1",
+      // everything at once
+      "HTTPS://EX.com:443//a//b/?utm_campaign=x&id=9#f" -> "https://ex.com/a/b?id=9")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.ops.TextOps.canonicalUrl(col("url")))
+      .as[String].collect().toSeq
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"expected $want got $g")
+    }
+  }
 }
