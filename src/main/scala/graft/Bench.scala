@@ -26,12 +26,15 @@ object Bench {
     // timings 1.3-2x uniformly for up to ~10 min (the round-5 "+13%
     // with untouched queries +30-115%" signature). Wait — bounded — for
     // the 1-min loadavg to drop below cpus/4 before measuring, so the
-    // snapshot measures the engine, not the scheduler's mood. The cap
-    // stays small because min-of-3 already absorbs decaying load (the
-    // third pass runs minutes after the first); the gate only shields
-    // the whole run from starting into a load spike.
+    // snapshot measures the engine, not the scheduler's mood. Cap
+    // tuning, measured (round 6, same code, like-for-like vs the r4
+    // baseline): started hot right after a full verify+test gate the
+    // suite read 1.108; idle-box runs read 0.968-1.051 — so the box
+    // carries ±8% run-to-run spread even quiesced, and the gate is
+    // worth its full 4 min when (as in the driver sequence) a verify
+    // sweep just ended. min-of-3 absorbs the remainder.
     // SPARK_GRAFT_QUIESCE_SECS=0 disables.
-    val quiesceCap = sys.env.getOrElse("SPARK_GRAFT_QUIESCE_SECS", "120").toInt
+    val quiesceCap = sys.env.getOrElse("SPARK_GRAFT_QUIESCE_SECS", "240").toInt
     val loadGate = cpus.toDouble / 4.0
     def load1(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
