@@ -35,10 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - digests are md5 over the UTF-8 bytes of the spanLen-CHARACTER
   *     substring — identical to `md5(substr(text, p, spanLen))`;
   *   - (h1, h2) are the two big-endian signed-64 halves of the digest,
-  *     identical to the `conv(substring(hex, …), 16, 10)` +
-  *     shift-left/OR recombination ([[graft.ops.Dedup]]'s md5Half64:
-  *     8 hex chars parse below 2^31 so the unsigned<<32|unsigned bit
-  *     pattern IS the big-endian long);
+  *     identical to a `conv(substring(hex, …), 16, 10)` +
+  *     shift-left/OR recombination of the 8-hex-char halves (each
+  *     parses below 2^32, so the unsigned<<32|unsigned bit pattern IS
+  *     the big-endian long — the [[graft.ops.Dedup.portableHash64]]
+  *     recipe, and what the oracles' '0x'||substr casts compute);
   *   - winnowing (window ≥ 1) selects the argmin digest of EVERY
   *     window of `window` consecutive grams, lexicographic on the hex
   *     string = unsigned-byte order on the digest, LEFTMOST on ties

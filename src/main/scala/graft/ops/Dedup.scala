@@ -896,15 +896,6 @@ object Dedup {
 
   // ─────────────────────── duplicated spans (ExactSubstr) ───────────────────
 
-  /** One 64-bit half of an md5 hex digest already held in column `m`:
-    * parses 8+8 hex chars at 1-based `off` (each half < 2^32, so the
-    * conv→long cast cannot overflow) and recombines with a wrapping
-    * shift — the same recipe as [[portableHash64]], reused here so the
-    * digest is computed once and split twice. */
-  private def md5Half64(m: Column, off: Int): Column =
-    shiftleft(conv(substring(m, off, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(m, off + 8, 8), 16, 10).cast("long"))
-
   /** Merge marked gram positions into maximal [start, end] character
     * intervals per document: each pos covers [pos, pos+spanLen-1], and
     * marks whose covered regions overlap or touch merge (gaps-and-
