@@ -211,6 +211,37 @@ class DupSpansSpec extends SparkSpec {
       s"winnowed interval [$ws,$we] must nest in exact [$s,$e]")
   }
 
+  test("removeSpans equals boolean-mask removal on random interval soups") {
+    val rnd = new scala.util.Random(20260814L)
+    val docs = (1L to 30L).map { id =>
+      val len = 5 + rnd.nextInt(60)
+      (id, Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    // random intervals: unsorted, overlapping, touching, duplicated;
+    // some docs get none
+    val spans = docs.flatMap { case (id, text) =>
+      Seq.fill(rnd.nextInt(4)) {
+        val s = 1 + rnd.nextInt(text.length)
+        val e = math.min(text.length, s + rnd.nextInt(10))
+        (id, s.toLong, e.toLong)
+      }
+    }
+    val got = Dedup.removeSpans(
+        docs.toDF("doc_id", "text"),
+        spans.toDF("doc_id", "span_start", "span_end"),
+        "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val byDoc = spans.groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val keep = Array.fill(text.length)(true)
+      byDoc.getOrElse(id, Nil).foreach { case (_, s, e) =>
+        ((s - 1) until e).foreach(i => keep(i.toInt) = false)
+      }
+      val want = text.zip(keep).collect { case (c, true) => c }.mkString
+      assert(got(id) == want, s"doc $id: got '${got(id)}' want '$want'")
+    }
+  }
+
   test("removeSpans handles overlapping and unsorted input intervals") {
     val docs = df(Seq(10L -> "abcdefghijklmnopqrstuvwxyz"))
     // overlapping + touching + out-of-order intervals: [4,9], [8,12], [13,15]
