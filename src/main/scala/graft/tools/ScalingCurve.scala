@@ -44,7 +44,10 @@ object ScalingCurve {
       // text-quality per-row list algebra — measured to check whether
       // the CodegenFallback HOF tax that bit the span miners also
       // dominates these at x100
-      "q39", "q78", "q87")
+      "q39", "q78", "q87",
+      // URL canonicalization: a ~10-regex row-local projection + one
+      // groupBy — should be ~linear and cheap
+      "q107")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase
