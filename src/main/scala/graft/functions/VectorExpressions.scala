@@ -366,8 +366,13 @@ case class NearestCentroids(child: Expression,
   with ExpectsInputTypes {
 
   require(cents.nonEmpty, "centroid model must be non-empty")
-  require(k >= 1 && k <= cents.length,
-    s"k must be in [1, ${cents.length}], got $k")
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  // Clamp rather than reject: seedCentroids returns min(nlist, |corpus|)
+  // rows, so a tiny corpus can hand us fewer centroids than the caller's
+  // nprobe/probes. The pre-round-6 slice(array_sort(...)) formulation
+  // degraded gracefully to fewer probed cells; keep that behavior.
+  private val kEff: Int = math.min(k, cents.length)
 
   override def prettyName: String = "graft_nearest_centroids"
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
@@ -393,31 +398,49 @@ case class NearestCentroids(child: Expression,
     while (i < xn) { val v = arr.getFloat(i).toDouble; nx += v * v; i += 1 }
     val sqnx = math.sqrt(nx)
     // top-k by (cos desc, id asc) via insertion into k-sized arrays
-    val bestCos = new Array[Double](k)
-    val bestId = new Array[Long](k)
+    val bestCos = new Array[Double](kEff)
+    val bestId = new Array[Long](kEff)
     var filled = 0
     var c = 0
     while (c < cents.length) {
       val (cid, cv) = cents(c)
       val n = math.min(xn, cv.length)
-      var dot = 0.0
-      var j = 0
-      while (j < n) { dot += arr.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
-      val cos = if (nx == 0.0 || centNorms(c) == 0.0) 0.0
+      val cos = if (n == xn && n == cv.length) {
+        // equal dims (the normal case): precomputed norms are exactly the
+        // per-pair norms, so reuse them.
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += arr.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+        if (nx == 0.0 || centNorms(c) == 0.0) 0.0
         else dot / (sqnx * centNorms(c))
+      } else {
+        // dimension mismatch: replay CosineSimilarity's truncated
+        // arithmetic exactly — all three accumulators over the common
+        // prefix, in index order — so scores never silently diverge from
+        // the documented per-pair contract.
+        var dot = 0.0; var nxx = 0.0; var nyy = 0.0
+        var j = 0
+        while (j < n) {
+          val xv = arr.getFloat(j).toDouble
+          val yv = cv(j).toDouble
+          dot += xv * yv; nxx += xv * xv; nyy += yv * yv; j += 1
+        }
+        if (nxx == 0.0 || nyy == 0.0) 0.0
+        else dot / (math.sqrt(nxx) * math.sqrt(nyy))
+      }
       // find insertion point among the current top-k
       var pos = filled
       while (pos > 0 && {
         val cmp = java.lang.Double.compare(cos, bestCos(pos - 1))
         cmp > 0 || (cmp == 0 && cid < bestId(pos - 1))
       }) pos -= 1
-      if (pos < k) {
-        val lim = math.min(filled, k - 1)
+      if (pos < kEff) {
+        val lim = math.min(filled, kEff - 1)
         var m = lim
         while (m > pos) { bestCos(m) = bestCos(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
         bestCos(pos) = cos
         bestId(pos) = cid
-        if (filled < k) filled += 1
+        if (filled < kEff) filled += 1
       }
       c += 1
     }

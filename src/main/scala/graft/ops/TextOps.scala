@@ -337,11 +337,17 @@ object TextOps {
 
   /** The (pattern, replacement) chain of [[canonicalUrl]], exposed so
     * the DuckDB oracle interpolates the IDENTICAL regexes. Every
-    * pattern is RE2-safe (no lookbehind/backrefs) so Java regex and
-    * RE2 agree on it. Order matters: strip fragment → drop tracking
-    * params → clean leftover separators → default ports → duplicate
-    * slashes (path only — the scheme's // is protected by the
-    * non-slash lookahead on the match start) → trailing slash. */
+    * pattern is RE2-safe (no lookaround/backrefs in the PATTERN) so
+    * Java regex and RE2 agree on it. Order matters: strip fragment →
+    * drop tracking params → clean leftover separators → default ports.
+    *
+    * The port steps are ANCHORED to the authority: the prefix classes
+    * `[^/?#]*?` cannot cross '/', '?', or '#', so a matched :80/:443
+    * necessarily terminates the scheme://host region — a ":443/"
+    * embedded in a path segment or a redirect-param URL (preceded by a
+    * '/' the prefix can't span) no longer matches, where the old
+    * unanchored global replace rewrote it and collapsed DISTINCT urls
+    * onto one canonical key. */
   val UrlCanonSteps: Seq[(String, String)] = Seq(
     "#.*$" -> "",                                  // fragment
     "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)=[^&#]*" -> "$1", // tracking params, keep separator
@@ -349,14 +355,24 @@ object TextOps {
     "\\?&" -> "?",                                 // ?&rest -> ?rest
     "[?&]+$" -> "",                                // dangling separators
     "/\\?" -> "?",                                 // slash before query
-    ":80/" -> "/", ":443/" -> "/",                 // default ports (path follows)
-    ":80$" -> "", ":443$" -> "",                   // default ports (bare host)
+    "^([^/?#]*?(?://)?[^/?#]*?):(?:80|443)([/?])" -> "$1$2", // default ports (path/query follows)
+    "^([^/?#]*?(?://)?[^/?#]*?):(?:80|443)$" -> "$1")        // default ports (bare host)
+
+  /** Path-only steps of [[canonicalUrl]]: duplicate-slash collapse (the
+    * scheme's `//` is protected by the preceding `:`) and trailing
+    * slash. Applied to the substring BEFORE the first '?' only, so
+    * slash noise inside a query VALUE (an embedded URL in a redirect
+    * param, a path-valued param ending in '/') is preserved verbatim —
+    * rewriting it would merge distinct urls. */
+  val UrlPathSteps: Seq[(String, String)] = Seq(
     "([^:/])//+" -> "$1/",                         // duplicate path slashes
     "/$" -> "")                                    // trailing slash
 
   /** Canonical form of a URL column: lowercase scheme+host (the part
     * before the first path/query/fragment character), then the
-    * [[UrlCanonSteps]] regex chain. The standard crawl-pipeline dedup
+    * [[UrlCanonSteps]] regex chain on the whole string, then
+    * [[UrlPathSteps]] on the pre-'?' part with the query reattached
+    * verbatim. The standard crawl-pipeline dedup
     * key — exact dedup on the RAW url misses the ~30-50% of crawl
     * duplicates that differ only in tracking params, fragments,
     * default ports, or case (the reason CC-style pipelines canonicalize
@@ -366,8 +382,12 @@ object TextOps {
     val hostLowered = concat(
       lower(regexp_extract(url, "^([^/?#]*//[^/?#]*)", 1)),
       regexp_replace(url, "^([^/?#]*//[^/?#]*)", ""))
-    UrlCanonSteps.foldLeft(hostLowered) { case (c, (p, r)) =>
+    val canon = UrlCanonSteps.foldLeft(hostLowered) { case (c, (p, r)) =>
       regexp_replace(c, p, r)
     }
+    val path = UrlPathSteps.foldLeft(regexp_extract(canon, "^[^?]*", 0)) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    concat(path, regexp_extract(canon, "^[^?]*(\\?.*)$", 1))
   }
 }

@@ -601,10 +601,13 @@ object CatalogML2 {
       import graft.functions.PortableSketches._
       val laneCols = (0 until CmsDepth).map(i =>
         s"${cmsBucketSql("user_id", i)} AS b$i").mkString(",\n         ")
+      // CAST through BIGINT: DuckDB widens sum(BIGINT) to HUGEINT, which
+      // the driver's hash canonicalization renders differently from
+      // Spark's BIGINT even when values agree (round-6 q90 hash-fail).
       def pointEstSql(key: String): String =
-        "least(" + cmsKeyBuckets(key).zipWithIndex.map { case (bk, lane) =>
+        "CAST(least(" + cmsKeyBuckets(key).zipWithIndex.map { case (bk, lane) =>
           s"sum(CASE WHEN lane = $lane AND bucket = $bk THEN cnt ELSE 0 END)"
-        }.mkString(", ") + ")"
+        }.mkString(", ") + ") AS BIGINT)"
       val unpivot = (0 until CmsDepth).map(i =>
         s"SELECT event_type, day, $i AS lane, b$i AS bucket FROM h").mkString("\n  UNION ALL\n  ")
       s"""WITH h AS (
@@ -930,14 +933,21 @@ object CatalogML2 {
         .orderBy("curl")
     }, Some {
       import graft.ops.TextOps
-      val chain = TextOps.UrlCanonSteps.foldLeft(
+      def fold(steps: Seq[(String, String)], base: String): String =
+        steps.foldLeft(base) {
+          case (acc, (p, r)) =>
+            val rr = r.replace("$1", "\\1").replace("$2", "\\2").replace("'", "''")
+            val pp = p.replace("'", "''")
+            s"regexp_replace($acc, '$pp', '$rr', 'g')"
+        }
+      val canon = fold(TextOps.UrlCanonSteps,
         "(lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1)) || " +
-          "regexp_replace(url, '^([^/?#]*//[^/?#]*)', '', 'g'))") {
-        case (acc, (p, r)) =>
-          val rr = r.replace("$1", "\\1").replace("'", "''")
-          val pp = p.replace("\\", "\\").replace("'", "''")
-          s"regexp_replace($acc, '$pp', '$rr', 'g')"
-      }
+          "regexp_replace(url, '^([^/?#]*//[^/?#]*)', '', 'g'))")
+      // mirror canonicalUrl's path/query split: UrlPathSteps run on the
+      // pre-'?' part only, the query is reattached verbatim
+      val chain = "(" + fold(TextOps.UrlPathSteps,
+        s"regexp_extract($canon, '^[^?]*', 0)") +
+        s" || regexp_extract($canon, '^[^?]*(\\?.*)$$', 1))"
       s"""WITH raw AS (
          |  SELECT doc_id,
          |         CASE CAST(doc_id % 4 AS INT)
@@ -1066,9 +1076,10 @@ object CatalogML2 {
         |  SELECT d.doc_id, d.lang, d.n_chars, coalesce(c.text, d.text) AS text
         |  FROM documents d LEFT JOIN cutd c USING (doc_id)
         |)
-        |SELECT lang, count(*) AS n_docs, sum(n_chars) AS orig_chars,
-        |       sum(len(text)) AS kept_chars,
-        |       sum(n_chars - len(text)) AS removed_chars
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS orig_chars,
+        |       CAST(sum(len(text)) AS BIGINT) AS kept_chars,
+        |       CAST(sum(n_chars - len(text)) AS BIGINT) AS removed_chars
         |FROM rw GROUP BY lang
         |ORDER BY lang""".stripMargin)),
 
@@ -1177,9 +1188,10 @@ object CatalogML2 {
         |  SELECT c.doc_id, c.source, c.n_chars, coalesce(cu.text, c.text) AS text
         |  FROM crawl c LEFT JOIN cutd cu USING (doc_id)
         |)
-        |SELECT source, count(*) AS n_docs, sum(n_chars) AS orig_chars,
-        |       sum(len(text)) AS kept_chars,
-        |       sum(n_chars - len(text)) AS removed_chars
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS orig_chars,
+        |       CAST(sum(len(text)) AS BIGINT) AS kept_chars,
+        |       CAST(sum(n_chars - len(text)) AS BIGINT) AS removed_chars
         |FROM rw GROUP BY source
         |ORDER BY source""".stripMargin))
   )

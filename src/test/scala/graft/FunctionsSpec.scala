@@ -327,6 +327,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroids clamps k to the model size and matches CosineSimilarity on dim mismatch") {
+    import org.apache.spark.sql.functions._
+    // 2 centroids but k=4 (a tiny corpus handing back fewer seed cells
+    // than nprobe) — must degrade to 2 cells, not throw
+    val cents: Array[(Long, Array[Float])] =
+      Array((10L, Array(1f, 0f, 0f)), (20L, Array(0f, 1f, 0f)))
+    val vecs = Seq((1L, Array(1f, 1f, 0f))).toDF("id", "vec")
+    val clamped = vecs.select(
+      graft.functions.VectorFunctions.nearestCentroids(col("vec"), cents, 4).as("cells"))
+      .as[Seq[Long]].head()
+    assert(clamped.toSet == Set(10L, 20L))
+    // dimension-mismatched query (dim 2 vs centroid dim 3): scores must
+    // replay CosineSimilarity's truncated-common-prefix arithmetic exactly
+    val mm = Seq((1L, Array(3f, 4f))).toDF("id", "vec")
+    val viaCents = mm.select(
+      graft.functions.VectorFunctions.nearestCentroidsScored(col("vec"), cents, 2).as("cs"))
+    val scored = viaCents.select(explode(col("cs")).as("c"))
+      .select(col("c.cid"), col("c.cos")).as[(Long, Double)].collect().toMap
+    val perPair = cents.map { case (cid, cv) =>
+      cid -> mm.select(graft.functions.VectorFunctions.cosine(col("vec"), typedLit(cv)))
+        .as[Double].head()
+    }.toMap
+    assert(scored == perPair,
+      s"dim-mismatch scores diverge from per-pair cosine: $scored vs $perPair")
+  }
+
   test("portable CMS: estimates never undercount and hit exact counts sans collisions") {
     import graft.functions.PortableSketches._
     import org.apache.spark.sql.functions._

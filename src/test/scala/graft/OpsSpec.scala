@@ -460,7 +460,18 @@ class OpsSpec extends SparkSpec {
       "https://ex.com/a/" -> "https://ex.com/a",
       "https://ex.com/a/?id=1" -> "https://ex.com/a?id=1",
       // everything at once
-      "HTTPS://EX.com:443//a//b/?utm_campaign=x&id=9#f" -> "https://ex.com/a/b?id=9")
+      "HTTPS://EX.com:443//a//b/?utm_campaign=x&id=9#f" -> "https://ex.com/a/b?id=9",
+      // ":443/" in a PATH segment is not a port — must survive untouched
+      "https://h.com/a:443/b" -> "https://h.com/a:443/b",
+      // ":80/" and "//" inside a query VALUE (embedded redirect url) are
+      // data, not structure — global port-strip/slash-collapse would merge
+      // this with its ':80'-less / single-slash siblings
+      "https://ex.com/r?next=http://x.com:80/y" -> "https://ex.com/r?next=http://x.com:80/y",
+      "https://ex.com/r?next=https://x.com//y" -> "https://ex.com/r?next=https://x.com//y",
+      // trailing slash inside a query value preserved; path one stripped
+      "https://ex.com/a/?p=/home/" -> "https://ex.com/a?p=/home/",
+      // scheme-relative url still gets its default port stripped
+      "//ex.com:443/x" -> "//ex.com/x")
     val got = cases.map(_._1).toDF("url")
       .select(graft.ops.TextOps.canonicalUrl(col("url")))
       .as[String].collect().toSeq
