@@ -50,6 +50,78 @@ object Bench {
     // dev aid: SPARK_GRAFT_ONLY=q35,q36 restricts the run to matching
     // query-name prefixes (driver runs always leave it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+
+    // ── §2a relay throughput: the reference's entire reason to exist is
+    // the topic relay (source → decode → user flow → ordered sink,
+    // Producer.scala:247-249 / KinesisSubscriberActor.scala:138-172),
+    // so the bench carries one measured records/s number for it:
+    // the events fixture staged as a multi-file envelope stream, then
+    // file source → from_json decode → to_json re-encode → per-key
+    // ordered serial sends ([[graft.connector.TopicSink.writeOrdered]]),
+    // microbatched by the admission cap. min-of-3, fresh checkpoint per
+    // run; exactly-once asserted by delivered count. Measured BEFORE
+    // the query passes (also warms the streaming path) and guarded so
+    // a failure can never cost the result line.
+    val relay: (Long, Double) =
+      if (only.exists(!_.exists(p => "relay".startsWith(p)))) (0L, -1.0)
+      else try {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.connector.{FileTopicSource, TopicSink, TopicSource}
+        import graft.model.ConsumerConfig
+        val stageDir = "/tmp/graft-relay-stage"
+        val events = graft.ops.Tables.table(spark, sfDir, "events")
+        // stage (unmeasured): envelope rows across 24 files so the
+        // 8-file admission cap yields 3 microbatches
+        events.select(
+            to_json(struct(col("event_id"), col("user_id"),
+              col("event_type"), col("value"))).cast("binary").as("data"),
+            col("user_id").cast("string").as("partitionKey"),
+            col("event_id").as("seq"))
+          .repartition(24).write.mode("overwrite").parquet(stageDir)
+        val n = events.count()
+        val envSchema = StructType(Seq(
+          StructField("data", BinaryType), StructField("partitionKey", StringType),
+          StructField("seq", LongType)))
+        val payloadSchema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        val src = FileTopicSource("relay-bench", stageDir, "parquet",
+          envSchema, ConsumerConfig(None, maxBatchSize = 8))
+        val dts = (1 to 3).map { _ =>
+          TopicSink.CountingSender.reset()
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft-relay-ckpt").toString
+          val t0 = System.nanoTime()
+          val q = src.load(spark).writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              val decoded = TopicSource.decodeJson(b, payloadSchema)
+              val flowed = decoded.select(col("payload.*"), col("seq"))
+              // encodeJson's envelope shape + the order column
+              val env = flowed.select(
+                to_json(struct(col("event_id"), col("user_id"),
+                  col("event_type"), col("value"))).cast("binary").as("data"),
+                col("user_id").cast("string").as("partitionKey"),
+                lit(null).cast("string").as("explicitHashKey"),
+                col("seq"))
+              TopicSink.writeOrdered(env, "seq",
+                () => new TopicSink.CountingSender, cpus.toInt)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val dt = (System.nanoTime() - t0) / 1e9
+          require(TopicSink.CountingSender.records.get() == n,
+            s"relay lost records: ${TopicSink.CountingSender.records.get()} of $n")
+          dt
+        }
+        (n, n / dts.min)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] relay failed: ${e.getMessage}")
+        (0L, -1.0)
+      }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     def once(): Seq[(String, Double)] = selected.map { case (name, fn) =>
@@ -93,7 +165,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val relayJson =
+      if (relay._2 > 0) s""","relay_rps":${relay._2.toLong},"relay_rows":${relay._1}"""
+      else ""
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$relayJson}""")
     spark.stop()
   }
 }

@@ -68,6 +68,24 @@ object TopicSink {
       }
   }
 
+  /** Throughput-measurement sender: counts deliveries and payload bytes
+    * (static per JVM — local mode) without buffering records, so a
+    * relay benchmark can push 10⁵-10⁶ records through the full
+    * decode → encode → repartition → sort → serial-send path and verify
+    * exactly-once delivery by count. */
+  final class CountingSender extends RecordSender {
+    override def send(pk: String, data: Array[Byte], ehk: Option[String]): Unit = {
+      CountingSender.records.incrementAndGet()
+      CountingSender.bytes.addAndGet(data.length.toLong)
+      ()
+    }
+  }
+  object CountingSender {
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    def reset(): Unit = { records.set(0); bytes.set(0) }
+  }
+
   /** In-memory sender for tests: records (key, payload) in arrival order
     * per JVM (single-process local mode). */
   final class CollectingSender extends RecordSender {

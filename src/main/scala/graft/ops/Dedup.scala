@@ -35,6 +35,29 @@ object Dedup {
     * Pass `maxBucket = Int.MaxValue` to disable. */
   val DefaultMaxBucket: Int = 1024
 
+  /** Session-conf key: duplicate-id count above which the final
+    * "drop the non-representatives" anti-join stops FORCING a broadcast
+    * and falls back to a plain (shuffle) anti-join. At crawl-scale dup
+    * rates (30-60% of a multi-billion-doc corpus) the drop set is tens
+    * of GB of ids — over any executor broadcast budget — and a forced
+    * hint would OOM the driver where a shuffle anti-join (cheap next to
+    * the mining that produced the pairs) just runs. The count used for
+    * the decision is the connected-components label-table size — an
+    * upper bound on the drop set, and free to compute because CC output
+    * is checkpoint-truncated (counting scans materialized blocks, not
+    * lineage). Default 10M ids ≈ low hundreds of MB broadcast. */
+  val MaxBroadcastIdsKey = "spark.graft.dedup.maxBroadcastIds"
+  private val MaxBroadcastIdsDefault = 10L * 1000 * 1000
+
+  private def broadcastIdLimit(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(MaxBroadcastIdsKey)
+      .map(_.toLong).getOrElse(MaxBroadcastIdsDefault)
+
+  /** `small` hinted broadcast below the conf limit, hint-free above it
+    * (`dupCount` = caller's bound on `small`'s rows). */
+  private def maybeBroadcast(small: DataFrame, dupCount: Long): DataFrame =
+    if (dupCount <= broadcastIdLimit(small)) broadcast(small) else small
+
   /** Default signature length for the prefilter ESTIMATOR. The bucket
     * stage only needs bands×rows lanes (48-64), but the 6σ prefilter
     * cutoff is `threshold − 6·sqrt(t(1−t)/lanes)` — at 48 lanes that is
@@ -737,14 +760,20 @@ object Dedup {
   /** Materialize a near-dup-deduplicated corpus: keep exactly one
     * representative (the min id, via [[connectedComponents]]) per mined
     * duplicate cluster, plus every unpaired document. The drop set is
-    * near-dup-cluster-sized (tiny next to the corpus), so the final
-    * filter is a broadcast anti-join — the corpus never shuffles. */
+    * near-dup-cluster-sized (tiny next to the corpus in the common
+    * case), so the final filter is a broadcast anti-join and the corpus
+    * never shuffles — but the hint is SIZE-AWARE ([[maybeBroadcast]] /
+    * [[MaxBroadcastIdsKey]]): above the conf limit the forced broadcast
+    * is dropped and a shuffle anti-join runs instead of a driver OOM. */
   def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame,
                           idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val drop = connectedComponents(pairs, idA, idB)
+    val labels = connectedComponents(pairs, idA, idB)
+    val drop = labels
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+    // labels is checkpoint-truncated CC output: the count is a block
+    // scan, and it upper-bounds the drop set (drop = labels minus reps)
+    docs.join(maybeBroadcast(drop, labels.count()), Seq(idCol), "left_anti")
   }
 
   /** Embedding near-duplicate pairs, exact all-pairs cosine — the
@@ -874,22 +903,26 @@ object Dedup {
       // the paper's policy (Abbas et al. §3): keep the duplicate-group
       // member with the LOWEST cosine to its cluster centroid — the
       // diversity-maximizing choice. Labels and scores are duplicate-
-      // cluster-sized (broadcast); the representative per cluster is
-      // min by (centroid-cos, id), so the whole policy stays
-      // deterministic and differentially testable (the cosine is the
-      // same double arithmetic the oracle recomputes).
+      // cluster-sized (broadcast while under the size-aware limit —
+      // every frame in this block is bounded by the CC label count, so
+      // one cheap count of the truncated CC output gates ALL three
+      // hints); the representative per cluster is min by
+      // (centroid-cos, id), so the whole policy stays deterministic and
+      // differentially testable (the cosine is the same double
+      // arithmetic the oracle recomputes).
       val labels = connectedComponents(pairs)
         .withColumnRenamed("id", "__lab_id") // idCol may itself be "id"
+      val nDup = labels.count() // truncated CC output: block scan
       val memberScores = scored
-        .join(broadcast(labels), col(idCol) === col("__lab_id"))
+        .join(maybeBroadcast(labels, nDup), col(idCol) === col("__lab_id"))
         .select(col("cluster"), col(idCol).as("__mid"), col("__ccos"))
       val reps = memberScores.groupBy("cluster")
         .agg(min(struct(col("__ccos"), col("__mid"))).as("__rep"))
         .select(col("cluster"), col("__rep.__mid").as("__keep_id"))
-      val drop = labels.join(broadcast(reps), Seq("cluster"))
+      val drop = labels.join(maybeBroadcast(reps, nDup), Seq("cluster"))
         .where(col("__lab_id") =!= col("__keep_id"))
         .select(col("__lab_id").as(idCol))
-      assigned.join(broadcast(drop), Seq(idCol), "left_anti")
+      assigned.join(maybeBroadcast(drop, nDup), Seq(idCol), "left_anti")
         .select(col(idCol), col("cent_id"))
     }
   }
@@ -919,15 +952,26 @@ object Dedup {
 
   /** Shared tail of the two span miners: count occurrences of each
     * 128-bit gram hash, keep hashes seen at least `minOcc` times, mark
-    * the contributing positions, merge into intervals. The gram stream
-    * is shuffled by (h1, h2) for BOTH the partial-agg count and the
-    * mark join, and the two shuffles are the same exchange subtree —
-    * Spark's ReuseExchange materializes it once and reads it twice. */
+    * the contributing positions, merge into intervals.
+    *
+    * The gram stream feeds BOTH the count and the mark join, and
+    * ReuseExchange can NOT deduplicate them: the count side's exchange
+    * subtree contains the partial HashAggregate (map-side combine), so
+    * it is never structurally identical to a mark-side shuffle — and
+    * when AQE broadcasts the dup-digest side the mark side doesn't
+    * shuffle at all, leaving the explode+hash recomputed from scan.
+    * With `materialize` (default) the slim (id, pos, h1, h2) frame is
+    * checkpoint-truncated ONCE and both branches read the materialized
+    * blocks — one Generate, one gram-hash pass, ~28 B/char of block
+    * storage (the same bytes the exchange would have held). Pass
+    * `materialize = false` to trade the storage for a second scan. */
   private def spansFromGrams(grams: DataFrame, idCol: String,
-                             spanLen: Int, minOcc: Int): DataFrame = {
-    val occ = grams.groupBy("h1", "h2").agg(count(lit(1)).as("__n"))
+                             spanLen: Int, minOcc: Int,
+                             materialize: Boolean): DataFrame = {
+    val g = if (materialize) Checkpointing.truncate(grams) else grams
+    val occ = g.groupBy("h1", "h2").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minOcc)
-    val marks = grams.join(occ, Seq("h1", "h2")).select(col(idCol), col("pos"))
+    val marks = g.join(occ, Seq("h1", "h2")).select(col(idCol), col("pos"))
     mergeSpans(marks, idCol, spanLen)
   }
 
@@ -958,8 +1002,10 @@ object Dedup {
     * cryptographic, and PORTABLE — an external engine recomputes the
     * digest verbatim, same differential-testing property as
     * [[portableHash64]]). Occurrence counting is a partial-aggregating
-    * groupBy on that key, and the mark join re-reads the same exchange
-    * (ReuseExchange), so the stride-1 stream pays ONE shuffle of ~28
+    * groupBy on that key, and the mark join re-reads the gram stream
+    * from a checkpoint-truncated materialization (see
+    * [[spansFromGrams]] — exchange reuse cannot apply across the
+    * partial agg), so the stride-1 stream pays ONE shuffle of ~28
     * bytes per corpus character. That prices per-char exactness to
     * ~corpus-size × 28 shuffle bytes — fine into the tens of TB; past
     * that, [[duplicatedSpansWinnowed]] trades a detection-length floor
@@ -968,7 +1014,8 @@ object Dedup {
     * Returns (idCol, span_start, span_end, span_chars); positions are
     * 1-based inclusive bigints. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      spanLen: Int, minOcc: Int = 2): DataFrame = {
+                      spanLen: Int, minOcc: Int = 2,
+                      materialize: Boolean = true): DataFrame = {
     require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
     // hash every gram ROW-LOCALLY inside one compiled expression
     // ([[graft.functions.GramAnchors]], window = 0) and explode only the
@@ -978,7 +1025,7 @@ object Dedup {
     // and the earlier `transform(sequence, md5(substr))` HOF paid the
     // interpreted CodegenFallback lambda walk per gram.
     spansFromGrams(gramRows(docs, idCol, textCol, spanLen, 0),
-      idCol, spanLen, minOcc)
+      idCol, spanLen, minOcc, materialize)
   }
 
   /** Duplicated-span detection for corpora where the stride-1 gram
@@ -1017,7 +1064,8 @@ object Dedup {
     * The downstream count/mark/merge is shared ([[spansFromGrams]]). */
   def duplicatedSpansWinnowed(docs: DataFrame, idCol: String, textCol: String,
                               spanLen: Int, window: Int = 8,
-                              minOcc: Int = 2): DataFrame = {
+                              minOcc: Int = 2,
+                              materialize: Boolean = true): DataFrame = {
     require(window >= 1, s"window must be positive, got $window")
     // hashing + argmin-of-each-window selection run as tight JVM loops
     // inside ONE compiled expression ([[graft.functions.GramAnchors]]:
@@ -1032,7 +1080,7 @@ object Dedup {
     // order, whole-document window for short docs, positions deduped) —
     // pinned by the q100 differential oracle and DupSpansSpec.
     spansFromGrams(gramRows(docs, idCol, textCol, spanLen, window),
-      idCol, spanLen, minOcc)
+      idCol, spanLen, minOcc, materialize)
   }
 
   /** Cross-corpus duplicated spans: every `spanLen`-char window of

@@ -170,19 +170,27 @@ object ScalingCurve {
     // x100 a 1/8th-corpus cell would blow past maxCluster and be
     // (correctly) skipped — measuring nothing. So the curve drives
     // semanticDedup directly: nlist = 8·f keeps E[cell] ≈ 625 rows.
+    // variants: probes=1/2 under the default min-id keep (q101's shape)
+    // plus the paper-faithful diverse-keep policy (q106's shape), so its
+    // "q101 + a cluster-sized min-by aggregate" curve claim is measured
+    // rather than asserted
+    val semVariants = Seq((1, "minId"), (2, "minId"), (1, "diverse"))
     val semRows = (for (f <- factors
-        if only.forall(_.exists("q101_dedup_semantic".startsWith));
-        probes <- Seq(1, 2)) yield {
+        if only.forall(o => o.exists("q101_dedup_semantic".startsWith) ||
+          o.exists("q106_dedup_sem_diverse".startsWith));
+        (probes, keepP) <- semVariants) yield {
       val emb = graft.ops.Tables.table(spark, s"$workDir/x$f", "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding"))
       val t0 = System.nanoTime()
       graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
-          nlist = 8 * f, tau = 0.95, probes = probes)
+          nlist = 8 * f, tau = 0.95, probes = probes, keep = keepP)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"[scale] x$f%-4d q101_semantic(nlist=${8 * f}%d,probes=$probes%d) ${dt}%8.2f s")
-      (s"q101_dedup_semantic_p$probes", f, dt)
+      println(f"[scale] x$f%-4d q101_semantic(nlist=${8 * f}%d,probes=$probes%d,keep=$keepP%s) ${dt}%8.2f s")
+      val label = if (keepP == "diverse") s"q106_dedup_sem_diverse_p$probes"
+        else s"q101_dedup_semantic_p$probes"
+      (label, f, dt)
     })
 
     println("| query | " + factors.map(f => s"x$f (s)").mkString(" | ") + " |")

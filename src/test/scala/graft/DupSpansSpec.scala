@@ -133,13 +133,16 @@ class DupSpansSpec extends SparkSpec {
     val out = Dedup.duplicatedSpans(docs, "doc_id", "text", 20)
     out.collect() // materialize so AQE finalizes the physical plan
     val plan = out.queryExecution.executedPlan.toString
-    // two acceptable shapes: AQE broadcasts the (small) qualifying-hash
-    // side so the gram stream shuffles ONCE (groupBy only), or — when
-    // the count side is big — a shuffled join whose gram-side exchange
-    // is the groupBy's, deduplicated by ReuseExchange. Either way the
-    // gram stream pays one shuffle.
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("ReusedExchange"),
-      s"expected broadcast mark join or exchange reuse in:\n$plan")
+    // production shape: the slim gram stream is checkpoint-truncated
+    // ONCE and both the count and the mark branch read the materialized
+    // blocks — so the final plan scans ExistingRDD and contains NO
+    // Generate (the explode+hash ran exactly once, during
+    // materialization; ReuseExchange could never apply because the
+    // count side's exchange subtree embeds the partial aggregate).
+    assert(plan.contains("ExistingRDD"),
+      s"expected checkpoint scan of the materialized gram stream in:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"gram explode recomputed in the span tail:\n$plan")
   }
 
   test("removeSpans cuts mined intervals order-preserving; re-mining finds nothing") {

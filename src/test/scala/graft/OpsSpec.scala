@@ -101,6 +101,66 @@ class OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("duplicate-id anti-joins: broadcast below the conf limit, shuffle above") {
+    val docs = (1L to 40L).map(i => (i, s"document number $i")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    def planOf(limit: Option[String]): String = {
+      // autoBroadcastJoinThreshold=-1 keeps AQE from re-broadcasting the
+      // tiny test-side on its own, so the assertion sees the HINT's
+      // effect; at scale that runtime conversion is exactly the desired
+      // behavior and stays available
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      limit.foreach(spark.conf.set(Dedup.MaxBroadcastIdsKey, _))
+      try {
+        val kept = Dedup.keepRepresentatives(docs, "id", pairs)
+        kept.collect()
+        kept.queryExecution.executedPlan.toString
+      } finally {
+        spark.conf.unset(Dedup.MaxBroadcastIdsKey)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val bc = planOf(None)
+    assert(bc.contains("BroadcastHashJoin") && bc.contains("LeftAnti"),
+      s"expected a hinted broadcast anti-join below the limit:\n$bc")
+    val sh = planOf(Some("0"))
+    assert(!sh.contains("BroadcastHashJoin") && sh.contains("LeftAnti"),
+      s"expected a hint-free shuffle anti-join above the limit:\n$sh")
+    // values identical either way
+    assert(planOf(None).nonEmpty) // plans differ; results must not
+    def keptIds(limit: Option[String]): Seq[Long] = {
+      limit.foreach(spark.conf.set(Dedup.MaxBroadcastIdsKey, _))
+      try Dedup.keepRepresentatives(docs, "id", pairs)
+        .select("id").as[Long].collect().sorted.toSeq
+      finally spark.conf.unset(Dedup.MaxBroadcastIdsKey)
+    }
+    assert(keptIds(None) == keptIds(Some("0")))
+  }
+
+  test("semanticDedup diverse keep: all three dup-sized joins obey the broadcast limit") {
+    val corpus = (1 to 30).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0.01f * i, 0f) else Array(0f, 1f, 0.01f * i)
+      (i.toLong, base)
+    }.toDF("id", "vec")
+    def planOf(limit: Option[String]): String = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      limit.foreach(spark.conf.set(Dedup.MaxBroadcastIdsKey, _))
+      try {
+        val out = Dedup.semanticDedup(corpus, "id", "vec", nlist = 2,
+          tau = 0.9, keep = "diverse")
+        out.collect()
+        out.queryExecution.executedPlan.toString
+      } finally {
+        spark.conf.unset(Dedup.MaxBroadcastIdsKey)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    assert(planOf(None).contains("BroadcastHashJoin"))
+    val sh = planOf(Some("0"))
+    assert(!sh.contains("BroadcastHashJoin") && sh.contains("LeftAnti"),
+      s"expected all dup-sized joins hint-free above the limit:\n$sh")
+  }
+
   test("minhash-LSH finds high-jaccard pairs and skips low ones") {
     val a = (1 to 40).map(i => s"tok$i").mkString(" ")
     val b = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY" // ~0.9 jaccard
