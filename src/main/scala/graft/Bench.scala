@@ -100,13 +100,8 @@ object Bench {
             .foreachBatch { (b: DataFrame, _: Long) =>
               val decoded = TopicSource.decodeJson(b, payloadSchema)
               val flowed = decoded.select(col("payload.*"), col("seq"))
-              // encodeJson's envelope shape + the order column
-              val env = flowed.select(
-                to_json(struct(col("event_id"), col("user_id"),
-                  col("event_type"), col("value"))).cast("binary").as("data"),
-                col("user_id").cast("string").as("partitionKey"),
-                lit(null).cast("string").as("explicitHashKey"),
-                col("seq"))
+              val env = TopicSource.encodeJsonOrdered(flowed, "seq",
+                Some("user_id"))
               TopicSink.writeOrdered(env, "seq",
                 () => new TopicSink.CountingSender, cpus.toInt)
             }

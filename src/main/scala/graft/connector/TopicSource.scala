@@ -93,4 +93,20 @@ object TopicSource {
       pk.cast("string").as("partitionKey"),
       lit(null).cast("string").as("explicitHashKey"))
   }
+
+  /** [[encodeJson]] with the order column carried ALONGSIDE the
+    * envelope (excluded from the payload — it is delivery metadata,
+    * not data), so the result feeds [[TopicSink.writeOrdered]]'s
+    * `seqCol` contract directly. */
+  def encodeJsonOrdered(df: DataFrame, seqCol: String,
+                        partitionKeyCol: Option[String] = None): DataFrame = {
+    val payloadCols = df.columns.filterNot(_ == seqCol).map(col).toIndexedSeq
+    val pk = partitionKeyCol.map(col)
+      .getOrElse(hash(struct(payloadCols: _*)).cast("string"))
+    df.select(
+      to_json(struct(payloadCols: _*)).cast("binary").as("data"),
+      pk.cast("string").as("partitionKey"),
+      lit(null).cast("string").as("explicitHashKey"),
+      col(seqCol))
+  }
 }

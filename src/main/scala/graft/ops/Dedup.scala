@@ -960,11 +960,21 @@ object Dedup {
     * it is never structurally identical to a mark-side shuffle — and
     * when AQE broadcasts the dup-digest side the mark side doesn't
     * shuffle at all, leaving the explode+hash recomputed from scan.
-    * With `materialize` (default) the slim (id, pos, h1, h2) frame is
-    * checkpoint-truncated ONCE and both branches read the materialized
-    * blocks — one Generate, one gram-hash pass, ~28 B/char of block
-    * storage (the same bytes the exchange would have held). Pass
-    * `materialize = false` to trade the storage for a second scan. */
+    *
+    * That 2× computation is the DELIBERATE default, decided by
+    * measurement (round 7, `tools.SpanAb`, same-JVM interleaved
+    * min-of-3 at x10): checkpoint-materializing the gram frame so both
+    * branches read blocks measured 9.96 s vs 3.11 s for the recompute —
+    * 3.2× slower. The bytes explain it: the gram stream is ~28 B per
+    * corpus CHARACTER, so materializing writes (and re-reads) ~28× the
+    * corpus's own bytes through the block manager, while the recompute
+    * re-scans the corpus once more (columnar, pruned to id+text) and
+    * replays one compiled projection ([[graft.functions.GramAnchors]]).
+    * The same arithmetic holds at 100 TB on object storage: two pruned
+    * corpus scans ≪ one write + two reads of a 28×-corpus-sized
+    * stream. `materialize = true` remains available for inputs where a
+    * second scan is genuinely expensive (the corpus behind a slow
+    * view/computation rather than a parquet table). */
   private def spansFromGrams(grams: DataFrame, idCol: String,
                              spanLen: Int, minOcc: Int,
                              materialize: Boolean): DataFrame = {
@@ -1002,11 +1012,11 @@ object Dedup {
     * cryptographic, and PORTABLE — an external engine recomputes the
     * digest verbatim, same differential-testing property as
     * [[portableHash64]]). Occurrence counting is a partial-aggregating
-    * groupBy on that key, and the mark join re-reads the gram stream
-    * from a checkpoint-truncated materialization (see
-    * [[spansFromGrams]] — exchange reuse cannot apply across the
-    * partial agg), so the stride-1 stream pays ONE shuffle of ~28
-    * bytes per corpus character. That prices per-char exactness to
+    * groupBy on that key; the mark side recomputes the gram stream
+    * from a second pruned corpus scan — measured CHEAPER than sharing
+    * a materialized copy, see [[spansFromGrams]] — and with the small
+    * dup-digest side broadcast the stride-1 stream pays ONE shuffle of
+    * ~28 bytes per corpus character. That prices per-char exactness to
     * ~corpus-size × 28 shuffle bytes — fine into the tens of TB; past
     * that, [[duplicatedSpansWinnowed]] trades a detection-length floor
     * for a ~window× smaller stream.
@@ -1015,7 +1025,7 @@ object Dedup {
     * 1-based inclusive bigints. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       spanLen: Int, minOcc: Int = 2,
-                      materialize: Boolean = true): DataFrame = {
+                      materialize: Boolean = false): DataFrame = {
     require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
     // hash every gram ROW-LOCALLY inside one compiled expression
     // ([[graft.functions.GramAnchors]], window = 0) and explode only the
@@ -1065,7 +1075,7 @@ object Dedup {
   def duplicatedSpansWinnowed(docs: DataFrame, idCol: String, textCol: String,
                               spanLen: Int, window: Int = 8,
                               minOcc: Int = 2,
-                              materialize: Boolean = true): DataFrame = {
+                              materialize: Boolean = false): DataFrame = {
     require(window >= 1, s"window must be positive, got $window")
     // hashing + argmin-of-each-window selection run as tight JVM loops
     // inside ONE compiled expression ([[graft.functions.GramAnchors]]:

@@ -135,4 +135,81 @@ object Relevance {
       .select(col(qidCol), col("rank"), col(idCol), col("score"),
         col("n_terms_matched"))
   }
+
+  // ───────────────── DSIR importance resampling (data selection) ──────────
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw-corpus document by how target-domain-like it is under
+    * hashed bag-of-tokens language models —
+    * `log w(x) = Σ_tokens [log p_target(b(t)) − log p_raw(b(t))]` with
+    * tokens hashed into `buckets` features (the paper's hashed n-gram
+    * trick) and add-one smoothing on both models. The standard way to
+    * carve a domain-focused training subset out of a web-scale crawl
+    * when all you have is a small in-domain sample.
+    *
+    * Scale design: the two models collapse to ONE `buckets`-row ratio
+    * table (per-bucket `log p_t − log p_r`, broadcast); the corpus-side
+    * stream that shuffles is (id, bucket) pairs feeding a partial-agg
+    * sum — same envelope as the other token-stream operators. The
+    * target sample is assumed small (a curated in-domain set), but
+    * nothing breaks if it is not: only its bucket HISTOGRAM is ever
+    * aggregated, never its rows.
+    *
+    * Determinism/portability: token hash = first 8 md5 hex chars mod
+    * `buckets` (nonnegative, engine-identical); logs via the
+    * bit-portable integer-ln series
+    * ([[graft.functions.PortableSketches.lnOfInt]] — every smoothed
+    * count and denominator is a positive integer); the per-document sum
+    * runs in exact DECIMAL(38,12), so the whole operator carries a full
+    * differential oracle. Documents with zero tokens produce no rows.
+    *
+    * Returns (idCol, n_tokens, logw). `textCol` must exist in BOTH
+    * frames. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.PortableSketches.lnOfInt
+    val spark = raw.sparkSession
+    def bucketOf(t: Column): Column =
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets
+    def bucketCounts(df: DataFrame, cntName: String): DataFrame =
+      df.select(explode(TextOps.lowerTokens(col(textCol))).as("__tok"))
+        .select(bucketOf(col("__tok")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(cntName))
+    val tCnt = bucketCounts(target, "__tc")
+    val rCnt = bucketCounts(Tables.spread(raw, idCol), "__rc")
+    val tTot = tCnt.agg(sum(col("__tc")).as("__tt"))
+    val rTot = rCnt.agg(sum(col("__rc")).as("__rt"))
+    // one ratio row per bucket, including never-seen buckets (smoothed);
+    // evaluation order of the ln chain is fixed left-assoc and mirrored
+    // verbatim by the oracle SQL
+    val ratio = spark.range(buckets.toLong).select(col("id").as("bucket"))
+      .join(tCnt, Seq("bucket"), "left")
+      .join(rCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (lnOfInt(coalesce(col("__tc"), lit(0L)) + lit(1L))
+          - lnOfInt(col("__tt") + lit(buckets.toLong))
+          - lnOfInt(coalesce(col("__rc"), lit(0L)) + lit(1L))
+          + lnOfInt(col("__rt") + lit(buckets.toLong))).as("logratio"))
+    Tables.spread(raw, idCol)
+      .select(col(idCol), explode(TextOps.lowerTokens(col(textCol))).as("__tok"))
+      .select(col(idCol), bucketOf(col("__tok")).as("bucket"))
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("logratio").cast(DecimalType(38, 12))).cast("double").as("logw"))
+  }
+
+  /** Deterministic DSIR selection: top-`k` documents by importance
+    * weight, ties to the smaller id (the paper resamples with Gumbel
+    * noise for diversity; the deterministic top-k variant is the
+    * differential-testable policy, and a seeded-noise variant is one
+    * added hash column away). Plans as TakeOrderedAndProject — no
+    * global sort materializes. */
+  def dsirTopK(weights: DataFrame, idCol: String, k: Int): DataFrame =
+    weights.orderBy(col("logw").desc, col(idCol).asc).limit(k)
 }

@@ -1193,6 +1193,62 @@ object CatalogML2 {
         |       CAST(sum(len(text)) AS BIGINT) AS kept_chars,
         |       CAST(sum(n_chars - len(text)) AS BIGINT) AS removed_chars
         |FROM rw GROUP BY source
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // DSIR importance resampling (Xie et al., NeurIPS 2023): score every
+    // raw doc by target-domain likeness under hashed bag-of-tokens LMs
+    // (the 'en' split stands in for the curated in-domain sample), then
+    // keep the top-k. Fully differential: md5 token buckets, add-one
+    // smoothing through the bit-portable integer-ln series, the fixed
+    // left-assoc ln chain, the exact DECIMAL(38,12) per-doc sum and the
+    // (logw desc, id asc) top-k are replayed verbatim by the oracle.
+    ("q108_select_dsir", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      val w = Relevance.dsirWeights(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+      Relevance.dsirTopK(w, "doc_id", 100)
+        .select(col("doc_id"), col("n_tokens"), col("logw"))
+    }, Some {
+      import graft.functions.PortableSketches.lnOfIntSql
+      val B = 256
+      def bkt(tok: String) = s"(('0x' || substr(md5($tok), 1, 8))::BIGINT % $B)"
+      s"""WITH rtok AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+         |                               x -> lower(x))) AS tok
+         |  FROM documents
+         |), rbkt AS (
+         |  SELECT doc_id, ${bkt("tok")} AS bucket FROM rtok
+         |), rcnt AS (
+         |  SELECT bucket, count(*) AS rc FROM rbkt GROUP BY bucket
+         |), tbkt AS (
+         |  SELECT ${bkt("tok")} AS bucket FROM (
+         |    SELECT unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+         |                                 x -> lower(x))) AS tok
+         |    FROM documents WHERE lang = 'en')
+         |), tcnt AS (
+         |  SELECT bucket, count(*) AS tc FROM tbkt GROUP BY bucket
+         |), tot AS (
+         |  SELECT (SELECT count(*) FROM tbkt) AS tt,
+         |         (SELECT count(*) FROM rbkt) AS rt
+         |), ratio AS (
+         |  SELECT CAST(b.range AS BIGINT) AS bucket,
+         |         (((${lnOfIntSql("(coalesce(tc, 0) + 1)")}
+         |            - ${lnOfIntSql(s"(tt + $B)")})
+         |           - ${lnOfIntSql("(coalesce(rc, 0) + 1)")})
+         |          + ${lnOfIntSql(s"(rt + $B)")}) AS logratio
+         |  FROM range(0, $B) b
+         |  LEFT JOIN tcnt ON tcnt.bucket = b.range
+         |  LEFT JOIN rcnt ON rcnt.bucket = b.range
+         |  CROSS JOIN tot
+         |), w AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CAST(logratio AS DECIMAL(38,12))) AS DOUBLE) AS logw
+         |  FROM rbkt JOIN ratio USING (bucket)
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, logw
+         |FROM w ORDER BY logw DESC, doc_id ASC LIMIT 100""".stripMargin
+    })
   )
 }

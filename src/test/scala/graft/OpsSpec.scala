@@ -499,6 +499,50 @@ class OpsSpec extends SparkSpec {
     assert(fpCat <= math.min(viaExpr(1L), viaExpr(2L)))
   }
 
+  test("dsirWeights matches the smoothed hashed-LM formula and ranks target-like docs first") {
+    import graft.ops.Relevance
+    val B = 64
+    val target = Seq((100L, "alpha beta alpha"), (101L, "alpha gamma")).toDF("id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), // target-like
+      (2L, "delta epsilon zeta eta"), // out-of-domain
+      (3L, "alpha delta")).toDF("id", "text")
+    val got = Relevance.dsirWeights(raw, target, "id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // independent reimplementation with libm log (lnOfInt tracks ln to
+    // well under 1e-12 on these magnitudes)
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % B
+    }
+    def toks(s: String): Seq[String] = s.trim.split("\\s+").toSeq.map(_.toLowerCase)
+    val tCnt = Seq("alpha beta alpha", "alpha gamma").flatMap(toks)
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val rawDocs = Map(1L -> "alpha beta alpha beta",
+      2L -> "delta epsilon zeta eta", 3L -> "alpha delta")
+    val rCnt = rawDocs.values.flatMap(toks)
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (tt, rt) = (tCnt.values.sum, rCnt.values.sum)
+    def logratio(b: Long): Double =
+      math.log(tCnt.getOrElse(b, 0L) + 1.0) - math.log((tt + B).toDouble) -
+        math.log(rCnt.getOrElse(b, 0L) + 1.0) + math.log((rt + B).toDouble)
+    for ((id, text) <- rawDocs) {
+      val ts = toks(text)
+      val expected = ts.map(t => logratio(bucket(t))).sum
+      val (n, logw) = got(id)
+      assert(n == ts.size)
+      assert(math.abs(logw - expected) < 1e-9,
+        s"doc $id: logw $logw vs expected $expected")
+    }
+    // the target-like doc wins the selection; the disjoint one is last
+    val ranked = Relevance.dsirTopK(
+      Relevance.dsirWeights(raw, target, "id", "text", buckets = B), "id", 3)
+      .select("id").as[Long].collect().toSeq
+    assert(ranked.head == 1L && ranked.last == 2L, s"ranking off: $ranked")
+  }
+
   test("canonicalUrl: host case, ports, tracking params, fragments, slash noise") {
     val cases = Seq(
       // host/scheme lowercased, path case preserved
