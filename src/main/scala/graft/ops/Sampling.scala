@@ -148,4 +148,39 @@ object Sampling {
       .where(hashFraction(col(idCol)) < col("__rate"))
       .drop("__rate")
   }
+
+  /** Reproducible per-epoch shuffle into training shards — the
+    * "see the data in a different order every epoch, identically on
+    * every re-run" primitive of a training-data reader. Each row's
+    * shard and within-shard position are pure functions of
+    * (epoch, id): key = md5(epoch || ':' || id), shard = first 32 key
+    * bits mod `numShards` (32-bit range makes the mod bias negligible
+    * for any practical shard count), position = rank of the key inside
+    * the shard (ties to the smaller id — md5 collisions on distinct
+    * inputs don't occur, but the tiebreak keeps the contract total). Changing `epoch` re-deals both shard membership and
+    * order; re-running an epoch reproduces them bit-for-bit on any
+    * partitioning or engine.
+    *
+    * Scale design: this deliberately does NOT global-sort the corpus.
+    * The physical shape is one shuffle keyed by shard (each shard a
+    * task) + a within-partition sort — `numShards` should be sized so
+    * a shard is one training-reader stream (hundreds to thousands at
+    * 100 TB). A global `orderBy(key)` would range-sample and
+    * range-exchange the whole corpus for a total order nothing
+    * consumes: readers consume SHARDS.
+    *
+    * Returns the input columns + (shard int, seq bigint — 1-based
+    * within shard). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Long,
+                   numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(epoch.toString), lit(":"), col(idCol).cast("string")))
+    val shard = (conv(substring(key, 1, 8), 16, 10).cast("long") % numShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key").asc, col(idCol).asc)
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
 }

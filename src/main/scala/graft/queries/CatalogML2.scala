@@ -1249,6 +1249,31 @@ object CatalogML2 {
          |)
          |SELECT doc_id, n_tokens, logw
          |FROM w ORDER BY logw DESC, doc_id ASC LIMIT 100""".stripMargin
-    })
+    }),
+
+    // Reproducible per-epoch shard shuffle — the training-reader
+    // primitive: shard and within-shard order are pure functions of
+    // (epoch, id) via md5, so every epoch re-deals deterministically
+    // and NO global sort runs (one shard-keyed exchange + in-partition
+    // sort). The oracle replays key/shard/rank verbatim.
+    ("q109_epoch_shuffle", (s: SparkSession, d: String) => {
+      graft.ops.Sampling.epochShuffle(
+          table(s, d, "documents").select(col("doc_id")),
+          "doc_id", epoch = 3L, numShards = 8)
+        .orderBy("shard", "seq")
+    }, Some(
+      """WITH k AS (
+        |  SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, key,
+        |         CAST(('0x' || substr(key, 1, 8))::BIGINT % 8 AS INT) AS shard
+        |  FROM k
+        |)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |            ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
+        |FROM s
+        |ORDER BY shard, seq""".stripMargin))
   )
 }

@@ -47,7 +47,10 @@ object ScalingCurve {
       "q39", "q78", "q87",
       // URL canonicalization: a ~10-regex row-local projection + one
       // groupBy — should be ~linear and cheap
-      "q107")
+      "q107",
+      // DSIR: token stream → broadcast ratio join → partial-agg sum;
+      // epoch shuffle: one shard-keyed exchange + in-partition sort
+      "q108", "q109")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase

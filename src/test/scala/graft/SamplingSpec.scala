@@ -88,4 +88,33 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.select("doc_id").as[Long].collect().sorted.toSeq ==
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("epoch shuffle: reproducible shards/order per epoch, re-dealt across epochs") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 200L).toDF("id")
+    def run(epoch: Long, input: org.apache.spark.sql.DataFrame = df) =
+      Sampling.epochShuffle(input, "id", epoch, numShards = 4)
+        .select("id", "shard", "seq")
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val e1 = run(1L)
+    // exhaustive, shards in range, seq contiguous 1..|shard| within shards
+    assert(e1.map(_._1).toSet == (1L to 200L).toSet)
+    assert(e1.forall { case (_, s, _) => s >= 0 && s < 4 })
+    e1.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size.toLong),
+        s"seq not contiguous in shard $s")
+    }
+    // bit-reproducible across runs AND partitionings
+    assert(run(1L) == e1)
+    assert(run(1L, df.repartition(13)) == e1)
+    // a different epoch re-deals: some id changes shard or position
+    val e2 = run(2L)
+    assert(e2 != e1, "epoch 2 produced the identical deal")
+    // no global sort: the executed plan exchanges by shard only
+    val out = Sampling.epochShuffle(df, "id", 1L, numShards = 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"epoch shuffle must not global-sort:\n$plan")
+  }
 }
