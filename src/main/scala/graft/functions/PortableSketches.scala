@@ -52,7 +52,7 @@ object PortableSketches {
   }
   private val LincountGate: Double = 2.5 * HllM // raw-vs-lincount switch
   private val LnM: Double = math.log(HllM.toDouble)
-  private val Ln2 = 0.6931471805599453 // nearest double to ln 2
+  private[graft] val Ln2 = 0.6931471805599453 // nearest double to ln 2
   private val Ln15 = 0.4054651081081644 // nearest double to ln 1.5
   private val SeriesC: Seq[Double] = Seq(3, 5, 7, 9, 11, 13).map(1.0 / _.toDouble)
 

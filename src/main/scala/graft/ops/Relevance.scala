@@ -205,11 +205,47 @@ object Relevance {
   }
 
   /** Deterministic DSIR selection: top-`k` documents by importance
-    * weight, ties to the smaller id (the paper resamples with Gumbel
-    * noise for diversity; the deterministic top-k variant is the
-    * differential-testable policy, and a seeded-noise variant is one
-    * added hash column away). Plans as TakeOrderedAndProject — no
-    * global sort materializes. */
+    * weight, ties to the smaller id. For the paper's actual sampling
+    * policy see [[dsirGumbelTopK]]. Plans as TakeOrderedAndProject —
+    * no global sort materializes. */
   def dsirTopK(weights: DataFrame, idCol: String, k: Int): DataFrame =
     weights.orderBy(col("logw").desc, col(idCol).asc).limit(k)
+
+  /** Seeded Gumbel-top-k DSIR selection — the paper's resampling
+    * policy, not just the argmax: keeping the `k` largest
+    * `logw_i + g_i` with `g_i` i.i.d. standard Gumbel draws samples k
+    * documents WITHOUT replacement with probability ∝ exp(logw_i)
+    * (the Gumbel-top-k trick), preserving diversity that a plain
+    * top-k by weight destroys.
+    *
+    * The noise is a pure function of (seed, id) — reproducible across
+    * runs, partitionings, and engines: u = (h+1)/(2^24+1) from 24 md5
+    * bits of `seed:id`, g = −ln(−ln u) with BOTH logs through the
+    * bit-portable integer-ln series. The outer log's argument is a
+    * double, so it is quantized to 2^−40 first (an exact ×2^40 scale +
+    * exact floor — both IEEE-exact, hence engine-identical); the
+    * deviation from an ideal Gumbel is ≤ ~1.5e-5 and only in the
+    * extreme tail (u within 6e-8 of 1), a DEFINED deterministic
+    * function rather than an approximation drift — which is what lets
+    * this carry a full differential oracle where libm-based sampling
+    * could not. Plans as TakeOrderedAndProject, same as [[dsirTopK]].
+    *
+    * Returns the weight columns + `gkey` (the perturbed key actually
+    * ranked). */
+  def dsirGumbelTopK(weights: DataFrame, idCol: String, k: Int,
+                     seed: Long): DataFrame = {
+    import graft.functions.PortableSketches.{lnOfInt, Ln2}
+    val h24 = conv(substring(
+      md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))),
+      1, 6), 16, 10).cast("long")
+    // t = −ln u = ln(2^24+1) − ln(h+1), strictly positive
+    val t = lnOfInt(lit((1L << 24) + 1L)) - lnOfInt(h24 + lit(1L))
+    // exact power-of-two scale + exact floor → portable integer mantissa
+    val m = floor(t * lit(1.099511627776e12)) // 2^40
+    val g = -(lnOfInt(m) - lit(40.0 * Ln2))
+    weights
+      .withColumn("gkey", col("logw") + g)
+      .orderBy(col("gkey").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -19,6 +19,50 @@ object CatalogML2 {
 
   private val bmTerms = Seq("spark", "hash", "stream")
 
+  /** Shared WITH-clause chain of the q108/q110 DSIR oracles: hashed-LM
+    * per-doc importance weights over `documents` (target = the 'en'
+    * split), ending in CTE `w`(doc_id, n_tokens, logw) — mirrors
+    * [[graft.ops.Relevance.dsirWeights]] verbatim. */
+  private def dsirWeightCtes(b: Int): String = {
+    import graft.functions.PortableSketches.lnOfIntSql
+    def bkt(tok: String) = s"(('0x' || substr(md5($tok), 1, 8))::BIGINT % $b)"
+    s"""rtok AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+       |                               x -> lower(x))) AS tok
+       |  FROM documents
+       |), rbkt AS (
+       |  SELECT doc_id, ${bkt("tok")} AS bucket FROM rtok
+       |), rcnt AS (
+       |  SELECT bucket, count(*) AS rc FROM rbkt GROUP BY bucket
+       |), tbkt AS (
+       |  SELECT ${bkt("tok")} AS bucket FROM (
+       |    SELECT unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+       |                                 x -> lower(x))) AS tok
+       |    FROM documents WHERE lang = 'en')
+       |), tcnt AS (
+       |  SELECT bucket, count(*) AS tc FROM tbkt GROUP BY bucket
+       |), tot AS (
+       |  SELECT (SELECT count(*) FROM tbkt) AS tt,
+       |         (SELECT count(*) FROM rbkt) AS rt
+       |), ratio AS (
+       |  SELECT CAST(b.range AS BIGINT) AS bucket,
+       |         (((${lnOfIntSql("(coalesce(tc, 0) + 1)")}
+       |            - ${lnOfIntSql(s"(tt + $b)")})
+       |           - ${lnOfIntSql("(coalesce(rc, 0) + 1)")})
+       |          + ${lnOfIntSql(s"(rt + $b)")}) AS logratio
+       |  FROM range(0, $b) b
+       |  LEFT JOIN tcnt ON tcnt.bucket = b.range
+       |  LEFT JOIN rcnt ON rcnt.bucket = b.range
+       |  CROSS JOIN tot
+       |), w AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CAST(logratio AS DECIMAL(38,12))) AS DOUBLE) AS logw
+       |  FROM rbkt JOIN ratio USING (bucket)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // BM25 keyword relevance over the corpus — topic-subset mining.
@@ -1208,47 +1252,45 @@ object CatalogML2 {
         "doc_id", "text", buckets = 256)
       Relevance.dsirTopK(w, "doc_id", 100)
         .select(col("doc_id"), col("n_tokens"), col("logw"))
-    }, Some {
-      import graft.functions.PortableSketches.lnOfIntSql
-      val B = 256
-      def bkt(tok: String) = s"(('0x' || substr(md5($tok), 1, 8))::BIGINT % $B)"
-      s"""WITH rtok AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(string_split_regex(trim(text), '\\s+'),
-         |                               x -> lower(x))) AS tok
-         |  FROM documents
-         |), rbkt AS (
-         |  SELECT doc_id, ${bkt("tok")} AS bucket FROM rtok
-         |), rcnt AS (
-         |  SELECT bucket, count(*) AS rc FROM rbkt GROUP BY bucket
-         |), tbkt AS (
-         |  SELECT ${bkt("tok")} AS bucket FROM (
-         |    SELECT unnest(list_transform(string_split_regex(trim(text), '\\s+'),
-         |                                 x -> lower(x))) AS tok
-         |    FROM documents WHERE lang = 'en')
-         |), tcnt AS (
-         |  SELECT bucket, count(*) AS tc FROM tbkt GROUP BY bucket
-         |), tot AS (
-         |  SELECT (SELECT count(*) FROM tbkt) AS tt,
-         |         (SELECT count(*) FROM rbkt) AS rt
-         |), ratio AS (
-         |  SELECT CAST(b.range AS BIGINT) AS bucket,
-         |         (((${lnOfIntSql("(coalesce(tc, 0) + 1)")}
-         |            - ${lnOfIntSql(s"(tt + $B)")})
-         |           - ${lnOfIntSql("(coalesce(rc, 0) + 1)")})
-         |          + ${lnOfIntSql(s"(rt + $B)")}) AS logratio
-         |  FROM range(0, $B) b
-         |  LEFT JOIN tcnt ON tcnt.bucket = b.range
-         |  LEFT JOIN rcnt ON rcnt.bucket = b.range
-         |  CROSS JOIN tot
-         |), w AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |         CAST(sum(CAST(logratio AS DECIMAL(38,12))) AS DOUBLE) AS logw
-         |  FROM rbkt JOIN ratio USING (bucket)
-         |  GROUP BY doc_id
-         |)
+    }, Some(
+      s"""WITH ${dsirWeightCtes(256)}
          |SELECT doc_id, n_tokens, logw
-         |FROM w ORDER BY logw DESC, doc_id ASC LIMIT 100""".stripMargin
+         |FROM w ORDER BY logw DESC, doc_id ASC LIMIT 100""".stripMargin)),
+
+    // Gumbel-top-k DSIR — the paper's actual resampling policy (sample
+    // k docs without replacement ∝ exp(logw) by keeping the k largest
+    // logw + Gumbel(seed, id)). Both logs of g = -ln(-ln u) go through
+    // the bit-portable integer-ln series (the outer argument quantized
+    // by an exact x2^40 scale + floor), so even the RANDOMIZED policy
+    // carries a full differential oracle; each ln runs over a CTE
+    // column because the SQL series macro expands its argument ~30x.
+    ("q110_select_dsir_gumbel", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      val w = Relevance.dsirWeights(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+      Relevance.dsirGumbelTopK(w, "doc_id", 100, seed = 42L)
+        .select(col("doc_id"), col("n_tokens"), col("logw"), col("gkey"))
+    }, Some {
+      import graft.functions.PortableSketches.{lnOfIntSql, Ln2}
+      val h = "(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT)"
+      s"""WITH ${dsirWeightCtes(256)},
+         |g1 AS (
+         |  SELECT doc_id, n_tokens, logw, $h AS h FROM w
+         |), g2 AS (
+         |  SELECT doc_id, n_tokens, logw,
+         |         (${lnOfIntSql("16777217")} - ${lnOfIntSql("(h + 1)")}) AS t
+         |  FROM g1
+         |), g3 AS (
+         |  SELECT doc_id, n_tokens, logw,
+         |         CAST(floor(t * 1.099511627776e12) AS BIGINT) AS m
+         |  FROM g2
+         |), g4 AS (
+         |  SELECT doc_id, n_tokens, logw,
+         |         (logw + (-(${lnOfIntSql("m")} - ${40.0 * Ln2}))) AS gkey
+         |  FROM g3
+         |)
+         |SELECT doc_id, n_tokens, logw, gkey
+         |FROM g4 ORDER BY gkey DESC, doc_id ASC LIMIT 100""".stripMargin
     }),
 
     // Reproducible per-epoch shard shuffle — the training-reader

@@ -543,6 +543,44 @@ class OpsSpec extends SparkSpec {
     assert(ranked.head == 1L && ranked.last == 2L, s"ranking off: $ranked")
   }
 
+  test("dsirGumbelTopK: portable seeded Gumbel keys match a libm reference; seed re-deals") {
+    import graft.ops.Relevance
+    val w = Seq((1L, 5L, 0.5), (2L, 5L, 0.4), (3L, 5L, -1.0), (4L, 5L, 0.45))
+      .toDF("id", "n_tokens", "logw")
+    val logwOf = Map(1L -> 0.5, 2L -> 0.4, 3L -> -1.0, 4L -> 0.45)
+    // independent reimplementation with libm log (the series-ln and the
+    // 2^-40 quantization track it far below this tolerance)
+    def gumbel(seed: Long, id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+      val t = math.log((1L << 24) + 1L) - math.log(h + 1.0)
+      val m = math.floor(t * 1.099511627776e12)
+      -(math.log(m) - 40.0 * 0.6931471805599453)
+    }
+    val sel = Relevance.dsirGumbelTopK(w, "id", 4, seed = 7L)
+      .select("id", "gkey").as[(Long, Double)].collect().toMap
+    assert(sel.size == 4)
+    for ((id, gkey) <- sel) {
+      val expected = logwOf(id) + gumbel(7L, id)
+      assert(math.abs(gkey - expected) < 1e-6,
+        s"id $id: gkey $gkey vs libm reference $expected")
+    }
+    // partitioning independence
+    val again = Relevance.dsirGumbelTopK(w.repartition(5), "id", 4, seed = 7L)
+      .select("id", "gkey").as[(Long, Double)].collect().toMap
+    assert(again == sel)
+    // the policy SAMPLES ∝ exp(logw): over many seeds (validated-identical
+    // scala reference, zero Spark cost) the heavy doc wins far more often
+    // than the light one, and some seed departs from the plain-top-k order
+    val wins = (1 to 500).map { s =>
+      logwOf.keys.maxBy(id => logwOf(id) + gumbel(s.toLong, id))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    assert(wins.getOrElse(1L, 0) > wins.getOrElse(3L, 0),
+      s"heavy doc should win more draws: $wins")
+    assert(wins.size > 1, "Gumbel never re-dealt the winner across 500 seeds")
+  }
+
   test("canonicalUrl: host case, ports, tracking params, fragments, slash noise") {
     val cases = Seq(
       // host/scheme lowercased, path case preserved
