@@ -776,6 +776,61 @@ object Dedup {
     docs.join(maybeBroadcast(drop, labels.count()), Seq(idCol), "left_anti")
   }
 
+  /** Corpus-wide positional line dedup with document rewrite — the
+    * C4-style "keep the FIRST occurrence" rule at line granularity:
+    * a non-blank line is kept only where it first appears in the corpus
+    * (ordered by (id, line position)); every later occurrence — in the
+    * same document or any other — is removed from the rewritten text.
+    * Blank lines are structure, not content: they are kept verbatim and
+    * never participate in matching. Unlike
+    * [[graft.ops.TextOps.removeBoilerplateLines]] (which drops ALL
+    * copies of a frequent line), this keeps one canonical copy of
+    * everything, so no content is lost — only repetition.
+    *
+    * Returns (idCol, clean_text, n_lines, n_dropped).
+    *
+    * Scale design: document text is NEVER shuffled. Pass 1 shuffles
+    * only (id, pos, md5-digest) line triples to find, per duplicated
+    * digest, the (id, pos) minimum and the later occurrences — the
+    * DROP set, duplicate-instance-sized. Pass 2 re-splits each document
+    * row-locally and filters its line array against the document's own
+    * drop positions, delivered by an id-keyed join against the
+    * per-document drop-position arrays — size-gated broadcast
+    * ([[MaxBroadcastIdsKey]]) below the conf limit, plain shuffle join
+    * above it, so crawl-scale duplicate rates degrade to one id-keyed
+    * exchange instead of a driver OOM. */
+  def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lineArr = split(col(textCol), "\n")
+    val lines = docs
+      .select(col(idCol), posexplode(lineArr).as(Seq("__pos", "__line")))
+      .where(length(trim(col("__line"))) > 0)
+      .select(col(idCol), col("__pos"), md5(col("__line")).as("__lh"))
+    // per duplicated digest: the global first occurrence, then every
+    // LATER (id, pos) instance becomes a drop row — digest-only shuffle
+    val firsts = lines
+      .groupBy("__lh")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(col("__lh"), col("__first"))
+    val dropPos = lines
+      .join(firsts, Seq("__lh"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__first"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__drop"), count(lit(1)).as("__nd"))
+    val dropCount = dropPos.agg(coalesce(sum("__nd"), lit(0L))).head().getLong(0)
+    docs
+      .join(maybeBroadcast(dropPos.drop("__nd"), dropCount), Seq(idCol), "left")
+      .select(col(idCol),
+        filter(lineArr, (l, i) =>
+          col("__drop").isNull || !array_contains(col("__drop"), i)).as("__kept"),
+        size(lineArr).cast("long").as("n_lines"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        col("n_lines"), col("n_dropped"))
+  }
+
   /** Embedding near-duplicate pairs, exact all-pairs cosine — the
     * |V|² variant for corpora small enough to broadcast one side.
     * Prefer [[embeddingCosinePairsLsh]] at scale. */

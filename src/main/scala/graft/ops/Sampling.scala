@@ -183,4 +183,38 @@ object Sampling {
       .withColumn("seq", row_number().over(w).cast("long"))
       .drop("__key")
   }
+
+  /** Greedy per-group budget fill — "spend at most `budget` units
+    * (tokens, chars, bytes) per domain on the best documents": within
+    * each group, rows are taken in (`orderCol` DESC, id ASC) order and
+    * kept while the running sum of `weightCol` stays ≤ `budget`. The
+    * first row that would overflow the budget — and everything after
+    * it — is dropped (a row whose own weight exceeds the budget is
+    * never taken; weights must be non-negative or the running sum is
+    * not monotone and the "prefix" reading breaks). This is the
+    * data-mixing step after quality scoring:
+    * the score decides the order, the budget caps each domain's share
+    * of the training run.
+    *
+    * Returns the input columns + `cum_weight` (running total INCLUDING
+    * the row, a bigint — weights must be integral so the prefix sums
+    * are exact and order-independent across engines).
+    *
+    * Scale design: one shuffle keyed by the group + a per-group sort
+    * feeding a running-sum window — the same physical shape as
+    * [[fixedSizePerGroup]]. Group count is domain-sized (small); the
+    * per-task burden is the largest group's sort, so a heavily skewed
+    * group set at 100 TB should pre-filter with the rate-based
+    * [[stratifiedSample]] (no shuffle) before the exact budget pass. */
+  def budgetSelect(df: DataFrame, idCol: String, groupCol: String,
+                   orderCol: String, weightCol: String,
+                   budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_weight", sum(col(weightCol).cast("long")).over(w))
+      .where(col("cum_weight") <= budget)
+  }
 }

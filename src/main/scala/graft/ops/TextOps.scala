@@ -145,6 +145,127 @@ object TextOps {
       (h, c) => pmod(h * base + ascii(c).cast("long"), lit(P)))
   }
 
+  // --- chunking (RAG / context-window prep) -----------------------------
+
+  /** Fixed-size overlapping character chunks with offsets — the
+    * retrieval/context-window prep step: every document becomes rows
+    * (idCol, chunk_id, chunk_start, chunk_text, chunk_chars) where
+    * chunk k starts at char offset k·strideChars (0-based) and spans up
+    * to chunkChars characters (`strideChars < chunkChars` ⇒ overlap of
+    * `chunkChars - strideChars` chars between neighbours). Empty
+    * documents produce no chunks; the final chunk may be shorter.
+    *
+    * Scale design: a pure row-local projection + generator — offsets
+    * come from `sequence`, the slice from `substring`, all inside the
+    * scan's codegen stage; NO shuffle, NO state. Output size is
+    * ~(chunkChars/strideChars)× the corpus, which is the caller's
+    * explicit overlap budget, not a plan artifact. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkChars: Int, strideChars: Int): DataFrame = {
+    require(chunkChars >= 1, s"chunkChars must be >= 1: $chunkChars")
+    require(strideChars >= 1, s"strideChars must be >= 1: $strideChars")
+    val starts = when(length(col(textCol)) > 0,
+        sequence(lit(0), length(col(textCol)) - 1, lit(strideChars)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol), col(textCol), posexplode(starts).as(Seq("__k", "__s")))
+      .select(col(idCol),
+        col("__k").cast("long").as("chunk_id"),
+        col("__s").cast("long").as("chunk_start"),
+        col(textCol).substr(col("__s") + 1, lit(chunkChars)).as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+  }
+
+  // --- BPE vocabulary induction (tokenizer prep) ------------------------
+
+  /** Frequency-weighted adjacent-symbol pair counts over the corpus's
+    * word vocabulary — one merge-selection step of byte-pair encoding
+    * (Sennrich et al. 2016): each distinct lowercased word contributes
+    * its adjacent character pairs weighted by the word's corpus
+    * frequency; the top pair is the next BPE merge. Every adjacent
+    * position counts (overlaps included), matching the reference BPE
+    * implementation's pair statistics.
+    *
+    * Scale design: word counting is the classic two-phase wordcount
+    * (map-side partial agg collapses each partition's tokens before one
+    * (word, count) shuffle); pair enumeration runs over the DISTINCT
+    * word table — vocabulary-sized, orders of magnitude smaller than
+    * the corpus — and the pair space is bounded by charset², so the
+    * final top-k is `TakeOrderedAndProject`-shaped. */
+  def bpeTopPairs(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val words = docs
+      .select(explode(lowerTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .where(length(col("word")) >= 2)
+    words
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"),
+        col("cnt"))
+      .groupBy("pair").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Full iterative BPE vocabulary learning: `rounds` merge steps, each
+    * picking the most frequent adjacent symbol pair (ties by pair
+    * string) and merging it corpus-wide. Returns (merge_rank, left,
+    * right, merged, score) — the learned merge table in order.
+    *
+    * Implementation: the distinct-word table (word, cnt) is computed
+    * once, each word's symbol sequence held as a space-joined string;
+    * a merge rewrites it with one left-to-right non-overlapping
+    * replacement (regex with non-consuming boundaries, so "l l l"
+    * merges to "ll l" exactly as reference BPE's greedy scan does).
+    * Driver state per round is ONE collected (pair, count) row; the
+    * vocabulary table stays distributed, with checkpoint truncation
+    * every few rounds to stop lineage growth — the [[graft.ops.Dedup]]
+    * connected-components iteration discipline. */
+  def bpeLearn(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    import java.util.regex.{Matcher, Pattern}
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(lowerTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .where(length(col("word")) >= 1)
+      // symbol sequence: chars joined by ' ' (tokens are whitespace-split,
+      // so ' ' can never collide with a symbol)
+      .select(concat_ws(" ", split(col("word"), "")).as("syms"), col("cnt"))
+    vocab = graft.ops.Checkpointing.truncate(vocab)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 0
+    while (r < rounds) {
+      val top = vocab
+        .select(explode(transform(array(split(col("syms"), " ")), ss =>
+            when(size(ss) >= 2,
+              transform(sequence(lit(1), size(ss) - 1),
+                i => struct(element_at(ss, i).as("l"), element_at(ss, i + 1).as("r"))))
+              .otherwise(array().cast("array<struct<l:string,r:string>>"))))
+          .as("ps"), col("cnt"))
+        .select(explode(col("ps")).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) r = rounds
+      else {
+        val (l, rr, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.size + 1, l, rr, l + rr, n))
+        // left-to-right non-overlapping merge: boundaries are
+        // non-consuming so adjacent merge sites stay mergeable
+        val pat = "(?<= |^)" + Pattern.quote(l + " " + rr) + "(?= |$)"
+        val rep = Matcher.quoteReplacement(l + rr)
+        vocab = vocab.select(regexp_replace(col("syms"), pat, rep).as("syms"), col("cnt"))
+        if ((merges.size % 8) == 0) vocab = graft.ops.Checkpointing.truncate(vocab)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "left", "right", "merged", "score")
+  }
+
   // --- repetition / boilerplate signals ---------------------------------
 
   /** Word n-grams WITHOUT dedup — repetition analysis needs gram

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sampling, TextOps}
+import graft.ops.Tables._
+
+/** Round-7 training-data-pipeline extensions: retrieval chunking,
+  * corpus-wide keep-first line dedup (C4-style repetition removal with
+  * document rewrite), per-domain token-budget selection, and BPE
+  * vocabulary induction (merge-pair statistics). All four carry full
+  * DuckDB differential oracles.
+  */
+object CatalogML3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  def entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Retrieval / context-window chunking: fixed 200-char chunks on a
+    // 150-char stride (50-char overlap) with char offsets — a pure
+    // row-local generator + substring projection, no shuffle. The
+    // oracle replays offsets and slices verbatim.
+    ("q111_chunk_overlap", (s: SparkSession, d: String) => {
+      TextOps.chunkDocs(spread(table(s, d, "documents"), "doc_id"),
+          "doc_id", "text", chunkChars = 200, strideChars = 150)
+        .orderBy("doc_id", "chunk_id")
+    }, Some(
+      """SELECT doc_id,
+        |       (s // 150) AS chunk_id,
+        |       s AS chunk_start,
+        |       substr(text, CAST(s + 1 AS INT), 200) AS chunk_text,
+        |       CAST(len(substr(text, CAST(s + 1 AS INT), 200)) AS BIGINT) AS chunk_chars
+        |FROM (SELECT doc_id, text,
+        |             unnest(generate_series(0, len(text) - 1, 150)) AS s
+        |      FROM documents WHERE len(text) > 0)
+        |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Corpus-wide keep-first line dedup with rewrite: a non-blank line
+    // survives only at its global first occurrence (by (doc_id, pos));
+    // later copies anywhere in the corpus are cut from the text. The
+    // fixture's documents are single-line word soup (no '\n', no
+    // repeated full texts), which would leave the operator untested —
+    // so the query first derives a line corpus deterministically: each
+    // doc's first 12 tokens become its lines, with token 'a' mapped to
+    // a BLANK line (blank lines are structure: kept verbatim, never
+    // matched). The ~40-token vocabulary makes cross-document line
+    // collisions pervasive, so keep-first genuinely rewrites. The
+    // oracle re-derives first occurrences with a window over the same
+    // md5 digests and reassembles with an ordered string_agg.
+    ("q112_dedup_lines_global", (s: SparkSession, d: String) => {
+      val lined = table(s, d, "documents").select(col("doc_id"),
+        array_join(
+          transform(slice(split(trim(col("text")), "\\s+"), 1, 12),
+            t => when(t === "a", "").otherwise(t)),
+          "\n").as("ltext"))
+      Dedup.dedupLinesGlobal(spread(lined, "doc_id"), "doc_id", "ltext")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH ls AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split_regex(trim(text), '\s+')[1:12],
+        |                        x -> CASE WHEN x = 'a' THEN '' ELSE x END)
+        |           AS arr
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, unnest(arr) AS line,
+        |         unnest(generate_series(1, len(arr))) AS pos
+        |  FROM ls
+        |), f AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY md5(line)
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM l WHERE len(trim(line)) > 0
+        |)
+        |SELECT l.doc_id,
+        |       coalesce(string_agg(CASE WHEN f.rn IS NULL OR f.rn = 1
+        |                                THEN l.line END,
+        |                           chr(10) ORDER BY l.pos), '') AS clean_text,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(count(CASE WHEN f.rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
+        |FROM l LEFT JOIN f ON l.doc_id = f.doc_id AND l.pos = f.pos
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
+
+    // Per-domain token-budget selection: order each source's documents
+    // by (n_chars DESC, doc_id), keep while the running token total
+    // stays <= 800 — greedy budget fill, all-integer arithmetic, so
+    // the window prefix sums replay exactly. (The fixture's sources
+    // carry ~1100-1550 tokens each, so an 800-token budget cuts every
+    // source roughly in half — the constraint actually binds.)
+    ("q113_budget_select", (s: SparkSession, d: String) => {
+      val scored = table(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+      Sampling.budgetSelect(scored, "doc_id", "source",
+          orderCol = "n_chars", weightCol = "n_toks", budget = 800L)
+        .orderBy("source", "doc_id")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, source, n_chars, n_toks,
+        |         CAST(sum(n_toks) OVER (PARTITION BY source
+        |                                ORDER BY n_chars DESC, doc_id ASC
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum_weight
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_chars, n_toks, cum_weight
+        |FROM w WHERE cum_weight <= 800
+        |ORDER BY source, doc_id""".stripMargin)),
+
+    // BPE merge-pair statistics (Sennrich et al. 2016, one selection
+    // step): adjacent character pairs over the DISTINCT lowercased word
+    // vocabulary, weighted by word frequency — the top row is the next
+    // BPE merge. Pure integer counts; the oracle enumerates the same
+    // substr bigrams. (The iterative bpeLearn loop is spec-tested —
+    // its merge REWRITES aren't one SQL statement.)
+    ("q114_bpe_merges", (s: SparkSession, d: String) => {
+      TextOps.bpeTopPairs(table(s, d, "documents"), "text", k = 50)
+    }, Some(
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |                                 x -> lower(x))) AS word
+        |    FROM documents)
+        |  GROUP BY word HAVING len(word) >= 2
+        |), p AS (
+        |  SELECT substr(word, i, 2) AS pair, cnt FROM (
+        |    SELECT word, cnt,
+        |           unnest(generate_series(1, len(word) - 1)) AS i
+        |    FROM w)
+        |)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin))
+  )
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sampling, TextOps}
+
+/** Unit semantics for the round-7 pipeline ops: chunking, corpus-wide
+  * keep-first line dedup, budget selection, BPE induction. */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDocs: offsets, overlap, short tail, empty doc") {
+    val docs = Seq(
+      (1L, "abcdefghij"), // 10 chars: starts 0,4,8 at stride 4
+      (2L, "abc"),        // one short chunk
+      (3L, "")            // no chunks
+    ).toDF("id", "text")
+    val out = TextOps.chunkDocs(docs, "id", "text", chunkChars = 6, strideChars = 4)
+      .select("id", "chunk_id", "chunk_start", "chunk_text", "chunk_chars")
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, "abcdef", 6L),
+      (1L, 1L, 4L, "efghij", 6L),  // overlap of 2 chars with chunk 0
+      (1L, 2L, 8L, "ij", 2L),      // short tail
+      (2L, 0L, 0L, "abc", 3L)))
+  }
+
+  test("chunkDocs plan is a single generator projection — no shuffle") {
+    val docs = Seq((1L, "abcdef")).toDF("id", "text")
+    val chunks = TextOps.chunkDocs(docs, "id", "text", 4, 2)
+    val exchanges = chunks.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "chunking must be row-local")
+  }
+
+  test("dedupLinesGlobal keeps first occurrence, blanks, and line order") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\n\nalpha"),   // own later dup "alpha" dropped; blank kept
+      (2L, "beta\ngamma\nbeta"),      // "beta" seen in doc 1 → both dropped
+      (3L, "delta")                   // untouched
+    ).toDF("id", "text")
+    val out = Dedup.dedupLinesGlobal(docs, "id", "text")
+      .select("id", "clean_text", "n_lines", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "alpha\nbeta\n", 4L, 1L),   // trailing blank line survives
+      (2L, "gamma", 3L, 2L),
+      (3L, "delta", 1L, 0L)))
+  }
+
+  test("dedupLinesGlobal above the broadcast id limit falls back to a shuffle join") {
+    val docs = Seq((1L, "x\ny"), (2L, "x"), (3L, "y\nx")).toDF("id", "text")
+    // auto-broadcast off + AQE off: on a 3-row fixture the planner
+    // would otherwise broadcast BOTH modes on size alone — at corpus
+    // scale the hint is the only thing forcing a broadcast, which is
+    // exactly the cliff the size gate removes
+    def modes(run: => org.apache.spark.sql.DataFrame): (Boolean, Seq[(Long, String)]) = {
+      val df = run
+      val plan = df.queryExecution.executedPlan
+      val hasBroadcast = plan.toString.contains("BroadcastHashJoin") ||
+        plan.toString.contains("BroadcastExchange")
+      (hasBroadcast, df.select("id", "clean_text").as[(Long, String)].collect().toSeq.sortBy(_._1))
+    }
+    val (bcast, rowsB, shuffled, rowsS) =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (b, rb) = modes(Dedup.dedupLinesGlobal(docs, "id", "text"))
+        spark.conf.set(Dedup.MaxBroadcastIdsKey, "0")
+        val (sh, rs) = modes(Dedup.dedupLinesGlobal(docs, "id", "text"))
+        (b, rb, sh, rs)
+      } finally {
+        spark.conf.unset(Dedup.MaxBroadcastIdsKey)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    assert(bcast, "below the limit the drop-set join should broadcast")
+    assert(!shuffled, "above the limit the forced broadcast hint must be gone")
+    assert(rowsB == rowsS, "join mode must not change results")
+    assert(rowsB == Seq((1L, "x\ny"), (2L, ""), (3L, "")))
+  }
+
+  test("budgetSelect: greedy prefix per group, overflow row dropped") {
+    val rows = Seq(
+      // group g1: order by score desc → ids 1(5),2(4),3(3); budget 9 keeps 1,2
+      (1L, "g1", 5L, 5L), (2L, "g1", 4L, 4L), (3L, "g1", 3L, 3L),
+      // group g2: single row over budget → nothing kept
+      (4L, "g2", 9L, 20L),
+      // group g3: exact fit
+      (5L, "g3", 2L, 9L)
+    ).toDF("id", "grp", "score", "w")
+    val kept = Sampling.budgetSelect(rows, "id", "grp", "score", "w", budget = 9L)
+      .select("id", "cum_weight").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 5L, 2L -> 9L, 5L -> 9L))
+  }
+
+  test("bpeTopPairs counts frequency-weighted adjacent pairs, overlaps included") {
+    val docs = Seq((1L, "lll lo"), (2L, "lo lo")).toDF("id", "text")
+    // words: lll ×1 (pairs ll, ll), lo ×3 (pair lo)
+    val out = TextOps.bpeTopPairs(docs, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("lo", 3L), ("ll", 2L)))
+  }
+
+  test("bpeLearn: merges apply left-to-right non-overlapping and feed later rounds") {
+    // corpus: "aaab" ×3, "ab" ×2.
+    // round 1 pairs: (a,a)=6 [two per aaab], (a,b)=5 → merge aa.
+    // round 2 symbols: "aa a b" ×3, "a b" ×2 → (a,b)=5, (aa,a)=3 → merge ab.
+    // round 3: "aa ab" ×3, "ab" ×2 → (aa,ab)=3 → merge aaab.
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("id", "text")
+    val merges = TextOps.bpeLearn(docs, "text", rounds = 3)
+      .select("merge_rank", "merged", "score")
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(merges == Seq((1, "aa", 6L), (2, "ab", 5L), (3, "aaab", 3L)))
+  }
+
+  test("bpeLearn stops early when no pairs remain") {
+    val docs = Seq((1L, "a b a")).toDF("id", "text")
+    val merges = TextOps.bpeLearn(docs, "text", rounds = 5).collect()
+    assert(merges.isEmpty) // all words are single symbols
+  }
+}
