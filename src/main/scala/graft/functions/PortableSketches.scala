@@ -94,6 +94,40 @@ object PortableSketches {
     k.cast("double") * lit(Ln2) + lit(Ln15) + lit(2.0) * s
   }
 
+  /** Static JVM twin of [[lnOfInt]]: the IDENTICAL operation sequence
+    * (bit-length range reduction, same Horner nesting, same literals)
+    * as one function call, so results are bit-equal to the Column form
+    * (FunctionsSpec proves it exhaustively over the small range and on
+    * random longs). Exists because the Column macro substitutes its
+    * argument ~30× — nest two of them (q110's Gumbel key: ln of a
+    * mantissa that itself contains a ln) and the expression tree holds
+    * ~900 md5/conv nodes, which measured ~8 s of pure
+    * evaluate-the-tree overhead at x1 and grew with the corpus. The
+    * [[PortableLn]] expression wraps this in codegen as a single
+    * static call. */
+  def lnOfPosLong(v: Long): Double = {
+    // k mirrors length(bin(v)) - 1: v=0 → "0" (k=0); v<0 → 64-char
+    // two's complement (k=63); v>0 → bitlen-1
+    val k = if (v == 0L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val f = v.toDouble / (1L << k).toDouble
+    val z = (f - 1.5) / (f + 1.5)
+    val z2 = z * z
+    var acc = SeriesC.last
+    var i = SeriesC.length - 2
+    while (i >= 0) { acc = SeriesC(i) + z2 * acc; i -= 1 }
+    val s = z * (1.0 + z2 * acc)
+    k.toDouble * Ln2 + Ln15 + 2.0 * s
+  }
+
+  /** [[lnOfInt]] as a compiled single-node expression — same bits,
+    * constant-size plan. Use this form on per-row streams; the Column
+    * macro remains for the tiny bucket-table projections where it
+    * started. */
+  private[graft] def lnOfIntFast(v: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(PortableLn(GraftSqlShim.expression(v.cast("long"))))
+  }
+
   private[graft] def lnOfIntSql(v: String): String = {
     val k = s"(len(bin(CAST($v AS BIGINT))) - 1)"
     val f = s"(CAST($v AS DOUBLE) / CAST((1::BIGINT << $k) AS DOUBLE))"
@@ -184,4 +218,33 @@ object PortableSketches {
       java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % CmsWidth
     }
   }
+}
+
+/** [[PortableSketches.lnOfInt]] as ONE compiled expression node: the
+  * generated code is a single static call to
+  * [[PortableSketches.lnOfPosLong]], bit-identical to the Column-macro
+  * form (same literals, same nesting — differentially spec-tested).
+  * The macro form substitutes its argument tree ~30×, so any NESTED
+  * use (ln of something containing a ln, as in the Gumbel key) blows
+  * the plan up combinatorially; this node keeps it constant-size and
+  * inside whole-stage codegen. */
+case class PortableLn(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = "graft_portable_ln"
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+
+  protected override def nullSafeEval(input: Any): Any =
+    PortableSketches.lnOfPosLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableSketches.lnOfPosLong($c)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PortableLn =
+    copy(child = newChild)
 }

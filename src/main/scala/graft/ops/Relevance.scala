@@ -234,15 +234,21 @@ object Relevance {
     * ranked). */
   def dsirGumbelTopK(weights: DataFrame, idCol: String, k: Int,
                      seed: Long): DataFrame = {
-    import graft.functions.PortableSketches.{lnOfInt, Ln2}
+    // lnOfIntFast, not the lnOfInt Column macro: the key nests a ln
+    // inside a ln, and the macro's ~30× argument substitution turned
+    // the nested tree into ~900 md5/conv nodes — measured ~8 s of
+    // plan-evaluation overhead at x1 and growing with the corpus. The
+    // compiled node is bit-identical (differential spec) and keeps the
+    // projection constant-size.
+    import graft.functions.PortableSketches.{lnOfIntFast, Ln2}
     val h24 = conv(substring(
       md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))),
       1, 6), 16, 10).cast("long")
     // t = −ln u = ln(2^24+1) − ln(h+1), strictly positive
-    val t = lnOfInt(lit((1L << 24) + 1L)) - lnOfInt(h24 + lit(1L))
+    val t = lnOfIntFast(lit((1L << 24) + 1L)) - lnOfIntFast(h24 + lit(1L))
     // exact power-of-two scale + exact floor → portable integer mantissa
     val m = floor(t * lit(1.099511627776e12)) // 2^40
-    val g = -(lnOfInt(m) - lit(40.0 * Ln2))
+    val g = -(lnOfIntFast(m) - lit(40.0 * Ln2))
     weights
       .withColumn("gkey", col("logw") + g)
       .orderBy(col("gkey").desc, col(idCol).asc)

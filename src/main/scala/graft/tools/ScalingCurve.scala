@@ -50,7 +50,14 @@ object ScalingCurve {
       "q107",
       // DSIR: token stream → broadcast ratio join → partial-agg sum;
       // epoch shuffle: one shard-keyed exchange + in-partition sort
-      "q108", "q109")
+      "q108", "q109",
+      // Gumbel-top-k DSIR: q108's weight stream + a portable-noise
+      // projection + TakeOrderedAndProject — should track q108
+      "q110",
+      // chunking: row-local generator; line dedup: digest-only
+      // shuffle + drop-set join; budget select: per-source window;
+      // BPE pairs: wordcount + vocab-sized pair agg
+      "q111", "q112", "q113", "q114")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase

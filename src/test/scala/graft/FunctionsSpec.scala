@@ -213,6 +213,27 @@ class FunctionsSpec extends SparkSpec {
     assert(crossings.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("PortableLn (compiled node) is bit-identical to the lnOfInt Column macro") {
+    import graft.functions.PortableSketches.{lnOfInt, lnOfIntFast}
+    import org.apache.spark.sql.functions._
+    // exhaustive small range + the q110 Gumbel-mantissa magnitudes
+    // (floor(t·2^40) reaches ~2^44) + bit-length boundaries: the two
+    // formulations must agree on all 64 BITS, not within an epsilon —
+    // the differential oracle replays the macro's SQL twin, so any
+    // drift is a correctness red, not a precision nit
+    val big = Seq((1L << 24) + 1L, (1L << 40) - 1L, 1L << 40, (1L << 44) + 12345L) ++
+      (1 to 60).map(i => (1L << (i % 45)) + i.toLong)
+    val vals = (1L to 5000L) ++ big
+    val rows = vals.toDF("v").select(
+      lnOfInt(col("v")).as("macroLn"), lnOfIntFast(col("v")).as("fastLn"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"bit mismatch: macro=${r.getDouble(0)} fast=${r.getDouble(1)}")
+    }
+  }
+
   test("portable HLL: series-ln matches math.log and estimates stay in 3-sigma") {
     import graft.functions.PortableSketches._
     import org.apache.spark.sql.functions._
