@@ -594,6 +594,18 @@ object VectorFunctions {
     org.apache.spark.sql.functions.transform(
       nearestCentroidsScored(vec, cents, k), s => s.getField("cid"))
 
+  /** m-byte product-quantization code of a vector. */
+  def pqEncode(vec: Column, model: PqModel): Column =
+    GraftSqlShim.column(PqEncode(expr(vec), model))
+
+  /** Flat m·ksub ADC inner-product table of a query vector. */
+  def pqDistTable(vec: Column, model: PqModel): Column =
+    GraftSqlShim.column(PqDistTable(expr(vec), model))
+
+  /** ADC score: Σ_j table[j·ksub + codes[j]]. */
+  def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
+    GraftSqlShim.column(PqAdcScore(expr(codes), expr(table), ksub))
+
   private def expr(c: Column): Expression = GraftSqlShim.expression(c)
 
   /** Register the engine's SQL function surface on a session

@@ -381,6 +381,76 @@ object Similarity {
       queries, qidCol, qvecCol, k, shortlist)
   }
 
+  /** Portable PQ codebook: the `ksub` md5-ordered seed rows (same pick
+    * rule as [[portableSeedCentroids]]) each contribute their subspace-j
+    * slice to subspace j's codebook — so an external engine re-derives
+    * the whole model verbatim (`ORDER BY md5(CAST(id AS VARCHAR)), id
+    * LIMIT ksub` + list slicing), which is what lets PQ — a doubly
+    * approximate method — carry a full differential oracle. `dim` must
+    * be divisible by `m`. Lloyd-refined per-subspace codebooks are the
+    * production upgrade (same shape as [[kmeansCentroids]]); the seed
+    * codebook keeps every downstream bit reproducible. */
+  def pqModelPortable(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, ksub: Int): graft.functions.PqModel = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must fit one byte: $ksub")
+    val rows = portableSeedCentroids(corpus, idCol, vecCol, ksub)
+    require(rows.nonEmpty, "PQ needs a non-empty corpus")
+    val dim = rows(0)._2.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val codebook = Array.tabulate(m) { j =>
+      rows.map { case (_, v) => v.slice(j * dsub, (j + 1) * dsub) }
+    }
+    graft.functions.PqModel(m, dsub, codebook)
+  }
+
+  /** Two-stage PQ-ADC ANN (Jégou et al. 2011): the corpus is encoded
+    * once into m-byte codes (the persistable PQ index — 4·D/m× smaller
+    * than the float corpus); each query precomputes an m·ksub
+    * inner-product table, candidates are scored by O(m) table lookups
+    * (ADC) normalized by the stored row norm, and only the per-query
+    * shortlist is re-ranked with exact float cosine.
+    *
+    * Plan shape — identical skeleton to [[bruteForceTopKQuantized]]:
+    * queries (with their ADC tables) broadcast against the code scan,
+    * per-query shortlist via the O(sl)-heap aggregate (shuffle carries
+    * ≤ sl (score, id) entries per query per map partition), shortlist
+    * broadcasts back for the exact re-rank. Two corpus scans, zero
+    * corpus shuffles; at 100 TB the first scan reads m bytes + one
+    * double per row instead of D floats — the memory-bandwidth lever
+    * PQ exists for. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, m: Int = 4, ksub: Int = 16,
+             shortlist: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.{pqAdcScore, pqDistTable, pqEncode}
+    val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
+    val model = pqModelPortable(corpus, idCol, vecCol, m, ksub)
+    val index = Tables.spread(corpus, idCol)
+      .select(col(idCol),
+        pqEncode(col(vecCol), model).as("pqcodes"),
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
+    val queriesT = queries
+      .select(col(qidCol), pqDistTable(col(qvecCol), model).as("__dt"))
+    val approx = index
+      .crossJoin(broadcast(queriesT))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("qscore",
+        when(col("vnorm") === 0.0, lit(0.0)).otherwise(
+          pqAdcScore(col("pqcodes"), col("__dt"), model.ksub) / col("vnorm")))
+    val short = topKFromScores(approx, qidCol, idCol, "qscore", sl)
+      .select(col(qidCol), col(idCol))
+    val rerank = corpus
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
+    rerank
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
   /** The persistable IVF×int8 index rows:
     * (idCol, cent_id, codes, vscale, vnorm). */
   private def ivfIndexFrame(corpus: DataFrame, idCol: String, vecCol: String,

@@ -57,7 +57,10 @@ object ScalingCurve {
       // chunking: row-local generator; line dedup: digest-only
       // shuffle + drop-set join; budget select: per-source window;
       // BPE pairs: wordcount + vocab-sized pair agg
-      "q111", "q112", "q113", "q114")
+      "q111", "q112", "q113", "q114",
+      // PQ-ADC ANN: code scan (16 B/row) + O(m) table lookups — the
+      // compressed-index counterpart of q86's int8 scan
+      "q115")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase
