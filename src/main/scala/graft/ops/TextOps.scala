@@ -266,6 +266,104 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "left", "right", "merged", "score")
   }
 
+  // --- BPE encode (apply a learned merge table) -------------------------
+
+  /** Symbol-boundary marker for [[bpeApplyMerges]]. U+0001 by contract
+    * cannot occur in corpus text (binary control char; assert/scrub
+    * upstream if a corpus could carry it). */
+  val BpeMark = "\u0001"
+
+  /** Whole-text symbol form: every non-space character prefixed with
+    * [[BpeMark]] — "ab cd" → "␁a␁b ␁c␁d". Merges match marker-delimited
+    * symbol PAIRS, so they can never cross a word boundary (the space
+    * between words breaks marker adjacency) and a symbol can never
+    * false-match inside a longer symbol ("␁l␁l" does not occur in
+    * "␁ll␁l"). One regexp pass over the scan — no per-word
+    * higher-order functions. */
+  def bpeSymbolString(text: Column): Column =
+    regexp_replace(trim(lower(text)), "(\\S)", BpeMark + "$1")
+
+  /** Apply a learned merge table in order: each merge is ONE literal
+    * (non-regex) `replace` — left-to-right, non-overlapping, exactly
+    * the greedy scan [[bpeLearn]]'s rewrites use, and exactly what
+    * every SQL engine's `replace` does, which is what lets a fixed
+    * merge table carry a full differential oracle. Later merges see
+    * earlier merges' output symbols ("m"+"er" matches only after
+    * "e"+"r" ran). */
+  def bpeApplyMerges(sym: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(sym) { case (s, (l, r)) =>
+      call_function("replace", s,
+        lit(BpeMark + l + BpeMark + r), lit(BpeMark + l + r))
+    }
+
+  /** Per-document BPE token count under a fixed merge table: the number
+    * of [[BpeMark]]s left after the merges. Pure string-function
+    * projection; at corpus scale this runs inside the scan's codegen
+    * stage. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val enc = bpeApplyMerges(bpeSymbolString(text), merges)
+    (length(enc) - length(call_function("replace", enc, lit(BpeMark), lit(""))))
+      .cast("long")
+  }
+
+  // --- Gopher quality rules (Rae et al. 2021, Appendix A) ---------------
+
+  /** The Gopher stopword-presence list. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher quality-rule signals + the composite keep
+    * flag — the rule-based quality filter pipelines actually deploy
+    * before model-based scoring: word count in [minWords, maxWords],
+    * mean word length in [3, 10], ≥ 80% of words contain a letter,
+    * ≥ 2 stopword occurrences, symbol-to-word ratio ('#' chars and
+    * '...' runs) ≤ 0.1, duplicate-line fraction ≤ 0.3.
+    *
+    * Returns (idCol, n_words, mean_word_len, alpha_frac, stop_hits,
+    * symbol_ratio, dup_line_frac, keep).
+    *
+    * Scale/portability: one lowercased-token binding feeds every rule
+    * (single-level HOFs — the class measured fine at x100); counts are
+    * exact integers, each fraction is ONE double division of two
+    * integers, so the flags replay bit-exactly in the oracle. */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    val withCounts = docs
+      .select(col(idCol), col(textCol).as("__text"),
+        lowerTokens(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        size(col("__ts")).cast("long").as("n_words"),
+        aggregate(col("__ts"), lit(0L), (a, t) => a + length(t).cast("long"))
+          .as("__sumlen"),
+        size(filter(col("__ts"), t => t.rlike("[a-z]"))).cast("long").as("__alpha"),
+        size(filter(col("__ts"), t => array_contains(stopArr, t))).cast("long")
+          .as("stop_hits"),
+        ((length(col("__text")) -
+            length(call_function("replace", col("__text"), lit("#"), lit("")))) +
+          ((length(col("__text")) -
+            length(call_function("replace", col("__text"), lit("..."), lit("")))) / 3)
+            .cast("int")).cast("long").as("__syms"),
+        duplicateLineFraction(col("__text")).as("dup_line_frac"))
+    withCounts
+      .select(col(idCol), col("n_words"),
+        (col("__sumlen").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        (col("__alpha").cast("double") / col("n_words").cast("double"))
+          .as("alpha_frac"),
+        col("stop_hits"),
+        (col("__syms").cast("double") / col("n_words").cast("double"))
+          .as("symbol_ratio"),
+        col("dup_line_frac"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("dup_line_frac") <= 0.3)
+  }
+
   // --- repetition / boilerplate signals ---------------------------------
 
   /** Word n-grams WITHOUT dedup — repetition analysis needs gram

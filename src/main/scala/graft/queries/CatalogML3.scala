@@ -227,6 +227,105 @@ object CatalogML3 {
         |         row_number() OVER (PARTITION BY qid
         |                            ORDER BY cos DESC, vec_id ASC) AS rank
         |  FROM rerank) WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin))
+        |ORDER BY qid, rank""".stripMargin)),
+
+    // BPE ENCODE: apply a pinned merge table corpus-wide and count the
+    // resulting tokens. The table is the 8-round bpeLearn output on
+    // this very fixture, pinned as literals (the oracle's SQL is
+    // static, so it cannot re-run the iterative learner — q114 +
+    // TextPipelineSpec verify learning; THIS query verifies the
+    // application operator). Whole-text marker form: one regexp pass +
+    // 8 literal `replace`es — both engines' replace is left-to-right
+    // non-overlapping, the exact greedy-scan semantics of BPE. Note
+    // "m"+"er": later merges match earlier merges' OUTPUT symbols.
+    ("q116_bpe_encode", (s: SparkSession, d: String) => {
+      val docs = spread(table(s, d, "documents"), "doc_id")
+      val sym = TextOps.bpeSymbolString(col("text"))
+      docs.select(col("doc_id"),
+          (length(sym) - length(trim(lower(col("text"))))).cast("long")
+            .as("n_syms"),
+          TextOps.bpeTokenCount(col("text"), Q116Merges).as("n_bpe_tokens"))
+        .withColumn("compression",
+          col("n_syms").cast("double") / col("n_bpe_tokens").cast("double"))
+        .orderBy("doc_id")
+    }, Some {
+      val s0 = """regexp_replace(trim(lower(text)), '(\S)', chr(1) || '\1', 'g')"""
+      val chain = Q116Merges.foldLeft("s") { case (acc, (l, r)) =>
+        s"replace($acc, chr(1) || '$l' || chr(1) || '$r', chr(1) || '$l$r')"
+      }
+      s"""WITH s0 AS (
+         |  SELECT doc_id, $s0 AS s, len(trim(lower(text))) AS rawlen
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id,
+         |         CAST(len(s) - rawlen AS BIGINT) AS n_syms,
+         |         CAST(len($chain) - len(replace($chain, chr(1), '')) AS BIGINT)
+         |           AS n_enc_chars_twice
+         |  FROM s0
+         |)
+         |SELECT doc_id, n_syms,
+         |       n_enc_chars_twice AS n_bpe_tokens,
+         |       CAST(n_syms AS DOUBLE) / CAST(n_enc_chars_twice AS DOUBLE)
+         |         AS compression
+         |FROM e ORDER BY doc_id""".stripMargin
+    }),
+
+    // Gopher rule-based quality filter (Rae et al. 2021, Appendix A):
+    // word-count band, mean-word-length band, alpha-word fraction,
+    // stopword presence, symbol-to-word ratio, duplicate-line
+    // fraction → composite keep. Counts are exact integers and each
+    // fraction is one double division, so flags replay bit-exactly.
+    ("q117_gopher_filter", (s: SparkSession, d: String) => {
+      TextOps.gopherQualityFlags(
+          spread(table(s, d, "documents"), "doc_id"), "doc_id", "text",
+          minWords = 30)
+        .orderBy("doc_id")
+    }, Some {
+      val stopList = TextOps.GopherStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, text,
+         |         list_transform(string_split_regex(trim(text), '\\s+'),
+         |                        x -> lower(x)) AS ts,
+         |         list_filter(string_split_regex(text, '\\n'),
+         |                     l -> len(trim(l)) > 0) AS lines
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |         CAST(len(ts) AS BIGINT) AS n_words,
+         |         CAST(list_sum(list_transform(ts, t -> len(t))) AS BIGINT) AS sumlen,
+         |         CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+         |           AS alpha,
+         |         CAST(len(list_filter(ts, t ->
+         |           list_contains([$stopList], t))) AS BIGINT) AS stop_hits,
+         |         CAST((len(text) - len(replace(text, '#', '')))
+         |           + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+         |           AS syms,
+         |         CASE WHEN len(lines) = 0 THEN 0.0
+         |              ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+         |                   / CAST(len(lines) AS DOUBLE) END AS dup_line_frac
+         |  FROM tok
+         |)
+         |SELECT doc_id, n_words,
+         |       CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+         |       CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+         |       stop_hits,
+         |       CAST(syms AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+         |       dup_line_frac,
+         |       (n_words BETWEEN 30 AND 100000)
+         |         AND (CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |              BETWEEN 3.0 AND 10.0)
+         |         AND (CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8)
+         |         AND (stop_hits >= 2)
+         |         AND (CAST(syms AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1)
+         |         AND (dup_line_frac <= 0.3) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    })
   )
+
+  /** q116's pinned merge table: `TextOps.bpeLearn(documents, 8)` on the
+    * sf0.01 fixture (count-desc, (l,r)-asc ties) — realistic input for
+    * the encode operator while keeping the oracle SQL static. */
+  private val Q116Merges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
 }

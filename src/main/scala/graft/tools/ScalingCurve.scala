@@ -60,7 +60,10 @@ object ScalingCurve {
       "q111", "q112", "q113", "q114",
       // PQ-ADC ANN: code scan (16 B/row) + O(m) table lookups — the
       // compressed-index counterpart of q86's int8 scan
-      "q115")
+      "q115",
+      // BPE encode: one regexp pass + 8 literal replaces, row-local;
+      // Gopher filter: one token binding, single-level HOF counts
+      "q116", "q117")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase

@@ -115,6 +115,45 @@ class TextPipelineSpec extends SparkSpec {
     assert(merges == Seq((1, "aa", 6L), (2, "ab", 5L), (3, "aaab", 3L)))
   }
 
+  test("bpeApplyMerges: greedy left-to-right, chained merges, word boundaries") {
+    import graft.ops.TextOps._
+    val merges = Seq("e" -> "r", "m" -> "er")
+    val docs = Seq(
+      (1L, "merer"),   // m e r e r → m er er → mer er = 2 tokens
+      (2L, "e r"),     // separate words: no cross-word merge = 2 tokens
+      (3L, "rrr er"),  // no e→r site in "rrr"; "er" merges = 3 + 1
+      (4L, "")         // empty → 0
+    ).toDF("id", "text")
+    val out = docs.select(col("id"),
+        bpeTokenCount(col("text"), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 4L, 4L -> 0L))
+    // the encoded form itself: markers delimit final symbols
+    val enc = docs.where(col("id") === 1)
+      .select(bpeApplyMerges(bpeSymbolString(col("text")), merges))
+      .as[String].head()
+    assert(enc == s"${BpeMark}mer${BpeMark}er")
+  }
+
+  test("gopherQualityFlags: each rule binds on a targeted fixture") {
+    import graft.ops.TextOps
+    val good = (("the data and systems work well with care " * 4).trim + " of that")
+    val docs = Seq(
+      (1L, good),                                    // passes all (word count via minWords=5)
+      (2L, "the of " + ("x " * 60).trim),            // mean word len 1.26 < 3 → fail
+      (3L, ("123 456 " * 30).trim + " the of"),      // alpha frac < 0.8 → fail
+      (4L, ("data systems work well " * 15).trim),   // no stopwords → fail
+      (5L, "the of " + ("### " * 30).trim)           // symbol ratio > 0.1 AND alpha fail
+    ).toDF("id", "text")
+    val out = TextOps.gopherQualityFlags(docs, "id", "text", minWords = 5)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+    val row = TextOps.gopherQualityFlags(docs, "id", "text", minWords = 5)
+      .where(col("id") === 5)
+      .select("symbol_ratio", "stop_hits").as[(Double, Long)].head()
+    assert(row._1 > 0.1 && row._2 == 2L)
+  }
+
   test("bpeLearn stops early when no pairs remain") {
     val docs = Seq((1L, "a b a")).toDF("id", "text")
     val merges = TextOps.bpeLearn(docs, "text", rounds = 5).collect()
