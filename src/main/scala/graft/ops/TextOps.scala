@@ -552,6 +552,55 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Per-document bigram-LM surprisal — the n-gram upgrade of
+    * [[unigramLogProb]]'s quality signal: mean −ln p(w2|w1) over the
+    * document's word bigrams under the corpus bigram model with
+    * add-one smoothing, p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), where
+    * c(w1) is w1's corpus unigram count and V the distinct-vocabulary
+    * size. Both ln arguments are positive INTEGERS, so the logs run
+    * through the bit-portable [[graft.functions.PortableLn]] series
+    * and the per-doc sum through exact DECIMAL(38,12) — the whole
+    * signal carries a full differential oracle where a libm-log LM
+    * could not. Documents with fewer than two tokens emit no row.
+    *
+    * Returns (idCol, n_bigrams, surprisal).
+    *
+    * Scale design: the bigram count table is the classic LM-count job
+    * (map-side partial agg, one (w1,w2)-keyed shuffle); the document
+    * bigram stream then joins it and the unigram table by key — at
+    * corpus scale both joins are shuffle joins on the gram keys (the
+    * count tables are vocabulary², far too big to broadcast, and
+    * that is the honest plan); V is a one-row broadcast. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.PortableSketches.lnOfIntFast
+    val pairs = docs
+      .select(col(idCol), lowerTokens(col(textCol)).as("__ts"))
+      .select(col(idCol), explode(
+          when(size(col("__ts")) >= 2,
+            transform(sequence(lit(1), size(col("__ts")) - 1),
+              i => struct(element_at(col("__ts"), i).as("w1"),
+                element_at(col("__ts"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val uni = docs.select(explode(lowerTokens(col(textCol))).as("w1"))
+    val uc = uni.groupBy("w1").agg(count(lit(1)).as("__ucnt"))
+    val vocab = uni.agg(count_distinct(col("w1")).as("__vv"))
+    val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__bcnt"))
+    pairs
+      .join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (lnOfIntFast(col("__bcnt") + 1L) -
+          lnOfIntFast(col("__ucnt") + col("__vv"))).as("__logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum((-col("__logp")).cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1)).cast("double")).as("surprisal"))
+  }
+
   // --- URL canonicalization (crawl dedup key) -------------------------
 
   /** The (pattern, replacement) chain of [[canonicalUrl]], exposed so

@@ -328,4 +328,56 @@ object CatalogML3 {
   private val Q116Merges: Seq[(String, String)] = Seq(
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
     "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** Extra round-7 entries appended after the main block (Scala's 22-ish
+    * tuple ergonomics aside, keeping blocks small keeps diffs small). */
+  def entries2: Seq[(String, Q, Option[String])] = Seq(
+
+    // Bigram-LM surprisal: mean −ln p(w2|w1), add-one smoothing over
+    // corpus bigram/unigram counts — the n-gram quality signal with a
+    // FULL oracle: both ln arguments are positive integers, so they run
+    // through the portable integer-ln series on both engines, and the
+    // per-doc sum is exact DECIMAL. (unigramLogProb keeps the libm-log
+    // variant for production; this one is the differential-testable
+    // form.)
+    ("q118_text_bigram_lm", (s: SparkSession, d: String) => {
+      TextOps.bigramSurprisal(
+          spread(table(s, d, "documents"), "doc_id"), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some {
+      import graft.functions.PortableSketches.lnOfIntSql
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split_regex(trim(text), '\\s+'),
+         |                        x -> lower(x)) AS ts
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM (SELECT doc_id, ts,
+         |               unnest(generate_series(1, len(ts) - 1)) AS i
+         |        FROM tok WHERE len(ts) >= 2)
+         |), bc AS (
+         |  SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY w1, w2
+         |), uc AS (
+         |  SELECT w1, count(*) AS ucnt FROM (
+         |    SELECT unnest(ts) AS w1 FROM tok) GROUP BY w1
+         |), v AS (
+         |  SELECT count(DISTINCT w1) AS vv FROM (
+         |    SELECT unnest(ts) AS w1 FROM tok)
+         |), sc AS (
+         |  SELECT g.doc_id,
+         |         (${lnOfIntSql("(bc.bcnt + 1)")}
+         |           - ${lnOfIntSql("(uc.ucnt + v.vv)")}) AS logp
+         |  FROM bg g
+         |  JOIN bc USING (w1, w2)
+         |  JOIN uc USING (w1)
+         |  CROSS JOIN v
+         |)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(CAST(-logp AS DECIMAL(38,12))) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS surprisal
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+  )
 }

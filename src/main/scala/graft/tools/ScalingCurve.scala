@@ -63,7 +63,10 @@ object ScalingCurve {
       "q115",
       // BPE encode: one regexp pass + 8 literal replaces, row-local;
       // Gopher filter: one token binding, single-level HOF counts
-      "q116", "q117")
+      "q116", "q117",
+      // bigram LM: (w1,w2)-keyed count shuffle + gram-keyed joins —
+      // the honest vocabulary²-table plan, measured
+      "q118")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase

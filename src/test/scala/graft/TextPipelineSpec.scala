@@ -154,6 +154,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(row._1 > 0.1 && row._2 == 2L)
   }
 
+  test("bigramSurprisal matches a hand-computed add-one bigram model") {
+    import graft.ops.TextOps
+    // corpus: doc1 "a b a b", doc2 "a b" → bc(a,b)=3, bc(b,a)=1,
+    // uc(a)=3, uc(b)=3, V=2 → p(b|a)=4/5, p(a|b)=2/5
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("id", "text")
+    val out = TextOps.bigramSurprisal(docs, "id", "text")
+      .select("id", "n_bigrams", "surprisal")
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, n, s) => i -> ((n, s)) }.toMap
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L)
+    val exp1 = -(math.log(0.8) + math.log(0.4) + math.log(0.8)) / 3.0
+    val exp2 = -math.log(0.8)
+    // the portable series is within ~5e-12 relative of libm
+    assert(math.abs(out(1L)._2 - exp1) < 1e-9, s"doc1 ${out(1L)._2} vs $exp1")
+    assert(math.abs(out(2L)._2 - exp2) < 1e-9, s"doc2 ${out(2L)._2} vs $exp2")
+  }
+
   test("bpeLearn stops early when no pairs remain") {
     val docs = Seq((1L, "a b a")).toDF("id", "text")
     val merges = TextOps.bpeLearn(docs, "text", rounds = 5).collect()
