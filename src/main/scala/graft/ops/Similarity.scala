@@ -423,13 +423,32 @@ object Similarity {
              queries: DataFrame, qidCol: String, qvecCol: String,
              k: Int, m: Int = 4, ksub: Int = 16,
              shortlist: Int = 0): DataFrame = {
-    import graft.functions.VectorFunctions.{pqAdcScore, pqDistTable, pqEncode}
-    val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
     val model = pqModelPortable(corpus, idCol, vecCol, m, ksub)
-    val index = Tables.spread(corpus, idCol)
-      .select(col(idCol),
-        pqEncode(col(vecCol), model).as("pqcodes"),
-        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
+    pqShortlistRerank(
+      pqIndexFrame(Tables.spread(corpus, idCol), idCol, vecCol, model), model,
+      corpus, idCol, vecCol, queries, qidCol, qvecCol, k, shortlist)
+  }
+
+  /** The persistable PQ index rows: (idCol, pqcodes: binary — m bytes,
+    * vnorm: double). 4·D/m× smaller than the float corpus; what a
+    * deployment stores and byte-scans per query batch. */
+  private def pqIndexFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                           model: graft.functions.PqModel): DataFrame = {
+    import graft.functions.VectorFunctions.pqEncode
+    corpus.select(col(idCol),
+      pqEncode(col(vecCol), model).as("pqcodes"),
+      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
+  }
+
+  /** Shared tail of the PQ search: ADC candidate scan over a code
+    * table (inline or read back from a persisted index) + exact float
+    * re-rank of the shortlist. */
+  private def pqShortlistRerank(index: DataFrame, model: graft.functions.PqModel,
+                                corpus: DataFrame, idCol: String, vecCol: String,
+                                queries: DataFrame, qidCol: String, qvecCol: String,
+                                k: Int, shortlist: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{pqAdcScore, pqDistTable}
+    val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
     val queriesT = queries
       .select(col(qidCol), pqDistTable(col(qvecCol), model).as("__dt"))
     val approx = index
@@ -450,6 +469,50 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
   }
+
+  /** Build the PQ code table ONCE and persist it — the deployment
+    * shape: encoding (the only pass that touches float vectors) runs
+    * at build time; every later query batch byte-scans the code table.
+    * Unlike the IVF index there is no pruning dimension — ADC reads
+    * every code row — so the table is bucketed by id only to keep the
+    * append layout lawful and id-keyed fetches co-located. Returns the
+    * codebook model to store next to the table (m·ksub·D/m floats). */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   tableName: String, m: Int = 16, ksub: Int = 16,
+                   numBuckets: Int = 16): graft.functions.PqModel = {
+    val model = pqModelPortable(corpus, idCol, vecCol, m, ksub)
+    writePqIndexWith(corpus, idCol, vecCol, tableName, model, numBuckets)
+    model
+  }
+
+  /** [[writePqIndex]] with a PINNED codebook — the rebuild path and the
+    * base case appends grow from. */
+  def writePqIndexWith(corpus: DataFrame, idCol: String, vecCol: String,
+                       tableName: String, model: graft.functions.PqModel,
+                       numBuckets: Int = 16): Unit =
+    Bucketing.writeBucketed(pqIndexFrame(corpus, idCol, vecCol, model),
+      tableName, idCol, numBuckets)
+
+  /** Encode new vectors under the index's OWN codebook and append —
+    * same model contract as [[appendToIvfIndex]]: an index is
+    * (table, model) as a pair, and appends never move the codebook, so
+    * distribution drift degrades quantization error over time; rebuild
+    * with a fresh model on the occupancy/recall signal. */
+  def appendToPqIndex(newCorpus: DataFrame, idCol: String, vecCol: String,
+                      tableName: String, model: graft.functions.PqModel,
+                      numBuckets: Int = 16): Unit =
+    Bucketing.appendBucketedBy(pqIndexFrame(newCorpus, idCol, vecCol, model),
+      tableName, numBuckets, Seq(idCol))
+
+  /** Query a [[writePqIndex]]-persisted code table: the float corpus is
+    * touched only by the shortlist re-rank fetch. */
+  def pqTopKFromIndex(spark: SparkSession, tableName: String,
+                      model: graft.functions.PqModel,
+                      corpus: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      k: Int, shortlist: Int = 0): DataFrame =
+    pqShortlistRerank(spark.table(tableName), model,
+      corpus, idCol, vecCol, queries, qidCol, qvecCol, k, shortlist)
 
   /** The persistable IVF×int8 index rows:
     * (idCol, cent_id, codes, vscale, vnorm). */

@@ -126,4 +126,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1),
       s"results must draw from both index generations: $ids")
   }
+
+  test("PQ index read-back matches inline, stores only codes, appends lawfully") {
+    dropHard("pq_idx"); dropHard("pq_app"); dropHard("pq_one")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val model = Similarity.writePqIndex(emb, "vec_id", "embedding", "pq_idx",
+      m = 16, ksub = 16)
+    val fromIndex = Similarity.pqTopKFromIndex(spark, "pq_idx", model,
+        emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10, shortlist = 64)
+      .orderBy("qid", "rank").collect().toSeq
+    val inline0 = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, m = 16, ksub = 16, shortlist = 64)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(fromIndex == inline0,
+      "persisted code table must answer identically to the inline encode")
+
+    // the index stores m code bytes + one norm — never the float vectors
+    val schema = spark.table("pq_idx").schema
+    assert(!schema.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"PQ index must not store vectors: $schema")
+    assert(schema("pqcodes").dataType == org.apache.spark.sql.types.BinaryType)
+
+    // append under the pinned codebook equals the one-shot build
+    val half1 = emb.where(col("vec_id") % 2 === 0)
+    val half2 = emb.where(col("vec_id") % 2 === 1)
+    Similarity.writePqIndexWith(half1, "vec_id", "embedding", "pq_app", model)
+    Similarity.appendToPqIndex(half2, "vec_id", "embedding", "pq_app", model)
+    Similarity.writePqIndexWith(emb, "vec_id", "embedding", "pq_one", model)
+    def topk(t: String) =
+      Similarity.pqTopKFromIndex(spark, t, model, emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, shortlist = 64)
+        .orderBy("qid", "rank").collect().toSeq
+    val appended = topk("pq_app")
+    assert(appended == topk("pq_one"))
+    val ids = appended.map(_.getLong(2))
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1),
+      s"results must draw from both index generations: $ids")
+  }
 }
