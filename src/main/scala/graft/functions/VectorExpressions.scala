@@ -550,6 +550,54 @@ case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** Signed (±1) random projection — Johnson-Lindenstrauss-style
+  * dimensionality reduction with the Achlioptas sign matrix:
+  * out(j) = Σ_i signs(j)(i)·x(i), accumulated in index order (double
+  * promotion per element), NO normalization — callers that need
+  * unit-scale divide by sqrt(outDim) themselves, and cosine is
+  * scale-invariant anyway. The sign matrix rides as one reference
+  * object; per-row work is a tight O(outDim·dim) JVM loop inside
+  * whole-stage codegen. With an md5-derived matrix
+  * ([[graft.ops.Quantize.srpSigns]]) the whole projection replays
+  * verbatim in SQL. */
+case class SignedProject(child: Expression, signs: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(signs.nonEmpty, "sign matrix must be non-empty")
+
+  override def prettyName: String = "graft_signed_project"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val out = new Array[Any](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      val n = math.min(v.numElements(), row.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += row(i).toDouble * v.getFloat(i).toDouble; i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signedProject", this, classOf[SignedProject].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignedProject =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level cosine similarity backed by the codegen expression. */
   def cosine(a: Column, b: Column): Column =
@@ -605,6 +653,10 @@ object VectorFunctions {
   /** ADC score: Σ_j table[j·ksub + codes[j]]. */
   def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
     GraftSqlShim.column(PqAdcScore(expr(codes), expr(table), ksub))
+
+  /** ±1 random projection against a driver-resident sign matrix. */
+  def signedProject(vec: Column, signs: Array[Array[Float]]): Column =
+    GraftSqlShim.column(SignedProject(expr(vec), signs))
 
   private def expr(c: Column): Expression = GraftSqlShim.expression(c)
 

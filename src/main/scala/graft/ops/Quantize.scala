@@ -59,4 +59,39 @@ object Quantize {
   def maxError(vecCol: Column, qCol: Column, scaleCol: Column): Column =
     array_max(zip_with(vecCol, qCol,
       (v, q) => abs(v.cast("double") - q.cast("double") * scaleCol)))
+
+  // --- signed random projection (JL dimensionality reduction) -----------
+
+  /** PORTABLE ±1 sign matrix for [[srpProject]]: sign(j, i) comes from
+    * the parity of md5's first hex nibble over "seed:j:i" — computed
+    * once driver-side (outDim·dim md5s), and recomputable verbatim by
+    * any engine with md5, which is what lets the projection itself
+    * carry a full differential oracle (the xxhash64-seeded LSH planes
+    * in [[Similarity]] cannot). */
+  def srpSigns(dim: Int, outDim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    require(dim >= 1 && outDim >= 1, s"bad dims: $dim -> $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(dim) { i =>
+        val hex = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        md.reset()
+        // first hex nibble = high nibble of byte 0
+        if ((((hex(0) >> 4) & 0xf) % 2) == 0) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** Johnson-Lindenstrauss-style dimensionality reduction with a ±1
+    * (Achlioptas) projection: out(j) = Σ_i sign(j,i)·x(i). Distances
+    * and cosines are preserved in expectation with variance ~1/outDim —
+    * the cheap pre-filter/storage lever when even int8 at full `dim` is
+    * too wide (a 64-dim float vector becomes outDim doubles, and the
+    * downstream LSH/dedup/ANN stages run on the short vectors).
+    * Row-local codegen expression, no shuffle; the sign matrix rides
+    * the plan as one reference object. */
+  def srpProject(df: DataFrame, idCol: String, vecCol: String,
+                 outDim: Int, dim: Int, seed: Long = 42L): DataFrame =
+    df.select(col(idCol),
+      graft.functions.VectorFunctions.signedProject(col(vecCol),
+        srpSigns(dim, outDim, seed)).as("proj"))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Sampling, TextOps}
+import graft.ops.{Dedup, Quantize, Sampling, TextOps}
 import graft.ops.Tables._
 
 /** Round-7 training-data-pipeline extensions: retrieval chunking,
@@ -378,6 +378,37 @@ object CatalogML3 {
          |       CAST(sum(CAST(-logp AS DECIMAL(38,12))) AS DOUBLE)
          |         / CAST(count(*) AS DOUBLE) AS surprisal
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // Signed random projection (Achlioptas ±1 / Johnson-Lindenstrauss):
+    // 64-dim float embeddings → 16 exact double sums under an
+    // md5-derived sign matrix — dimensionality reduction whose entire
+    // arithmetic (±1 signs from hex-nibble parity, index-order
+    // accumulation) replays verbatim in the oracle. Row-local codegen
+    // expression, no shuffle.
+    ("q119_embed_project", (s: SparkSession, d: String) => {
+      Quantize.srpProject(
+          spread(table(s, d, "embeddings"), "vec_id"), "vec_id", "embedding",
+          outDim = 16, dim = 64, seed = 42L)
+        .orderBy("vec_id")
+    }, Some(
+      """WITH sg AS (
+        |  SELECT jj.j AS j, ii.i AS i,
+        |         CASE WHEN (('0x' || substr(
+        |             md5('42:' || jj.j || ':' || ii.i), 1, 1))::INT % 2) = 0
+        |              THEN 1.0 ELSE -1.0 END AS s
+        |  FROM (SELECT unnest(range(0, 16)) AS j) jj
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+        |), sgl AS (
+        |  SELECT j, list(s ORDER BY i) AS srow FROM sg GROUP BY j
+        |), proj AS (
+        |  SELECT e.vec_id, sgl.j,
+        |         list_reduce(list_transform(range(1, 65), i ->
+        |           srow[i] * CAST(e.embedding[i] AS DOUBLE)),
+        |           (a, b) -> a + b) AS pv
+        |  FROM embeddings e CROSS JOIN sgl
+        |)
+        |SELECT vec_id, list(pv ORDER BY j) AS proj
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin))
   )
 }

@@ -66,7 +66,9 @@ object ScalingCurve {
       "q116", "q117",
       // bigram LM: (w1,w2)-keyed count shuffle + gram-keyed joins —
       // the honest vocabulary²-table plan, measured
-      "q118")
+      "q118",
+      // signed random projection: row-local O(outDim·dim) codegen loop
+      "q119")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase

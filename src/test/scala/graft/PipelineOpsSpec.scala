@@ -175,6 +175,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ ANN recall too low: $recall")
   }
 
+  test("signed random projection: hand-computed sums, linearity, no shuffle") {
+    import graft.ops.Quantize
+    import graft.functions.{VectorFunctions => VF}
+    // explicit 2x3 sign matrix — rows are the projection directions
+    val signs = Array(Array(1f, -1f, 1f), Array(-1f, 1f, 1f))
+    val df = Seq(
+      (1L, Array(1f, 2f, 4f)),   // → (1-2+4, -1+2+4) = (3, 5)
+      (2L, Array(0.5f, 0f, 0f))  // → (0.5, -0.5)
+    ).toDF("id", "vec")
+    val out = df.select(col("id"), VF.signedProject(col("vec"), signs).as("p"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(out(1L).toSeq == Seq(3.0, 5.0))
+    assert(out(2L).toSeq == Seq(0.5, -0.5))
+    // linearity: proj(x) + proj(y) == proj(x + y) for exactly-representable inputs
+    val sum = df.agg(collect_list(col("vec"))).as[Seq[Seq[Float]]].head()
+    val xy = sum.head.zip(sum(1)).map { case (a, b) => a + b }.toArray
+    val pxy = Seq((9L, xy)).toDF("id", "vec")
+      .select(VF.signedProject(col("vec"), signs)).as[Array[Double]].head()
+    assert(pxy.toSeq == out(1L).zip(out(2L)).map { case (a, b) => a + b }.toSeq)
+    // srpSigns is ±1-valued and deterministic across calls
+    val m1 = Quantize.srpSigns(8, 4, seed = 7L)
+    val m2 = Quantize.srpSigns(8, 4, seed = 7L)
+    assert(m1.flatten.toSeq == m2.flatten.toSeq)
+    assert(m1.flatten.forall(v => v == 1.0f || v == -1.0f))
+    assert(Quantize.srpSigns(8, 4, seed = 8L).flatten.toSeq != m1.flatten.toSeq)
+    // the projection is a row-local codegen expression — no exchange
+    val exchanges = Quantize.srpProject(df, "id", "vec", 4, 3)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.isEmpty)
+  }
+
   test("IVF x int8 composition matches the float IVF scan on the same cells") {
     val emb = graft.ops.Tables.table(spark, sf, "embeddings")
     val queries = emb.where(col("vec_id") < 10)
