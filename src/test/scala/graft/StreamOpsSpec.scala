@@ -177,6 +177,35 @@ class StreamOpsSpec extends SparkSpec {
       s"leaked span must be cut order-preserving, got: $cut")
   }
 
+  test("streaming quality gate: Gopher filter + chunking in foreachBatch") {
+    import java.util.concurrent.ConcurrentHashMap
+    // the ingest-time quality + chunk stage: each micro-batch drops
+    // rule-failing documents and chunks the survivors for the vector
+    // store — stateless per batch, so the batch operators apply as-is
+    val good = ("the data and systems work well with care " * 4).trim + " of that"
+    val input = MemoryStream[(Long, String)](43, spark, None)
+    input.addData(
+      (1L, good),
+      (2L, "x y"))  // fails the word-count band
+    val out = new ConcurrentHashMap[(Long, Long), String]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = batch.join(
+          graft.ops.TextOps.gopherQualityFlags(batch, "doc_id", "text", minWords = 5)
+            .where(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        graft.ops.TextOps.chunkDocs(kept, "doc_id", "text", 64, 48)
+          .collect().foreach(r => out.put((r.getLong(0), r.getLong(1)), r.getString(3)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val keys = out.keySet().toArray.map(_.asInstanceOf[(Long, Long)]).toSeq
+    assert(keys.forall(_._1 == 1L), s"doc 2 must be gated out: $keys")
+    assert(keys.size == (good.length + 47) / 48,
+      s"survivor must be chunked on the 48-char stride: ${keys.size}")
+    assert(out.get((1L, 0L)) == good.substring(0, 64))
+  }
+
   test("graft_minhash / graft_simhash SQL functions match the library ops") {
     graft.functions.MinHashSig.register(spark)
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(20)
