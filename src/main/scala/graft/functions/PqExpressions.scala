@@ -35,6 +35,38 @@ case class PqModel(m: Int, dsub: Int, codebook: Array[Array[Array[Float]]])
     extends Serializable {
   require(m >= 1 && codebook.length == m, s"codebook must have m=$m subspaces")
   val ksub: Int = codebook(0).length
+
+  /** The shared encode loop: per subspace, the argmin-L2² centroid
+    * index (index-order accumulation, strict < so ties go to the
+    * smaller code). Missing input elements read as 0.0. */
+  def encode(arr: ArrayData): Array[Int] = {
+    val out = new Array[Int](m)
+    val xn = arr.numElements()
+    var j = 0
+    while (j < m) {
+      val off = j * dsub
+      val cands = codebook(j)
+      var best = 0
+      var bestD = java.lang.Double.POSITIVE_INFINITY
+      var c = 0
+      while (c < cands.length) {
+        val cv = cands(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (off + i < xn) arr.getFloat(off + i).toDouble else 0.0
+          val diff = x - cv(i).toDouble
+          d2 += diff * diff
+          i += 1
+        }
+        if (java.lang.Double.compare(d2, bestD) < 0) { bestD = d2; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    out
+  }
 }
 
 /** vec → m-byte PQ code array (BinaryType). */
@@ -47,33 +79,10 @@ case class PqEncode(child: Expression, model: PqModel)
   override def nullable: Boolean = child.nullable
 
   def compute(arr: ArrayData): Array[Byte] = {
-    val out = new Array[Byte](model.m)
-    val xn = arr.numElements()
+    val codes = model.encode(arr)
+    val out = new Array[Byte](codes.length)
     var j = 0
-    while (j < model.m) {
-      val off = j * model.dsub
-      val cands = model.codebook(j)
-      var best = 0
-      var bestD = java.lang.Double.POSITIVE_INFINITY
-      var c = 0
-      while (c < cands.length) {
-        val cv = cands(c)
-        var d2 = 0.0
-        var i = 0
-        while (i < model.dsub) {
-          val x = if (off + i < xn) arr.getFloat(off + i).toDouble else 0.0
-          val diff = x - cv(i).toDouble
-          d2 += diff * diff
-          i += 1
-        }
-        // strict < keeps the first (smallest c) on ties — row_number
-        // ORDER BY d2 ASC, c ASC semantics
-        if (java.lang.Double.compare(d2, bestD) < 0) { bestD = d2; best = c }
-        c += 1
-      }
-      out(j) = best.toByte
-      j += 1
-    }
+    while (j < codes.length) { out(j) = codes(j).toByte; j += 1 }
     out
   }
 
@@ -86,6 +95,33 @@ case class PqEncode(child: Expression, model: PqModel)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** vec → m PQ codes as array<int> — the training-loop form of
+  * [[PqEncode]] (Spark columns can slice/group ints where binary would
+  * need byte-twiddling). Same shared argmin loop, same ties. */
+case class PqEncodeCodes(child: Expression, model: PqModel)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "graft_pq_encode_codes"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  def compute(arr: ArrayData): ArrayData =
+    new GenericArrayData(model.encode(arr).map(_.asInstanceOf[Any]))
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeCodes", this, classOf[PqEncodeCodes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
     copy(child = newChild)
 }
 

@@ -404,6 +404,55 @@ object Similarity {
     graft.functions.PqModel(m, dsub, codebook)
   }
 
+  /** Lloyd-trained PQ codebooks — the production upgrade over the
+    * portable seed pick: each iteration is ONE corpus scan that
+    * (a) encodes every vector under the current model via the compiled
+    * [[graft.functions.PqEncodeCodes]] expression (no join, no per-row
+    * shuffle), (b) explodes to (subspace, code, subvector) rows whose
+    * map-side partial aggregate collapses each partition to at most
+    * m·ksub [[graft.functions.VectorCentroid]] buffers before the one
+    * shuffle, and (c) replaces each codebook entry with its cell mean
+    * (empty cells keep their previous centroid). Same determinism
+    * caveat as [[kmeansCentroids]]: distributed float means are
+    * partition-order-dependent in the last ulp, so trained codebooks
+    * serve production recall; the [[pqModelPortable]] seed pick stays
+    * the bit-reproducible differential-oracle path. */
+  def pqModelTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, ksub: Int,
+                     iterations: Int = 2): graft.functions.PqModel = {
+    import org.apache.spark.sql.GraftSqlShim
+    var model = pqModelPortable(corpus, idCol, vecCol, m, ksub)
+    for (_ <- 0 until iterations) {
+      val mm = model
+      // codes let-bound in their own projection: element_at inside the
+      // explode lambda must read an attribute, not re-run the encoder
+      // per subspace (HOF lambdas evaluate their captured trees per
+      // element — the Quantize.int8 lesson)
+      val enc = Tables.spread(corpus, idCol)
+        .select(col(vecCol).as("__v"),
+          GraftSqlShim.column(graft.functions.PqEncodeCodes(
+            GraftSqlShim.expression(col(vecCol)), mm)).as("__c"))
+      val means = enc
+        .select(explode(transform(sequence(lit(0), lit(mm.m - 1)),
+            j => struct(j.as("j"),
+              element_at(col("__c"), j + 1).as("code"),
+              slice(col("__v"), j * mm.dsub + 1, lit(mm.dsub)).as("sub"))))
+          .as("e"))
+        .groupBy(col("e.j").as("j"), col("e.code").as("code"))
+        .agg(centroidAgg(col("e.sub")).as("mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+        .toMap
+      model = graft.functions.PqModel(mm.m, mm.dsub,
+        Array.tabulate(mm.m) { j =>
+          Array.tabulate(mm.ksub) { c =>
+            means.getOrElse((j, c), mm.codebook(j)(c))
+          }
+        })
+    }
+    model
+  }
+
   /** Two-stage PQ-ADC ANN (Jégou et al. 2011): the corpus is encoded
     * once into m-byte codes (the persistable PQ index — 4·D/m× smaller
     * than the float corpus); each query precomputes an m·ksub
@@ -422,8 +471,11 @@ object Similarity {
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qidCol: String, qvecCol: String,
              k: Int, m: Int = 4, ksub: Int = 16,
-             shortlist: Int = 0): DataFrame = {
-    val model = pqModelPortable(corpus, idCol, vecCol, m, ksub)
+             shortlist: Int = 0,
+             trainIterations: Int = 0): DataFrame = {
+    val model =
+      if (trainIterations > 0) pqModelTrained(corpus, idCol, vecCol, m, ksub, trainIterations)
+      else pqModelPortable(corpus, idCol, vecCol, m, ksub)
     pqShortlistRerank(
       pqIndexFrame(Tables.spread(corpus, idCol), idCol, vecCol, model), model,
       corpus, idCol, vecCol, queries, qidCol, qvecCol, k, shortlist)

@@ -175,6 +175,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ ANN recall too low: $recall")
   }
 
+  test("PQ trained codebooks improve recall over the seed pick") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 5
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(graft.ops.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "qid", "qvec", k))
+    def recall(trainIters: Int): Double = {
+      val pq = sets(graft.ops.Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k, m = 16, ksub = 16, shortlist = 64,
+        trainIterations = trainIters))
+      exact.map { case (q, ns) =>
+        (ns intersect pq.getOrElse(q, Set.empty)).size.toDouble / ns.size
+      }.sum / exact.size
+    }
+    val seed = recall(0)
+    val trained = recall(2)
+    assert(trained >= seed,
+      s"Lloyd-trained codebooks must not lose recall: seed=$seed trained=$trained")
+    // the training must actually move the codebook
+    val m0 = graft.ops.Similarity.pqModelPortable(emb, "vec_id", "embedding", 16, 16)
+    val m2 = graft.ops.Similarity.pqModelTrained(emb, "vec_id", "embedding", 16, 16, 2)
+    assert(m0.m == m2.m && m0.dsub == m2.dsub && m0.ksub == m2.ksub)
+    assert(m0.codebook.flatten.flatten.toSeq != m2.codebook.flatten.flatten.toSeq)
+  }
+
   test("signed random projection: hand-computed sums, linearity, no shuffle") {
     import graft.ops.Quantize
     import graft.functions.{VectorFunctions => VF}
