@@ -163,7 +163,16 @@ object Bench {
     val relayJson =
       if (relay._2 > 0) s""","relay_rps":${relay._2.toLong},"relay_rows":${relay._1}"""
       else ""
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$relayJson}""")
+    val line =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$relayJson}"""
+    // the consumer keeps only the LAST 2000 chars of stdout; the line
+    // survives as long as line + trailing sbt epilogue (~150 chars)
+    // fits. 119 queries ≈ 1540 chars — warn at 1800 so a future
+    // catalog growth spurt trims decimals BEFORE a round's bench line
+    // gets silently beheaded.
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: result line ${line.length} chars — approaching the 2000-char consumer tail; drop to 2-decimal values")
+    println(line)
     spark.stop()
   }
 }
