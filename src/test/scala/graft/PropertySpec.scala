@@ -472,6 +472,89 @@ class PropertySpec extends SparkSpec {
     assert(uncapped == Set(1L), s"identical corpus must collapse to min id, got $uncapped")
   }
 
+  test("chunkDocs reassembles the document on random texts (stride = chunk size)") {
+    import graft.ops.TextOps
+    val textGen = Gen.listOfN(30,
+      Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
+    for (seed <- 1L to 3L; chunk <- Seq(1, 5, 16)) {
+      val texts = sample(textGen, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val chunks = TextOps.chunkDocs(texts.toDF("id", "text"), "id", "text",
+          chunkChars = chunk, strideChars = chunk)
+        .select("id", "chunk_id", "chunk_text")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString).toMap
+      texts.foreach { case (id, t) =>
+        assert(chunks.getOrElse(id, "") == t,
+          s"seed $seed chunk $chunk id $id: non-overlapping chunks must reassemble the text")
+      }
+    }
+    // overlap invariant: with stride < chunk, consecutive chunks agree
+    // on their (chunk - stride)-char overlap
+    val texts = sample(textGen, 9L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.filter(_._2.length >= 12)
+    val rows = TextOps.chunkDocs(texts.toDF("id", "text"), "id", "text", 8, 5)
+      .select("id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    rows.foreach { case (_, cs) =>
+      cs.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, a), (_, _, b)) if a.length == 8 =>
+          assert(a.substring(5) == b.substring(0, math.min(3, b.length)))
+        case _ => ()
+      }
+    }
+  }
+
+  test("dedupLinesGlobal is idempotent and preserves distinct content on random corpora") {
+    import graft.ops.Dedup
+    // small line alphabet → heavy cross-doc duplication
+    val docGen = Gen.listOfN(25,
+      Gen.chooseNum(1, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "", "eps"))
+          .map(_.mkString("\n"))))
+    for (seed <- 21L to 23L) {
+      val docs = sample(docGen, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val once = Dedup.dedupLinesGlobal(docs.toDF("id", "text"), "id", "text")
+        .select(col("id"), col("clean_text")).as[(Long, String)].collect().sortBy(_._1)
+      // idempotence: a deduped corpus has no duplicate lines left to drop
+      val twice = Dedup.dedupLinesGlobal(
+          once.toSeq.toDF("id", "text"), "id", "text")
+        .select(col("id"), col("clean_text")).as[(Long, String)].collect().sortBy(_._1)
+      assert(twice.toSeq == once.toSeq, s"seed $seed: not idempotent")
+      // content preservation: the multiset of distinct non-blank lines
+      // across the corpus is unchanged (only repetition is removed)
+      def distinctLines(rows: Seq[(Long, String)]) =
+        rows.flatMap(_._2.split("\n", -1)).filter(_.trim.nonEmpty).toSet
+      assert(distinctLines(once.toIndexedSeq) == distinctLines(docs),
+        s"seed $seed: distinct line set must survive")
+    }
+  }
+
+  test("budgetSelect equals the naive greedy fill on random groups") {
+    import graft.ops.Sampling
+    val rowGen = Gen.listOfN(120, for {
+      g <- Gen.oneOf("a", "b", "c")
+      score <- Gen.choose(0L, 50L)
+      w <- Gen.choose(0L, 30L)
+    } yield (g, score, w))
+    for (seed <- 31L to 33L; budget <- Seq(0L, 25L, 200L)) {
+      val rows = sample(rowGen, seed).zipWithIndex
+        .map { case ((g, s, w), i) => (i.toLong, g, s, w) }
+      // naive greedy: order by (score desc, id), running sum, stop at
+      // the first overflow (weights are non-negative, so stopping and
+      // filtering agree)
+      val expect2 = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (-r._3, r._1))
+        val cums = sorted.scanLeft(0L)(_ + _._4).tail
+        sorted.zip(cums).takeWhile(_._2 <= budget).map { case (r, c) => r._1 -> c }
+      }.toMap
+      val got = Sampling.budgetSelect(rows.toDF("id", "g", "score", "w"),
+          "id", "g", "score", "w", budget)
+        .select("id", "cum_weight").as[(Long, Long)].collect().toMap
+      assert(got == expect2, s"seed $seed budget $budget")
+    }
+  }
+
   test("count-min estimates equal or exceed exact counts on random streams") {
     val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
     for (seed <- 1L to 3L) {
