@@ -789,16 +789,19 @@ object Dedup {
     *
     * Returns (idCol, clean_text, n_lines, n_dropped).
     *
-    * Scale design: document text is NEVER shuffled. Pass 1 shuffles
-    * only (id, pos, md5-digest) line triples to find, per duplicated
-    * digest, the (id, pos) minimum and the later occurrences — the
-    * DROP set, duplicate-instance-sized. Pass 2 re-splits each document
-    * row-locally and filters its line array against the document's own
-    * drop positions, delivered by an id-keyed join against the
-    * per-document drop-position arrays — size-gated broadcast
-    * ([[MaxBroadcastIdsKey]]) below the conf limit, plain shuffle join
-    * above it, so crawl-scale duplicate rates degrade to one id-keyed
-    * exchange instead of a driver OOM. */
+    * Scale design: pass 1 shuffles only (id, pos, md5-digest) line
+    * triples to find, per duplicated digest, the (id, pos) minimum and
+    * the later occurrences — the DROP set, duplicate-instance-sized,
+    * CHECKPOINT-TRUNCATED once mined (so the size probe below reads
+    * materialized blocks and the rewrite join does not re-run the
+    * mining). Pass 2 re-splits each document row-locally and filters
+    * its line array against the document's own drop positions,
+    * delivered by an id-keyed join against the per-document
+    * drop-position arrays — size-gated broadcast
+    * ([[MaxBroadcastIdsKey]]) below the conf limit (document text
+    * never shuffles), plain shuffle join above it: in THAT fallback
+    * the corpus, text included, shuffles once by id — the price of a
+    * crawl-scale duplicate rate, instead of a driver OOM. */
   def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lineArr = split(col(textCol), "\n")
     val lines = docs
@@ -813,11 +816,12 @@ object Dedup {
         count(lit(1)).as("__n"))
       .where(col("__n") > 1)
       .select(col("__lh"), col("__first"))
-    val dropPos = lines
+    val dropPos = Checkpointing.truncate(lines
       .join(firsts, Seq("__lh"))
       .where(struct(col(idCol), col("__pos")) =!= col("__first"))
       .groupBy(col(idCol))
-      .agg(collect_set(col("__pos")).as("__drop"), count(lit(1)).as("__nd"))
+      .agg(collect_set(col("__pos")).as("__drop"), count(lit(1)).as("__nd")))
+    // reads the just-materialized blocks — not a second mining pass
     val dropCount = dropPos.agg(coalesce(sum("__nd"), lit(0L))).head().getLong(0)
     docs
       .join(maybeBroadcast(dropPos.drop("__nd"), dropCount), Seq(idCol), "left")

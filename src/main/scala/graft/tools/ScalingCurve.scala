@@ -195,11 +195,18 @@ object ScalingCurve {
     // plus the paper-faithful diverse-keep policy (q106's shape), so its
     // "q101 + a cluster-sized min-by aggregate" curve claim is measured
     // rather than asserted
-    val semVariants = Seq((1, "minId"), (2, "minId"), (1, "diverse"))
-    val semRows = (for (f <- factors
-        if only.forall(o => o.exists("q101_dedup_semantic".startsWith) ||
-          o.exists("q106_dedup_sem_diverse".startsWith));
-        (probes, keepP) <- semVariants) yield {
+    // each variant labeled with its CATALOG name prefix and gated by
+    // its OWN label, so SPARK_GRAFT_ONLY=<catalog name> measures
+    // exactly that family (a q106-only run no longer pays for the two
+    // q101 cells, and downstream tooling can join labels to the
+    // catalog)
+    val semVariants = Seq(
+      (1, "minId", "q101_dedup_semantic_p1"),
+      (2, "minId", "q101_dedup_semantic_p2"),
+      (1, "diverse", "q106_dedup_semantic_diverse_p1"))
+    val semRows = (for (f <- factors;
+        (probes, keepP, label) <- semVariants
+        if only.forall(_.exists(label.startsWith))) yield {
       val emb = graft.ops.Tables.table(spark, s"$workDir/x$f", "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding"))
       val t0 = System.nanoTime()
@@ -208,9 +215,7 @@ object ScalingCurve {
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"[scale] x$f%-4d q101_semantic(nlist=${8 * f}%d,probes=$probes%d,keep=$keepP%s) ${dt}%8.2f s")
-      val label = if (keepP == "diverse") s"q106_dedup_sem_diverse_p$probes"
-        else s"q101_dedup_semantic_p$probes"
+      println(f"[scale] x$f%-4d $label%s(nlist=${8 * f}%d) ${dt}%8.2f s")
       (label, f, dt)
     })
 
