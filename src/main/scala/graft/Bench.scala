@@ -71,7 +71,10 @@ object Bench {
         import org.apache.spark.sql.streaming.Trigger
         import graft.connector.{FileTopicSource, TopicSink, TopicSource}
         import graft.model.ConsumerConfig
-        val stageDir = "/tmp/graft-relay-stage"
+        // per-run temp dir: a fixed shared path would let two bench
+        // processes overwrite each other's stage mid-read
+        val stageDir = java.nio.file.Files
+          .createTempDirectory("graft-relay-stage").toString
         val events = graft.ops.Tables.table(spark, sfDir, "events")
         // stage (unmeasured): envelope rows across 24 files so the
         // 8-file admission cap yields 3 microbatches

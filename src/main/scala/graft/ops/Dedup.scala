@@ -51,7 +51,13 @@ object Dedup {
 
   private def broadcastIdLimit(df: DataFrame): Long =
     df.sparkSession.conf.getOption(MaxBroadcastIdsKey)
-      .map(_.toLong).getOrElse(MaxBroadcastIdsDefault)
+      .map { v =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$MaxBroadcastIdsKey must be a plain long row count, got '$v'")
+        }
+      }.getOrElse(MaxBroadcastIdsDefault)
 
   /** `small` hinted broadcast below the conf limit, hint-free above it
     * (`dupCount` = caller's bound on `small`'s rows). */

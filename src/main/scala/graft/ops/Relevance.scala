@@ -169,6 +169,12 @@ object Relevance {
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // fail fast, not silently: an empty target makes the total-count
+    // row NULL, which would propagate NULL into every logratio and
+    // every doc's logw — downstream top-k would then "select" the k
+    // smallest ids as if they were the most target-like documents
+    require(!target.isEmpty,
+      "DSIR target frame is empty — importance weights would be NULL for every document")
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.PortableSketches.lnOfInt
     val spark = raw.sparkSession

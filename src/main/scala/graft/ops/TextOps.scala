@@ -586,7 +586,11 @@ object TextOps {
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
     val uni = docs.select(explode(lowerTokens(col(textCol))).as("w1"))
     val uc = uni.groupBy("w1").agg(count(lit(1)).as("__ucnt"))
-    val vocab = uni.agg(count_distinct(col("w1")).as("__vv"))
+    // V is by definition uc's row count — aggregating the (already
+    // vocabulary-sized) unigram table costs nothing, where a
+    // count_distinct over the re-exploded token stream would be a
+    // second corpus-wide scan + distinct shuffle
+    val vocab = uc.agg(count(lit(1)).as("__vv"))
     val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__bcnt"))
     pairs
       .join(bc, Seq("w1", "w2"))
