@@ -38,4 +38,43 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Write parquet with per-column BLOOM FILTERS — the point-lookup
+    * lever min/max statistics cannot provide: on an UNSORTED layout a
+    * high-cardinality id column's min/max spans every row group, so
+    * `WHERE id = k` scans all of them; a bloom filter per row group
+    * lets the reader skip groups that definitely lack k (false-positive
+    * groups are still read — correctness never depends on the filter).
+    * Sorted/Z-ordered layouts get this from min/max already; bloom is
+    * for the columns you DIDN'T lay out by — secondary ids, join keys,
+    * URL hashes — where re-sorting 100 TB for a second dimension is not
+    * on the table.
+    *
+    * `expectedNdv` sizes the filter (parquet's split-block bloom):
+    * per-row-group distinct count, not global — overshooting just
+    * costs bytes. Readers need no opt-in: Spark's parquet scan consults
+    * bloom filters during row-group pruning when a pushed equality
+    * predicate matches a filtered column. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     expectedNdv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "at least one bloom column")
+    // the per-column keys go through the session hadoop conf — writer
+    // .option() keys are not forwarded to parquet-mr for these — so
+    // set/unset around the write; NOT safe to interleave with another
+    // concurrent parquet write on the same session. Dictionary encoding
+    // is disabled on the bloom columns: parquet-mr OMITS the bloom
+    // filter for a fully dictionary-encoded chunk (the dictionary is
+    // already an exact membership test), and a genuinely
+    // high-cardinality key — the only kind worth blooming — gains
+    // nothing from a dictionary it would overflow anyway.
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val kv = bloomCols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString,
+      s"parquet.enable.dictionary#$c" -> "false"))
+    try {
+      kv.foreach { case (k, v) => conf.set(k, v) }
+      df.write.mode("overwrite").parquet(path)
+    } finally kv.foreach { case (k, _) => conf.unset(k) }
+  }
 }

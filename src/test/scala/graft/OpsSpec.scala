@@ -309,6 +309,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("writeWithBloom: footer carries bloom filters on the asked columns only") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val df = spark.range(0, 5000)
+      .select(col("id"), (col("id") * 7 % 1000).as("k"))
+    graft.ops.Layout.writeWithBloom(df, dir, Seq("k"), expectedNdv = 1000)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val kCol = cols.find(_.getPath.toDotString == "k").get
+      val idCol = cols.find(_.getPath.toDotString == "id").get
+      assert(kCol.getBloomFilterOffset >= 0, "k must carry a bloom filter")
+      assert(idCol.getBloomFilterOffset < 0, "id must not carry one")
+      val bloom = reader.readBloomFilter(kCol)
+      assert(bloom != null)
+      // the filter actually works at the parquet level (engine-agnostic):
+      // every present key hits, an absent key misses (no false negative
+      // is possible; a false positive for ONE probe at ndv=1000 is
+      // astronomically unlikely at the default 1% fpp)
+      def mightContain(v: Long): Boolean = bloom.findHash(bloom.hash(v))
+      assert((0 until 1000).forall(c => mightContain(c.toLong)),
+        "present keys must hit the bloom filter")
+      assert(!mightContain(123456789L), "an absent key should miss")
+    } finally reader.close()
+    // correctness never depends on the filter: present and absent keys
+    val back = spark.read.parquet(dir)
+    assert(back.where(col("k") === 3).count() ==
+      df.where(col("k") === 3).count())
+    assert(back.where(col("k") === 123456).count() == 0)
+  }
+
   test("grouped top-ngram fraction equals the per-row HOF formulation") {
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
     val viaHof = docs.select(col("doc_id"),
