@@ -409,6 +409,51 @@ object CatalogML3 {
         |  FROM embeddings e CROSS JOIN sgl
         |)
         |SELECT vec_id, list(pv ORDER BY j) AS proj
-        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // Generic table profiling: per-column row/null/distinct counts and
+    // the modal value — one melt, one (column, value) shuffle, stats
+    // from the count table. The nullable derived column (lang with
+    // 'en' nulled out) makes the null path bind on this fixture.
+    ("q120_profile_summary", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      graft.ops.Profile.summary(docs, Seq(
+          "doc_id" -> col("doc_id"),
+          "lang" -> col("lang"),
+          "lang_non_en" -> when(col("lang") === "en", lit(null)).otherwise(col("lang")),
+          "source" -> col("source"),
+          "n_chars" -> col("n_chars")))
+        .orderBy("col_name")
+    }, Some(
+      """WITH p AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(lang AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang_non_en',
+        |         CASE WHEN lang = 'en' THEN NULL ELSE CAST(lang AS VARCHAR) END
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(source AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |), c AS (
+        |  SELECT col_name, value, count(*) AS cnt FROM p GROUP BY col_name, value
+        |), t AS (
+        |  SELECT col_name, value AS top_value, cnt AS top_count,
+        |         row_number() OVER (PARTITION BY col_name
+        |                            ORDER BY cnt DESC, value ASC) AS rn
+        |  FROM c WHERE value IS NOT NULL
+        |)
+        |SELECT c2.col_name,
+        |       CAST(sum(c2.cnt) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(CASE WHEN c2.value IS NULL THEN c2.cnt END), 0)
+        |            AS BIGINT) AS n_nulls,
+        |       CAST(count(CASE WHEN c2.value IS NOT NULL THEN 1 END) AS BIGINT)
+        |         AS n_distinct,
+        |       any_value(t.top_value) AS top_value,
+        |       CAST(any_value(t.top_count) AS BIGINT) AS top_count
+        |FROM c c2 JOIN t ON t.col_name = c2.col_name AND t.rn = 1
+        |GROUP BY c2.col_name ORDER BY c2.col_name""".stripMargin))
   )
 }

@@ -68,7 +68,9 @@ object ScalingCurve {
       // the honest vocabulary²-table plan, measured
       "q118",
       // signed random projection: row-local O(outDim·dim) codegen loop
-      "q119")
+      "q119",
+      // table profiler: k-way melt + one (col, value) count shuffle
+      "q120")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase

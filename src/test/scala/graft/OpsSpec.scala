@@ -345,6 +345,29 @@ class OpsSpec extends SparkSpec {
     assert(back.where(col("k") === 123456).count() == 0)
   }
 
+  test("Profile.summary: counts, nulls, distinct, modal value with tie-break") {
+    val df = Seq(
+      (1L, Some("a"), 10),
+      (2L, Some("a"), 10),
+      (3L, Some("b"), 20),
+      (4L, Some("b"), 20),
+      (5L, None, 30)
+    ).toDF("id", "s", "n")
+    val out = graft.ops.Profile.summaryOf(df, "s", "n")
+      .as[(String, Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // s: 5 rows, 1 null, 2 distinct, tie a/b at 2 → lexicographically smaller 'a'
+    assert(out("s") == (("s", 5L, 1L, 2L, "a", 2L)))
+    // n: stringified ints; tie 10/20 at 2 → "10"
+    assert(out("n") == (("n", 5L, 0L, 3L, "10", 2L)))
+    // melt stays row-local: the only exchange is the (col, value) groupBy
+    val exchanges = graft.ops.Profile.summaryOf(df, "s", "n")
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.size <= 2, s"melt must not add exchanges: ${exchanges.size}")
+  }
+
   test("grouped top-ngram fraction equals the per-row HOF formulation") {
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
     val viaHof = docs.select(col("doc_id"),
