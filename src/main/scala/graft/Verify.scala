@@ -17,12 +17,26 @@ object Verify {
       .sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val lintFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => selected(name) }
         .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Schema lint BEFORE the dump: a top-level array/map/struct
+        // output column crashes the driver's pandas comparator (q25
+        // round 1, q119 round 7) — fail here, loudly, not at the gate.
+        val bad = graft.queries.SchemaLint.complexTopLevel(df.schema)
+        if (bad.nonEmpty) {
+          lintFailures += name
+          System.err.println(
+            s"[verify] SCHEMA LINT $name: top-level complex column(s) " +
+            s"[${bad.mkString("; ")}] — the driver comparator cannot sort " +
+            "array/map/struct cells; unwrap to scalars (q25 pattern) or " +
+            "render to JSON (q53 pattern)")
+        } else df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // drop per-query persisted intermediates
@@ -44,5 +58,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (lintFailures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${lintFailures.size} schema-lint failure(s): " +
+        lintFailures.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

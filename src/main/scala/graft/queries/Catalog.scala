@@ -9,6 +9,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * for ops whose semantics aren't ANSI-SQL-expressible: LSH dedup,
   * heuristic language-ID, approximate sketches).
   */
+/** Output-schema lint for catalog queries.
+  *
+  * The driver's pandas comparator sorts every output column and cannot
+  * factorize ndarray/dict cells, so a catalog query whose RESULT schema
+  * has a top-level ArrayType/MapType/StructType column errors at the
+  * gate rather than comparing (round-1 q25, reintroduced round-7 q119).
+  * The two sanctioned fixes: unwrap lanes into scalar columns (the q25
+  * pattern, CatalogScalar.scala — keeps float bits engine-exact) or
+  * render to a JSON string (the q53 pattern, CatalogSql.scala — for
+  * discrete payloads only). Verify enforces this lint before dumping.
+  */
+object SchemaLint {
+  import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+  /** Names + types of top-level complex columns ("" when clean). */
+  def complexTopLevel(schema: StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType]   ||
+                f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+}
+
 object Catalog {
   type Q = (SparkSession, String) => DataFrame
 

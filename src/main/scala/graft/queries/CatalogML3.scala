@@ -270,25 +270,47 @@ object CatalogML3 {
          |FROM e ORDER BY doc_id""".stripMargin
     }),
 
-    // Gopher rule-based quality filter (Rae et al. 2021, Appendix A):
-    // word-count band, mean-word-length band, alpha-word fraction,
-    // stopword presence, symbol-to-word ratio, duplicate-line
-    // fraction → composite keep. Counts are exact integers and each
-    // fraction is one double division, so flags replay bit-exactly.
+    // Gopher rule-based quality filter — the FULL Rae et al. 2021
+    // Appendix-A rule set: word-count band, mean-word-length band,
+    // alpha-word fraction, stopword presence, symbol-to-word ratio,
+    // bullet-line fraction, ellipsis-line fraction, and the four
+    // repetition fractions (duplicate line/paragraph, count- and
+    // character-mass-based) → composite keep. The fixture's documents
+    // are single-line, so the query derives a structured text first
+    // (the q120 derived-column trick): doc_id%4 picks plain /
+    // bullet-heavy / ellipsis-heavy / duplicated-paragraph shapes, so
+    // every line- and paragraph-level rule observably splits the
+    // fixture. Counts are exact integers and each fraction is one
+    // double division, so flags replay bit-exactly.
     ("q117_gopher_filter", (s: SparkSession, d: String) => {
-      TextOps.gopherQualityFlags(
-          spread(table(s, d, "documents"), "doc_id"), "doc_id", "text",
-          minWords = 30)
+      val docs = spread(table(s, d, "documents"), "doc_id")
+      val m4 = col("doc_id") % 4
+      val structured = docs.withColumn("text",
+        when(m4 === 1, call_function("replace", col("text"), lit(" "), lit("\n- ")))
+          .when(m4 === 2, call_function("replace", col("text"), lit(" "), lit("...\n")))
+          .when(m4 === 3, concat(col("text"), lit("\n\n"), col("text")))
+          .otherwise(col("text")))
+      TextOps.gopherQualityFlags(structured, "doc_id", "text", minWords = 30)
         .orderBy("doc_id")
     }, Some {
       val stopList = TextOps.GopherStopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH tok AS (
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         CASE CAST(doc_id % 4 AS INT)
+         |           WHEN 1 THEN replace(text, ' ', chr(10) || '- ')
+         |           WHEN 2 THEN replace(text, ' ', '...' || chr(10))
+         |           WHEN 3 THEN text || chr(10) || chr(10) || text
+         |           ELSE text END AS text
+         |  FROM documents
+         |), tok AS (
          |  SELECT doc_id, text,
          |         list_transform(string_split_regex(trim(text), '\\s+'),
          |                        x -> lower(x)) AS ts,
          |         list_filter(string_split_regex(text, '\\n'),
-         |                     l -> len(trim(l)) > 0) AS lines
-         |  FROM documents
+         |                     l -> len(trim(l)) > 0) AS lines,
+         |         list_filter(string_split_regex(text, '\\n\\n'),
+         |                     p -> len(trim(p)) > 0) AS paras
+         |  FROM base
          |), m AS (
          |  SELECT doc_id,
          |         CAST(len(ts) AS BIGINT) AS n_words,
@@ -300,25 +322,66 @@ object CatalogML3 {
          |         CAST((len(text) - len(replace(text, '#', '')))
          |           + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
          |           AS syms,
+         |         CAST(len(lines) AS BIGINT) AS nlines,
+         |         CAST(len(list_filter(lines, l ->
+         |           starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+         |             OR starts_with(ltrim(l), '• '))) AS BIGINT) AS bullets,
+         |         CAST(len(list_filter(lines, l ->
+         |           ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+         |           AS BIGINT) AS ellip,
          |         CASE WHEN len(lines) = 0 THEN 0.0
          |              ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
-         |                   / CAST(len(lines) AS DOUBLE) END AS dup_line_frac
+         |                   / CAST(len(lines) AS DOUBLE) END AS dup_line_frac,
+         |         CAST(coalesce(list_sum(list_transform(lines, l -> len(l))), 0)
+         |           AS BIGINT) AS lchars,
+         |         CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+         |           l -> len(l))), 0) AS BIGINT) AS lcharsd,
+         |         CASE WHEN len(paras) = 0 THEN 0.0
+         |              ELSE 1.0 - CAST(len(list_distinct(paras)) AS DOUBLE)
+         |                   / CAST(len(paras) AS DOUBLE) END AS dup_para_frac,
+         |         CAST(coalesce(list_sum(list_transform(paras, p -> len(p))), 0)
+         |           AS BIGINT) AS pchars,
+         |         CAST(coalesce(list_sum(list_transform(list_distinct(paras),
+         |           p -> len(p))), 0) AS BIGINT) AS pcharsd
          |  FROM tok
+         |), f AS (
+         |  SELECT doc_id, n_words,
+         |         CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+         |         CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+         |         stop_hits,
+         |         CAST(syms AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+         |         dup_line_frac,
+         |         CASE WHEN lchars = 0 THEN 0.0
+         |              ELSE 1.0 - CAST(lcharsd AS DOUBLE) / CAST(lchars AS DOUBLE)
+         |              END AS dup_line_char_frac,
+         |         CASE WHEN nlines = 0 THEN 0.0
+         |              ELSE CAST(bullets AS DOUBLE) / CAST(nlines AS DOUBLE)
+         |              END AS bullet_frac,
+         |         CASE WHEN nlines = 0 THEN 0.0
+         |              ELSE CAST(ellip AS DOUBLE) / CAST(nlines AS DOUBLE)
+         |              END AS ellipsis_frac,
+         |         dup_para_frac,
+         |         CASE WHEN pchars = 0 THEN 0.0
+         |              ELSE 1.0 - CAST(pcharsd AS DOUBLE) / CAST(pchars AS DOUBLE)
+         |              END AS dup_para_char_frac
+         |  FROM m
          |)
-         |SELECT doc_id, n_words,
-         |       CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
-         |       CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
-         |       stop_hits,
-         |       CAST(syms AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
-         |       dup_line_frac,
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+         |       symbol_ratio, dup_line_frac, dup_line_char_frac,
+         |       bullet_frac, ellipsis_frac, dup_para_frac,
+         |       dup_para_char_frac,
          |       (n_words BETWEEN 30 AND 100000)
-         |         AND (CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE)
-         |              BETWEEN 3.0 AND 10.0)
-         |         AND (CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8)
+         |         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |         AND (alpha_frac >= 0.8)
          |         AND (stop_hits >= 2)
-         |         AND (CAST(syms AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1)
-         |         AND (dup_line_frac <= 0.3) AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
+         |         AND (symbol_ratio <= 0.1)
+         |         AND (dup_line_frac <= 0.3)
+         |         AND (dup_line_char_frac <= 0.2)
+         |         AND (bullet_frac <= 0.9)
+         |         AND (ellipsis_frac <= 0.3)
+         |         AND (dup_para_frac <= 0.3)
+         |         AND (dup_para_char_frac <= 0.2) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
     })
   )
 
@@ -386,30 +449,43 @@ object CatalogML3 {
     // arithmetic (±1 signs from hex-nibble parity, index-order
     // accumulation) replays verbatim in the oracle. Row-local codegen
     // expression, no shuffle.
+    // The projection is unwrapped into 16 scalar double columns
+    // (p_00..p_15) rather than returned as one array column: the
+    // driver's pandas compare sorts every column and cannot factorize
+    // ndarray cells (the round-1 q25 failure class,
+    // CatalogScalar.scala:114-118), and scalars keep the float bits
+    // engine-exact where a string render would not.
     ("q119_embed_project", (s: SparkSession, d: String) => {
+      val lanes = (0 until 16).map(j =>
+        element_at(col("proj"), j + 1).as(f"p_$j%02d"))
       Quantize.srpProject(
           spread(table(s, d, "embeddings"), "vec_id"), "vec_id", "embedding",
           outDim = 16, dim = 64, seed = 42L)
+        .select(col("vec_id") +: lanes: _*)
         .orderBy("vec_id")
-    }, Some(
-      """WITH sg AS (
-        |  SELECT jj.j AS j, ii.i AS i,
-        |         CASE WHEN (('0x' || substr(
-        |             md5('42:' || jj.j || ':' || ii.i), 1, 1))::INT % 2) = 0
-        |              THEN 1.0 ELSE -1.0 END AS s
-        |  FROM (SELECT unnest(range(0, 16)) AS j) jj
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
-        |), sgl AS (
-        |  SELECT j, list(s ORDER BY i) AS srow FROM sg GROUP BY j
-        |), proj AS (
-        |  SELECT e.vec_id, sgl.j,
-        |         list_reduce(list_transform(range(1, 65), i ->
-        |           srow[i] * CAST(e.embedding[i] AS DOUBLE)),
-        |           (a, b) -> a + b) AS pv
-        |  FROM embeddings e CROSS JOIN sgl
-        |)
-        |SELECT vec_id, list(pv ORDER BY j) AS proj
-        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+    }, Some {
+      val laneSql = (0 until 16).map(j =>
+        f"       max(CASE WHEN j = $j THEN pv END) AS p_$j%02d").mkString(",\n")
+      s"""WITH sg AS (
+         |  SELECT jj.j AS j, ii.i AS i,
+         |         CASE WHEN (('0x' || substr(
+         |             md5('42:' || jj.j || ':' || ii.i), 1, 1))::INT % 2) = 0
+         |              THEN 1.0 ELSE -1.0 END AS s
+         |  FROM (SELECT unnest(range(0, 16)) AS j) jj
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+         |), sgl AS (
+         |  SELECT j, list(s ORDER BY i) AS srow FROM sg GROUP BY j
+         |), proj AS (
+         |  SELECT e.vec_id, sgl.j,
+         |         list_reduce(list_transform(range(1, 65), i ->
+         |           srow[i] * CAST(e.embedding[i] AS DOUBLE)),
+         |           (a, b) -> a + b) AS pv
+         |  FROM embeddings e CROSS JOIN sgl
+         |)
+         |SELECT vec_id,
+         |$laneSql
+         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    }),
 
     // Generic table profiling: per-column row/null/distinct counts and
     // the modal value — one melt, one (column, value) shuffle, stats

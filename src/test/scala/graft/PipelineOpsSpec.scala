@@ -237,6 +237,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exchanges.isEmpty)
   }
 
+  test("pqTopK: query/shortlist broadcasts obey the engine-wide size gate") {
+    val corpus = (1 to 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat))
+    }.toDF("id", "vec")
+    val queries = corpus.where(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def run(limit: Option[String]): (Seq[(Long, Int, Long)], String) = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      limit.foreach(spark.conf.set(Dedup.MaxBroadcastIdsKey, _))
+      try {
+        val out = graft.ops.Similarity.pqTopK(corpus, "id", "vec",
+          queries, "qid", "qvec", k = 3, m = 4, ksub = 8)
+        val rows = out.select("qid", "rank", "id").as[(Long, Int, Long)]
+          .collect().toSeq.sorted
+        (rows, out.queryExecution.executedPlan.toString)
+      } finally {
+        spark.conf.unset(Dedup.MaxBroadcastIdsKey)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val (hinted, bcPlan) = run(None)
+    assert(bcPlan.contains("Broadcast"),
+      s"below the limit the query side must broadcast:\n$bcPlan")
+    val (gated, shPlan) = run(Some("0"))
+    assert(!shPlan.contains("Broadcast"),
+      s"above the limit no forced broadcast may survive:\n$shPlan")
+    assert(hinted == gated, "plan shape must not change results")
+  }
+
+  test("schema lint: complex top-level output columns are rejected, the catalog is clean") {
+    import graft.queries.SchemaLint
+    // planted offenders: each complex kind is caught with its name
+    val planted = Seq((1L, Array(1.0, 2.0), Map("k" -> 1), (1, "s")))
+      .toDF("id", "arr", "mp", "st")
+    val bad = SchemaLint.complexTopLevel(planted.schema)
+    assert(bad.size == 3 && bad.exists(_.startsWith("arr:")) &&
+      bad.exists(_.startsWith("mp:")) && bad.exists(_.startsWith("st:")))
+    // scalars pass
+    assert(SchemaLint.complexTopLevel(planted.select("id").schema).isEmpty)
+    // the q119 regression specifically: the catalog entry must emit 16
+    // scalar double lanes, never the raw array (driver comparator crash,
+    // round-7 CORRECTNESS q119)
+    val q119 = graft.queries.Catalog.queries("q119_embed_project")(spark, sf)
+    assert(SchemaLint.complexTopLevel(q119.schema).isEmpty)
+    assert(q119.columns.toSeq == "vec_id" +: (0 until 16).map(j => f"p_$j%02d"))
+  }
+
   test("IVF x int8 composition matches the float IVF scan on the same cells") {
     val emb = graft.ops.Tables.table(spark, sf, "embeddings")
     val queries = emb.where(col("vec_id") < 10)

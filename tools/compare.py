@@ -56,6 +56,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
+        # Driver-parity lint: the driver's pandas compare sort_values()
+        # crashes on array/map/struct cells (TypeError: unhashable
+        # numpy.ndarray — round-1 q25, round-7 q119). This mirror used
+        # to canonicalize lists fine, which is exactly how q119 shipped
+        # red — so reject complex top-level columns here too.
+        complex_cols = [
+            (c, str(t)) for c, t in zip(got_cols, got.types)
+            if any(k in str(t).upper() for k in ("[]", "LIST", "MAP(", "STRUCT("))]
+        if complex_cols:
+            print(f"FAIL {name}: top-level complex output column(s) "
+                  f"{complex_cols} — the driver comparator cannot sort "
+                  "array/map/struct cells; unwrap to scalars (q25) or "
+                  "render to JSON (q53)")
+            n_fail += 1
+            continue
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: cols spark={got_cols} oracle={exp_cols}")
             n_fail += 1
