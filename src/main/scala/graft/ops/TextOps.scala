@@ -314,28 +314,48 @@ object TextOps {
 
   /** Per-document Gopher quality-rule signals + the composite keep
     * flag — the rule-based quality filter pipelines actually deploy
-    * before model-based scoring: word count in [minWords, maxWords],
-    * mean word length in [3, 10], ≥ 80% of words contain a letter,
-    * ≥ 2 stopword occurrences, symbol-to-word ratio ('#' chars and
-    * '...' runs) ≤ 0.1, duplicate-line fraction ≤ 0.3.
+    * before model-based scoring. The full Rae et al. 2021 Appendix-A
+    * rule set: word count in [minWords, maxWords], mean word length in
+    * [3, 10], ≥ 80% of words contain a letter, ≥ 2 stopword
+    * occurrences, symbol-to-word ratio ('#' chars and '...' runs)
+    * ≤ 0.1, ≤ 90% of lines starting with a bullet ("- ", "* ", "• "),
+    * ≤ 30% of lines ending with an ellipsis, and the four repetition
+    * fractions — duplicate-line ≤ 0.3, duplicate-paragraph ≤ 0.3
+    * (count-based), plus the character-mass variants ≤ 0.2 (share of
+    * line/paragraph characters sitting in repeats beyond the first
+    * occurrence). Paragraphs split on blank lines ("\n\n").
     *
     * Returns (idCol, n_words, mean_word_len, alpha_frac, stop_hits,
-    * symbol_ratio, dup_line_frac, keep).
+    * symbol_ratio, dup_line_frac, dup_line_char_frac, bullet_frac,
+    * ellipsis_frac, dup_para_frac, dup_para_char_frac, keep).
     *
-    * Scale/portability: one lowercased-token binding feeds every rule
-    * (single-level HOFs — the class measured fine at x100); counts are
-    * exact integers, each fraction is ONE double division of two
-    * integers, so the flags replay bit-exactly in the oracle. */
+    * Scale/portability: one lowercased-token binding + one line array
+    * + one paragraph array feed every rule (single-level HOFs — the
+    * class measured fine at x100); counts are exact integers, each
+    * fraction is ONE double division of two integers, so the flags
+    * replay bit-exactly in the oracle. */
   def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
                          minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val stopArr = array(GopherStopwords.map(lit): _*)
+    def sumLen(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+    def dupCountFrac(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(arr)).cast("double")
+          / size(arr).cast("double"))
+    def dupCharFrac(total: Column, distinct: Column): Column =
+      when(total === 0L, lit(0.0)).otherwise(
+        lit(1.0) - distinct.cast("double") / total.cast("double"))
     val withCounts = docs
       .select(col(idCol), col(textCol).as("__text"),
         lowerTokens(col(textCol)).as("__ts"))
+      .withColumn("__lines",
+        filter(split(col("__text"), "\n"), l => length(trim(l)) > lit(0)))
+      .withColumn("__paras",
+        filter(split(col("__text"), "\n\n"), p => length(trim(p)) > lit(0)))
       .select(col(idCol),
         size(col("__ts")).cast("long").as("n_words"),
-        aggregate(col("__ts"), lit(0L), (a, t) => a + length(t).cast("long"))
-          .as("__sumlen"),
+        sumLen(col("__ts")).as("__sumlen"),
         size(filter(col("__ts"), t => t.rlike("[a-z]"))).cast("long").as("__alpha"),
         size(filter(col("__ts"), t => array_contains(stopArr, t))).cast("long")
           .as("stop_hits"),
@@ -344,7 +364,19 @@ object TextOps {
           ((length(col("__text")) -
             length(call_function("replace", col("__text"), lit("..."), lit("")))) / 3)
             .cast("int")).cast("long").as("__syms"),
-        duplicateLineFraction(col("__text")).as("dup_line_frac"))
+        size(col("__lines")).cast("long").as("__nlines"),
+        size(filter(col("__lines"), l =>
+          ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") ||
+            ltrim(l).startsWith("• "))).cast("long").as("__bullets"),
+        size(filter(col("__lines"), l =>
+          rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+          .cast("long").as("__ellip"),
+        dupCountFrac(col("__lines")).as("dup_line_frac"),
+        sumLen(col("__lines")).as("__lchars"),
+        sumLen(array_distinct(col("__lines"))).as("__lcharsd"),
+        dupCountFrac(col("__paras")).as("dup_para_frac"),
+        sumLen(col("__paras")).as("__pchars"),
+        sumLen(array_distinct(col("__paras"))).as("__pcharsd"))
     withCounts
       .select(col(idCol), col("n_words"),
         (col("__sumlen").cast("double") / col("n_words").cast("double"))
@@ -354,14 +386,28 @@ object TextOps {
         col("stop_hits"),
         (col("__syms").cast("double") / col("n_words").cast("double"))
           .as("symbol_ratio"),
-        col("dup_line_frac"))
+        col("dup_line_frac"),
+        dupCharFrac(col("__lchars"), col("__lcharsd")).as("dup_line_char_frac"),
+        when(col("__nlines") === 0L, lit(0.0)).otherwise(
+          col("__bullets").cast("double") / col("__nlines").cast("double"))
+          .as("bullet_frac"),
+        when(col("__nlines") === 0L, lit(0.0)).otherwise(
+          col("__ellip").cast("double") / col("__nlines").cast("double"))
+          .as("ellipsis_frac"),
+        col("dup_para_frac"),
+        dupCharFrac(col("__pchars"), col("__pcharsd")).as("dup_para_char_frac"))
       .withColumn("keep",
         col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(3.0, 10.0) &&
           col("alpha_frac") >= 0.8 &&
           col("stop_hits") >= 2 &&
           col("symbol_ratio") <= 0.1 &&
-          col("dup_line_frac") <= 0.3)
+          col("dup_line_frac") <= 0.3 &&
+          col("dup_line_char_frac") <= 0.2 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("dup_para_frac") <= 0.3 &&
+          col("dup_para_char_frac") <= 0.2)
   }
 
   // --- repetition / boilerplate signals ---------------------------------
@@ -570,12 +616,24 @@ object TextOps {
     * bigram stream then joins it and the unigram table by key — at
     * corpus scale both joins are shuffle joins on the gram keys (the
     * count tables are vocabulary², far too big to broadcast, and
-    * that is the honest plan); V is a one-row broadcast. */
-  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * that is the honest plan); V is a one-row broadcast.
+    *
+    * `materialize` trades the plan's THREE independent tokenize
+    * subtrees (bigram stream, bigram counts, unigram counts — each a
+    * full-corpus regex split, the round-7 verdict's flagged smell)
+    * for ONE checkpoint-truncated (id, tokens) frame that all three
+    * read back. Measured head-to-head with `tools.BigramAb`
+    * (min-of-3, interleaved) — see SCALING.md for the verdict the
+    * default encodes. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      materialize: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.PortableSketches.lnOfIntFast
-    val pairs = docs
-      .select(col(idCol), lowerTokens(col(textCol)).as("__ts"))
+    val tokFrame = {
+      val t = docs.select(col(idCol), lowerTokens(col(textCol)).as("__ts"))
+      if (materialize) Checkpointing.truncate(t) else t
+    }
+    val pairs = tokFrame
       .select(col(idCol), explode(
           when(size(col("__ts")) >= 2,
             transform(sequence(lit(1), size(col("__ts")) - 1),
@@ -584,7 +642,7 @@ object TextOps {
             .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("__p"))
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    val uni = docs.select(explode(lowerTokens(col(textCol))).as("w1"))
+    val uni = tokFrame.select(explode(col("__ts")).as("w1"))
     val uc = uni.groupBy("w1").agg(count(lit(1)).as("__ucnt"))
     // V is by definition uc's row count — aggregating the (already
     // vocabulary-sized) unigram table costs nothing, where a

@@ -93,6 +93,19 @@ class TextPipelineSpec extends SparkSpec {
     val kept = Sampling.budgetSelect(rows, "id", "grp", "score", "w", budget = 9L)
       .select("id", "cum_weight").as[(Long, Long)].collect().toMap
     assert(kept == Map(1L -> 5L, 2L -> 9L, 5L -> 9L))
+    // contract enforcement: fractional weights would truncate silently
+    val frac = rows.withColumn("w", col("w").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(frac, "id", "grp", "score", "w", budget = 9L)
+    }
+    assert(e.getMessage.contains("integral"))
+    // ... and a negative weight breaks prefix monotonicity → job fails
+    // at the first offender instead of re-admitting post-overflow rows
+    val neg = Seq((1L, "g1", 5L, 5L), (2L, "g1", 4L, -1L)).toDF("id", "grp", "score", "w")
+    val err = intercept[Exception] {
+      Sampling.budgetSelect(neg, "id", "grp", "score", "w", budget = 9L).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("bpeTopPairs counts frequency-weighted adjacent pairs, overlaps included") {
@@ -152,6 +165,39 @@ class TextPipelineSpec extends SparkSpec {
       .where(col("id") === 5)
       .select("symbol_ratio", "stop_hits").as[(Double, Long)].head()
     assert(row._1 > 0.1 && row._2 == 2L)
+  }
+
+  test("gopherQualityFlags: App-A line/paragraph rules bind on targeted fixtures") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      // every line a bullet, lines distinct → ONLY the bullet rule fires
+      (6L, (1 to 10).map(i => s"• the data and work$i").mkString("\n")),
+      // every line ends with single-char ellipsis (won't trip the
+      // '...'-based symbol ratio) → ONLY the ellipsis rule fires
+      (7L, (1 to 10).map(i => s"the data and work$i…").mkString("\n")),
+      // a paragraph repeated 3× → both duplicate-paragraph fractions
+      // (and, necessarily, the line fractions) fire
+      (8L, Seq.fill(3)("the data and work here today").mkString("\n\n")
+        + "\n\nmore of this content now here1"),
+      // structured but clean: distinct lines/paras, no bullets/ellipses
+      (9L, "the data and work here\n\nmore of this content now here1")
+    ).toDF("id", "text")
+    val rows = TextOps.gopherQualityFlags(docs, "id", "text", minWords = 5)
+      .select("id", "bullet_frac", "ellipsis_frac", "dup_para_frac",
+        "dup_para_char_frac", "dup_line_frac", "dup_line_char_frac", "keep")
+      .as[(Long, Double, Double, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val d6 = rows(6L)
+    assert(d6._2 == 1.0 && d6._3 == 0.0 && d6._4 == 0.0 && !d6._8,
+      s"bullet doc: $d6")
+    val d7 = rows(7L)
+    assert(d7._3 == 1.0 && d7._2 == 0.0 && !d7._8, s"ellipsis doc: $d7")
+    val d8 = rows(8L)
+    assert(d8._4 == 0.5 && d8._5 > 0.2 && d8._6 == 0.5 && !d8._8,
+      s"dup-para doc: $d8")
+    val d9 = rows(9L)
+    assert(d9._2 == 0.0 && d9._3 == 0.0 && d9._4 == 0.0 && d9._6 == 0.0 && d9._8,
+      s"clean structured doc must keep: $d9")
   }
 
   test("bigramSurprisal matches a hand-computed add-one bigram model") {
