@@ -49,7 +49,7 @@ object Dedup {
   val MaxBroadcastIdsKey = "spark.graft.dedup.maxBroadcastIds"
   private val MaxBroadcastIdsDefault = 10L * 1000 * 1000
 
-  private def broadcastIdLimit(df: DataFrame): Long =
+  private[ops] def broadcastIdLimit(df: DataFrame): Long =
     df.sparkSession.conf.getOption(MaxBroadcastIdsKey)
       .map { v =>
         try v.toLong
@@ -60,8 +60,10 @@ object Dedup {
       }.getOrElse(MaxBroadcastIdsDefault)
 
   /** `small` hinted broadcast below the conf limit, hint-free above it
-    * (`dupCount` = caller's bound on `small`'s rows). */
-  private def maybeBroadcast(small: DataFrame, dupCount: Long): DataFrame =
+    * (`dupCount` = caller's bound on `small`'s rows). Shared across ops
+    * (ANN query/shortlist gating reuses it) — the conf key keeps its
+    * historical `dedup.` prefix but the limit is engine-wide. */
+  private[ops] def maybeBroadcast(small: DataFrame, dupCount: Long): DataFrame =
     if (dupCount <= broadcastIdLimit(small)) broadcast(small) else small
 
   /** Default signature length for the prefilter ESTIMATOR. The bucket

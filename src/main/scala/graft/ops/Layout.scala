@@ -58,23 +58,22 @@ object Layout {
   def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
                      expectedNdv: Long = 100000L): Unit = {
     require(bloomCols.nonEmpty, "at least one bloom column")
-    // the per-column keys go through the session hadoop conf — writer
-    // .option() keys are not forwarded to parquet-mr for these — so
-    // set/unset around the write; NOT safe to interleave with another
-    // concurrent parquet write on the same session. Dictionary encoding
-    // is disabled on the bloom columns: parquet-mr OMITS the bloom
-    // filter for a fully dictionary-encoded chunk (the dictionary is
-    // already an exact membership test), and a genuinely
-    // high-cardinality key — the only kind worth blooming — gains
-    // nothing from a dictionary it would overflow anyway.
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    // The per-column keys ride the write as .option()s: Spark folds
+    // writer options into the PER-JOB hadoop conf
+    // (FileFormatWriter → newHadoopConfWithOptions), so nothing global
+    // is mutated and concurrent writes on the same session are safe
+    // (footer-asserted by OpsSpec). Dictionary encoding is disabled on
+    // the bloom columns: parquet-mr OMITS the bloom filter for a fully
+    // dictionary-encoded chunk (the dictionary is already an exact
+    // membership test), and a genuinely high-cardinality key — the only
+    // kind worth blooming — gains nothing from a dictionary it would
+    // overflow anyway.
     val kv = bloomCols.flatMap(c => Seq(
       s"parquet.bloom.filter.enabled#$c" -> "true",
       s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString,
       s"parquet.enable.dictionary#$c" -> "false"))
-    try {
-      kv.foreach { case (k, v) => conf.set(k, v) }
-      df.write.mode("overwrite").parquet(path)
-    } finally kv.foreach { case (k, _) => conf.unset(k) }
+    kv.foldLeft(df.write.mode("overwrite")) {
+      case (w, (k, v)) => w.option(k, v)
+    }.parquet(path)
   }
 }

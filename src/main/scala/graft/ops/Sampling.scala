@@ -210,11 +210,25 @@ object Sampling {
                    orderCol: String, weightCol: String,
                    budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
+    // Enforce the contract instead of silently breaking it: a
+    // fractional weight would be truncated by the long cast, and a
+    // negative weight makes the running sum non-monotone (rows after an
+    // overflow would re-enter the "prefix"). The type check is
+    // plan-time; negativity is guarded row-locally in the plan itself
+    // (raise_error at first offender — no extra validation scan).
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val wType = df.schema(weightCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(wType),
+      s"weight column '$weightCol' must be integral (exact prefix sums), got $wType")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(orderCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_weight", sum(col(weightCol).cast("long")).over(w))
+    val guarded = when(col(weightCol) < 0, raise_error(concat(
+        lit(s"budgetSelect: negative weight in '$weightCol' for id="),
+        col(idCol).cast("string"))))
+      .otherwise(col(weightCol).cast("long"))
+    df.withColumn("cum_weight", sum(guarded).over(w))
       .where(col("cum_weight") <= budget)
   }
 }

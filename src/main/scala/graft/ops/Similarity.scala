@@ -501,10 +501,17 @@ object Similarity {
                                 k: Int, shortlist: Int): DataFrame = {
     import graft.functions.VectorFunctions.{pqAdcScore, pqDistTable}
     val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
+    // Size-gate every broadcast through the engine-wide limit
+    // (Dedup.maybeBroadcast / spark.graft.dedup.maxBroadcastIds): a
+    // forced broadcast() on an unexpectedly large query batch — or its
+    // sl × |Q| shortlist — is a silent driver-OOM cliff. The one count
+    // job over the query frame is batch-sized by contract and dwarfed
+    // by the code scan it guards.
+    val nq = queries.count()
     val queriesT = queries
       .select(col(qidCol), pqDistTable(col(qvecCol), model).as("__dt"))
     val approx = index
-      .crossJoin(broadcast(queriesT))
+      .crossJoin(Dedup.maybeBroadcast(queriesT, nq))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("qscore",
         when(col("vnorm") === 0.0, lit(0.0)).otherwise(
@@ -512,8 +519,9 @@ object Similarity {
     val short = topKFromScores(approx, qidCol, idCol, "qscore", sl)
       .select(col(qidCol), col(idCol))
     val rerank = corpus
-      .join(broadcast(short), Seq(idCol))
-      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .join(Dedup.maybeBroadcast(short, nq * sl), Seq(idCol))
+      .join(Dedup.maybeBroadcast(queries.select(col(qidCol), col(qvecCol)), nq),
+        Seq(qidCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
     rerank
