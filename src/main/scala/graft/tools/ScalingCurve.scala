@@ -164,10 +164,18 @@ object ScalingCurve {
         only.forall(_.exists(n.startsWith)) }
       .map(e => (e._1, e._2))
 
+    // The expansion is seeded/deterministic, so an existing dir is
+    // bit-identical to what a rerun would write — reuse it unless
+    // explicitly asked to re-expand (SPARK_GRAFT_REEXPAND=1), which
+    // keeps a restricted SPARK_GRAFT_ONLY sweep from paying the x100
+    // rewrite every time.
+    val reexpand = sys.env.get("SPARK_GRAFT_REEXPAND").contains("1")
     factors.foreach { f =>
       val dir = s"$workDir/x$f"
-      expand(spark, baseDir, dir, f)
-      println(s"[scale] expanded x$f -> $dir")
+      if (reexpand || !new java.io.File(s"$dir/documents.parquet").exists()) {
+        expand(spark, baseDir, dir, f)
+        println(s"[scale] expanded x$f -> $dir")
+      } else println(s"[scale] reusing existing $dir")
     }
 
     // JIT/codegen warmup at the smallest size (not recorded)
@@ -221,8 +229,66 @@ object ScalingCurve {
       (label, f, dt)
     })
 
+    // PQ with TRAINED codebooks — the production path. q115's catalog
+    // entry pins md5-seeded codebooks so the oracle can re-derive
+    // them; pqModelTrained (Lloyd, 2 iterations) is what a deployment
+    // runs, and its recall/latency had no curve row before round 8.
+    // Each factor measures the trained search wall-time AND recall@10
+    // against the exact brute-force ground truth on the same 100-query
+    // load (q37's shape) — so SCALING.md can state both the cost and
+    // the quality of the compressed path at x1/x10/x100.
+    val pqLabel = "q115_ann_pq_trained"
+    val pqRun = only.forall(_.exists(pqLabel.startsWith))
+    // the recall lever: shortlist size for the exact re-rank
+    // (SPARK_GRAFT_PQ_SL, default the catalog's 64)
+    val pqSl = sys.env.getOrElse("SPARK_GRAFT_PQ_SL", "64").toInt
+    if (pqRun) {
+      // JIT/codegen warmup at the smallest size (not recorded) — the
+      // headliner warmup above is skipped under a restricted
+      // SPARK_GRAFT_ONLY, and without this the x-min leg eats the
+      // whole JVM warmup tax (measured: 6.96 s at x1 vs 2.35 s at x10)
+      val emb = graft.ops.Tables.table(spark, s"$workDir/x${factors.min}", "embeddings")
+      val annQ = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Similarity.pqTopK(emb, "vec_id", "embedding", annQ, "qid",
+          "qvec", k = 10, m = 16, ksub = 16, shortlist = pqSl,
+          trainIterations = 2)
+        .write.format("noop").mode("overwrite").save()
+      graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          annQ, "qid", "qvec", k = 10)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    val pqRows = (for (f <- factors if pqRun) yield {
+      val emb = graft.ops.Tables.table(spark, s"$workDir/x$f", "embeddings")
+      val annQ = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def sets(df: DataFrame): Map[Long, Set[Long]] =
+        df.select(col("qid").cast("long"), col("vec_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val t0 = System.nanoTime()
+      val pq = sets(graft.ops.Similarity.pqTopK(emb, "vec_id", "embedding",
+        annQ, "qid", "qvec", k = 10, m = 16, ksub = 16, shortlist = pqSl,
+        trainIterations = 2))
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val tB0 = System.nanoTime()
+      val exact = sets(graft.ops.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", annQ, "qid", "qvec", k = 10))
+      val dtB = (System.nanoTime() - tB0) / 1e9
+      spark.catalog.clearCache()
+      val recall = exact.map { case (q, ns) =>
+        (ns intersect pq.getOrElse(q, Set.empty)).size.toDouble / ns.size
+      }.sum / exact.size
+      println(f"[scale] x$f%-4d $pqLabel%s(sl=$pqSl%d) train+search ${dt}%.2f s" +
+        f"  brute ${dtB}%.2f s  recall@10 ${recall}%.3f")
+      Seq((pqLabel, f, dt), (pqLabel + "_recall@10", f, recall),
+        ("q37_brute_reference", f, dtB))
+    }).flatten
+
     println("| query | " + factors.map(f => s"x$f (s)").mkString(" | ") + " |")
-    (rows ++ semRows).groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
+    (rows ++ semRows ++ pqRows).groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
       val byF = rs.map(r => r._2 -> r._3).toMap
       println(s"| $name | " +
         factors.map(f => f"${byF(f)}%.2f").mkString(" | ") + " |")
