@@ -1,0 +1,283 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Tables.{table, dsum, dsumSql}
+import graft.streaming.StreamOps
+
+/** Streaming operators on the DRIVER'S differential gate (round-8).
+  *
+  * The watermark/late-data, streaming-dedup, stateful, and
+  * stream-stream rows of SURVEY §2b were scalatest-proven but
+  * invisible to CORRECTNESS_r{N}: no oracle ever saw them. These
+  * entries close that: each runs its composition through the REAL
+  * Structured Streaming engine — a file source replaying the events
+  * fixture as two deterministic "arrival waves" (microbatches) into a
+  * memory sink — and returns a batch-comparable result whose ANSI-SQL
+  * equivalent (including the watermark admission/eviction arithmetic,
+  * spelled out in epoch seconds) runs in DuckDB. A correctness gate
+  * for STREAMING SEMANTICS, not just for the batch operators.
+  *
+  * Determinism: wave membership is a pure row predicate; wave files get
+  * strictly increasing modification times and the source runs with
+  * `maxFilesPerTrigger = 1`, so the batch sequence — and therefore
+  * every watermark value — replays identically on any engine run.
+  * Watermark thresholds are continuous (microsecond event times minus
+  * whole-second delays) while window boundaries are whole seconds, so
+  * no row ever sits exactly on an admission/eviction boundary and the
+  * strict-vs-inclusive edge semantics cannot bite.
+  *
+  * Scale posture: these are verification-shaped queries (the staging
+  * copy is 1× the events fixture, the sinks hold aggregates or
+  * fixture-bounded rows), but nothing in them collects the corpus —
+  * the same compositions run unchanged on a real stream at any scale;
+  * only the two-wave REPLAY harness is gate-specific.
+  */
+object CatalogStream {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stage DataFrames as single-file parquet "arrival waves" in one
+    * fresh dir with strictly increasing modification times, so a
+    * file-source stream with maxFilesPerTrigger=1 replays them as that
+    * many deterministic microbatches, in order. */
+  private def stageWaves(waves: DataFrame*): String = {
+    val dir = Files.createTempDirectory("graft-stream-waves")
+    def one(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-wave").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dest = dir.resolve(name)
+      Files.move(part.toPath, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    waves.zipWithIndex.foreach { case (w, i) =>
+      one(w, f"wave-$i%02d.parquet", t0 + i * 60000L)
+    }
+    dir.toString
+  }
+  private def stageTwoWaves(a: DataFrame, b: DataFrame): String = stageWaves(a, b)
+
+  /** Run `compose` over the staged wave dir through a real streaming
+    * query (file source, maxFilesPerTrigger=1, AvailableNow) into a
+    * uniquely-named memory sink; returns the sink table. */
+  private def runWaves(spark: SparkSession, dir: String, schema: StructType,
+                       mode: String)(compose: DataFrame => DataFrame): DataFrame = {
+    val name = "graft_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = spark.readStream.format("parquet").schema(schema)
+      .option("maxFilesPerTrigger", 1).load(dir)
+    val q = compose(src).writeStream.format("memory")
+      .queryName(name).outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** events projected to the streaming payload. The fixture's ts reads
+    * as TIMESTAMP_NTZ, which `withWatermark` rejects — convert to
+    * TIMESTAMP up front (the UTC-pinned session makes the instant
+    * identical to DuckDB's naive-as-UTC reading of the same file). */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+
+  /** Epoch seconds of a timestamp column as a double (microsecond
+    * fraction intact); DuckDB's `epoch(ts)` on the same file yields
+    * the identical double under the UTC-pinned session. */
+  private def epochSec(c: org.apache.spark.sql.Column) =
+    c.cast("double")
+
+  private val LateUsers = 10 // user_id % 10 == 0 rows arrive in wave B
+
+  def entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // WATERMARK / LATE DATA through the real engine: 1-hour tumbling
+    // counts with a 1-hour watermark, events arriving as THREE waves —
+    // wave A is the first 80% of the time range minus the straggler
+    // users, wave B the tail, wave C the stragglers (old timestamps
+    // arriving two batches after the watermark advanced past them).
+    // Three waves because Spark's stateful operators use TWO
+    // watermarks (empirically verified with tools.WaveProbe on this
+    // engine): batch k filters LATE INPUT with the watermark of batch
+    // k−1 (so wave B, at batch 1, is filtered with batch 0's initial
+    // zero watermark — nothing drops) and EVICTS/EMITS state with the
+    // watermark of batch k — so wave C, at batch 2, is filtered with
+    // batch 1's watermark max(ts in A) − 1h, and that is where late
+    // drop actually bites. Append mode: the result is exactly the
+    // finalized windows. The oracle replays this arithmetic verbatim:
+    // a wave-C row is admitted iff its window end clears
+    // max(ts in A) − 1h; a window is emitted iff its end is at or
+    // below the final watermark max(all ts) − 1h.
+    ("q122_stream_tumbling_late", (s: SparkSession, d: String) => {
+      val events = ev(s, d)
+      val e = epochSec(col("ts"))
+      val mm = events.agg(min(e), max(e)).head()
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      val split = mn + 0.8 * (mx - mn)
+      val isLate = col("user_id") % LateUsers === 0
+      val dir = stageWaves(
+        events.where(!isLate && e <= split),
+        events.where(!isLate && e > split),
+        events.where(isLate))
+      runWaves(s, dir, events.schema, "append") { df =>
+        df.withWatermark("ts", "3600 seconds")
+          .groupBy(window(col("ts"), "3600 seconds").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sum_value"))
+      }
+        .select(epochSec(col("w.start")).cast("long").as("win_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("win_start")
+    }, Some(
+      s"""WITH e0 AS (
+         |  SELECT event_id, epoch(ts) AS e, user_id, value FROM events
+         |), p AS (
+         |  SELECT min(e) AS mn, max(e) AS mx FROM e0
+         |), t AS (
+         |  SELECT mn + 0.8 * (mx - mn) AS split, mx FROM p
+         |), wa AS (
+         |  SELECT e0.* FROM e0 CROSS JOIN t
+         |  WHERE NOT (user_id % $LateUsers = 0) AND e <= t.split
+         |), wb AS (
+         |  SELECT e0.* FROM e0 CROSS JOIN t
+         |  WHERE NOT (user_id % $LateUsers = 0) AND e > t.split
+         |), wc AS (
+         |  SELECT e0.* FROM e0 WHERE user_id % $LateUsers = 0
+         |), wm AS (
+         |  SELECT max(e) - 3600.0 AS wma FROM wa
+         |), adm AS (
+         |  SELECT * FROM wa
+         |  UNION ALL
+         |  SELECT * FROM wb
+         |  UNION ALL
+         |  SELECT wc.* FROM wc CROSS JOIN wm
+         |  WHERE floor(wc.e / 3600) * 3600 + 3600 > wm.wma
+         |)
+         |SELECT CAST(floor(e / 3600) * 3600 AS BIGINT) AS win_start,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${dsumSql("value")} AS sum_value
+         |FROM adm CROSS JOIN t
+         |GROUP BY 1, t.mx
+         |HAVING win_start + 3600 <= t.mx - 3600.0
+         |ORDER BY win_start""".stripMargin)),
+
+    // STREAMING DEDUP (effective-once): wave B REPLAYS every straggler
+    // user's rows — byte-identical (event_id, ts) duplicates, the
+    // at-least-once redelivery the reference's consumers see — and
+    // StreamOps.dedupped must admit each exactly once across
+    // microbatches (the watermark is wider than the fixture's span, so
+    // no dedup state is evicted and effective-once is exact). The
+    // output is every event exactly once.
+    ("q123_stream_dedup_replay", (s: SparkSession, d: String) => {
+      val events = ev(s, d)
+      val replayed = events.where(col("user_id") % LateUsers === 0)
+      val dir = stageTwoWaves(events, replayed)
+      runWaves(s, dir, events.schema, "append") { df =>
+        StreamOps.dedupped(df, "ts", "event_id", "90 days")
+      }
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin)),
+
+    // ARBITRARY STATEFUL OP (mapGroupsWithState): the per-user running
+    // aggregate carried across microbatches; the final state per user
+    // must equal the batch groupBy. Update mode emits one row per
+    // (user, batch) — the final state is the row with the largest
+    // running count (strictly increasing whenever the user appears).
+    // Values go through floor(value·100) cents so the running Double
+    // sum is integer-exact and iteration-order-free.
+    ("q124_stream_state_running", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val events = ev(s, d)
+      val e = epochSec(col("ts"))
+      val mm = events.agg(min(e), max(e)).head()
+      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
+      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
+      runWaves(s, dir, events.schema, "update") { df =>
+        StreamOps.runningUserState(s,
+          df.select(col("user_id"),
+            floor(col("value") * 100).cast("double").as("cents"))
+            .as[(Long, Double)]).toDF()
+      }
+        .groupBy(col("userId").as("user_id"))
+        .agg(max(col("nEvents")).as("n_events"),
+          max(struct(col("nEvents"), col("totalValue"))).getField("totalValue")
+            .cast("long").as("total_cents"))
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // STREAM-STATIC ENRICH: each microbatch broadcast-joins the static
+    // customer dimension; row-level output proves the join (unique dim
+    // key, so the left join is deterministic per event).
+    ("q125_stream_static_enrich", (s: SparkSession, d: String) => {
+      val events = ev(s, d)
+      val e = epochSec(col("ts"))
+      val mm = events.agg(min(e), max(e)).head()
+      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
+      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
+      val dim = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      runWaves(s, dir, events.schema, "append") { df =>
+        StreamOps.enrich(df, dim, "user_id", "c_custkey")
+      }
+        .select(col("event_id"), col("user_id"), col("c_nationkey"),
+          col("c_mktsegment"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT e.event_id, e.user_id, c.c_nationkey, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin)),
+
+    // STREAM-STREAM INTERVAL JOIN: even-id events against odd-id
+    // events of the same user within ±10 minutes, across microbatch
+    // boundaries (state buffers wave-A rows until their wave-B
+    // partners arrive; the watermark is wider than the fixture's span,
+    // so nothing is evicted and the result is the complete interval
+    // join — the batch theta join the oracle states directly).
+    ("q126_stream_stream_join", (s: SparkSession, d: String) => {
+      val events = ev(s, d)
+      val e = epochSec(col("ts"))
+      val mm = events.agg(min(e), max(e)).head()
+      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
+      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
+      runWaves(s, dir, events.schema, "append") { df =>
+        val a = df.where(col("event_id") % 2 === 0)
+          .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+            col("ts").as("a_ts"))
+        val b = df.where(col("event_id") % 2 === 1)
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("ts").as("b_ts"))
+        StreamOps.streamStreamJoin(a, b, "a_user", "b_user", "a_ts", "b_ts",
+          "90 days", "10 minutes", "10 minutes")
+          .select(col("a_id"), col("b_id"))
+      }
+        .orderBy("a_id", "b_id")
+    }, Some(
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+        | AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE
+        |               AND a.ts + INTERVAL 10 MINUTE
+        |ORDER BY a_id, b_id""".stripMargin))
+  )
+}
