@@ -535,6 +535,46 @@ object CatalogML3 {
         |       any_value(t.top_value) AS top_value,
         |       CAST(any_value(t.top_count) AS BIGINT) AS top_count
         |FROM c c2 JOIN t ON t.col_name = c2.col_name AND t.rn = 1
-        |GROUP BY c2.col_name ORDER BY c2.col_name""".stripMargin))
+        |GROUP BY c2.col_name ORDER BY c2.col_name""".stripMargin)),
+
+    // Parquet bloom-filter layout ON THE GATE (q79's z-order
+    // precedent): write a bloom-filtered copy of documents (doc_id
+    // column, dictionary disabled so parquet-mr emits the filter),
+    // REQUIRE at the parquet footer that every data file carries the
+    // filter — the query fails loudly if the layout silently stopped
+    // producing blooms — then point-probe present and absent keys
+    // through a fresh scan of the copy. The result is the probe rows,
+    // stated directly off the original table by the oracle; the
+    // parquet-level hit/miss behavior and the measured A/B live in
+    // OpsSpec and SCALING.md (round 7).
+    ("q121_bloom_probe", (s: SparkSession, d: String) => {
+      import scala.jdk.CollectionConverters._
+      val docs = table(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bloom-q121").toString
+      graft.ops.Layout.writeWithBloom(
+        docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        dir, Seq("doc_id"), expectedNdv = 100000L)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach { part =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+            s.sparkContext.hadoopConfiguration)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try reader.getFooter.getBlocks.asScala.foreach { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == "doc_id").get
+            require(c.getBloomFilterOffset >= 0,
+              s"bloom filter missing on doc_id in ${part.getName}")
+          } finally reader.close()
+        }
+      s.read.parquet(dir)
+        .where(col("doc_id").isin(7L, 123L, 311L, 499L, 1000003L))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 123, 311, 499, 1000003)
+        |ORDER BY doc_id""".stripMargin))
   )
 }
