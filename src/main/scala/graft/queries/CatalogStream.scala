@@ -75,11 +75,21 @@ object CatalogStream {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val src = spark.readStream.format("parquet").schema(schema)
       .option("maxFilesPerTrigger", 1).load(dir)
-    val q = compose(src).writeStream.format("memory")
-      .queryName(name).outputMode(mode)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-sink-ckpt").toString)
-      .trigger(Trigger.AvailableNow()).start()
+    // Stateful streaming pins one state-store instance per shuffle
+    // partition per operator per microbatch — at the gate's fixture
+    // volumes the store bookkeeping dominates, so the harness runs with
+    // 8 partitions (restored after). This is harness sizing, not
+    // operator posture: a production stream sizes partitions to the
+    // cluster exactly like the batch side.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      compose(src).writeStream.format("memory")
+        .queryName(name).outputMode(mode)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sink-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     // Copy the result OUT of the memory sink and release the sink: the
     // sink holds its rows on the driver for as long as its temp view

@@ -555,6 +555,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gopher line/paragraph fractions equal a naive reimplementation on random docs") {
+    import graft.ops.TextOps
+    // random multi-line docs: tokens from a tiny vocabulary (forcing
+    // duplicate lines/paragraphs), lines joined by \n, occasional blank
+    // lines (\n\n) creating paragraph breaks, bullets and ellipses mixed in
+    val lineGen = for {
+      bullet <- Gen.oneOf("", "", "- ", "* ")
+      words <- Gen.listOfN(3, Gen.oneOf("the", "data", "work", "of", "and"))
+      tail <- Gen.oneOf("", "", "...", "…")
+    } yield bullet + words.mkString(" ") + tail
+    val docGen = for {
+      n <- Gen.choose(1, 12)
+      lines <- Gen.listOfN(n, lineGen)
+      seps <- Gen.listOfN(n, Gen.oneOf("\n", "\n", "\n\n"))
+    } yield lines.zip(seps).map { case (l, s) => l + s }.mkString.stripSuffix("\n")
+    def naive(text: String): (Double, Double, Double, Double, Double, Double) = {
+      val lines = text.split("\n", -1).filter(_.trim.nonEmpty).toSeq
+      val paras = text.split("\n\n", -1).filter(_.trim.nonEmpty).toSeq
+      def dupCount(xs: Seq[String]) =
+        if (xs.isEmpty) 0.0 else 1.0 - xs.distinct.size.toDouble / xs.size
+      def dupChar(xs: Seq[String]) = {
+        val t = xs.map(_.length.toLong).sum
+        if (t == 0) 0.0 else 1.0 - xs.distinct.map(_.length.toLong).sum.toDouble / t
+      }
+      val bullets = lines.count(l => {
+        val lt = l.replaceAll("^ +", "")
+        lt.startsWith("- ") || lt.startsWith("* ") || lt.startsWith("• ")
+      })
+      val ellip = lines.count(l => {
+        val rt = l.replaceAll(" +$", "")
+        rt.endsWith("...") || rt.endsWith("…")
+      })
+      (if (lines.isEmpty) 0.0 else bullets.toDouble / lines.size,
+        if (lines.isEmpty) 0.0 else ellip.toDouble / lines.size,
+        dupCount(lines), dupChar(lines), dupCount(paras), dupChar(paras))
+    }
+    for (seed <- 1L to 3L) {
+      val docs = sample(Gen.listOfN(60, docGen), seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = TextOps.gopherQualityFlags(docs.toDF("id", "text"), "id", "text",
+          minWords = 1)
+        .select("id", "bullet_frac", "ellipsis_frac", "dup_line_frac",
+          "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac")
+        .as[(Long, Double, Double, Double, Double, Double, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+      docs.foreach { case (id, text) =>
+        assert(got(id) == naive(text), s"seed $seed doc $id: ${text.take(80)}")
+      }
+    }
+  }
+
   test("count-min estimates equal or exceed exact counts on random streams") {
     val keyGen = Gen.listOfN(500, Gen.choose(0L, 40L))
     for (seed <- 1L to 3L) {
