@@ -390,6 +390,84 @@ object CatalogStream {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |         AS total_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // STREAMING DEDUP'S STATE BOUND: q123 proves effective-once with a
+    // watermark wide enough that nothing is evicted; THIS query proves
+    // the other half — the watermark actually bounds the state, and the
+    // price is that genuinely late NEW data is dropped. Same two
+    // watermarks as q122: the stragglers (wave C, batch 2) are filtered
+    // with batch 1's watermark max(ts in A) − 1h, so a straggler older
+    // than that never reaches the dedup state at all (this is also why
+    // an evicted key can never be re-EMITTED: the late filter at batch
+    // k equals every eviction watermark applied before it). The output
+    // is every on-time event exactly once, minus the late stragglers —
+    // which the oracle states as a plain WHERE clause.
+    ("q129_stream_dedup_eviction", (s: SparkSession, d: String) => {
+      val events = ev(s, d)
+      val e = epochSec(col("ts"))
+      val mm = events.agg(min(e), max(e)).head()
+      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
+      val isLate = col("user_id") % LateUsers === 0
+      val dir = stageWaves(
+        events.where(!isLate && e <= split),
+        events.where(!isLate && e > split),
+        events.where(isLate))
+      runWaves(s, dir, events.schema, "append") { df =>
+        StreamOps.dedupped(df, "ts", "event_id", "3600 seconds")
+      }
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }, Some(
+      s"""WITH e0 AS (
+         |  SELECT event_id, user_id, event_type, epoch(ts) AS e FROM events
+         |), p AS (
+         |  SELECT min(e) AS mn, max(e) AS mx FROM e0
+         |), t AS (
+         |  SELECT mn + 0.8 * (mx - mn) AS split FROM p
+         |), wm AS (
+         |  SELECT max(e) - 3600.0 AS wma
+         |  FROM e0 CROSS JOIN t
+         |  WHERE NOT (user_id % $LateUsers = 0) AND e <= t.split
+         |)
+         |SELECT event_id, user_id, event_type
+         |FROM e0 CROSS JOIN wm
+         |WHERE NOT (user_id % $LateUsers = 0) OR e >= wm.wma
+         |ORDER BY event_id""".stripMargin)),
+
+    // flatMapGroupsWithState (0..n outputs per key per batch — the
+    // arity mapGroupsWithState cannot express): an alert each time a
+    // user's running total crosses a 1000.00 multiple, state carried
+    // across microbatches. Event values are non-negative, so the
+    // running total is monotone and the SET of multiples crossed is
+    // order-independent (the alert's in-flight total is not — it is
+    // projected away). The oracle is per-user generate_series up to
+    // floor(total/step).
+    ("q130_stream_alerts", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val events = ev(s, d)
+      val e = epochSec(col("ts"))
+      val mm = events.agg(min(e), max(e)).head()
+      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
+      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
+      runWaves(s, dir, events.schema, "append") { df =>
+        StreamOps.thresholdAlerts(s,
+          df.select(col("user_id"),
+            floor(col("value") * 100).cast("double").as("cents"))
+            .as[(Long, Double)], step = 100000.0).toDF()
+      }
+        .select(col("userId").as("user_id"), col("crossedAt").as("crossed_at"))
+        .orderBy("user_id", "crossed_at")
+    }, Some(
+      """WITH c AS (
+        |  SELECT user_id,
+        |         sum(CAST(floor(value * 100) AS BIGINT)) AS tot
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |       CAST(unnest(generate_series(1, CAST(tot // 100000 AS BIGINT)))
+        |         AS BIGINT) AS crossed_at
+        |FROM c WHERE tot >= 100000
+        |ORDER BY user_id, crossed_at""".stripMargin))
   )
 }
