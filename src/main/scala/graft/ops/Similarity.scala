@@ -504,14 +504,29 @@ object Similarity {
     // Size-gate every broadcast through the engine-wide limit
     // (Dedup.maybeBroadcast / spark.graft.dedup.maxBroadcastIds): a
     // forced broadcast() on an unexpectedly large query batch — or its
-    // sl × |Q| shortlist — is a silent driver-OOM cliff. The one count
-    // job over the query frame is batch-sized by contract and dwarfed
-    // by the code scan it guards.
-    val nq = queries.count()
-    val queriesT = queries
+    // sl × |Q| shortlist — is a silent driver-OOM cliff.
+    //
+    // The query frame is TRUNCATED (checkpoint) first: the gate needs a
+    // count and the search reads the frame twice more (ADC tables, the
+    // re-rank join) — without truncation a DERIVED query frame (a
+    // filter over the corpus itself, the ScalingCurve shape) would
+    // re-run its full lineage for each of the three reads.
+    val q0 = Checkpointing.truncate(
+      queries.select(col(qidCol), col(qvecCol)))
+    val nq = q0.count()
+    // The engine-wide limit counts ROWS, calibrated for ~40-byte
+    // duplicate-id rows (the Dedup workloads it was built for). A
+    // queriesT row carries an m·ksub-double ADC table and the re-rank
+    // side a dim-float vector, so gate on id-row EQUIVALENTS
+    // (bytes / 40): a 5M-row batch of ~2 KB tables (~10 GB) must not
+    // pass a 10M-ROW gate.
+    val dim = model.m.toLong * model.dsub
+    val nqTableEff = nq * ((model.m.toLong * model.ksub * 8 + 48) / 40).max(1)
+    val nqVecEff = nq * ((dim * 4 + 48) / 40).max(1)
+    val queriesT = q0
       .select(col(qidCol), pqDistTable(col(qvecCol), model).as("__dt"))
     val approx = index
-      .crossJoin(Dedup.maybeBroadcast(queriesT, nq))
+      .crossJoin(Dedup.maybeBroadcast(queriesT, nqTableEff))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("qscore",
         when(col("vnorm") === 0.0, lit(0.0)).otherwise(
@@ -520,8 +535,7 @@ object Similarity {
       .select(col(qidCol), col(idCol))
     val rerank = corpus
       .join(Dedup.maybeBroadcast(short, nq * sl), Seq(idCol))
-      .join(Dedup.maybeBroadcast(queries.select(col(qidCol), col(qvecCol)), nq),
-        Seq(qidCol))
+      .join(Dedup.maybeBroadcast(q0, nqVecEff), Seq(qidCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
     rerank

@@ -550,8 +550,11 @@ object CatalogML3 {
     ("q121_bloom_probe", (s: SparkSession, d: String) => {
       import scala.jdk.CollectionConverters._
       val docs = table(s, d, "documents")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-bloom-q121").toString
+      // fixed per-fixture location, overwritten each run — a fresh temp
+      // dir per invocation would leave a full documents copy behind on
+      // every Verify/bench pass (review finding, round 8)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-bloom-q121-" + Integer.toHexString(d.hashCode)).toString
       graft.ops.Layout.writeWithBloom(
         docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         dir, Seq("doc_id"), expectedNdv = 100000L)

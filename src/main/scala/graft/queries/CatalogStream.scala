@@ -42,6 +42,17 @@ import graft.streaming.StreamOps
 object CatalogStream {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Recursive delete — the staging/checkpoint dirs are per-invocation
+    * and a 3-pass bench over ten gate queries would otherwise leave
+    * O(fixture-size) orphans under /tmp every round. */
+  private def rmrf(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
+
   /** Stage DataFrames as single-file parquet "arrival waves" in one
     * fresh dir with strictly increasing modification times, so a
     * file-source stream with maxFilesPerTrigger=1 replays them as that
@@ -57,6 +68,7 @@ object CatalogStream {
       val dest = dir.resolve(name)
       Files.move(part.toPath, dest)
       Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      rmrf(tmp) // drop the _SUCCESS/.crc leftovers of the staging write
     }
     val t0 = System.currentTimeMillis() - 600000L
     waves.zipWithIndex.foreach { case (w, i) =>
@@ -83,11 +95,11 @@ object CatalogStream {
     // cluster exactly like the batch side.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
     val q = try {
       compose(src).writeStream.format("memory")
         .queryName(name).outputMode(mode)
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-sink-ckpt").toString)
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
@@ -99,6 +111,9 @@ object CatalogStream {
     // returned frame goes unreferenced.
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
+    // the result is materialized, so the wave files and the streaming
+    // checkpoint are dead weight — reclaim them now
+    rmrf(dir); rmrf(ckpt)
     out
   }
 

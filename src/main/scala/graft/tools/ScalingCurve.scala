@@ -172,7 +172,9 @@ object ScalingCurve {
     val reexpand = sys.env.get("SPARK_GRAFT_REEXPAND").contains("1")
     factors.foreach { f =>
       val dir = s"$workDir/x$f"
-      if (reexpand || !new java.io.File(s"$dir/documents.parquet").exists()) {
+      // sentinel on embeddings.parquet — the LAST table expand() writes —
+      // so an expansion killed between the two writes is not "reused"
+      if (reexpand || !new java.io.File(s"$dir/embeddings.parquet").exists()) {
         expand(spark, baseDir, dir, f)
         println(s"[scale] expanded x$f -> $dir")
       } else println(s"[scale] reusing existing $dir")
