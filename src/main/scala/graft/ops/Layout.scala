@@ -76,4 +76,42 @@ object Layout {
       case (w, (k, v)) => w.option(k, v)
     }.parquet(path)
   }
+
+  /** Compact a parquet directory into ~`targetFileBytes` files — the
+    * small-files lever: a heavily partitioned ingest (one file per
+    * task per micro-batch per partition) leaves a 100 TB table as
+    * hundreds of millions of KB-sized files, and every later scan pays
+    * a listing + footer-read + task per file. Compaction sizes the
+    * output to the DATA (ceil(inputBytes / target)), not to whatever
+    * parallelism wrote it.
+    *
+    * `shuffle = true` (default) round-robin-repartitions — one shuffle
+    * of the data being compacted, in exchange for evenly-sized files
+    * (the posture for a table other jobs will scan forever).
+    * `shuffle = false` coalesces — no shuffle, but file sizes inherit
+    * the input's skew; right for one-off staging data.
+    *
+    * Writes to `destDir` (never in place: a lazy reader of `srcDir`
+    * must not race its own overwrite). Returns the output file count.
+    * The input bytes are the FS listing size; compressed output files
+    * land near (often under) `targetFileBytes` — the point is the
+    * count's ORDER, not byte-exact sizes. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession,
+                srcDir: String, destDir: String,
+                targetFileBytes: Long = 128L * 1024 * 1024,
+                shuffle: Boolean = true): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(new org.apache.hadoop.fs.Path(srcDir) !=
+      new org.apache.hadoop.fs.Path(destDir), "compaction is never in place")
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(src).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(srcDir)
+    val sized = if (shuffle) df.repartition(parts) else df.coalesce(parts)
+    sized.write.mode("overwrite").parquet(destDir)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    fs.listStatus(dest).count(f => f.getPath.getName.endsWith(".parquet") &&
+      !f.getPath.getName.startsWith("_"))
+  }
 }

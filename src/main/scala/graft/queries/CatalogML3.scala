@@ -578,6 +578,31 @@ object CatalogML3 {
     }, Some(
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (7, 123, 311, 499, 1000003)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Small-files compaction ON THE GATE: stage documents as a 64-file
+    // sliver layout (the pathological ingest shape — one file per task
+    // per micro-batch), compact to data-sized files, REQUIRE the file
+    // count actually collapsed, and return the compacted content. The
+    // oracle is the table itself: compaction must be lossless; the
+    // count `require` is the layout evidence the content alone cannot
+    // carry.
+    ("q131_compact", (s: SparkSession, d: String) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-compact-q131-" + Integer.toHexString(d.hashCode))
+      val sliver = new java.io.File(base, "sliver").toString
+      val out = new java.io.File(base, "compacted").toString
+      table(s, d, "documents").repartition(64)
+        .write.mode("overwrite").parquet(sliver)
+      val n = graft.ops.Layout.compactTo(s, sliver, out,
+        targetFileBytes = 8L * 1024 * 1024)
+      require(n < 64, s"compaction left $n files — the sliver layout survived")
+      s.read.parquet(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -309,6 +309,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("compactTo sizes output files to the data, losslessly, both shuffle modes") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val sliver = s"$base/sliver"
+    val df = spark.range(0, 20000)
+      .select(col("id"), concat(lit("x" * 200), col("id").cast("string")).as("pad"))
+    df.repartition(48).write.mode("overwrite").parquet(sliver)
+    val nIn = new java.io.File(sliver).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(nIn == 48)
+    // tiny target → several files; count follows ceil(bytes/target)
+    val fs = new org.apache.hadoop.fs.Path(sliver)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(sliver)).getLength
+    val target = bytes / 4
+    val n1 = graft.ops.Layout.compactTo(spark, sliver, s"$base/c1", target)
+    assert(n1 == math.ceil(bytes.toDouble / target).toInt, s"got $n1 files")
+    assert(n1 < nIn)
+    val back1 = spark.read.parquet(s"$base/c1")
+    assert(back1.exceptAll(df).isEmpty && df.exceptAll(back1).isEmpty)
+    // shuffle=false (coalesce) also compacts and stays lossless
+    val n2 = graft.ops.Layout.compactTo(spark, sliver, s"$base/c2",
+      bytes * 2, shuffle = false)
+    assert(n2 == 1)
+    val back2 = spark.read.parquet(s"$base/c2")
+    assert(back2.exceptAll(df).isEmpty && df.exceptAll(back2).isEmpty)
+    // in-place compaction is refused
+    intercept[IllegalArgumentException] {
+      graft.ops.Layout.compactTo(spark, sliver, sliver, target)
+    }
+  }
+
   test("writeWithBloom: footer carries bloom filters on the asked columns only") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString

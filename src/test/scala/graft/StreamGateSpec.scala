@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Catalog
+
+/** The q122-q130 streaming gate family, exercised at sf0.001 against
+  * in-Spark BATCH replicas of their oracles — so `sbt test` catches a
+  * broken wave harness or a drifted watermark assumption without
+  * waiting for the driver's DuckDB gate. The DuckDB oracles remain the
+  * authoritative cross-engine check; these replicas state the same
+  * arithmetic in Spark. */
+class StreamGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = Catalog.queries(name)(spark, sf)
+
+  test("q122 equals the two-watermark batch replica (late stragglers dropped)") {
+    val events = graft.ops.Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value"))
+    val e = col("ts").cast("double")
+    val mm = events.agg(min(e), max(e)).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val split = mn + 0.8 * (mx - mn)
+    val isLate = col("user_id") % 10 === 0
+    val wa = events.where(!isLate && e <= split)
+    val wm0 = wa.agg(max(e)).head().getDouble(0) - 3600.0
+    val admitted = wa
+      .unionAll(events.where(!isLate && e > split))
+      .unionAll(events.where(isLate)
+        .where(floor(e / 3600) * 3600 + 3600 > wm0))
+    val expected = admitted
+      .groupBy((floor(e / 3600) * 3600).cast("long").as("win_start"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Tables.dsum(col("value")).as("sum_value"))
+      .where(col("win_start") + 3600 <= mx - 3600.0)
+    val got = q("q122_stream_tumbling_late")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "streamed windows must equal the two-watermark batch replica")
+    // the late path must actually bite on this fixture
+    val all = events.count()
+    val emitted = got.agg(sum(col("n_events"))).head().getLong(0)
+    assert(emitted < all, "no stragglers were dropped — the late path is dead")
+  }
+
+  test("q123 replay dedup emits every event exactly once") {
+    val got = q("q123_stream_dedup_replay")
+    val n = graft.ops.Tables.table(spark, sf, "events").count()
+    assert(got.count() == n)
+    assert(got.select("event_id").distinct().count() == n)
+  }
+
+  test("q124/q128 running state equals batch groupBy through both state APIs") {
+    val expected = graft.ops.Tables.table(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("total_cents"))
+    Seq("q124_stream_state_running", "q128_stream_state_tws").foreach { name =>
+      val got = q(name)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"$name must equal the batch groupBy")
+    }
+  }
+
+  test("q130 alerts equal floor(total/step) multiples per user") {
+    val got = q("q130_stream_alerts")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), max("crossed_at").as("mx"))
+    val expected = graft.ops.Tables.table(spark, sf, "events")
+      .groupBy("user_id")
+      .agg((sum(floor(col("value") * 100).cast("long")) / 100000L)
+        .cast("long").as("k"))
+      .where(col("k") >= 1)
+      .select(col("user_id"), col("k").as("n"), col("k").as("mx"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
