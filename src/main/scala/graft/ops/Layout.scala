@@ -101,17 +101,33 @@ object Layout {
                 targetFileBytes: Long = 128L * 1024 * 1024,
                 shuffle: Boolean = true): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(new org.apache.hadoop.fs.Path(srcDir) !=
-      new org.apache.hadoop.fs.Path(destDir), "compaction is never in place")
-    val src = new org.apache.hadoop.fs.Path(srcDir)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(src).getLength
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    val destFs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(conf)
+    // The never-in-place guard compares FULLY QUALIFIED paths (scheme +
+    // authority resolved by each path's own filesystem) and rejects
+    // ancestor/descendant nesting — a raw Path comparison would let
+    // "/t" vs "file:/t" (or a dest nested under src) through, and the
+    // overwrite would delete the directory the lazy source read is
+    // about to scan.
+    val src = srcFs.makeQualified(new org.apache.hadoop.fs.Path(srcDir))
+    val dest = destFs.makeQualified(new org.apache.hadoop.fs.Path(destDir))
+    def contains(a: org.apache.hadoop.fs.Path,
+                 b: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = b
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(!contains(src, dest) && !contains(dest, src),
+      s"compaction is never in place (src=$src dest=$dest)")
+    val bytes = srcFs.getContentSummary(src).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(srcDir)
     val sized = if (shuffle) df.repartition(parts) else df.coalesce(parts)
     sized.write.mode("overwrite").parquet(destDir)
-    val dest = new org.apache.hadoop.fs.Path(destDir)
-    fs.listStatus(dest).count(f => f.getPath.getName.endsWith(".parquet") &&
+    // the listing goes through DEST's filesystem — src and dest may
+    // legitimately live on different stores (local staging → object store)
+    destFs.listStatus(dest).count(f => f.getPath.getName.endsWith(".parquet") &&
       !f.getPath.getName.startsWith("_"))
   }
 }

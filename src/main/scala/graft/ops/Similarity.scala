@@ -506,13 +506,17 @@ object Similarity {
     // forced broadcast() on an unexpectedly large query batch — or its
     // sl × |Q| shortlist — is a silent driver-OOM cliff.
     //
-    // The query frame is TRUNCATED (checkpoint) first: the gate needs a
-    // count and the search reads the frame twice more (ADC tables, the
-    // re-rank join) — without truncation a DERIVED query frame (a
-    // filter over the corpus itself, the ScalingCurve shape) would
-    // re-run its full lineage for each of the three reads.
-    val q0 = Checkpointing.truncate(
-      queries.select(col(qidCol), col(qvecCol)))
+    // The query frame is CACHED first: the gate needs a count and the
+    // search reads the frame twice more (ADC tables, the re-rank
+    // join) — without it a DERIVED query frame (a filter over the
+    // corpus itself, the ScalingCurve shape) would re-run its full
+    // lineage for each of the three reads. cache(), not
+    // Checkpointing.truncate: under reliable checkpointing truncate
+    // would write one never-released stable-storage copy PER SEARCH
+    // CALL (cleanCheckpoints is off by default and this call site has
+    // no rotation point), while a cached batch is LRU-evicted and
+    // keeps its lineage for fault recovery.
+    val q0 = queries.select(col(qidCol), col(qvecCol)).cache()
     val nq = q0.count()
     // The engine-wide limit counts ROWS, calibrated for ~40-byte
     // duplicate-id rows (the Dedup workloads it was built for). A

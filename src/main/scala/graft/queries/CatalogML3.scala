@@ -550,11 +550,12 @@ object CatalogML3 {
     ("q121_bloom_probe", (s: SparkSession, d: String) => {
       import scala.jdk.CollectionConverters._
       val docs = table(s, d, "documents")
-      // fixed per-fixture location, overwritten each run — a fresh temp
-      // dir per invocation would leave a full documents copy behind on
-      // every Verify/bench pass (review finding, round 8)
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-bloom-q121-" + Integer.toHexString(d.hashCode)).toString
+      // per-process scratch (shutdown-deleted): stable within the
+      // process so a 3-pass bench overwrites one copy, pid-keyed so two
+      // drivers on the same fixture cannot race each other's overwrite
+      val dir = new java.io.File(
+        graft.ops.LocalFiles.processScratchDir("bloom-q121"),
+        Integer.toHexString(d.hashCode)).toString
       graft.ops.Layout.writeWithBloom(
         docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         dir, Seq("doc_id"), expectedNdv = 100000L)
@@ -588,15 +589,23 @@ object CatalogML3 {
     // count `require` is the layout evidence the content alone cannot
     // carry.
     ("q131_compact", (s: SparkSession, d: String) => {
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-compact-q131-" + Integer.toHexString(d.hashCode))
+      val base = new java.io.File(
+        graft.ops.LocalFiles.processScratchDir("compact-q131"),
+        Integer.toHexString(d.hashCode))
       val sliver = new java.io.File(base, "sliver").toString
       val out = new java.io.File(base, "compacted").toString
       table(s, d, "documents").repartition(64)
         .write.mode("overwrite").parquet(sliver)
+      // target derived from the MEASURED sliver bytes (quarter of the
+      // data → ≤ ~4-5 output files at ANY fixture scale) — a constant
+      // target would couple the gate to the fixture staying small
+      val srcPath = new org.apache.hadoop.fs.Path(sliver)
+      val bytes = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(srcPath).getLength
       val n = graft.ops.Layout.compactTo(s, sliver, out,
-        targetFileBytes = 8L * 1024 * 1024)
-      require(n < 64, s"compaction left $n files — the sliver layout survived")
+        targetFileBytes = math.max(1L, bytes / 4))
+      require(n < 64 && n <= 5,
+        s"compaction left $n files — the sliver layout survived")
       s.read.parquet(out)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))

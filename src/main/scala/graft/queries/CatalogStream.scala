@@ -42,16 +42,11 @@ import graft.streaming.StreamOps
 object CatalogStream {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Recursive delete — the staging/checkpoint dirs are per-invocation
-    * and a 3-pass bench over ten gate queries would otherwise leave
-    * O(fixture-size) orphans under /tmp every round. */
-  private def rmrf(path: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(go))
-      f.delete(); ()
-    }
-    go(new java.io.File(path))
-  }
+  // staging/checkpoint dirs are per-invocation; without cleanup a
+  // 3-pass bench over ten gate queries leaves O(fixture-size) orphans
+  // under /tmp every round
+  private def rmrf(path: String): Unit =
+    graft.ops.LocalFiles.deleteRecursively(path)
 
   /** Stage DataFrames as single-file parquet "arrival waves" in one
     * fresh dir with strictly increasing modification times, so a
@@ -96,25 +91,29 @@ object CatalogStream {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
-    val q = try {
-      compose(src).writeStream.format("memory")
-        .queryName(name).outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    // Copy the result OUT of the memory sink and release the sink: the
-    // sink holds its rows on the driver for as long as its temp view
-    // exists, and a bench pass runs every gate query three times — the
-    // retained sinks were measurable GC pressure on the whole suite.
-    // localCheckpoint blocks are freed by the ContextCleaner once the
-    // returned frame goes unreferenced.
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    // the result is materialized, so the wave files and the streaming
-    // checkpoint are dead weight — reclaim them now
-    rmrf(dir); rmrf(ckpt)
-    out
+    // The cleanup is in a finally: a failed stream (analysis error,
+    // runtime death) must not leak the wave dir, the checkpoint, or the
+    // driver-resident sink view — exactly the orphans this helper
+    // exists to prevent (round-8 review).
+    try {
+      val q = try {
+        compose(src).writeStream.format("memory")
+          .queryName(name).outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      // Copy the result OUT of the memory sink and release the sink:
+      // the sink holds its rows on the driver for as long as its temp
+      // view exists, and a bench pass runs every gate query three
+      // times — the retained sinks were measurable GC pressure on the
+      // whole suite. localCheckpoint blocks are freed by the
+      // ContextCleaner once the returned frame goes unreferenced.
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      scala.util.Try(spark.catalog.dropTempView(name))
+      rmrf(dir); rmrf(ckpt)
+    }
   }
 
   /** events projected to the streaming payload. The fixture's ts reads

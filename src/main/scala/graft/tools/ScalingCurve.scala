@@ -172,9 +172,11 @@ object ScalingCurve {
     val reexpand = sys.env.get("SPARK_GRAFT_REEXPAND").contains("1")
     factors.foreach { f =>
       val dir = s"$workDir/x$f"
-      // sentinel on embeddings.parquet — the LAST table expand() writes —
-      // so an expansion killed between the two writes is not "reused"
-      if (reexpand || !new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      // sentinel on embeddings.parquet/_SUCCESS — the commit marker of
+      // the LAST table expand() writes — so an expansion killed between
+      // the two writes OR mid-embeddings-write is never "reused"
+      if (reexpand ||
+          !new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
         expand(spark, baseDir, dir, f)
         println(s"[scale] expanded x$f -> $dir")
       } else println(s"[scale] reusing existing $dir")
