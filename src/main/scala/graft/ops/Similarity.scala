@@ -92,6 +92,33 @@ object Similarity {
     topKFromScores(joined, qidCol, idCol, "cos", k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — "hard" because high-cosine wrong-label rows are the
+    * gradient-rich negatives a triplet/InfoNCE batch wants (random
+    * negatives are trivially separable and teach nothing). The dual of
+    * ANN search: same ranking, inverted class constraint.
+    *
+    * Plan shape = [[bruteForceTopK]]: anchors (with their labels)
+    * broadcast, the corpus never shuffles, per-anchor top-k through the
+    * O(k)-heap aggregate — with the label-inequality filter applied
+    * BEFORE the heap, so same-label rows never enter the shuffle. A
+    * null corpus label counts as "different from everything"
+    * (null-safe inequality): unlabeled rows stay eligible negatives.
+    *
+    * Output: (qidCol, rank, idCol, cos) — the ANN schema. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    anchors: DataFrame, qidCol: String, qvecCol: String,
+                    qlabelCol: String, k: Int): DataFrame = {
+    val joined = Tables.spread(corpus, idCol)
+      .crossJoin(broadcast(anchors))
+      .where(col(qidCol) =!= col(idCol) &&
+        !(col(labelCol) <=> col(qlabelCol)))
+      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
+    topKFromScores(joined, qidCol, idCol, "cos", k)
+  }
+
   /** Two-stage ANN with an int8-quantized first pass: candidate
     * generation scores packed 8-bit codes with an integer dot product
     * (4× less memory traffic than the float scan — at 100 TB the vector

@@ -612,6 +612,39 @@ object CatalogML3 {
         .orderBy("doc_id")
     }, Some(
       """SELECT doc_id, text, lang, source, n_chars FROM documents
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Hard-negative mining (contrastive-training prep): per anchor, the
+    // top-5 highest-cosine vectors with a DIFFERENT label — the dual of
+    // q37's ANN search with the class constraint inverted. Same
+    // broadcast-scan plan, label filter before the heap; the oracle is
+    // q37's exact-cosine ranking plus the label inequality.
+    ("q132_hard_negatives", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.ops.Similarity.hardNegatives(
+          emb, "vec_id", "embedding", "label",
+          emb.where(col("vec_id") < 60)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+              col("label").as("qlabel")),
+          "qid", "qvec", "qlabel", k = 5)
+        .orderBy("qid", "rank")
+    }, Some(
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 60
+        |), j AS (
+        |  SELECT q.qid, v.vec_id,
+        |         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                CAST(v.embedding AS DOUBLE[])) AS cos,
+        |         row_number() OVER (PARTITION BY q.qid
+        |                            ORDER BY list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                                            CAST(v.embedding AS DOUBLE[])) DESC,
+        |                                     v.vec_id ASC) AS rank
+        |  FROM q JOIN embeddings v
+        |    ON v.vec_id != q.qid AND v.label != q.qlabel
+        |)
+        |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos
+        |FROM j WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin))
   )
 }

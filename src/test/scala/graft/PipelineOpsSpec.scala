@@ -237,6 +237,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exchanges.isEmpty)
   }
 
+  test("hardNegatives excludes same-label rows even when they are the nearest") {
+    import graft.ops.Similarity
+    // anchor 1 (label A) is nearly identical to 2 (label A) and less
+    // similar to 3/4 (label B) — the same-label near-duplicate must
+    // NEVER appear among its negatives
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f), "A"),
+      (2L, Array(0.99f, 0.1f, 0f), "A"),
+      (3L, Array(0.7f, 0.7f, 0f), "B"),
+      (4L, Array(0f, 1f, 0f), "B"),
+      (5L, Array(0f, 0f, 1f), null.asInstanceOf[String]) // unlabeled
+    ).toDF("id", "vec", "label")
+    val anchors = corpus.where(col("id") === 1)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("label").as("qlabel"))
+    val out = Similarity.hardNegatives(corpus, "id", "vec", "label",
+        anchors, "qid", "qvec", "qlabel", k = 3)
+      .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1)
+    // ranked by cosine to (1,0,0): 3 (0.707) > 5? no — 5 is orthogonal
+    // (0.0) and 4 orthogonal (0.0), tie broken by id: 4 before 5.
+    // Unlabeled 5 IS an eligible negative (null-safe inequality).
+    assert(out.map(_._2).toSeq == Seq(3L, 4L, 5L), s"got ${out.toSeq}")
+    assert(!out.map(_._2).contains(2L), "same-label near-dup leaked in")
+  }
+
   test("pqTopK: query/shortlist broadcasts obey the engine-wide size gate") {
     val corpus = (1 to 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat))
