@@ -306,6 +306,46 @@ object TextOps {
       .cast("long")
   }
 
+  // --- Unicode / whitespace canonicalization ----------------------------
+
+  /** Unicode NFC composition as a Column (compiled single node —
+    * [[graft.functions.NfcNormalize]]). */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(
+      graft.functions.NfcNormalize(GraftSqlShim.expression(text)))
+  }
+
+  /** Canonical text form — the pass crawl pipelines run BEFORE any
+    * hashing: "café" composed (U+00E9) and decomposed (e + U+0301) are
+    * different byte strings with identical rendering, so exact dedup,
+    * MinHash shingles, and line digests all miss the duplicate without
+    * it. In order: NFC composition; CR/CRLF → LF; strip the remaining
+    * C0 controls + DEL (tab and LF survive — they are structure);
+    * collapse space/tab runs to one space; strip spaces around
+    * newlines; trim. Pure row-local column expressions — at corpus
+    * scale this rides the scan's codegen stage, zero shuffle. */
+  def normalizeText(text: Column): Column = {
+    val composed = nfc(text)
+    val lf = regexp_replace(composed, "\\r\\n|\\r", "\n")
+    val noCtl = regexp_replace(lf, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    trim(regexp_replace(oneSpace, " ?\\n ?", "\n"))
+  }
+
+  /** The DuckDB twin of [[normalizeText]] over a SQL fragment —
+    * utf8proc's nfc_normalize implements the same Unicode NFC
+    * algorithm, and both regex dialects treat these ASCII classes
+    * identically. */
+  def normalizeTextSql(e: String): String = {
+    val composed = s"nfc_normalize($e)"
+    val lf = s"regexp_replace($composed, '\\r\\n|\\r', chr(10), 'g')"
+    val noCtl =
+      s"regexp_replace($lf, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
+    val oneSpace = s"regexp_replace($noCtl, '[ \\t]+', ' ', 'g')"
+    s"trim(regexp_replace($oneSpace, ' ?\\n ?', chr(10), 'g'))"
+  }
+
   // --- Gopher quality rules (Rae et al. 2021, Appendix A) ---------------
 
   /** The Gopher stopword-presence list. */

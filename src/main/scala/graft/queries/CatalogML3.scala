@@ -645,6 +645,53 @@ object CatalogML3 {
         |)
         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos
         |FROM j WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin))
+        |ORDER BY qid, rank""".stripMargin)),
+
+    // Unicode + whitespace canonicalization — the pre-hash pass every
+    // crawl pipeline runs. The fixture is clean ASCII, so the query
+    // derives dirty text first (the q117/q120 trick): doc_id%4 injects
+    // decomposed accents (e + combining U+0301), BEL controls + CRLF
+    // line ends, or doubled-space/tab noise. NFC must recompose the
+    // accent to one code point (lengths prove it), controls must
+    // vanish, whitespace must collapse — and Spark's Normalizer and
+    // DuckDB's utf8proc must agree byte-for-byte on the result.
+    ("q133_text_normalize", (s: SparkSession, d: String) => {
+      val m4 = col("doc_id") % 4
+      val dirty = when(m4 === 1,
+          call_function("replace", col("text"), lit("e"), lit("é")))
+        .when(m4 === 2, concat(
+          call_function("replace", col("text"), lit("a"), lit("\u0007a")),
+          lit("\r\ntail line\r")))
+        .when(m4 === 3,
+          call_function("replace",
+            call_function("replace", col("text"), lit(" "), lit("  ")),
+            lit("of"), lit("\tof\t")))
+        .otherwise(col("text"))
+      spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), dirty.as("__dirty"))
+        .select(col("doc_id"),
+          length(col("__dirty")).cast("long").as("n_chars_dirty"),
+          TextOps.normalizeText(col("__dirty")).as("clean_text"))
+        .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
+    }, Some {
+      val dirty =
+        s"""CASE CAST(doc_id % 4 AS INT)
+           |  WHEN 1 THEN replace(text, 'e', 'e' || chr(769))
+           |  WHEN 2 THEN replace(text, 'a', chr(7) || 'a') ||
+           |              chr(13) || chr(10) || 'tail line' || chr(13)
+           |  WHEN 3 THEN replace(replace(text, ' ', '  '),
+           |                      'of', chr(9) || 'of' || chr(9))
+           |  ELSE text END""".stripMargin
+      s"""WITH b AS (
+         |  SELECT doc_id, $dirty AS dirty FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(dirty) AS BIGINT) AS n_chars_dirty,
+         |       ${TextOps.normalizeTextSql("dirty")} AS clean_text,
+         |       CAST(len(${TextOps.normalizeTextSql("dirty")}) AS BIGINT)
+         |         AS n_chars_clean
+         |FROM b ORDER BY doc_id""".stripMargin
+    })
   )
 }

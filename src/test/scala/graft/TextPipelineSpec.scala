@@ -148,6 +148,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(enc == s"${BpeMark}mer${BpeMark}er")
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace squeeze") {
+    import graft.ops.TextOps
+    val rows = Seq(
+      (1L, "café time"),            // decomposed é → composed, 1 char
+      (2L, "ab\r\nline2\rline3"),   // BEL stripped, CR/CRLF → LF
+      (3L, "  a \t b\t\tc  "),            // squeeze + trim
+      (4L, "x \n y"),                     // spaces around newline stripped
+      (5L, "café")                   // already composed: fixpoint
+    ).toDF("id", "text")
+    val out = rows.select(col("id"), TextOps.normalizeText(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "café time" && out(1L).length == 9)
+    assert(out(2L) == "ab\nline2\nline3")
+    assert(out(3L) == "a b c")
+    assert(out(4L) == "x\ny")
+    assert(out(5L) == "café")
+    // idempotent: normalize(normalize(x)) == normalize(x)
+    val twice = rows.select(
+        TextOps.normalizeText(TextOps.normalizeText(col("text"))).as("t"))
+      .as[String].collect().toSeq
+    assert(twice == rows.select(TextOps.normalizeText(col("text")))
+      .as[String].collect().toSeq)
+  }
+
   test("gopherQualityFlags: each rule binds on a targeted fixture") {
     import graft.ops.TextOps
     val good = (("the data and systems work well with care " * 4).trim + " of that")
