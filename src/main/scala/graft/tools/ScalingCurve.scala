@@ -70,7 +70,10 @@ object ScalingCurve {
       // signed random projection: row-local O(outDim·dim) codegen loop
       "q119",
       // table profiler: k-way melt + one (col, value) count shuffle
-      "q120")
+      "q120",
+      // hard negatives: q37's broadcast scan + a label filter before
+      // the heap; text normalization: row-local NFC + regex chain
+      "q132", "q133")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase
