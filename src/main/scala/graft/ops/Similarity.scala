@@ -84,10 +84,21 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
-                     k: Int): DataFrame = {
-    val joined = Tables.spread(corpus, idCol)
+                     k: Int): DataFrame =
+    broadcastScanTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k, None)
+
+  /** The one broadcast-scan ranking pipeline behind [[bruteForceTopK]]
+    * and [[hardNegatives]] (spread → crossJoin(broadcast) → self-id
+    * filter → exact cosine → O(k) heap), with an optional extra
+    * predicate applied BEFORE the heap — shared so the two ranking
+    * paths cannot drift. */
+  private def broadcastScanTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                                queries: DataFrame, qidCol: String, qvecCol: String,
+                                k: Int, extraFilter: Option[Column]): DataFrame = {
+    val base = Tables.spread(corpus, idCol)
       .crossJoin(broadcast(queries))
       .where(col(qidCol) =!= col(idCol))
+    val joined = extraFilter.fold(base)(base.where)
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
     topKFromScores(joined, qidCol, idCol, "cos", k)
   }
@@ -110,14 +121,9 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
                     labelCol: String,
                     anchors: DataFrame, qidCol: String, qvecCol: String,
-                    qlabelCol: String, k: Int): DataFrame = {
-    val joined = Tables.spread(corpus, idCol)
-      .crossJoin(broadcast(anchors))
-      .where(col(qidCol) =!= col(idCol) &&
-        !(col(labelCol) <=> col(qlabelCol)))
-      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
-    topKFromScores(joined, qidCol, idCol, "cos", k)
-  }
+                    qlabelCol: String, k: Int): DataFrame =
+    broadcastScanTopK(corpus, idCol, vecCol, anchors, qidCol, qvecCol, k,
+      Some(!(col(labelCol) <=> col(qlabelCol))))
 
   /** Two-stage ANN with an int8-quantized first pass: candidate
     * generation scores packed 8-bit codes with an integer dot product

@@ -320,16 +320,20 @@ object TextOps {
     * hashing: "café" composed (U+00E9) and decomposed (e + U+0301) are
     * different byte strings with identical rendering, so exact dedup,
     * MinHash shingles, and line digests all miss the duplicate without
-    * it. In order: NFC composition; CR/CRLF → LF; strip the remaining
-    * C0 controls + DEL (tab and LF survive — they are structure);
-    * collapse space/tab runs to one space; strip spaces around
-    * newlines; trim. Pure row-local column expressions — at corpus
-    * scale this rides the scan's codegen stage, zero shuffle. */
+    * it. In order: CR/CRLF → LF and strip the remaining C0 controls +
+    * DEL (tab and LF survive — they are structure) FIRST, then NFC
+    * composition — controls must go before NFC because a stray control
+    * between a base char and its combining mark blocks composition
+    * (strip-then-compose is canonical and idempotent; compose-then-
+    * strip leaves decomposed residue) — then collapse space/tab runs
+    * to one space, strip spaces around newlines, trim. Pure row-local
+    * column expressions — at corpus scale this rides the scan's
+    * codegen stage, zero shuffle. */
   def normalizeText(text: Column): Column = {
-    val composed = nfc(text)
-    val lf = regexp_replace(composed, "\\r\\n|\\r", "\n")
+    val lf = regexp_replace(text, "\\r\\n|\\r", "\n")
     val noCtl = regexp_replace(lf, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    val composed = nfc(noCtl)
+    val oneSpace = regexp_replace(composed, "[ \\t]+", " ")
     trim(regexp_replace(oneSpace, " ?\\n ?", "\n"))
   }
 
@@ -338,11 +342,11 @@ object TextOps {
     * algorithm, and both regex dialects treat these ASCII classes
     * identically. */
   def normalizeTextSql(e: String): String = {
-    val composed = s"nfc_normalize($e)"
-    val lf = s"regexp_replace($composed, '\\r\\n|\\r', chr(10), 'g')"
+    val lf = s"regexp_replace($e, '\\r\\n|\\r', chr(10), 'g')"
     val noCtl =
       s"regexp_replace($lf, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
-    val oneSpace = s"regexp_replace($noCtl, '[ \\t]+', ' ', 'g')"
+    val composed = s"nfc_normalize($noCtl)"
+    val oneSpace = s"regexp_replace($composed, '[ \\t]+', ' ', 'g')"
     s"trim(regexp_replace($oneSpace, ' ?\\n ?', chr(10), 'g'))"
   }
 

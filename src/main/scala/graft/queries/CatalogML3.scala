@@ -641,7 +641,7 @@ object CatalogML3 {
         |                                                            CAST(v.embedding AS DOUBLE[])) DESC,
         |                                     v.vec_id ASC) AS rank
         |  FROM q JOIN embeddings v
-        |    ON v.vec_id != q.qid AND v.label != q.qlabel
+        |    ON v.vec_id != q.qid AND v.label IS DISTINCT FROM q.qlabel
         |)
         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos
         |FROM j WHERE rank <= 5
