@@ -251,6 +251,36 @@ object Dedup {
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.join(exact(df, idCol, textCol).select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
 
+  /** Snapshot diff between two corpus versions — the ingest audit:
+    * which documents were added, removed, or changed between yesterday's
+    * table and today's. Returns ONLY the delta rows
+    * (idCol, status ∈ added|removed|changed) — the unchanged mass (the
+    * corpus) is filtered out before anything downstream touches it.
+    *
+    * Scale design: both sides reduce to (id, md5(text)) BEFORE the
+    * full-outer join, so the shuffle carries two 16-byte digests per
+    * row, never the text; at 100 TB the diff costs two pruned scans +
+    * one digest-keyed exchange. Null-content rows digest as null and
+    * compare null-safely (a null-vs-text flip is 'changed'). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    // presence is tracked with its own flag, NOT the digest's nullness:
+    // a row whose text is null digests to null and would otherwise be
+    // indistinguishable from an absent row
+    def digests(df: DataFrame, d: String, p: String): DataFrame =
+      df.select(col(idCol), md5(col(textCol).cast("binary")).as(d),
+        lit(true).as(p))
+    digests(oldDf, "__od", "__op")
+      .join(digests(newDf, "__nd", "__np"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(!(col("__od") <=> col("__nd")), "changed")
+          .otherwise("unchanged"))
+      .where(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"))
+  }
+
   /** MinHash signature as a per-row column expression (HOF form). Kept
     * for API completeness — prefer [[minhashSignatures]], which is
     * ~50× faster: higher-order-function lambdas evaluate interpreted,

@@ -692,6 +692,41 @@ object CatalogML3 {
          |       CAST(len(${TextOps.normalizeTextSql("dirty")}) AS BIGINT)
          |         AS n_chars_clean
          |FROM b ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // Corpus snapshot diff — the ingest audit between two table
+    // versions. The "new" snapshot is derived: doc_id%11 rows removed,
+    // doc_id%7 survivors' text edited, doc_id%13 rows re-added under
+    // offset ids. corpusDiff reduces both sides to (id, digest) before
+    // its full-outer join — the shuffle carries 16-byte digests, never
+    // text — and emits only the delta. The oracle states the same
+    // full-outer comparison over the derived snapshots directly.
+    ("q134_corpus_diff", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val survivors = docs.where(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" changed!"))).otherwise(col("text")))
+      val added = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.corpusDiff(docs, survivors.unionAll(added), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH oldt AS (
+        |  SELECT doc_id, text FROM documents
+        |), newt AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' changed!'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status
+        |FROM oldt o FULL JOIN newt n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -309,6 +309,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff classifies added/removed/changed and hides the unchanged mass") {
+    val old0 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val new0 = Seq((2L, "b"), (3L, "CHANGED"), (4L, "now text"), (5L, "new"))
+      .toDF("id", "text")
+    val out = graft.ops.Dedup.corpusDiff(old0, new0, "id", "text")
+      .as[(Long, String)].collect().toMap
+    // 1 removed, 2 unchanged (absent), 3 changed, 4 null→text = changed
+    // (presence tracked separately from the digest's nullness), 5 added
+    assert(out == Map(1L -> "removed", 3L -> "changed",
+      4L -> "changed", 5L -> "added"))
+  }
+
   test("compactTo sizes output files to the data, losslessly, both shuffle modes") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val sliver = s"$base/sliver"
