@@ -72,8 +72,9 @@ object ScalingCurve {
       // table profiler: k-way melt + one (col, value) count shuffle
       "q120",
       // hard negatives: q37's broadcast scan + a label filter before
-      // the heap; text normalization: row-local NFC + regex chain
-      "q132", "q133")
+      // the heap; text normalization: row-local NFC + regex chain;
+      // corpus diff: digest-only full-outer join
+      "q132", "q133", "q134")
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase
