@@ -261,7 +261,13 @@ object Dedup {
     * full-outer join, so the shuffle carries two 16-byte digests per
     * row, never the text; at 100 TB the diff costs two pruned scans +
     * one digest-keyed exchange. Null-content rows digest as null and
-    * compare null-safely (a null-vs-text flip is 'changed'). */
+    * compare null-safely (a null-vs-text flip is 'changed').
+    *
+    * PRECONDITION: idCol is unique WITHIN each snapshot (the contract
+    * of a keyed table version) — duplicate ids on a side would
+    * multiply rows through the full-outer join and emit contradictory
+    * statuses. Run [[exact]]/[[dropExactDuplicates]] first if the
+    * snapshots may contain id dups. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
     // presence is tracked with its own flag, NOT the digest's nullness:

@@ -706,8 +706,12 @@ object CatalogML3 {
       val survivors = docs.where(col("doc_id") % 11 =!= 0)
         .withColumn("text", when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" changed!"))).otherwise(col("text")))
+      // the re-added ids sit at +10^9 — OUTSIDE the scaling harness's
+      // per-copy +i*10^6 id space, so the x10/x100 curve legs diff
+      // clean unique-keyed snapshots (review finding: +10^6 aliased
+      // copy i+1's ids and degenerated the join)
       val added = docs.where(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       Dedup.corpusDiff(docs, survivors.unionAll(added), "doc_id", "text")
         .orderBy("doc_id")
     }, Some(
@@ -719,14 +723,15 @@ object CatalogML3 {
         |              ELSE text END AS text
         |  FROM documents WHERE doc_id % 11 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0
         |)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |       CASE WHEN o.doc_id IS NULL THEN 'added'
         |            WHEN n.doc_id IS NULL THEN 'removed'
         |            ELSE 'changed' END AS status
         |FROM oldt o FULL JOIN newt n ON o.doc_id = n.doc_id
-        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+        |   OR o.text IS DISTINCT FROM n.text
         |ORDER BY doc_id""".stripMargin))
   )
 }
