@@ -158,9 +158,13 @@ object Bench {
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => (n, math.min(x, y)) })
     // The harness that consumes this line keeps only a bounded tail of
     // stdout, so the line must stay short: keys are the qNN prefix of each
-    // catalog name (unique by construction) and values are rounded to ms.
+    // catalog name (unique by construction). Per-query values carry two
+    // decimals (10 ms resolution — this box's run-to-run noise is an
+    // order of magnitude above that); the total keeps three. Trimmed in
+    // round 8 at 132 queries/1743 chars, four queries short of the warn.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
+    def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + sec2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val relayJson =
