@@ -461,8 +461,15 @@ object CatalogML2 {
     // under any partitioning and across engines.
     ("q97_profile_corr", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.types.DecimalType
+      // decimal → STRING → double, on BOTH engines: above ~2^53/100
+      // units (the squared-moment sums at sf0.1+) DuckDB's direct
+      // decimal→double cast is not correctly rounded where Spark's
+      // (BigDecimal.doubleValue) is — one ulp in syy moved corr by
+      // 2e-18. Both engines' string parsers ARE correctly rounded, and
+      // both render DECIMAL(18,2) identically, so the string route is
+      // bit-portable at any magnitude.
       def m(c: org.apache.spark.sql.Column, sc: Int) =
-        sum(c.cast(DecimalType(18, sc))).cast("double")
+        sum(c.cast(DecimalType(18, sc))).cast("string").cast("double")
       val (x, y) = (col("l_quantity"), col("l_extendedprice"))
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -483,11 +490,11 @@ object CatalogML2 {
       """WITH m AS (
         |  SELECT l_returnflag,
         |         CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |         CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |         CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
@@ -602,8 +609,9 @@ object CatalogML2 {
         |  SELECT coalesce(list(lh), []) AS boiler FROM dc WHERE docs_with >= 2
         |)
         |SELECT doc_id,
-        |       array_to_string(list_filter(lines, x -> NOT list_contains(bl.boiler, md5(x))),
-        |                       chr(10)) AS clean_text,
+        |       coalesce(array_to_string(
+        |                  list_filter(lines, x -> NOT list_contains(bl.boiler, md5(x))),
+        |                  chr(10)), '') AS clean_text,
         |       CAST(len(list_filter(lines, x -> NOT list_contains(bl.boiler, md5(x)))) AS BIGINT)
         |         AS n_kept
         |FROM tok, bl ORDER BY doc_id""".stripMargin)),
