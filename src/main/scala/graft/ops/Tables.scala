@@ -54,18 +54,27 @@ object Tables {
     df.repartition(parts, col(keyCol))
   }
 
-  /** Exact, order-independent sum of a double column via decimal. */
+  /** Exact, order-independent sum of a double column via decimal.
+    *
+    * The final decimal→double conversion goes THROUGH A STRING on both
+    * engines: above ~2^53 scaled units DuckDB's direct decimal→double
+    * cast is not correctly rounded where Spark's is (found by the
+    * round-8 three-scale sweep — q97's squared-moment sums crossed the
+    * line at sf0.1). Both engines' string parsers are correctly
+    * rounded at any magnitude and render DECIMAL identically, so the
+    * string route is bit-portable at any SF; below the line it yields
+    * the identical double, so existing oracles are unchanged. */
   def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(c.cast(DecimalType(18, scale))).cast("string").cast("double")
 
   /** Exact mean: decimal sum divided (in double) by the row count. */
   def davg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+    dsum(c, scale) / count(lit(1))
 
   /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
   def dsumSql(e: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 
   def davgSql(e: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE) / count(*)"
+    s"${dsumSql(e, scale)} / count(*)"
 }
