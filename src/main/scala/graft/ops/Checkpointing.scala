@@ -79,3 +79,48 @@ object Checkpointing {
       }
     }
 }
+
+/** Bounded registry for the operator-internal `cache()` calls
+  * ([[Similarity]]'s search-time query frames, [[TextOps]]'
+  * materialized token frame): a long-lived session that issues many
+  * search calls would otherwise accumulate one CacheManager entry per
+  * call forever — storage BLOCKS are LRU-evicted under pressure, but
+  * the registered entries (and their plan references) are not.
+  *
+  * `cached(df)` caches the frame and enqueues it; once more than
+  * [[CachedFrames.MaxLive]] registered frames are live, the oldest is
+  * `unpersist`ed (non-blocking). Unpersisting is always SAFE — a plan
+  * still referencing the frame silently recomputes its lineage — so
+  * the bound trades recompute-on-reuse for a hard cap on registry
+  * growth. Callers wanting an immediate release point (e.g. test
+  * harnesses) can call [[CachedFrames.releaseAll]]. */
+object CachedFrames {
+  /** Live-entry cap: generous enough that a bench pass touching a few
+    * search operators never evicts its own working set, small enough
+    * that a week-long session stays flat. */
+  val MaxLive = 8
+
+  private val live = new java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]()
+
+  def cached(df: DataFrame): DataFrame = synchronized {
+    val c = df.cache()
+    live.addLast(new java.lang.ref.WeakReference(c))
+    while (live.size > MaxLive) {
+      val old = live.removeFirst().get()
+      // a GC'd reference means no live plan holds the frame; its
+      // blocks are reclaimed by the ContextCleaner
+      if (old != null) old.unpersist(blocking = false)
+    }
+    c
+  }
+
+  def releaseAll(): Unit = synchronized {
+    while (!live.isEmpty) {
+      val old = live.removeFirst().get()
+      if (old != null) old.unpersist(blocking = false)
+    }
+  }
+
+  /** Registered-but-not-yet-evicted count (test hook). */
+  def liveCount: Int = synchronized(live.size)
+}

@@ -257,11 +257,15 @@ object Dedup {
     * (idCol, status ∈ added|removed|changed) — the unchanged mass (the
     * corpus) is filtered out before anything downstream touches it.
     *
-    * Scale design: both sides reduce to (id, md5(text)) BEFORE the
-    * full-outer join, so the shuffle carries two 16-byte digests per
-    * row, never the text; at 100 TB the diff costs two pruned scans +
-    * one digest-keyed exchange. Null-content rows digest as null and
-    * compare null-safely (a null-vs-text flip is 'changed').
+    * Scale design: both sides reduce to (id, sha256(text)) BEFORE the
+    * full-outer join, so the shuffle carries two fixed-width digests
+    * per row, never the text; at 100 TB the diff costs two pruned
+    * scans + one digest-keyed exchange. sha2-256, not md5: this is an
+    * AUDIT — md5 collisions are practically constructible (and the
+    * known attacks produce equal-length twins, so md5+length is no
+    * stronger), so an adversarially crafted edit could report
+    * 'unchanged'. Null-content rows digest as null and compare
+    * null-safely (a null-vs-text flip is 'changed').
     *
     * PRECONDITION: idCol is unique WITHIN each snapshot (the contract
     * of a keyed table version) — duplicate ids on a side would
@@ -274,7 +278,7 @@ object Dedup {
     // a row whose text is null digests to null and would otherwise be
     // indistinguishable from an absent row
     def digests(df: DataFrame, d: String, p: String): DataFrame =
-      df.select(col(idCol), md5(col(textCol).cast("binary")).as(d),
+      df.select(col(idCol), sha2(col(textCol).cast("binary"), 256).as(d),
         lit(true).as(p))
     digests(oldDf, "__od", "__op")
       .join(digests(newDf, "__nd", "__np"), Seq(idCol), "full_outer")

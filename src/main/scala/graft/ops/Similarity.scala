@@ -95,8 +95,22 @@ object Similarity {
   private def broadcastScanTopK(corpus: DataFrame, idCol: String, vecCol: String,
                                 queries: DataFrame, qidCol: String, qvecCol: String,
                                 k: Int, extraFilter: Option[Column]): DataFrame = {
+    // Size-gate the query/anchor broadcast exactly like
+    // pqShortlistRerank: a forced broadcast() on an unexpectedly large
+    // anchor batch (hardNegatives' documented use case invites one) is
+    // a silent driver-OOM cliff. Cached + counted for the gate; the
+    // row→byte conversion uses the batch's own vector width, in id-row
+    // equivalents (bytes/40 — the calibration unit of
+    // spark.graft.dedup.maxBroadcastIds). Above the gate the planner
+    // falls back to a shuffle join — slower, alive.
+    val q0 = CachedFrames.cached(queries)
+    val nq = q0.count()
+    val dim =
+      if (nq == 0) 0L
+      else q0.select(size(col(qvecCol)).cast("long").as("__d")).head().getLong(0)
+    val nqEff = nq * ((dim * 4 + 48) / 40).max(1)
     val base = Tables.spread(corpus, idCol)
-      .crossJoin(broadcast(queries))
+      .crossJoin(Dedup.maybeBroadcast(q0, nqEff))
       .where(col(qidCol) =!= col(idCol))
     val joined = extraFilter.fold(base)(base.where)
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
@@ -113,9 +127,16 @@ object Similarity {
     * Plan shape = [[bruteForceTopK]]: anchors (with their labels)
     * broadcast, the corpus never shuffles, per-anchor top-k through the
     * O(k)-heap aggregate — with the label-inequality filter applied
-    * BEFORE the heap, so same-label rows never enter the shuffle. A
-    * null corpus label counts as "different from everything"
-    * (null-safe inequality): unlabeled rows stay eligible negatives.
+    * BEFORE the heap, so same-label rows never enter the shuffle.
+    *
+    * Null-label contract (SQL `IS DISTINCT FROM` semantics, which is
+    * what the differential oracle replays): for a LABELED anchor,
+    * null-label corpus rows count as different and stay eligible
+    * negatives; for a NULL-LABELED anchor, null-label corpus rows
+    * compare EQUAL (null <=> null) and are excluded — "unlabeled" is
+    * treated as its own label class on both sides, not as a wildcard.
+    * Callers who want unlabeled anchors to range over everything
+    * should filter/assign labels upstream.
     *
     * Output: (qidCol, rank, idCol, cos) — the ANN schema. */
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
@@ -548,8 +569,10 @@ object Similarity {
     // would write one never-released stable-storage copy PER SEARCH
     // CALL (cleanCheckpoints is off by default and this call site has
     // no rotation point), while a cached batch is LRU-evicted and
-    // keeps its lineage for fault recovery.
-    val q0 = queries.select(col(qidCol), col(qvecCol)).cache()
+    // keeps its lineage for fault recovery. Registered with
+    // CachedFrames so repeated search calls in a long-lived session
+    // cannot accumulate CacheManager entries unboundedly.
+    val q0 = CachedFrames.cached(queries.select(col(qidCol), col(qvecCol)))
     val nq = q0.count()
     // The engine-wide limit counts ROWS, calibrated for ~40-byte
     // duplicate-id rows (the Dedup workloads it was built for). A

@@ -306,6 +306,21 @@ object TextOps {
       .cast("long")
   }
 
+  /** PRODUCTION encoder: the whole merge table as ONE compiled node
+    * ([[graft.functions.BpeEncodeMerges]]), bit-identical to
+    * [[bpeApplyMerges]]' replace chain for any table but O(applied
+    * merges × word length) per DISTINCT word instead of one full
+    * string pass + one expression node per table entry — the chain is
+    * a 32k-deep tree and 32k passes/row at a real tokenizer's vocab
+    * (the SignLshBuckets/GramAnchors/PortableLn codegen-blowup class).
+    * The chain stays as the differential-oracle twin. */
+  def bpeEncodeCompiled(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeEncodeMerges.encode(bpeSymbolString(text), merges)
+
+  /** [[bpeTokenCount]] via the compiled encoder — one node, one pass. */
+  def bpeTokenCountCompiled(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeEncodeMerges.tokenCount(bpeSymbolString(text), merges)
+
   // --- Unicode / whitespace canonicalization ----------------------------
 
   /** Unicode NFC composition as a Column (compiled single node —
@@ -675,7 +690,14 @@ object TextOps {
     import graft.functions.PortableSketches.lnOfIntFast
     val tokFrame = {
       val t = docs.select(col(idCol), lowerTokens(col(textCol)).as("__ts"))
-      if (materialize) Checkpointing.truncate(t) else t
+      // cache via the bounded registry, NOT Checkpointing.truncate:
+      // under reliable checkpointing truncate would write one
+      // never-released stable-storage copy of the token frame PER
+      // CALL (this site has no rotation point) — the pqTopK leak
+      // class. A cached frame is LRU-evicted, registry-bounded, and
+      // keeps its lineage for fault recovery; the three consumers
+      // still read one materialization.
+      if (materialize) CachedFrames.cached(t) else t
     }
     val pairs = tokFrame
       .select(col(idCol), explode(

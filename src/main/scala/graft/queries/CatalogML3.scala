@@ -238,13 +238,19 @@ object CatalogML3 {
     // 8 literal `replace`es — both engines' replace is left-to-right
     // non-overlapping, the exact greedy-scan semantics of BPE. Note
     // "m"+"er": later merges match earlier merges' OUTPUT symbols.
+    // Round 9: the Spark side runs the COMPILED encoder
+    // (functions.BpeEncodeMerges — one node holding the whole rank
+    // table) while the oracle keeps the literal replace chain, so the
+    // driver gate itself certifies chain ≡ compiled on every fixture
+    // row; TextPipelineSpec additionally pins the equivalence on a
+    // learned ~1k-merge table the chain could never codegen.
     ("q116_bpe_encode", (s: SparkSession, d: String) => {
       val docs = spread(table(s, d, "documents"), "doc_id")
       val sym = TextOps.bpeSymbolString(col("text"))
       docs.select(col("doc_id"),
           (length(sym) - length(trim(lower(col("text"))))).cast("long")
             .as("n_syms"),
-          TextOps.bpeTokenCount(col("text"), Q116Merges).as("n_bpe_tokens"))
+          TextOps.bpeTokenCountCompiled(col("text"), Q116Merges).as("n_bpe_tokens"))
         .withColumn("compression",
           col("n_syms").cast("double") / col("n_bpe_tokens").cast("double"))
         .orderBy("doc_id")
@@ -697,10 +703,12 @@ object CatalogML3 {
     // Corpus snapshot diff — the ingest audit between two table
     // versions. The "new" snapshot is derived: doc_id%11 rows removed,
     // doc_id%7 survivors' text edited, doc_id%13 rows re-added under
-    // offset ids. corpusDiff reduces both sides to (id, digest) before
-    // its full-outer join — the shuffle carries 16-byte digests, never
-    // text — and emits only the delta. The oracle states the same
-    // full-outer comparison over the derived snapshots directly.
+    // offset ids. corpusDiff reduces both sides to (id, sha256) before
+    // its full-outer join — the shuffle carries fixed-width digests,
+    // never text — and emits only the delta. The oracle states the
+    // same full-outer comparison over the derived snapshots directly
+    // (it compares TEXT, so it pins the semantics whatever digest the
+    // operator uses).
     ("q134_corpus_diff", (s: SparkSession, d: String) => {
       val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
       val survivors = docs.where(col("doc_id") % 11 =!= 0)

@@ -172,16 +172,32 @@ object ScalingCurve {
     // bit-identical to what a rerun would write — reuse it unless
     // explicitly asked to re-expand (SPARK_GRAFT_REEXPAND=1), which
     // keeps a restricted SPARK_GRAFT_ONLY sweep from paying the x100
-    // rewrite every time.
+    // rewrite every time. Reuse is additionally keyed on a FINGERPRINT
+    // stamped at expand time (sampled outputs of the permutation/mask
+    // generators + the id offset + base dir): a code change to
+    // expand() changes the fingerprint and forces a re-expand, so a
+    // stale dir can never silently skew the recorded curve (the old
+    // sentinel-only reuse relied on the operator remembering
+    // SPARK_GRAFT_REEXPAND=1 after any expand() edit).
     val reexpand = sys.env.get("SPARK_GRAFT_REEXPAND").contains("1")
+    def fingerprint(f: Int): String = {
+      val n = math.min(f, 4)
+      val perm = (0 until n).map(permutedChars).mkString(",")
+      val mask = (0 until n).map(i => signMask(i, 8).mkString("")).mkString(",")
+      s"v1;base=$baseDir;copies=$f;idoff=1000000;perm=$perm;mask=$mask"
+    }
     factors.foreach { f =>
       val dir = s"$workDir/x$f"
       // sentinel on embeddings.parquet/_SUCCESS — the commit marker of
       // the LAST table expand() writes — so an expansion killed between
       // the two writes OR mid-embeddings-write is never "reused"
-      if (reexpand ||
+      val fpFile = java.nio.file.Paths.get(s"$dir/expand.fingerprint")
+      val fpMatches = java.nio.file.Files.exists(fpFile) &&
+        new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == fingerprint(f)
+      if (reexpand || !fpMatches ||
           !new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
         expand(spark, baseDir, dir, f)
+        java.nio.file.Files.write(fpFile, fingerprint(f).getBytes("UTF-8"))
         println(s"[scale] expanded x$f -> $dir")
       } else println(s"[scale] reusing existing $dir")
     }
