@@ -260,4 +260,95 @@ object Relevance {
       .orderBy(col("gkey").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // --- Trained quality classifier (hashed Naive-Bayes linear model) ----
+
+  /** Portable token→bucket hash (the [[dsirWeights]] recipe: 8 md5 hex
+    * chars as a 32-bit int mod B — replayable verbatim in any SQL
+    * engine). */
+  private def tokenBucket(t: Column, buckets: Int): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Train a hashed LINEAR text classifier in ONE aggregation pass —
+    * the fastText-style quality gate a production corpus pipeline runs
+    * beside the Gopher rule filters: label a seed set (human marks,
+    * a reference corpus vs crawl, an LLM judge), train, score the
+    * whole corpus with one broadcast weight table.
+    *
+    * The trainer is multinomial Naive Bayes with add-one smoothing
+    * over hashed token buckets — the member of the linear-model family
+    * that trains in a single counting pass (an SGD logistic fit shares
+    * the SCORING shape below but not one-pass trainability):
+    *
+    *   w_b  = ln(c1_b+1) − ln(C1+B) − ln(c0_b+1) + ln(C0+B)
+    *   bias = ln(n1+1) − ln(n0+1)
+    *
+    * where c/C are per-class bucket/total token counts and n1/n0 the
+    * class doc counts. `bias + Σ_tok w_bucket(tok)` is then the NB
+    * log-odds ln p(1|d) − ln p(0|d). Every ln argument is a positive
+    * integer, so the logs run through the bit-portable integer-ln
+    * series — the whole train+score pipeline carries a full
+    * differential oracle (q136), which a libm-log or SGD model could
+    * not.
+    *
+    * Scale: one explode → (bucket, c1, c0) partial-agg shuffle
+    * (bucket-table-sized), one-row token totals, one-row doc totals
+    * (collected — model-sized, like every model collect in this repo);
+    * the returned weight table is B rows. Returns (weights(bucket, w),
+    * bias). */
+  def nbClassifierModel(labeled: DataFrame, textCol: String, labelCol: String,
+                        buckets: Int = 1024): (DataFrame, Column) = {
+    import graft.functions.PortableSketches.lnOfInt
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = labeled.sparkSession
+    val y = col(labelCol).cast("boolean")
+    // fail fast on a degenerate training set: a missing class would
+    // otherwise silently train a constant scorer
+    val docTot = labeled.agg(
+      sum(when(y, 1L).otherwise(0L)).as("n1"),
+      sum(when(!y, 1L).otherwise(0L)).as("n0")).collect()(0)
+    val (n1, n0) = (Option(docTot.get(0)).fold(0L)(_ => docTot.getLong(0)),
+      Option(docTot.get(1)).fold(0L)(_ => docTot.getLong(1)))
+    require(n1 > 0 && n0 > 0,
+      s"classifier training needs BOTH classes, got n1=$n1 n0=$n0")
+    val cnt = labeled
+      .select(y.as("__y"), explode(TextOps.lowerTokens(col(textCol))).as("__tok"))
+      .select(col("__y"), tokenBucket(col("__tok"), buckets).as("bucket"))
+      .groupBy("bucket").agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__c0"))
+    val tot = cnt.agg(sum(col("__c1")).as("__ct1"), sum(col("__c0")).as("__ct0"))
+    val weights = spark.range(buckets.toLong).select(col("id").as("bucket"))
+      .join(cnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (lnOfInt(coalesce(col("__c1"), lit(0L)) + lit(1L))
+          - lnOfInt(col("__ct1") + lit(buckets.toLong))
+          - lnOfInt(coalesce(col("__c0"), lit(0L)) + lit(1L))
+          + lnOfInt(col("__ct0") + lit(buckets.toLong))).as("w"))
+    val bias = lnOfInt(lit(n1 + 1L)) - lnOfInt(lit(n0 + 1L))
+    (weights, bias)
+  }
+
+  /** Score documents under a hashed linear model — one broadcast of
+    * the B-row weight table, one explode, one per-doc exact
+    * DECIMAL(38,12) sum; `keep` = score > 0. Generic over the weight
+    * source ([[nbClassifierModel]] or any externally trained table
+    * with the same (bucket, w) shape and hash recipe). Docs with zero
+    * tokens emit no row (the [[dsirWeights]] contract). */
+  def linearScore(docs: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, bias: Column,
+                  buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.spread(docs, idCol)
+      .select(col(idCol), explode(TextOps.lowerTokens(col(textCol))).as("__tok"))
+      .select(col(idCol), tokenBucket(col("__tok"), buckets).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w").cast(DecimalType(38, 12))).as("__sw"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sw").cast("double") + bias).as("score"))
+      .withColumn("keep", col("score") > lit(0.0))
+  }
 }

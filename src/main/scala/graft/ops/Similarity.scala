@@ -649,18 +649,25 @@ object Similarity {
       corpus, idCol, vecCol, queries, qidCol, qvecCol, k, shortlist)
 
   /** The persistable IVF×int8 index rows:
-    * (idCol, cent_id, codes, vscale, vnorm). */
+    * (idCol, cent_id, codes, vscale, vnorm [, extraCols…]).
+    * `extraCols` ride along unchanged — the labeled-index shape
+    * [[hardNegativesFromIndex]] needs (filters that must run BEFORE
+    * the candidate heap can only see columns the index itself
+    * carries). */
   private def ivfIndexFrame(corpus: DataFrame, idCol: String, vecCol: String,
-                            cents: Array[(Long, Array[Float])]): DataFrame = {
+                            cents: Array[(Long, Array[Float])],
+                            extraCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorFunctions.packInt8
     Tables.spread(corpus, idCol)
-      .select(col(idCol), col(vecCol), Quantize.maxAbs(col(vecCol)).as("__ma"))
+      .select(col(idCol) +: col(vecCol) +: Quantize.maxAbs(col(vecCol)).as("__ma") +:
+        extraCols.map(col): _*)
       .select(
-        col(idCol),
-        nearestCentId(col(vecCol), cents).as("cent_id"),
-        packInt8(Quantize.int8Codes(col(vecCol), col("__ma"))).as("codes"),
-        (col("__ma") / lit(127.0)).as("vscale"),
-        sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm"))
+        col(idCol) +:
+        nearestCentId(col(vecCol), cents).as("cent_id") +:
+        packInt8(Quantize.int8Codes(col(vecCol), col("__ma"))).as("codes") +:
+        (col("__ma") / lit(127.0)).as("vscale") +:
+        sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol))).as("vnorm") +:
+        extraCols.map(col): _*)
   }
 
   /** The `nprobe` nearest centroid ids for one query vector as a pure
@@ -675,17 +682,21 @@ object Similarity {
     VectorFunctions.nearestCentroids(qvecCol, cents, nprobe)
 
   /** Per-query probed cells with the quantized query codes:
-    * (qidCol, qcodes, cent_id), `nprobe` rows per query. */
+    * (qidCol, qcodes, cent_id [, extraCols…]), `nprobe` rows per
+    * query. */
   private def quantizedQueryCells(queries: DataFrame, qidCol: String,
                                   qvecCol: String,
                                   cents: Array[(Long, Array[Float])],
-                                  nprobe: Int): DataFrame = {
+                                  nprobe: Int,
+                                  extraCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorFunctions.packInt8
     queries
-      .select(col(qidCol), col(qvecCol), Quantize.maxAbs(col(qvecCol)).as("__ma"))
-      .select(col(qidCol),
-        packInt8(Quantize.int8Codes(col(qvecCol), col("__ma"))).as("qcodes"),
-        explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
+      .select(col(qidCol) +: col(qvecCol) +: Quantize.maxAbs(col(qvecCol)).as("__ma") +:
+        extraCols.map(col): _*)
+      .select(col(qidCol) +:
+        packInt8(Quantize.int8Codes(col(qvecCol), col("__ma"))).as("qcodes") +:
+        explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id") +:
+        extraCols.map(col): _*)
   }
 
   /** Shared tail of the quantized-IVF search: integer-dot candidate scan
@@ -741,9 +752,10 @@ object Similarity {
     * base case appends grow from. */
   def writeIvfIndexWith(corpus: DataFrame, idCol: String, vecCol: String,
                         tableName: String, cents: Array[(Long, Array[Float])],
-                        numBuckets: Int = 16): Unit = {
+                        numBuckets: Int = 16,
+                        extraCols: Seq[String] = Nil): Unit = {
     require(cents.nonEmpty, "IVF needs a non-empty centroid model")
-    Bucketing.writeBucketed(ivfIndexFrame(corpus, idCol, vecCol, cents),
+    Bucketing.writeBucketed(ivfIndexFrame(corpus, idCol, vecCol, cents, extraCols),
       tableName, "cent_id", numBuckets, sortCol = Some("cent_id"))
   }
 
@@ -763,9 +775,10 @@ object Similarity {
     * — the same periodic-retrain policy every IVF deployment carries. */
   def appendToIvfIndex(newCorpus: DataFrame, idCol: String, vecCol: String,
                        tableName: String, cents: Array[(Long, Array[Float])],
-                       numBuckets: Int = 16): Unit = {
+                       numBuckets: Int = 16,
+                       extraCols: Seq[String] = Nil): Unit = {
     require(cents.nonEmpty, "IVF needs a non-empty centroid model")
-    Bucketing.appendBucketedBy(ivfIndexFrame(newCorpus, idCol, vecCol, cents),
+    Bucketing.appendBucketedBy(ivfIndexFrame(newCorpus, idCol, vecCol, cents, extraCols),
       tableName, numBuckets, Seq("cent_id"), Seq("cent_id"))
   }
 
@@ -796,5 +809,106 @@ object Similarity {
       .where(col("cent_id").isin(probed.map(Long.box).toIndexedSeq: _*))
     quantizedShortlistRerank(index, queryCells, corpus, idCol, vecCol,
       queries, qidCol, qvecCol, k, shortlist)
+  }
+
+  /** CORPUS-SCALE hard-negative mining over a LABELED IVF×int8 index —
+    * the indexed upgrade of [[hardNegatives]]: contrastive-training
+    * prep mines negatives for EVERY corpus row (anchors = corpus),
+    * where the exact miner's broadcast scan is O(N²) and its anchor
+    * broadcast a driver cliff. Here each anchor scans only its
+    * `nprobe`/nlist probed cells' int8 codes, the different-label
+    * filter runs BEFORE the O(sl) shortlist heap (same-label rows
+    * never enter the shuffle — the index carries the label for exactly
+    * this reason), and only the shortlist is re-ranked in exact float.
+    *
+    * `index` is a labeled index frame: [[writeIvfIndexWith]] with
+    * `extraCols = Seq(labelCol)` (read back via `spark.table` —
+    * cent_id-bucketed, so the candidate join shuffles only the anchor
+    * cells), or an inline [[hardNegativesQuantized]] build.
+    *
+    * Plan posture (vs the small-batch search paths): NOTHING here is
+    * force-broadcast. Anchor cells, shortlist, and the re-rank's
+    * anchor vectors route through the engine-wide size gate in id-row
+    * byte equivalents — batch-sized anchors broadcast exactly like
+    * [[hardNegatives]]; corpus-sized anchors fall back to key-keyed
+    * shuffle joins against the bucket-local index, which is the honest
+    * N·(nprobe/nlist)·|cell| candidate plan. Null-label contract =
+    * [[hardNegatives]] (IS DISTINCT FROM semantics).
+    *
+    * Output: (qidCol, rank, idCol, cos) — the ANN schema. */
+  def hardNegativesFromIndex(index: DataFrame,
+                             cents: Array[(Long, Array[Float])],
+                             corpus: DataFrame, idCol: String, vecCol: String,
+                             labelCol: String,
+                             anchors: DataFrame, qidCol: String, qvecCol: String,
+                             qlabelCol: String, k: Int,
+                             nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.int8Dot
+    require(cents.nonEmpty, "IVF needs a non-empty centroid model")
+    require(index.columns.contains(labelCol),
+      s"index must carry the label column '$labelCol' — build it with " +
+        s"writeIvfIndexWith(..., extraCols = Seq(\"$labelCol\"))")
+    require(labelCol != qlabelCol && qidCol != idCol,
+      "anchor columns must be renamed apart from corpus/index columns " +
+        s"(got labelCol='$labelCol' qlabelCol='$qlabelCol', " +
+        s"idCol='$idCol' qidCol='$qidCol') — the candidate join carries both sides")
+    val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
+    val dim = cents(0)._2.length.toLong
+    val a0 = CachedFrames.cached(
+      anchors.select(col(qidCol), col(qvecCol), col(qlabelCol)))
+    val nq = a0.count()
+    // probed-cell pushdown (≤ nlist longs): resolved from a LIGHT
+    // projection — anchors may be corpus-sized, so materializing the
+    // full (qcodes, label) cell stream just to take distinct cent_ids
+    // would be a corpus-sized checkpoint; the light pass re-runs only
+    // the probe ranking
+    val probed = a0
+      .select(explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val pruned = index.where(col("cent_id").isin(probed.map(Long.box).toIndexedSeq: _*))
+    val queryCells = quantizedQueryCells(a0, qidCol, qvecCol, cents, nprobe,
+      extraCols = Seq(qlabelCol))
+    // gate units: one cell row ≈ dim code bytes + id/label overhead
+    val cellsEff = nq * nprobe.toLong * ((dim + 64) / 40).max(1)
+    val cand = pruned
+      .join(Dedup.maybeBroadcast(queryCells, cellsEff), Seq("cent_id"))
+      .where(col(qidCol) =!= col(idCol))
+      .where(!(col(labelCol) <=> col(qlabelCol))) // pre-heap label filter
+      .withColumn("qscore",
+        when(col("vnorm") === 0.0, lit(0.0)).otherwise(
+          col("vscale") * int8Dot(col("qcodes"), col("codes")).cast("double") / col("vnorm")))
+    val short = topKFromScores(cand, qidCol, idCol, "qscore", sl)
+      .select(col(qidCol), col(idCol))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
+    corpus
+      .join(Dedup.maybeBroadcast(short, nq * sl), Seq(idCol))
+      .join(Dedup.maybeBroadcast(a0.select(col(qidCol), col(qvecCol)),
+        nq * ((dim * 4 + 48) / 40).max(1)), Seq(qidCol))
+      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  /** [[hardNegativesFromIndex]] with the labeled index built inline
+    * from the corpus — the one-shot shape (and the differential-oracle
+    * entry point: `portableSeeds` makes every stage replayable). */
+  def hardNegativesQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                             labelCol: String,
+                             anchors: DataFrame, qidCol: String, qvecCol: String,
+                             qlabelCol: String, k: Int,
+                             nlist: Int = 16, nprobe: Int = 4,
+                             shortlist: Int = 0,
+                             trainIterations: Int = 0,
+                             portableSeeds: Boolean = false): DataFrame = {
+    val cents =
+      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
+      else seedCentroids(corpus, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "IVF needs a non-empty corpus")
+    hardNegativesFromIndex(
+      ivfIndexFrame(corpus, idCol, vecCol, cents, extraCols = Seq(labelCol)),
+      cents, corpus, idCol, vecCol, labelCol,
+      anchors, qidCol, qvecCol, qlabelCol, k, nprobe, shortlist)
   }
 }

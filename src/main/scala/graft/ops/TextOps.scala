@@ -266,6 +266,68 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "left", "right", "merged", "score")
   }
 
+  /** Driver-side BPE learning over a COLLECTED (word, count) vocabulary
+    * — the merge loop [[bpeLearn]] runs as one Spark job per round,
+    * restated as plain Scala over the vocab table. Identical semantics
+    * (frequency-weighted exact-symbol pairs, count-desc /(l,r)-asc
+    * ties in binary string order, left-to-right non-overlapping
+    * rewrite, early stop when no pairs remain); BpeEncodeSpec pins the
+    * equivalence against [[bpeLearn]] round for round.
+    *
+    * Why it exists: a merge ROUND is inherently sequential (each round
+    * depends on the last), so [[bpeLearn]]'s per-round Spark job buys
+    * no parallelism beyond the pair count, while a real tokenizer
+    * wants thousands of rounds. The vocabulary is orders of magnitude
+    * smaller than the corpus (this is why production BPE trainers all
+    * work word-count-first), so the right split at 100 TB is: ONE
+    * distributed wordcount (the caller's `groupBy(word).count`
+    * collect — vocab-sized, bounded), then this driver loop. */
+  def bpeLearnFromVocab(wordCounts: Seq[(String, Long)], rounds: Int): Seq[(String, String)] = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var vocab: Seq[(Array[String], Long)] = wordCounts
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, rr), _) = counts.toSeq.minBy { case ((l, rr), n) => (-n, l, rr) }
+        merges += ((l, rr))
+        vocab = vocab.map { case (syms, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, cnt)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed wordcount feeding [[bpeLearnFromVocab]]: one
+    * map-side-combined (word, count) aggregation — the only corpus
+    * pass BPE training needs. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(lowerTokens(col(textCol))).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   // --- BPE encode (apply a learned merge table) -------------------------
 
   /** Symbol-boundary marker for [[bpeApplyMerges]]. U+0001 by contract

@@ -740,6 +740,171 @@ object CatalogML3 {
         |FROM oldt o FULL JOIN newt n ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
         |   OR o.text IS DISTINCT FROM n.text
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // CORPUS-SCALE hard-negative mining (anchors = the ENTIRE labeled
+    // corpus — the contrastive-training shape q132's broadcast scan
+    // cannot carry): each anchor scans only its nprobe/nlist probed
+    // cells of the labeled IVF×int8 index, the different-label filter
+    // runs BEFORE the shortlist heap, exact float re-rank on the
+    // shortlist only. With the portable md5-seed model every stage
+    // (seed cells → probe → int8 filter+shortlist → re-rank) replays
+    // verbatim in the oracle — q95's replay plus the label
+    // inequality, over all-rows anchors.
+    ("q135_hard_negatives_indexed", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.ops.Similarity.hardNegativesQuantized(
+          emb, "vec_id", "embedding", "label",
+          emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel")),
+          "qid", "qvec", "qlabel", k = 3, nlist = 16, nprobe = 4,
+          portableSeeds = true)
+        .orderBy("qid", "rank")
+    }, Some(
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent_vec
+         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |  LIMIT 16
+         |), base AS (
+         |  SELECT vec_id, embedding, label,
+         |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |  FROM embeddings
+         |), enc AS (
+         |  SELECT vec_id, embedding, label,
+         |         CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding, x ->
+         |                CAST(greatest(-127.0, least(127.0,
+         |                  floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5))) AS BIGINT)) END AS q,
+         |         ma / 127.0 AS vscale,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS vnorm
+         |  FROM base
+         |), asg AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT c.vec_id, s.cent_id,
+         |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |                                    CAST(s.cent_vec AS DOUBLE[])) DESC,
+         |             s.cent_id ASC) AS rn
+         |    FROM embeddings c CROSS JOIN seeds s) WHERE rn = 1
+         |), qcells AS (
+         |  SELECT qid, qlabel, cent_id FROM (
+         |    SELECT q.vec_id AS qid, q.label AS qlabel, s.cent_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                    CAST(s.cent_vec AS DOUBLE[])) DESC,
+         |             s.cent_id ASC) AS rn
+         |    FROM embeddings q CROSS JOIN seeds s) WHERE rn <= 4
+         |), approx AS (
+         |  SELECT qc.qid, a.vec_id,
+         |         CASE WHEN ce.vnorm = 0 THEN 0.0
+         |              ELSE ce.vscale * CAST(list_sum(list_transform(range(1, len(qe.q) + 1),
+         |                     i -> qe.q[i] * ce.q[i])) AS DOUBLE) / ce.vnorm END AS qscore
+         |  FROM qcells qc
+         |  JOIN asg a USING (cent_id)
+         |  JOIN enc ce ON ce.vec_id = a.vec_id
+         |  JOIN enc qe ON qe.vec_id = qc.qid
+         |  WHERE a.vec_id != qc.qid AND ce.label IS DISTINCT FROM qc.qlabel
+         |), short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id ASC) AS rn
+         |    FROM approx) WHERE rn <= 32
+         |), rerank AS (
+         |  SELECT s.qid, s.vec_id,
+         |         list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+         |                                CAST(cv.embedding AS DOUBLE[])) AS cos
+         |  FROM short s JOIN embeddings qv ON qv.vec_id = s.qid
+         |               JOIN embeddings cv ON cv.vec_id = s.vec_id
+         |)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM rerank) WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin)),
+
+    // TRAINED quality classifier — the fastText-style gate beside the
+    // Gopher rules: multinomial Naive Bayes over hashed token buckets
+    // (the one linear-family trainer that is ONE counting pass). The
+    // fixture's lang/source labels are uncorrelated with its text
+    // (one shared vocabulary), so the query derives a LEARNABLE
+    // quality label first (the q117/q133 derived-column trick):
+    // doc_id%3==0 docs get spam-marker tokens appended and label 0,
+    // the rest label 1 — the classifier must recover the signal from
+    // TOKENS alone (it never sees doc_id). Trained on the even half,
+    // scoring the WHOLE corpus (odd ids unseen). Every ln argument is
+    // a positive integer → the bit-portable integer-ln series on both
+    // engines; per-doc sums through exact DECIMAL(38,12); w and bias
+    // expression trees mirrored left-associatively. keep = score > 0
+    // = NB log-odds says clean.
+    ("q136_quality_classifier", (s: SparkSession, d: String) => {
+      val docs = spread(table(s, d, "documents"), "doc_id")
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" buy now click here free pills")))
+          .otherwise(col("text")))
+      val labeled = docs.where(col("doc_id") % 2 === 0)
+        .withColumn("__y", col("doc_id") % 3 =!= 0)
+      val (w, bias) = graft.ops.Relevance.nbClassifierModel(
+        labeled, "text", "__y", buckets = 256)
+      graft.ops.Relevance.linearScore(docs, "doc_id", "text", w, bias,
+          buckets = 256)
+        .orderBy("doc_id")
+    }, Some {
+      import graft.functions.PortableSketches.lnOfIntSql
+      val b = 256
+      def bkt(tok: String) = s"(('0x' || substr(md5($tok), 1, 8))::BIGINT % $b)"
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN text || ' buy now click here free pills'
+         |              ELSE text END AS text
+         |  FROM documents
+         |), ltok AS (
+         |  SELECT (doc_id % 3 <> 0) AS y,
+         |         unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+         |                               x -> lower(x))) AS tok
+         |  FROM base WHERE doc_id % 2 = 0
+         |), lbkt AS (
+         |  SELECT y, ${bkt("tok")} AS bucket FROM ltok
+         |), cnt AS (
+         |  SELECT bucket,
+         |         sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+         |         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c0
+         |  FROM lbkt GROUP BY bucket
+         |), tot AS (
+         |  SELECT sum(c1) AS ct1, sum(c0) AS ct0 FROM cnt
+         |), dt AS (
+         |  SELECT sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS n1,
+         |         sum(CASE WHEN NOT (doc_id % 3 <> 0) THEN 1 ELSE 0 END) AS n0
+         |  FROM base WHERE doc_id % 2 = 0
+         |), w AS (
+         |  SELECT CAST(br.range AS BIGINT) AS bucket,
+         |         (((${lnOfIntSql("(coalesce(c1, 0) + 1)")}
+         |            - ${lnOfIntSql(s"(ct1 + $b)")})
+         |           - ${lnOfIntSql("(coalesce(c0, 0) + 1)")})
+         |          + ${lnOfIntSql(s"(ct0 + $b)")}) AS w
+         |  FROM range(0, $b) br
+         |  LEFT JOIN cnt ON cnt.bucket = br.range
+         |  CROSS JOIN tot
+         |), stok AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+         |                               x -> lower(x))) AS tok
+         |  FROM base
+         |), sbkt AS (
+         |  SELECT doc_id, ${bkt("tok")} AS bucket FROM stok
+         |), sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw
+         |  FROM sbkt JOIN w USING (bucket)
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens,
+         |       (sw + (${lnOfIntSql("(n1 + 1)")} - ${lnOfIntSql("(n0 + 1)")}))
+         |         AS score,
+         |       (sw + (${lnOfIntSql("(n1 + 1)")} - ${lnOfIntSql("(n0 + 1)")})) > 0.0
+         |         AS keep
+         |FROM sc CROSS JOIN dt ORDER BY doc_id""".stripMargin
+    })
   )
 }

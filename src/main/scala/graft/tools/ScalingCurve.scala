@@ -74,7 +74,19 @@ object ScalingCurve {
       // hard negatives: q37's broadcast scan + a label filter before
       // the heap; text normalization: row-local NFC + regex chain;
       // corpus diff: digest-only full-outer join
-      "q132", "q133", "q134")
+      "q132", "q133", "q134",
+      // NB quality classifier: one (bucket, class-count) partial-agg
+      // shuffle to train (B-row model, corpus-independent), one
+      // broadcast-join + per-doc DECIMAL sum to score — linear by
+      // construction, measured to confirm
+      "q136")
+      // q135 (indexed hard negatives, anchors = corpus) is NOT in this
+      // list: its anchor set grows WITH the corpus, so at the
+      // catalog's fixture-sized nlist=16 the candidate stream is
+      // N²·nprobe/16 — measured to fill this box's disk with spill at
+      // x100. Its curve runs in the dedicated section below with
+      // nlist = 16·f (the SemDeDup posture: cells stay task-sized,
+      // candidates linear in N).
 
   // The full character classes the copy-permutation covers. Uppercase
   // and digits are permuted too (uppercase mirrors the lowercase
@@ -251,6 +263,30 @@ object ScalingCurve {
       spark.catalog.clearCache()
       println(f"[scale] x$f%-4d $label%s(nlist=${8 * f}%d) ${dt}%8.2f s")
       (label, f, dt)
+    })
+
+    // Indexed hard negatives (q135) with anchors = the WHOLE corpus —
+    // the one curve where the query side grows with the data. nlist =
+    // 16·f keeps E[cell] ≈ the fixture's ~31 rows, so the candidate
+    // stream is N·nprobe·E[cell] — linear in N — instead of the
+    // fixed-nlist N²/4 that filled this box's disk at x100. This is
+    // the deployment sizing rule the operator's scaladoc states;
+    // measuring under it is measuring the operator as shipped.
+    val hnLabel = "q135_hard_negatives_indexed"
+    val hnRows = (for (f <- factors if only.forall(_.exists(hnLabel.startsWith))) yield {
+      val emb = graft.ops.Tables.table(spark, s"$workDir/x$f", "embeddings")
+      val anchors = emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"), col("label").as("qlabel"))
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.hardNegativesQuantized(
+          emb, "vec_id", "embedding", "label",
+          anchors, "qid", "qvec", "qlabel", k = 3,
+          nlist = 16 * f, nprobe = 4)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[scale] x$f%-4d $hnLabel%s(nlist=${16 * f}%d) ${dt}%8.2f s")
+      (hnLabel, f, dt)
     })
 
     // PQ with TRAINED codebooks — the production path. q115's catalog

@@ -34,46 +34,16 @@ class BpeEncodeSpec extends SparkSpec {
         merges, countTokens = false)
       .encode(UTF8String.fromString(sym))
 
-  /** Driver-local replica of [[TextOps.bpeLearn]] (exact-symbol pairs,
-    * count-desc /(l,r)-asc ties, left-to-right non-overlapping
-    * rewrite) — lets tests learn 1k-merge tables in milliseconds. */
-  private def learnLocal(texts: Seq[String], rounds: Int): Seq[(String, String)] = {
-    var vocab: Seq[(Array[String], Long)] = texts
-      .flatMap(t => t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
-      .groupBy(identity).toSeq
-      .map { case (w, ws) => (w.map(_.toString).toArray, ws.size.toLong) }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var r = 0
-    var exhausted = false
-    while (r < rounds && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (syms, cnt) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + cnt
-          i += 1
-        }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val ((l, rr), _) = counts.toSeq.minBy { case ((l, rr), n) => (-n, l, rr) }
-        merges += ((l, rr))
-        vocab = vocab.map { case (syms, cnt) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
-              out += l + rr; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.toArray, cnt)
-        }
-        r += 1
-      }
-    }
-    merges.toSeq
-  }
+  /** Texts → driver-learned merge table via the production vocab-first
+    * path ([[TextOps.bpeLearnFromVocab]]); the first test below pins
+    * its round-for-round equivalence against the distributed
+    * [[TextOps.bpeLearn]]. */
+  private def learnLocal(texts: Seq[String], rounds: Int): Seq[(String, String)] =
+    TextOps.bpeLearnFromVocab(
+      texts.flatMap(t => t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).toSeq
+        .map { case (w, ws) => (w, ws.size.toLong) },
+      rounds)
 
   private lazy val fixtureTexts: Seq[String] =
     spark.read.parquet(s"$sf/documents.parquet")

@@ -97,6 +97,78 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("labeled index: hardNegativesFromIndex == exact miner at full probe, " +
+      "persisted == inline, and corpus-scale anchors never broadcast") {
+    dropHard("ivf_lbl")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val anchors = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+      col("label").as("qlabel"))
+    val nlist = 16
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", nlist)
+    Similarity.writeIvfIndexWith(emb, "vec_id", "embedding", "ivf_lbl", cents,
+      numBuckets = nlist, extraCols = Seq("label"))
+
+    // (a) nprobe = nlist + an uncut shortlist makes the indexed miner
+    // EXHAUSTIVE: it must agree row-for-row with q132's exact
+    // broadcast-scan miner on the same (corpus-wide) anchor set
+    val n = emb.count().toInt
+    val fromIndex = Similarity.hardNegativesFromIndex(
+        spark.table("ivf_lbl"), cents, emb, "vec_id", "embedding", "label",
+        anchors, "qid", "qvec", "qlabel", k = 5, nprobe = nlist, shortlist = n + 1)
+      .orderBy("qid", "rank").collect().toSeq
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        anchors, "qid", "qvec", "qlabel", k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(fromIndex == exact,
+      "full-probe indexed mining must equal the exact miner")
+
+    // (b) the persisted table answers like the inline labeled build
+    val inline0 = Similarity.hardNegativesQuantized(
+        emb, "vec_id", "embedding", "label",
+        anchors, "qid", "qvec", "qlabel", k = 5, nlist = nlist, nprobe = 4)
+      .orderBy("qid", "rank").collect().toSeq
+    val fromIndex4 = Similarity.hardNegativesFromIndex(
+        spark.table("ivf_lbl"), cents, emb, "vec_id", "embedding", "label",
+        anchors, "qid", "qvec", "qlabel", k = 5, nprobe = 4)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(fromIndex4 == inline0)
+
+    // (c) corpus-scale posture: with the broadcast gate forced below
+    // the anchor count, the plan must contain NO broadcast of the
+    // anchor-cell stream — the candidate join degrades to a shuffle
+    // join against the bucket-local index instead of a driver OOM
+    // auto-broadcast off: on a 500-row fixture the planner would
+    // broadcast every side on size statistics alone — at corpus scale
+    // those stats disqualify themselves and the explicit gate is the
+    // only broadcast source, which is exactly what this asserts
+    val plan =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(graft.ops.Dedup.MaxBroadcastIdsKey, "1")
+        Similarity.hardNegativesFromIndex(
+            spark.table("ivf_lbl"), cents, emb, "vec_id", "embedding", "label",
+            anchors, "qid", "qvec", "qlabel", k = 5, nprobe = 4)
+          .queryExecution.executedPlan
+      } finally {
+        spark.conf.unset(graft.ops.Dedup.MaxBroadcastIdsKey)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcasts.isEmpty,
+      s"corpus-scale anchors must not broadcast, plan:\n${plan.treeString}")
+    // and the index side still scans the bucketed table (bucket-local:
+    // no exchange between the index scan and the candidate join)
+    val indexScans = plan.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("ivf_lbl")) => s
+    }
+    assert(indexScans.nonEmpty, "expected a scan of the persisted labeled index")
+  }
+
   test("append under the index's own model equals the one-shot index") {
     dropHard("ivf_app"); dropHard("ivf_one")
     val emb = Tables.table(spark, sf, "embeddings")

@@ -261,6 +261,80 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.map(_._2).contains(2L), "same-label near-dup leaked in")
   }
 
+  test("nbClassifierModel/linearScore match a hand-computed NB model") {
+    import graft.functions.PortableSketches.lnOfPosLong
+    val B = 4
+    // training set: class 1 = {"aa aa bb"}, class 0 = {"cc", "cc dd"}
+    val labeled = Seq(
+      (1L, "aa aa bb", true),
+      (2L, "cc", false),
+      (3L, "cc dd", false)
+    ).toDF("id", "text", "y")
+    val (wDf, bias) = Relevance.nbClassifierModel(labeled, "text", "y", buckets = B)
+    // replicate the hash recipe driver-side (8 md5 hex chars mod B)
+    def bkt(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % B
+    }
+    val c1 = Map(bkt("aa") -> 2L, bkt("bb") -> 1L).withDefaultValue(0L) // 3 tokens
+    val c0raw = Seq(bkt("cc"), bkt("cc"), bkt("dd"))
+    val c0 = c0raw.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val (ct1, ct0) = (3L, 3L)
+    def expectW(b: Long): Double =
+      lnOfPosLong(c1(b) + 1) - lnOfPosLong(ct1 + B) -
+        (lnOfPosLong(c0(b) + 1)) + lnOfPosLong(ct0 + B)
+    val got = wDf.orderBy("bucket").as[(Long, Double)].collect().toMap
+    (0L until B).foreach { b =>
+      assert(got(b) == expectW(b), s"bucket $b: ${got(b)} vs ${expectW(b)}")
+    }
+    // bias = ln(n1+1) − ln(n0+1) = ln 2 − ln 3
+    val expBias = lnOfPosLong(2) - lnOfPosLong(3)
+    // score "aa cc": w(aa)+w(cc) summed through DECIMAL(38,12) + bias
+    val scored = Relevance.linearScore(
+        Seq((9L, "aa cc")).toDF("id", "text"), "id", "text", wDf, bias, B)
+      .select("id", "n_tokens", "score", "keep")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val expScore = (dec12(expectW(bkt("aa"))) + dec12(expectW(bkt("cc"))))
+      .toDouble + expBias
+    assert(scored == Seq((9L, 2L, expScore, expScore > 0.0)))
+  }
+
+  test("nbClassifier trained on half the corpus recovers the quality label on the held-out half") {
+    // the fixture's lang/source columns are uncorrelated with its text
+    // (one shared vocabulary — measured: lang-labeled training lands at
+    // chance), so derive a learnable label: spam-marker tokens appended
+    // to doc_id%3==0 docs, label = clean. The classifier sees TOKENS
+    // only; held-out accuracy shows it generalizes past the train ids.
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" buy now click here free pills")))
+        .otherwise(col("text")))
+    val labeled = docs.where(col("doc_id") % 2 === 0)
+      .withColumn("y", col("doc_id") % 3 =!= 0)
+    val (w, bias) = Relevance.nbClassifierModel(labeled, "text", "y", buckets = 256)
+    val heldOut = docs.where(col("doc_id") % 2 === 1)
+    val scored = Relevance.linearScore(heldOut, "doc_id", "text", w, bias, 256)
+      .join(heldOut.select(col("doc_id"), (col("doc_id") % 3 =!= 0).as("truth")), "doc_id")
+    val (right, total) = (
+      scored.where(col("keep") === col("truth")).count(),
+      scored.count())
+    assert(total > 100, s"held-out set too small: $total")
+    assert(right.toDouble / total > 0.95,
+      s"held-out accuracy ${right.toDouble / total} — the classifier learned nothing")
+  }
+
+  test("nbClassifierModel fails fast on a single-class training set") {
+    val oneClass = Seq((1L, "aa", true), (2L, "bb", true)).toDF("id", "text", "y")
+    val e = intercept[IllegalArgumentException] {
+      Relevance.nbClassifierModel(oneClass, "text", "y", buckets = 4)
+    }
+    assert(e.getMessage.contains("BOTH classes"))
+  }
+
   test("pqTopK: query/shortlist broadcasts obey the engine-wide size gate") {
     val corpus = (1 to 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat))
