@@ -662,6 +662,51 @@ object Dedup {
     } finally { sigs.unpersist(); () }
   }
 
+  /** Diff-driven index maintenance — [[corpusDiff]] composed into
+    * [[appendToSignatureIndex]]: given the snapshot the index was
+    * built from and the current snapshot, append ONLY the ADDED
+    * documents' signature/bucket rows and return the drift report
+    * `(status, n_docs)` for added / changed / removed.
+    *
+    * Why only added: the index tables are append-only bucketed
+    * parquet — a changed or removed document's OLD rows cannot be
+    * retracted without a rewrite, so appending a changed doc's new
+    * signature would leave BOTH versions probing. Changed/removed
+    * rows are therefore NOT absorbed; their counts in the report are
+    * the rebuild signal. The deployment loop this encodes:
+    * sync per snapshot (cheap — signatures over the added slice only,
+    * both sides of the diff reduced to digests), watch
+    * (changed + removed) / index size, rebuild with
+    * [[writeSignatureIndex]] when the stale fraction passes the
+    * policy bound — the same compaction contract as the maxBucket
+    * note on [[appendToSignatureIndex]]. Under add-only drift the
+    * synced index is row-identical to a fresh rebuild
+    * (SignatureIndexSpec proves probe equivalence).
+    *
+    * Geometry params must equal the index's build values (the
+    * [[appendToSignatureIndex]] contract). Returns the drift report;
+    * statuses with zero rows are absent (the [[corpusDiff]] shape). */
+  def syncSignatureIndex(oldDocs: DataFrame, newDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         bucketTable: String, sigTable: String,
+                         shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
+                         numBuckets: Int = 32,
+                         maxBucket: Int = DefaultMaxBucket,
+                         estHashes: Int = DefaultEstHashes): DataFrame = {
+    // materialized once: the added-slice semi-join AND the report read
+    // it; local mode = executor-storage truncate, reliable mode = one
+    // stable copy released by the caller's session lifecycle
+    val diff = Checkpointing.truncate(
+      corpusDiff(oldDocs, newDocs, idCol, textCol))
+    val addedIds = diff.where(col("status") === "added").select(col(idCol))
+    val added = newDocs.join(addedIds, Seq(idCol), "left_semi")
+    if (!added.isEmpty) {
+      appendToSignatureIndex(added, idCol, textCol, bucketTable, sigTable,
+        shingleN, bands, rows, numBuckets, maxBucket, estHashes)
+    }
+    diff.groupBy("status").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Near-duplicate pairs between a NEW corpus and a
     * [[writeSignatureIndex]]-persisted one. Same semantics as
     * [[crossCorpusJaccardPairs]] (given the same cap), but the existing

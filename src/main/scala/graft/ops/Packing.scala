@@ -35,4 +35,41 @@ object Packing {
         coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
       .withColumn("pack", floor(col("start_offset") / lit(ctxLen.toDouble)).cast("long"))
   }
+
+  /** First-fit-decreasing bin packing — the batch-builder shape that
+    * keeps every document WHOLE (vs [[packSequences]], which
+    * concatenates and splits documents across context windows): within
+    * shard `id % numShards`, documents sort by (len DESC, id ASC) and
+    * each takes the lowest-indexed bin it fits; no bin exceeds
+    * `capacity` (oversize documents ride alone, flagged). The greedy
+    * is deterministic — a pure function of each shard's item SET — so
+    * the whole operator carries a differential oracle (q137: DuckDB
+    * replays the same greedy as a recursive CTE over list state).
+    *
+    * Scale design: one (shard)-keyed exchange collects each shard's
+    * (len, id) pairs — 16 bytes per document, never text — and the
+    * pack runs as ONE compiled expression per shard
+    * ([[graft.functions.FfdPack]]). Shards are the parallelism unit:
+    * size numShards to a few × executor count and to keep each
+    * shard's item count in memory (items, not documents). FFD is a
+    * 11/9·OPT + 6/9 approximation — near-optimal fill with zero
+    * cross-document token leakage, the trade the no-split contract
+    * buys.
+    *
+    * Returns (shard, idCol, len, bin, oversize) — bin is 1-based and
+    * unique within a shard. */
+  def ffdPack(df: DataFrame, idCol: String, lenCol: String,
+              capacity: Long, numShards: Int): DataFrame = {
+    require(capacity >= 1 && numShards >= 1,
+      s"capacity and numShards must be positive: $capacity, $numShards")
+    df.select(pmod(col(idCol), lit(numShards.toLong)).as("shard"),
+        struct(col(lenCol).cast("long").as("len"),
+          col(idCol).cast("long").as("id")).as("__it"))
+      .groupBy("shard")
+      .agg(collect_list(col("__it")).as("__items"))
+      .select(col("shard"),
+        explode(graft.functions.FfdPack.pack(col("__items"), capacity)).as("__p"))
+      .select(col("shard"), col("__p.id").as(idCol), col("__p.len").as("len"),
+        col("__p.bin").as("bin"), col("__p.oversize").as("oversize"))
+  }
 }

@@ -905,6 +905,111 @@ object CatalogML3 {
          |       (sw + (${lnOfIntSql("(n1 + 1)")} - ${lnOfIntSql("(n0 + 1)")})) > 0.0
          |         AS keep
          |FROM sc CROSS JOIN dt ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // First-fit-decreasing sequence packing — the batch-builder shape
+    // that keeps documents WHOLE (q74 concat-and-chunks, splitting
+    // docs across windows; FFD trades a little fill for zero
+    // cross-document leakage). Deterministic greedy (len desc, id asc,
+    // lowest-fitting bin) = a pure function of each shard's item set,
+    // so DuckDB replays it exactly as a recursive CTE over per-shard
+    // list state. Lengths derive doc_id%17 ⇒ ×4 so the oversize
+    // (own-bin) branch is exercised on the gate.
+    ("q137_ffd_packing", (s: SparkSession, d: String) => {
+      val docs = spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, col("n_chars") * 4)
+            .otherwise(col("n_chars")).cast("long").as("len"))
+      graft.ops.Packing.ffdPack(docs, "doc_id", "len",
+          capacity = 1200L, numShards = 8)
+        .orderBy("shard", "bin", "doc_id")
+    }, Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN doc_id % 17 = 0 THEN n_chars * 4
+        |              ELSE n_chars END AS BIGINT) AS len
+        |  FROM documents
+        |), items AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, len,
+        |         CAST(row_number() OVER (PARTITION BY doc_id % 8
+        |                                 ORDER BY len DESC, doc_id ASC) AS BIGINT) AS pos
+        |  FROM base
+        |), pack AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS doc_id,
+        |         CAST(NULL AS BIGINT) AS len, CAST(NULL AS INT) AS bin,
+        |         CAST([] AS BIGINT[]) AS fills
+        |  FROM (SELECT DISTINCT shard FROM items)
+        |  UNION ALL
+        |  SELECT i.shard, i.pos, i.doc_id, i.len,
+        |         CAST(coalesce(b.fit, len(p.fills) + 1) AS INT) AS bin,
+        |         CASE WHEN b.fit IS NULL THEN list_append(p.fills, i.len)
+        |              ELSE [CASE WHEN idx = b.fit THEN p.fills[idx] + i.len
+        |                         ELSE p.fills[idx] END
+        |                    FOR idx IN range(1, len(p.fills) + 1)] END AS fills
+        |  FROM pack p
+        |  JOIN items i ON i.shard = p.shard AND i.pos = p.pos + 1
+        |  CROSS JOIN LATERAL (SELECT CASE WHEN i.len > 1200 THEN NULL
+        |      ELSE list_min([idx FOR idx IN range(1, len(p.fills) + 1)
+        |                     IF p.fills[idx] + i.len <= 1200]) END AS fit) b
+        |)
+        |SELECT shard, doc_id, len, bin, (len > 1200) AS oversize
+        |FROM pack WHERE pos > 0 ORDER BY shard, bin, doc_id""".stripMargin)),
+
+    // Diff-driven index maintenance ON THE GATE — corpusDiff composed
+    // into the persisted signature index (q134 tells you WHAT changed;
+    // this absorbs it): build the index from the old snapshot, sync
+    // against the q134-derived new snapshot, REQUIRE the sig table
+    // grew by exactly the added-row count (append-only contract:
+    // changed/removed are reported, never absorbed — they are the
+    // rebuild signal), and return the drift report. The oracle states
+    // the same report off the snapshots directly; the probe-level
+    // sync ≡ rebuild equivalence lives in SignatureIndexSpec.
+    ("q138_index_sync", (s: SparkSession, d: String) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val (bt, st) = (s"q138_buckets_$tag", s"q138_sigs_$tag")
+      Seq(bt, st).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val survivors = docs.where(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" changed!"))).otherwise(col("text")))
+      val added = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      val newSnap = survivors.unionAll(added)
+      Dedup.writeSignatureIndex(docs, "doc_id", "text", bt, st,
+        shingleN = 3, numBuckets = 8)
+      val before = s.table(st).count()
+      val report = Dedup.syncSignatureIndex(docs, newSnap, "doc_id", "text",
+        bt, st, shingleN = 3, numBuckets = 8)
+      val grown = s.table(st).count() - before
+      val nAdded = added.count()
+      require(grown == nAdded,
+        s"sync must append exactly the added slice: grew $grown, added $nAdded")
+      report.withColumn("n_docs", col("n_docs").cast("long"))
+        .orderBy("status")
+    }, Some(
+      """WITH oldt AS (
+        |  SELECT doc_id, text FROM documents
+        |), newt AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' changed!'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0
+        |)
+        |SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM oldt o FULL JOIN newt n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+        |   OR o.text IS DISTINCT FROM n.text
+        |GROUP BY 1 ORDER BY status""".stripMargin))
   )
 }

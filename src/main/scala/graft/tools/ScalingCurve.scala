@@ -79,7 +79,14 @@ object ScalingCurve {
       // shuffle to train (B-row model, corpus-independent), one
       // broadcast-join + per-doc DECIMAL sum to score — linear by
       // construction, measured to confirm
-      "q136")
+      "q136",
+      // FFD packing: one (shard, len, id) exchange — 16 B/doc, never
+      // text — then one compiled pack expression per shard; shards are
+      // the parallelism unit
+      "q137",
+      // diff-driven index sync: digest-only diff + signatures over the
+      // added slice only (the whole point vs a per-snapshot rebuild)
+      "q138")
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is

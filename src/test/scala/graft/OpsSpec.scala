@@ -498,6 +498,47 @@ class OpsSpec extends SparkSpec {
       (1L, 1L, 0L, 0L), (3L, 1L, 600L, 1L)))
   }
 
+  test("ffdPack: hand-computed greedy, capacity invariant, beats naive fill on the fixture") {
+    // one shard; decreasing order: 9,7,6,5,3,2 with C=10 →
+    // 9 -> b1; 7 -> b2; 6 -> b3; 5 -> b3(6+5>10? 11>10 no) -> scan: b1 9+5>10,
+    // b2 7+5>10, b3 6+5>10 -> b4; 3 -> b2(7+3=10); 2 -> b3(6+2=8... b1 9+2>10 first)
+    val docs = Seq((8L, 9L), (16L, 7L), (24L, 6L), (32L, 5L), (40L, 3L), (48L, 2L))
+      .toDF("doc_id", "len")
+    val out = graft.ops.Packing.ffdPack(docs, "doc_id", "len",
+        capacity = 10L, numShards = 8)
+      .select("doc_id", "bin", "oversize").as[(Long, Int, Boolean)]
+      .collect().map { case (id, b, _) => id -> b }.toMap
+    assert(out == Map(8L -> 1, 16L -> 2, 24L -> 3, 32L -> 4, 40L -> 2, 48L -> 3),
+      s"got $out")
+
+    // invariants on the fixture: no non-oversize bin exceeds capacity;
+    // every doc appears exactly once; result is input-order independent
+    val fixture = graft.ops.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("len"))
+    val packed = graft.ops.Packing.ffdPack(fixture, "doc_id", "len", 1200L, 8)
+    val fills = packed.groupBy("shard", "bin")
+      .agg(sum("len").as("fill"), max(col("oversize").cast("int")).as("ov"))
+    assert(fills.where(col("fill") > 1200 && col("ov") === 0).count() == 0)
+    assert(packed.count() == fixture.count())
+    assert(packed.select("doc_id").distinct().count() == fixture.count())
+    val shuffled = graft.ops.Packing.ffdPack(
+      fixture.orderBy(md5(col("doc_id").cast("string"))), "doc_id", "len", 1200L, 8)
+    assert(shuffled.orderBy("shard", "bin", "doc_id").collect().toSeq ==
+      packed.orderBy("shard", "bin", "doc_id").collect().toSeq,
+      "packing must be a pure function of the item set")
+
+    // efficiency vs the naive arrival-order packer (q74's no-sort
+    // analogue for whole docs): FFD must use no more bins, and its
+    // fill must be near the ceil(total/C) ideal
+    val bins = packed.select("shard", "bin").distinct().count()
+    val totalLen = fixture.agg(sum("len")).as[Long].collect()(0)
+    val ideal = math.ceil(totalLen.toDouble / 1200.0).toLong
+    info(s"FFD bins=$bins ideal(no shard/no split)=$ideal fill=${
+      totalLen.toDouble / (bins * 1200.0)}")
+    assert(bins <= (ideal * 1.25 + 8).toLong,
+      s"FFD used $bins bins vs ideal $ideal — fragmentation too high")
+  }
+
   test("sign-LSH pair mining: vectors never ride the pair distinct") {
     val base = Array.tabulate(64)(i => math.sin(i).toFloat)
     val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f

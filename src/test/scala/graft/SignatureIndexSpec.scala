@@ -148,4 +148,77 @@ class SignatureIndexSpec extends SparkSpec {
     assertIndexSideExchangeFree("sig_app", "sig_app_buckets", "sig_app_sigs",
       probeCrawl, archive)
   }
+
+  test("syncSignatureIndex: diff-driven append equals a full rebuild under add-only drift") {
+    Seq("sig_sync_buckets", "sig_sync_sigs", "sig_rb_buckets", "sig_rb_sigs")
+      .foreach(dropHard)
+    val docs = Tables.table(spark, sf, "documents")
+    val oldSnap = docs.where(col("doc_id") % 4 =!= 0)
+    // add-only drift: the new snapshot keeps every old row and gains
+    // the %4 slice plus a near-copy (so the probe can find something
+    // only an absorbed row serves)
+    val addedNear = docs.where(col("doc_id") === 1L)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val newSnap = oldSnap.unionAll(docs.where(col("doc_id") % 4 === 0))
+      .unionAll(addedNear)
+
+    Dedup.writeSignatureIndex(oldSnap, "doc_id", "text",
+      "sig_sync_buckets", "sig_sync_sigs", shingleN = 3, numBuckets = 8)
+    val report = Dedup.syncSignatureIndex(oldSnap, newSnap, "doc_id", "text",
+        "sig_sync_buckets", "sig_sync_sigs", shingleN = 3, numBuckets = 8)
+      .as[(String, Long)].collect().toMap
+    assert(report.keySet == Set("added"), s"add-only drift must report only adds: $report")
+
+    // rebuild from scratch on the new snapshot
+    Dedup.writeSignatureIndex(newSnap, "doc_id", "text",
+      "sig_rb_buckets", "sig_rb_sigs", shingleN = 3, numBuckets = 8)
+
+    // the synced tables are ROW-identical to the rebuild…
+    def sigRows(t: String) = spark.table(t)
+      .select(col("doc_id"), col("sig").cast("array<string>"))
+      .as[(Long, Seq[String])].collect().toSet
+    assert(sigRows("sig_sync_sigs") == sigRows("sig_rb_sigs"))
+
+    // …and probes answer identically (a crawl carrying near-copies of
+    // an ORIGINAL row and an ADDED row exercises both generations)
+    val probe = docs.where(col("doc_id").isin(1L, 2L))
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    def probePairs(bucketTable: String, sigTable: String) =
+      Dedup.crossCorpusJaccardPairsFromIndex(spark, bucketTable, sigTable,
+          probe, newSnap, "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    val (synced, rebuilt) = (probePairs("sig_sync_buckets", "sig_sync_sigs"),
+      probePairs("sig_rb_buckets", "sig_rb_sigs"))
+    assert(synced == rebuilt,
+      s"synced index must probe like the rebuild: ${synced.size} vs ${rebuilt.size}")
+    assert(synced.nonEmpty, "planted near-copies must be mined")
+  }
+
+  test("syncSignatureIndex reports changed/removed but never absorbs them") {
+    Seq("sig_drift_buckets", "sig_drift_sigs").foreach(dropHard)
+    val docs = Tables.table(spark, sf, "documents")
+    val oldSnap = docs.where(col("doc_id") < 400)
+    // drift: %7 rows edited, %11 rows removed, nothing added
+    val newSnap = oldSnap.where(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" changed!"))).otherwise(col("text")))
+
+    Dedup.writeSignatureIndex(oldSnap, "doc_id", "text",
+      "sig_drift_buckets", "sig_drift_sigs", shingleN = 3, numBuckets = 8)
+    val before = spark.table("sig_drift_sigs").count()
+    val report = Dedup.syncSignatureIndex(oldSnap, newSnap, "doc_id", "text",
+        "sig_drift_buckets", "sig_drift_sigs", shingleN = 3, numBuckets = 8)
+      .as[(String, Long)].collect().toMap
+    assert(report.keySet == Set("changed", "removed"), s"got $report")
+    assert(report("changed") > 0 && report("removed") > 0)
+    // stale rows stay (append-only contract); nothing was appended —
+    // the report IS the rebuild signal
+    assert(spark.table("sig_drift_sigs").count() == before,
+      "changed/removed rows must not be appended")
+  }
 }
