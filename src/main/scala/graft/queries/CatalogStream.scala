@@ -48,12 +48,11 @@ object CatalogStream {
   private def rmrf(path: String): Unit =
     graft.ops.LocalFiles.deleteRecursively(path)
 
-  /** Stage DataFrames as single-file parquet "arrival waves" in one
-    * fresh dir with strictly increasing modification times, so a
-    * file-source stream with maxFilesPerTrigger=1 replays them as that
-    * many deterministic microbatches, in order. */
-  private def stageWaves(waves: DataFrame*): String = {
-    val dir = Files.createTempDirectory("graft-stream-waves")
+  /** Stage DataFrames as single-file parquet "arrival waves" in `dir`
+    * with strictly increasing modification times, so a file-source
+    * stream with maxFilesPerTrigger=1 replays them as that many
+    * deterministic microbatches, in order. */
+  private def stageInto(dir: java.nio.file.Path, waves: Seq[DataFrame]): String = {
     def one(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val tmp = Files.createTempDirectory("graft-wave").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -71,13 +70,49 @@ object CatalogStream {
     }
     dir.toString
   }
-  private def stageTwoWaves(a: DataFrame, b: DataFrame): String = stageWaves(a, b)
+
+  /** Stage a wave set ONCE per (fixture, spec) per process — the
+    * round-8 verdict's harness-amortization ask: the nine gate queries
+    * previously each staged their own copy per INVOCATION, so a 3-pass
+    * bench wrote 27 fixture-sized wave sets; five queries share the
+    * same 80/20 split and q122/q129 the same three-wave late set, so
+    * the process needs only four distinct sets, once each. Staging is
+    * deterministic (same content, names, mtime order), so reuse is
+    * bit-identical to restaging; dirs live under the pid-keyed scratch
+    * root ([[graft.ops.LocalFiles.processScratchDir]]) deleted at JVM
+    * shutdown, and [[runWaves]] is told it does NOT own cached dirs.
+    * The per-run engine startup + checkpoint + state-store setup is
+    * the irreducible remainder (a checkpoint must never be reused —
+    * replay is the point). */
+  private val waveDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageWavesCached(d: String, specKey: String)
+                              (waves: => Seq[DataFrame]): String =
+    waveDirCache.computeIfAbsent(s"$d|$specKey", _ => {
+      val root = new java.io.File(
+        graft.ops.LocalFiles.processScratchDir("stream-waves"),
+        specKey + "-" + Integer.toHexString(d.hashCode))
+      root.mkdirs()
+      stageInto(root.toPath, waves)
+    })
+
+  /** (min, max) epoch seconds of a query's event set, once per
+    * (fixture, variant) per process — every gate query derives its
+    * wave split from it, and the re-aggregation was one full events
+    * scan per invocation. */
+  private val minMaxCache = new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+  private def minMaxEpoch(events: DataFrame, d: String, variant: String): (Double, Double) =
+    minMaxCache.computeIfAbsent(s"$d|$variant", _ => {
+      val e = epochSec(col("ts"))
+      val mm = events.agg(min(e), max(e)).head()
+      (mm.getDouble(0), mm.getDouble(1))
+    })
 
   /** Run `compose` over the staged wave dir through a real streaming
     * query (file source, maxFilesPerTrigger=1, AvailableNow) into a
     * uniquely-named memory sink; returns the sink table. */
   private def runWaves(spark: SparkSession, dir: String, schema: StructType,
-                       mode: String)(compose: DataFrame => DataFrame): DataFrame = {
+                       mode: String, ownsDir: Boolean = true)
+                      (compose: DataFrame => DataFrame): DataFrame = {
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val src = spark.readStream.format("parquet").schema(schema)
@@ -112,7 +147,10 @@ object CatalogStream {
       spark.table(name).localCheckpoint(true)
     } finally {
       scala.util.Try(spark.catalog.dropTempView(name))
-      rmrf(dir); rmrf(ckpt)
+      // cached (shared) wave dirs outlive the run — the pid-keyed
+      // scratch shutdown hook owns them; per-run checkpoints never do
+      if (ownsDir) rmrf(dir)
+      rmrf(ckpt)
     }
   }
 
@@ -155,15 +193,14 @@ object CatalogStream {
     ("q122_stream_tumbling_late", (s: SparkSession, d: String) => {
       val events = ev(s, d)
       val e = epochSec(col("ts"))
-      val mm = events.agg(min(e), max(e)).head()
-      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      val (mn, mx) = minMaxEpoch(events, d, "all")
       val split = mn + 0.8 * (mx - mn)
       val isLate = col("user_id") % LateUsers === 0
-      val dir = stageWaves(
+      val dir = stageWavesCached(d, "late3")(Seq(
         events.where(!isLate && e <= split),
         events.where(!isLate && e > split),
-        events.where(isLate))
-      runWaves(s, dir, events.schema, "append") { df =>
+        events.where(isLate)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
         df.withWatermark("ts", "3600 seconds")
           .groupBy(window(col("ts"), "3600 seconds").as("w"))
           .agg(count(lit(1)).as("n_events"),
@@ -214,9 +251,9 @@ object CatalogStream {
     // output is every event exactly once.
     ("q123_stream_dedup_replay", (s: SparkSession, d: String) => {
       val events = ev(s, d)
-      val replayed = events.where(col("user_id") % LateUsers === 0)
-      val dir = stageTwoWaves(events, replayed)
-      runWaves(s, dir, events.schema, "append") { df =>
+      val dir = stageWavesCached(d, "replay")(Seq(events,
+        events.where(col("user_id") % LateUsers === 0)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
         StreamOps.dedupped(df, "ts", "event_id", "90 days")
       }
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -236,10 +273,11 @@ object CatalogStream {
       import s.implicits._
       val events = ev(s, d)
       val e = epochSec(col("ts"))
-      val mm = events.agg(min(e), max(e)).head()
-      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
-      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
-      runWaves(s, dir, events.schema, "update") { df =>
+      val (mn, mx) = minMaxEpoch(events, d, "all")
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020")(Seq(
+        events.where(e <= split), events.where(e > split)))
+      runWaves(s, dir, events.schema, "update", ownsDir = false) { df =>
         StreamOps.runningUserState(s,
           df.select(col("user_id"),
             floor(col("value") * 100).cast("double").as("cents"))
@@ -263,12 +301,13 @@ object CatalogStream {
     ("q125_stream_static_enrich", (s: SparkSession, d: String) => {
       val events = ev(s, d)
       val e = epochSec(col("ts"))
-      val mm = events.agg(min(e), max(e)).head()
-      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
-      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
+      val (mn, mx) = minMaxEpoch(events, d, "all")
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020")(Seq(
+        events.where(e <= split), events.where(e > split)))
       val dim = table(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
-      runWaves(s, dir, events.schema, "append") { df =>
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
         StreamOps.enrich(df, dim, "user_id", "c_custkey")
       }
         .select(col("event_id"), col("user_id"), col("c_nationkey"),
@@ -293,10 +332,11 @@ object CatalogStream {
       // family's wall-clock at sf0.1
       val events = ev(s, d).where(col("user_id") % 3 === 0)
       val e = epochSec(col("ts"))
-      val mm = events.agg(min(e), max(e)).head()
-      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
-      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
-      runWaves(s, dir, events.schema, "append") { df =>
+      val (mn, mx) = minMaxEpoch(events, d, "u3") // min/max of the SUBSET
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020u3")(Seq(
+        events.where(e <= split), events.where(e > split)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
         val a = df.where(col("event_id") % 2 === 0)
           .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
             col("ts").as("a_ts"))
@@ -333,10 +373,11 @@ object CatalogStream {
     ("q127_stream_session_merge", (s: SparkSession, d: String) => {
       val events = ev(s, d)
       val e = epochSec(col("ts"))
-      val mm = events.agg(min(e), max(e)).head()
-      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
-      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
-      runWaves(s, dir, events.schema, "append") { df =>
+      val (mn, mx) = minMaxEpoch(events, d, "all")
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020")(Seq(
+        events.where(e <= split), events.where(e > split)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
         df.withWatermark("ts", "3600 seconds")
           .groupBy(session_window(col("ts"), "1800 seconds").as("w"),
             col("user_id"))
@@ -385,10 +426,11 @@ object CatalogStream {
       import s.implicits._
       val events = ev(s, d)
       val e = epochSec(col("ts"))
-      val mm = events.agg(min(e), max(e)).head()
-      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
-      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
-      runWaves(s, dir, events.schema, "update") { df =>
+      val (mn, mx) = minMaxEpoch(events, d, "all")
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020")(Seq(
+        events.where(e <= split), events.where(e > split)))
+      runWaves(s, dir, events.schema, "update", ownsDir = false) { df =>
         StreamOps.runningUserStateTws(s,
           df.select(col("user_id"),
             floor(col("value") * 100).cast("double").as("cents"))
@@ -420,14 +462,15 @@ object CatalogStream {
     ("q129_stream_dedup_eviction", (s: SparkSession, d: String) => {
       val events = ev(s, d)
       val e = epochSec(col("ts"))
-      val mm = events.agg(min(e), max(e)).head()
-      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
+      val (mn, mx) = minMaxEpoch(events, d, "all")
+      val split = mn + 0.8 * (mx - mn)
       val isLate = col("user_id") % LateUsers === 0
-      val dir = stageWaves(
+      // same wave set as q122 — shared staged copy by construction
+      val dir = stageWavesCached(d, "late3")(Seq(
         events.where(!isLate && e <= split),
         events.where(!isLate && e > split),
-        events.where(isLate))
-      runWaves(s, dir, events.schema, "append") { df =>
+        events.where(isLate)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
         StreamOps.dedupped(df, "ts", "event_id", "3600 seconds")
       }
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -461,10 +504,11 @@ object CatalogStream {
       import s.implicits._
       val events = ev(s, d)
       val e = epochSec(col("ts"))
-      val mm = events.agg(min(e), max(e)).head()
-      val split = mm.getDouble(0) + 0.8 * (mm.getDouble(1) - mm.getDouble(0))
-      val dir = stageTwoWaves(events.where(e <= split), events.where(e > split))
-      runWaves(s, dir, events.schema, "append") { df =>
+      val (mn, mx) = minMaxEpoch(events, d, "all")
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020")(Seq(
+        events.where(e <= split), events.where(e > split)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
         StreamOps.thresholdAlerts(s,
           df.select(col("user_id"),
             floor(col("value") * 100).cast("double").as("cents"))
