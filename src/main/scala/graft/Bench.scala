@@ -161,10 +161,26 @@ object Bench {
     // catalog name (unique by construction). Per-query values carry two
     // decimals (10 ms resolution — this box's run-to-run noise is an
     // order of magnitude above that); the total keeps three. Trimmed in
-    // round 8 at 132 queries/1743 chars, four queries short of the warn.
+    // round 8 at 132 queries/1743 chars; round 9 adds the FAMILY ROLLUP
+    // policy (the round-8 verdict's ask #8, decided before overflow
+    // rather than under it): the nine streaming-gate entries report as
+    // ONE "q12x" key carrying the family total — their cost is
+    // harness-dominated (engine startup + state-store setup, see
+    // SCALING.md round-9 note), so the per-entry split carries no
+    // cross-round signal the family total doesn't; per-entry numbers
+    // remain available via SPARK_GRAFT_ONLY=q122,...,q130. Batch
+    // queries stay per-key. Budget at 138 queries: 130 keys ≈ 1.7 KB.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + sec2(v) }
+    val streamFamily = "^q12[2-9]|^q130".r
+    val rollupFamily = only.isEmpty // a restricted dev run keeps per-entry keys
+    val keyed = results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
+    val (fam, rest) =
+      keyed.partition { case (k, _) => rollupFamily && streamFamily.findFirstIn(k).isDefined }
+    val entries = rest ++
+      (if (fam.nonEmpty) Seq(("q12x", fam.map(_._2).sum)) else Nil)
+    val qs = entries.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + sec2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val relayJson =

@@ -130,4 +130,65 @@ object Layout {
     destFs.listStatus(dest).count(f => f.getPath.getName.endsWith(".parquet") &&
       !f.getPath.getName.startsWith("_"))
   }
+
+  /** ONE-REWRITE table maintenance — the OPTIMIZE shape, composing the
+    * three individually-oracled layout levers (q131 compaction, q79
+    * Z-order, q121 blooms) the way an operator actually runs them:
+    * read the (small-files) source ONCE, range-partition by the
+    * Z-order key into data-sized partitions, sort within, and write
+    * WITH bloom filters on the secondary keys — one read + one write.
+    * Running the three as separate rewrites would read and write the
+    * table three times; at 100 TB the rewrite IS the cost, so layout
+    * decisions must share one pass. Compaction sizing, the
+    * never-in-place qualified-path guard, per-job bloom options, and
+    * the Z-clustering contract are each inherited verbatim from their
+    * single-purpose operators (and their specs).
+    *
+    * Returns (nFilesBefore, bytesBefore, nFilesAfter, bytesAfter) —
+    * the before/after evidence a maintenance job reports. */
+  def optimizeTable(spark: org.apache.spark.sql.SparkSession,
+                    srcDir: String, destDir: String,
+                    zX: Column, zY: Column,
+                    bloomCols: Seq[String],
+                    targetFileBytes: Long = 128L * 1024 * 1024,
+                    expectedNdv: Long = 100000L,
+                    bits: Int = 16): (Int, Long, Int, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(bloomCols.nonEmpty, "at least one bloom column")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    val destFs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(conf)
+    val src = srcFs.makeQualified(new org.apache.hadoop.fs.Path(srcDir))
+    val dest = destFs.makeQualified(new org.apache.hadoop.fs.Path(destDir))
+    def contains(a: org.apache.hadoop.fs.Path,
+                 b: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = b
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(!contains(src, dest) && !contains(dest, src),
+      s"optimize is never in place (src=$src dest=$dest)")
+    def stats(fs: org.apache.hadoop.fs.FileSystem,
+              p: org.apache.hadoop.fs.Path): (Int, Long) = {
+      val files = fs.listStatus(p).filter(f =>
+        f.getPath.getName.endsWith(".parquet") && !f.getPath.getName.startsWith("_"))
+      (files.length, files.map(_.getLen).sum)
+    }
+    val (nBefore, bytesBefore) = stats(srcFs, src)
+    val parts = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+    val clustered = spark.read.parquet(srcDir)
+      .withColumn("__z", zValue(zX, zY, bits))
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val kv = bloomCols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString,
+      s"parquet.enable.dictionary#$c" -> "false"))
+    kv.foldLeft(clustered.write.mode("overwrite")) {
+      case (w, (k, v)) => w.option(k, v)
+    }.parquet(destDir)
+    val (nAfter, bytesAfter) = stats(destFs, dest)
+    (nBefore, bytesBefore, nAfter, bytesAfter)
+  }
 }

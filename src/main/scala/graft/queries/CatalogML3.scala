@@ -1010,6 +1010,70 @@ object CatalogML3 {
         |FROM oldt o FULL JOIN newt n ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
         |   OR o.text IS DISTINCT FROM n.text
-        |GROUP BY 1 ORDER BY status""".stripMargin))
+        |GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // OPTIMIZE-table composition ON THE GATE (the q131 staging + the
+    // q79/q121 layout levers in ONE rewrite): stage documents as a
+    // 64-file sliver layout, run Layout.optimizeTable — compact to
+    // data-sized files AND Z-order-cluster by (n_chars, doc_id%1024)
+    // AND attach a doc_id bloom, one read + one write — then REQUIRE
+    // the collapse, the bloom footers, and the Z-clustering
+    // (per-file z ranges disjoint by repartitionByRange), and return
+    // the content. The oracle is the table itself: maintenance must be
+    // lossless; the three layout REQUIREs are the evidence content
+    // alone cannot carry.
+    ("q139_optimize_table", (s: SparkSession, d: String) => {
+      import scala.jdk.CollectionConverters._
+      val base = new java.io.File(
+        graft.ops.LocalFiles.processScratchDir("optimize-q139"),
+        Integer.toHexString(d.hashCode))
+      val sliver = new java.io.File(base, "sliver").toString
+      val out = new java.io.File(base, "optimized").toString
+      table(s, d, "documents").repartition(64)
+        .write.mode("overwrite").parquet(sliver)
+      val srcPath = new org.apache.hadoop.fs.Path(sliver)
+      val bytes = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(srcPath).getLength
+      val (nb, _, na, _) = graft.ops.Layout.optimizeTable(s, sliver, out,
+        col("n_chars").cast("long"), pmod(col("doc_id"), lit(1024L)),
+        bloomCols = Seq("doc_id"),
+        targetFileBytes = math.max(1L, bytes / 4), expectedNdv = 100000L)
+      require(nb == 64 && na <= 5,
+        s"optimize left $na of $nb files — the sliver layout survived")
+      val parts = new java.io.File(out).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      parts.foreach { part =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+          s.sparkContext.hadoopConfiguration)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.foreach { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "doc_id").get
+          require(c.getBloomFilterOffset >= 0,
+            s"bloom filter missing on doc_id in ${part.getName}")
+        } finally reader.close()
+      }
+      // Z-clustering evidence: per-FILE z ranges must be disjoint
+      // (repartitionByRange on the z key guarantees it; reading each
+      // file alone observes it)
+      val zr = parts.toSeq.map { part =>
+        s.read.parquet(part.getAbsolutePath)
+          .select(graft.ops.Layout.zValue(col("n_chars").cast("long"),
+            pmod(col("doc_id"), lit(1024L))).as("z"))
+          .agg(min(col("z")), max(col("z"))).head()
+      }.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      zr.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          require(aMax <= bMin, s"z ranges overlap across files: $zr")
+        case _ => ()
+      }
+      s.read.parquet(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin))
   )
 }
