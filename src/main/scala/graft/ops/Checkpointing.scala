@@ -100,25 +100,25 @@ object CachedFrames {
     * that a week-long session stays flat. */
   val MaxLive = 8
 
-  private val live = new java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]()
+  // STRONG references, deliberately: Spark's CacheManager holds the
+  // CachedData(plan → InMemoryRelation) independently of the Dataset
+  // object, so a weakly-held frame that gets GC'd would leave its
+  // cache entry alive AND unreachable to unpersist — the exact leak
+  // this registry exists to bound (round-9 review). Pinning at most
+  // MaxLive Dataset handles is the cost of being able to evict.
+  private val live = new java.util.ArrayDeque[DataFrame]()
 
   def cached(df: DataFrame): DataFrame = synchronized {
     val c = df.cache()
-    live.addLast(new java.lang.ref.WeakReference(c))
+    live.addLast(c)
     while (live.size > MaxLive) {
-      val old = live.removeFirst().get()
-      // a GC'd reference means no live plan holds the frame; its
-      // blocks are reclaimed by the ContextCleaner
-      if (old != null) old.unpersist(blocking = false)
+      live.removeFirst().unpersist(blocking = false)
     }
     c
   }
 
   def releaseAll(): Unit = synchronized {
-    while (!live.isEmpty) {
-      val old = live.removeFirst().get()
-      if (old != null) old.unpersist(blocking = false)
-    }
+    while (!live.isEmpty) live.removeFirst().unpersist(blocking = false)
   }
 
   /** Registered-but-not-yet-evicted count (test hook). */

@@ -96,20 +96,20 @@ object Layout {
     * The input bytes are the FS listing size; compressed output files
     * land near (often under) `targetFileBytes` — the point is the
     * count's ORDER, not byte-exact sizes. */
-  def compactTo(spark: org.apache.spark.sql.SparkSession,
-                srcDir: String, destDir: String,
-                targetFileBytes: Long = 128L * 1024 * 1024,
-                shuffle: Boolean = true): Int = {
-    require(targetFileBytes > 0, "targetFileBytes must be positive")
+  /** The never-in-place guard, shared by every rewrite entry point:
+    * compares FULLY QUALIFIED paths (scheme + authority resolved by
+    * each path's own filesystem) and rejects ancestor/descendant
+    * nesting — a raw Path comparison would let "/t" vs "file:/t" (or
+    * a dest nested under src) through, and the overwrite would delete
+    * the directory the lazy source read is about to scan. Returns the
+    * qualified (srcFs, src, destFs, dest). */
+  private def requireNotInPlace(spark: org.apache.spark.sql.SparkSession,
+                                srcDir: String, destDir: String, what: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path,
+         org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
     val destFs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(conf)
-    // The never-in-place guard compares FULLY QUALIFIED paths (scheme +
-    // authority resolved by each path's own filesystem) and rejects
-    // ancestor/descendant nesting — a raw Path comparison would let
-    // "/t" vs "file:/t" (or a dest nested under src) through, and the
-    // overwrite would delete the directory the lazy source read is
-    // about to scan.
     val src = srcFs.makeQualified(new org.apache.hadoop.fs.Path(srcDir))
     val dest = destFs.makeQualified(new org.apache.hadoop.fs.Path(destDir))
     def contains(a: org.apache.hadoop.fs.Path,
@@ -119,7 +119,17 @@ object Layout {
       false
     }
     require(!contains(src, dest) && !contains(dest, src),
-      s"compaction is never in place (src=$src dest=$dest)")
+      s"$what is never in place (src=$src dest=$dest)")
+    (srcFs, src, destFs, dest)
+  }
+
+  def compactTo(spark: org.apache.spark.sql.SparkSession,
+                srcDir: String, destDir: String,
+                targetFileBytes: Long = 128L * 1024 * 1024,
+                shuffle: Boolean = true): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (srcFs, src, destFs, dest) =
+      requireNotInPlace(spark, srcDir, destDir, "compaction")
     val bytes = srcFs.getContentSummary(src).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(srcDir)
@@ -154,20 +164,11 @@ object Layout {
                     expectedNdv: Long = 100000L,
                     bits: Int = 16): (Int, Long, Int, Long) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(bloomCols.nonEmpty, "at least one bloom column")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val srcFs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
-    val destFs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(conf)
-    val src = srcFs.makeQualified(new org.apache.hadoop.fs.Path(srcDir))
-    val dest = destFs.makeQualified(new org.apache.hadoop.fs.Path(destDir))
-    def contains(a: org.apache.hadoop.fs.Path,
-                 b: org.apache.hadoop.fs.Path): Boolean = {
-      var p: org.apache.hadoop.fs.Path = b
-      while (p != null) { if (p == a) return true; p = p.getParent }
-      false
-    }
-    require(!contains(src, dest) && !contains(dest, src),
-      s"optimize is never in place (src=$src dest=$dest)")
+    // composed, not re-implemented: the guard, the clustering, and the
+    // bloom write are the single-purpose operators verbatim — one
+    // place for each to evolve (round-9 review)
+    val (srcFs, src, destFs, dest) =
+      requireNotInPlace(spark, srcDir, destDir, "optimize")
     def stats(fs: org.apache.hadoop.fs.FileSystem,
               p: org.apache.hadoop.fs.Path): (Int, Long) = {
       val files = fs.listStatus(p).filter(f =>
@@ -176,18 +177,9 @@ object Layout {
     }
     val (nBefore, bytesBefore) = stats(srcFs, src)
     val parts = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
-    val clustered = spark.read.parquet(srcDir)
-      .withColumn("__z", zValue(zX, zY, bits))
-      .repartitionByRange(parts, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    val kv = bloomCols.flatMap(c => Seq(
-      s"parquet.bloom.filter.enabled#$c" -> "true",
-      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString,
-      s"parquet.enable.dictionary#$c" -> "false"))
-    kv.foldLeft(clustered.write.mode("overwrite")) {
-      case (w, (k, v)) => w.option(k, v)
-    }.parquet(destDir)
+    writeWithBloom(
+      zorderBy(spark.read.parquet(srcDir), zX, zY, parts, bits),
+      destDir, bloomCols, expectedNdv)
     val (nAfter, bytesAfter) = stats(destFs, dest)
     (nBefore, bytesBefore, nAfter, bytesAfter)
   }

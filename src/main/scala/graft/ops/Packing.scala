@@ -62,8 +62,18 @@ object Packing {
               capacity: Long, numShards: Int): DataFrame = {
     require(capacity >= 1 && numShards >= 1,
       s"capacity and numShards must be positive: $capacity, $numShards")
+    // Enforce the hard-bound contract instead of silently breaking it
+    // (the budgetSelect discipline): a NULL length would read as 0
+    // through the packed struct — the document "fits" every bin while
+    // its real tokens overflow the context downstream — and a negative
+    // length corrupts every fill after it. raise_error at the first
+    // offender, row-local, no extra validation scan.
+    val lenGuarded = when(col(lenCol).isNull || col(lenCol) < 0, raise_error(concat(
+        lit(s"ffdPack: null/negative length in '$lenCol' for id="),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(col(lenCol).cast("long"))
     df.select(pmod(col(idCol), lit(numShards.toLong)).as("shard"),
-        struct(col(lenCol).cast("long").as("len"),
+        struct(lenGuarded.as("len"),
           col(idCol).cast("long").as("id")).as("__it"))
       .groupBy("shard")
       .agg(collect_list(col("__it")).as("__items"))

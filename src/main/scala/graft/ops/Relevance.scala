@@ -178,8 +178,9 @@ object Relevance {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.PortableSketches.lnOfInt
     val spark = raw.sparkSession
-    def bucketOf(t: Column): Column =
-      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets
+    // the shared portable recipe — linearScore's weight-table
+    // compatibility contract depends on both using ONE definition
+    def bucketOf(t: Column): Column = tokenBucket(t, buckets)
     def bucketCounts(df: DataFrame, cntName: String): DataFrame =
       df.select(explode(TextOps.lowerTokens(col(textCol))).as("__tok"))
         .select(bucketOf(col("__tok")).as("bucket"))

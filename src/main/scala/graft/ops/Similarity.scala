@@ -105,9 +105,13 @@ object Similarity {
     // falls back to a shuffle join — slower, alive.
     val q0 = CachedFrames.cached(queries)
     val nq = q0.count()
+    // max over the batch (null-safe): a null head-row vector must not
+    // NPE the probe, and max — not an arbitrary first row — is the
+    // conservative width for the byte gate
     val dim =
       if (nq == 0) 0L
-      else q0.select(size(col(qvecCol)).cast("long").as("__d")).head().getLong(0)
+      else q0.agg(max(coalesce(size(col(qvecCol)), lit(0))).cast("long").as("__d"))
+        .head().getLong(0)
     val nqEff = nq * ((dim * 4 + 48) / 40).max(1)
     val base = Tables.spread(corpus, idCol)
       .crossJoin(Dedup.maybeBroadcast(q0, nqEff))
@@ -848,10 +852,11 @@ object Similarity {
     require(index.columns.contains(labelCol),
       s"index must carry the label column '$labelCol' — build it with " +
         s"writeIvfIndexWith(..., extraCols = Seq(\"$labelCol\"))")
-    require(labelCol != qlabelCol && qidCol != idCol,
+    require(labelCol != qlabelCol && qidCol != idCol && qvecCol != vecCol,
       "anchor columns must be renamed apart from corpus/index columns " +
         s"(got labelCol='$labelCol' qlabelCol='$qlabelCol', " +
-        s"idCol='$idCol' qidCol='$qidCol') — the candidate join carries both sides")
+        s"idCol='$idCol' qidCol='$qidCol', vecCol='$vecCol' qvecCol='$qvecCol') " +
+        "— the candidate and re-rank joins carry both sides")
     val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
     val dim = cents(0)._2.length.toLong
     val a0 = CachedFrames.cached(

@@ -91,6 +91,11 @@ object CatalogStream {
       val root = new java.io.File(
         graft.ops.LocalFiles.processScratchDir("stream-waves"),
         specKey + "-" + Integer.toHexString(d.hashCode))
+      // a PREVIOUS partially-failed staging (mapping not recorded on
+      // exception) would leave files that make the retry's Files.move
+      // throw FileAlreadyExists — clean the fixed root before staging
+      // so a transient failure never poisons the key for the process
+      rmrf(root.toString)
       root.mkdirs()
       stageInto(root.toPath, waves)
     })
