@@ -1012,6 +1012,30 @@ object CatalogML3 {
         |   OR o.text IS DISTINCT FROM n.text
         |GROUP BY 1 ORDER BY status""".stripMargin)),
 
+    // BPE encode at BYTE level — q116 gates the compiled encoder's
+    // token COUNTS; this gates the full ENCODED STRING (marker
+    // placement included) against DuckDB's replace chain, so any
+    // divergence in the compiled node's pass/glue/boundary handling is
+    // caught at the first differing byte, not only when it changes a
+    // count. Same pinned table; U+0001 markers ride the parquet dump
+    // and the hash canonicalization as ordinary string bytes.
+    ("q140_bpe_encode_text", (s: SparkSession, d: String) => {
+      val docs = spread(table(s, d, "documents"), "doc_id")
+      docs.select(col("doc_id"),
+          TextOps.bpeEncodeCompiled(col("text"), Q116Merges).as("encoded"))
+        .orderBy("doc_id")
+    }, Some {
+      val s0 = """regexp_replace(trim(lower(text)), '(\S)', chr(1) || '\1', 'g')"""
+      val chain = Q116Merges.foldLeft("s") { case (acc, (l, r)) =>
+        s"replace($acc, chr(1) || '$l' || chr(1) || '$r', chr(1) || '$l$r')"
+      }
+      s"""WITH s0 AS (
+         |  SELECT doc_id, $s0 AS s FROM documents
+         |)
+         |SELECT doc_id, $chain AS encoded
+         |FROM s0 ORDER BY doc_id""".stripMargin
+    }),
+
     // OPTIMIZE-table composition ON THE GATE (the q131 staging + the
     // q79/q121 layout levers in ONE rewrite): stage documents as a
     // 64-file sliver layout, run Layout.optimizeTable — compact to

@@ -86,7 +86,10 @@ object ScalingCurve {
       "q137",
       // diff-driven index sync: digest-only diff + signatures over the
       // added slice only (the whole point vs a per-snapshot rebuild)
-      "q138")
+      "q138",
+      // byte-level BPE encode: one compiled node per row, zero shuffle
+      // beyond the output sort — the string-output twin of q116
+      "q140")
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is
