@@ -869,6 +869,37 @@ object Dedup {
     docs.join(maybeBroadcast(drop, labels.count()), Seq(idCol), "left_anti")
   }
 
+  /** [[keepRepresentatives]] with a QUALITY keep policy: within each
+    * near-dup cluster keep the highest-`scoreCol` member (ties to the
+    * smaller id) instead of the smallest id — the canonical copy of a
+    * duplicate group should be its BEST member, not the numerically
+    * first one crawled (duplicates routinely differ in boilerplate,
+    * truncation, or encoding damage, which is exactly what a quality
+    * score measures). Docs in no cluster always survive.
+    *
+    * Scale posture = [[keepRepresentatives]]: the CC label table is
+    * duplicate-sized and checkpoint-truncated; only (id, score) pairs
+    * join it (text never moves); the per-cluster argmax is one
+    * struct-min aggregate over the clustered subset; the drop set
+    * rides the size-gated anti-join. */
+  def keepBestRepresentatives(docs: DataFrame, idCol: String, scoreCol: String,
+                              pairs: DataFrame,
+                              idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val labels = connectedComponents(pairs, idA, idB)
+    val nLab = labels.count()
+    val scored = docs.select(col(idCol), col(scoreCol))
+      .join(maybeBroadcast(labels.select(col("id").as(idCol), col("cluster")), nLab),
+        Seq(idCol))
+    // argmax(score), ties to the smaller id: min over (−score, id)
+    // structs — lexicographic, exact double negation
+    val bestIds = scored.groupBy(col("cluster"))
+      .agg(min(struct(negate(col(scoreCol)).as("ns"), col(idCol).as("i")))
+        .getField("i").as(idCol))
+    val drop = labels.select(col("id").as(idCol))
+      .join(bestIds, Seq(idCol), "left_anti")
+    docs.join(maybeBroadcast(drop, nLab), Seq(idCol), "left_anti")
+  }
+
   /** Corpus-wide positional line dedup with document rewrite — the
     * C4-style "keep the FIRST occurrence" rule at line granularity:
     * a non-blank line is kept only where it first appears in the corpus

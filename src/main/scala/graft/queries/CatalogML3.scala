@@ -1012,6 +1012,53 @@ object CatalogML3 {
         |   OR o.text IS DISTINCT FROM n.text
         |GROUP BY 1 ORDER BY status""".stripMargin)),
 
+    // Near-dup collapse keeping the BEST member — the quality-aware
+    // upgrade of q84's min-id policy (the canonical copy of a
+    // duplicate cluster should be its best member, not the first one
+    // crawled): per cluster, keep argmax type-token ratio (the
+    // portable repetition-penalty quality proxy), ties to the smaller
+    // id. Composes q84's CC machinery with a q136-style score; the
+    // oracle is q84's recursive cluster closure + a per-cluster
+    // row_number argmax. TTR is one exact IEEE division per doc on
+    // both engines, so keep decisions replay bit-exactly.
+    ("q141_dedup_keep_best", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      val scored = docs
+        .withColumn("__ts", TextOps.lowerTokens(col("text")))
+        .withColumn("ttr", size(array_distinct(col("__ts"))).cast("double") /
+          size(col("__ts")).cast("double"))
+        .drop("__ts")
+      val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      Dedup.keepBestRepresentatives(scored, "doc_id", "ttr", pairs)
+        .select(col("doc_id"), col("ttr"), col("source"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH RECURSIVE ${CatalogML.clusterCteSql()},
+         |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_distinct(list_transform(
+         |                string_split_regex(trim(text), '\\s+'), x -> lower(x)))) AS DOUBLE)
+         |         / CAST(len(list_transform(
+         |                string_split_regex(trim(text), '\\s+'), x -> lower(x))) AS DOUBLE)
+         |           AS ttr
+         |  FROM documents
+         |), best AS (
+         |  SELECT id FROM (
+         |    SELECT lab.id,
+         |           row_number() OVER (PARTITION BY lab.cluster
+         |                              ORDER BY t.ttr DESC, lab.id ASC) AS rn
+         |    FROM lab JOIN t ON t.doc_id = lab.id) WHERE rn = 1
+         |), dr AS (
+         |  SELECT lab.id FROM lab LEFT JOIN best ON lab.id = best.id
+         |  WHERE best.id IS NULL
+         |)
+         |SELECT t.doc_id, t.ttr, t.source
+         |FROM t LEFT JOIN dr ON t.doc_id = dr.id
+         |WHERE dr.id IS NULL
+         |ORDER BY t.doc_id""".stripMargin)),
+
     // BPE encode at BYTE level — q116 gates the compiled encoder's
     // token COUNTS; this gates the full ENCODED STRING (marker
     // placement included) against DuckDB's replace chain, so any

@@ -89,7 +89,10 @@ object ScalingCurve {
       "q138",
       // byte-level BPE encode: one compiled node per row, zero shuffle
       // beyond the output sort — the string-output twin of q116
-      "q140")
+      "q140",
+      // quality-keep collapse: q84's CC machinery + one row-local TTR
+      // score + a cluster-keyed struct-min argmax
+      "q141")
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is

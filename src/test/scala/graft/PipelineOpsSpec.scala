@@ -261,6 +261,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.map(_._2).contains(2L), "same-label near-dup leaked in")
   }
 
+  test("keepBestRepresentatives keeps the argmax-score member, ties to smaller id") {
+    // cluster {1,2,3} via chain 1-2, 2-3; best score is doc 3 (NOT the
+    // min id q84's policy would keep); cluster {5,6} ties on score →
+    // smaller id 5; doc 9 unclustered → always survives
+    val docs = Seq(
+      (1L, 0.2, "a"), (2L, 0.9, "b"), (3L, 0.9, "c"),
+      (5L, 0.5, "d"), (6L, 0.5, "e"), (9L, 0.1, "f")
+    ).toDF("id", "score", "tag")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestRepresentatives(docs, "id", "score", pairs)
+      .select("id").as[Long].collect().toSet
+    // {1,2,3}: ttr tie 2 vs 3 at 0.9 → smaller id 2; {5,6} → 5; 9 free
+    assert(kept == Set(2L, 5L, 9L), s"got $kept")
+    // and the min-id policy would have kept 1 — the policies genuinely differ
+    val minId = Dedup.keepRepresentatives(docs, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(minId == Set(1L, 5L, 9L))
+  }
+
   test("nbClassifierModel/linearScore match a hand-computed NB model") {
     import graft.functions.PortableSketches.lnOfPosLong
     val B = 4
