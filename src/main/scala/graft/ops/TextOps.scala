@@ -654,6 +654,38 @@ object TextOps {
         size(col("__kept")).cast("long").as("n_kept"))
   }
 
+  /** WITHIN-document repetition removal — the REWRITE complement of
+    * Gopher's duplicate-line/paragraph FILTERS (which only flag) and of
+    * [[removeBoilerplateLines]] (which needs the corpus-wide count
+    * shuffle): each document keeps only the FIRST occurrence of every
+    * non-blank line it contains, remaining lines in original order.
+    * Scraping artifacts (repeated nav blocks, duplicated body sections,
+    * templated footers) repeat *within* a page; dropping them needs no
+    * cross-document signal at all.
+    *
+    * Scale design: entirely row-local — one split + one order-preserving
+    * `array_distinct` per document inside the scan's codegen stage, ZERO
+    * shuffle at any corpus size (the cheapest class in the catalog,
+    * q119/q133's). Blank lines are dropped (the [[removeBoilerplateLines]]
+    * convention: output is the cleaned text, not a layout-preserving
+    * diff). Returns (idCol, clean_text, n_kept, n_removed).
+    *
+    * Spark's `array_distinct` keeps elements in first-occurrence order —
+    * the property the whole operator rests on; TextPipelineSpec pins it
+    * against a hand-built keep-first fixture so an upstream semantics
+    * change cannot slip through silently. */
+  def removeRepeatedLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val linesOf = filter(split(col(textCol), "\n"), l => length(trim(l)) > lit(0))
+    docs
+      .select(col(idCol), linesOf.as("__lines"))
+      .select(col(idCol), col("__lines"),
+        array_distinct(col("__lines")).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   // --- corpus-statistics quality signals (unigram LM) -------------------
 
   /** Corpus-relative unigram statistics per document — the quality signal

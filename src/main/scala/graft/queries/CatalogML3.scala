@@ -1059,6 +1059,51 @@ object CatalogML3 {
          |WHERE dr.id IS NULL
          |ORDER BY t.doc_id""".stripMargin)),
 
+    // WITHIN-document repetition removal — the rewrite complement of
+    // q117's duplicate-line FILTERS and q92's cross-doc boilerplate
+    // strip: keep the FIRST occurrence of every non-blank line inside
+    // each document, original order, zero shuffle (row-local
+    // order-preserving array_distinct). The fixture is single-line, so
+    // the query derives repetition shapes first (q117's trick):
+    // doc_id%3==1 → every token its own line (the word soup repeats
+    // words, so keep-first ORDER is exercised hard), %3==2 → the whole
+    // doc duplicated as a second line (exactly one removal), else
+    // untouched. The oracle replays keep-first with DuckDB's indexed
+    // list lambda: list_position(l, x) = i keeps exactly the first
+    // occurrence.
+    ("q142_text_dedup_lines_intra", (s: SparkSession, d: String) => {
+      val docs = spread(table(s, d, "documents"), "doc_id")
+      val m3 = col("doc_id") % 3
+      val structured = docs.withColumn("text",
+        when(m3 === 1, call_function("replace", col("text"), lit(" "), lit("\n")))
+          .when(m3 === 2, concat(col("text"), lit("\n"), col("text")))
+          .otherwise(col("text")))
+      TextOps.removeRepeatedLines(structured, "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INT)
+        |           WHEN 1 THEN replace(text, ' ', chr(10))
+        |           WHEN 2 THEN text || chr(10) || text
+        |           ELSE text END AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, chr(10)),
+        |                     x -> len(trim(x)) > 0) AS lines
+        |  FROM base
+        |), k AS (
+        |  SELECT doc_id, lines,
+        |         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(lines) - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin)),
+
     // BPE encode at BYTE level — q116 gates the compiled encoder's
     // token COUNTS; this gates the full ENCODED STRING (marker
     // placement included) against DuckDB's replace chain, so any

@@ -92,7 +92,10 @@ object ScalingCurve {
       "q140",
       // quality-keep collapse: q84's CC machinery + one row-local TTR
       // score + a cluster-keyed struct-min argmax
-      "q141")
+      "q141",
+      // intra-doc repetition removal: row-local order-preserving
+      // array_distinct, zero shuffle — should be q133's flat class
+      "q142")
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is

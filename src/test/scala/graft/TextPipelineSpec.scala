@@ -246,4 +246,25 @@ class TextPipelineSpec extends SparkSpec {
     val merges = TextOps.bpeLearn(docs, "text", rounds = 5).collect()
     assert(merges.isEmpty) // all words are single symbols
   }
+
+  test("removeRepeatedLines: keep-first order, blanks dropped, counts") {
+    val docs = Seq(
+      // nav/nav/body/nav/body2 + blank → keep nav, body, body2 in order
+      (1L, "nav\nnav\nbody\n\nnav\nbody2"),
+      (2L, "only line"),                  // nothing repeated, no blank
+      (3L, "\n \n"),                      // all blank → empty rewrite
+      (4L, "x\nx\nx\nx")                  // one survivor
+    ).toDF("id", "text")
+    val out = TextOps.removeRepeatedLines(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("nav\nbody\nbody2", 3L, 2L)))
+    assert(out(2L) == (("only line", 1L, 0L)))
+    assert(out(3L) == (("", 0L, 0L)))
+    assert(out(4L) == (("x", 1L, 3L)))
+    // the zero-shuffle claim: no Exchange anywhere in the plan
+    val plan = TextOps.removeRepeatedLines(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
