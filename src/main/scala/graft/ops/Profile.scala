@@ -48,4 +48,57 @@ object Profile {
     * would erase to the same signature as the (name, Column) one). */
   def summaryOf(df: DataFrame, colNames: String*): DataFrame =
     summary(df, colNames.map(n => n -> col(n)))
+
+  /** EXACT grouped quantiles WITHOUT a global sort — the length/token
+    * percentiles every corpus report quotes (p50/p90/p99 doc length
+    * per language/source), computed the way a 100 TB table allows:
+    * never sort the corpus, never sample.
+    *
+    * Type-1 (discontinuous) quantile: for percent p, the smallest
+    * value whose cumulative count reaches ceil(n·p/100) within its
+    * group. All rank arithmetic is INTEGER-only ((n·p + 99) div 100),
+    * so the result is bit-portable across engines — no double
+    * rounding class — which is also why `valueCol` must be integral
+    * (the contract is enforced; doc lengths, token counts, and byte
+    * sizes all are).
+    *
+    * Scale design: the corpus collapses to a per-(group, value) count
+    * table FIRST (one map-side-combined exchange keyed by group+value
+    * — the only corpus-sized shuffle). The running-count window then
+    * operates on the DISTINCT-VALUE table partitioned BY GROUP, so
+    * there is no single-partition exchange anywhere and the window
+    * state is value-domain-sized, not corpus-sized (doc lengths have
+    * ~10⁴ distinct values at any corpus size). The percent list rides
+    * along as an exploded literal array (|percents|× the count table,
+    * still domain-sized). Sorting 100 TB to learn p99 is the classic
+    * anti-pattern; counting to it is one aggregation.
+    *
+    * Returns (groupCol, pct, value, n_values), one row per group ×
+    * requested percent. */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+                       percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty, "at least one percent")
+    require(percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100], got $percents")
+    require(percents.distinct.size == percents.size,
+      s"duplicate percents: $percents")
+    val ok = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    require(ok.contains(df.schema(valueCol).dataType.toString),
+      s"$valueCol must be integral for exact rank arithmetic, got " +
+        df.schema(valueCol).dataType)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = counts
+      .withColumn("__cum",
+        sum("__c").over(Window.partitionBy(groupCol).orderBy(col("__v"))))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+    cum
+      .select(col(groupCol), col("__v"), col("__cum"), col("__n"),
+        explode(array(percents.map(p => lit(p)): _*)).as("pct"))
+      .where(col("__cum") >= expr("(__n * pct + 99) div 100"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min("__v").as("value"), min("__n").as("n_values"))
+  }
 }

@@ -427,6 +427,78 @@ object TextOps {
     s"trim(regexp_replace($oneSpace, ' ?\\n ?', chr(10), 'g'))"
   }
 
+  // --- HTML / markup extraction -----------------------------------------
+
+  /** HTML → text extraction — the step BEFORE every quality/dedup pass
+    * when the corpus arrives as crawled markup (which at web scale it
+    * always does): the raw page is ~90% chrome, and every downstream
+    * signal — Gopher fractions, MinHash shingles, LM surprisal — is
+    * garbage if script bodies and tag soup leak into the "text".
+    *
+    * Order is the whole design, each step creating the precondition
+    * for the next: (1) CR/CRLF → LF; (2) drop `script`/`style`
+    * ELEMENTS including their content FIRST — their bodies legally
+    * contain bare `<`/`>` (`if(1<2)`, CSS child selectors), so the
+    * generic tag regex must never see them; (3) drop comments
+    * (`<!-- -->` may wrap markup that must not resurface as text);
+    * (4) block-level CLOSERS and `<br>` become newlines — the layout
+    * signal Gopher's line rules and [[removeRepeatedLines]] need;
+    * (5) strip every remaining tag; (6) decode the five XML named
+    * entities + nbsp, `&amp;` LAST so `&amp;lt;` decodes to the
+    * literal `&lt;` the author wrote, not to `<` (single-decode
+    * semantics); (7) whitespace discipline as in [[normalizeText]].
+    *
+    * Pure row-local regexp/replace chain — rides the scan's codegen
+    * stage, zero shuffle at any corpus size. Both dialects are RE2-
+    * compatible ASCII patterns ([[htmlToTextSql]] is the byte-exact
+    * DuckDB twin). Not a browser: unclosed script/style elements and
+    * pathological nesting degrade gracefully (the non-greedy block
+    * match stops at the first closer) but are not CommonMark/WHATWG
+    * conformant — crawl extraction, not rendering. */
+  def htmlToText(html: Column): Column = {
+    val lf = regexp_replace(html, "\\r\\n|\\r", "\n")
+    val noBlock = regexp_replace(lf,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", "")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/title)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", "")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        call_function("replace", c, lit(ent), lit(ch)) }
+    val oneSpace = regexp_replace(decoded, "[ \\t]+", " ")
+    // strip the " \n" SET at both ends — bare trim() strips only
+    // spaces in both engines, break insertion leaves a trailing
+    // newline on most real pages, and Spark's two-arg trim signature
+    // is deprecated (anchored regex is dialect-identical)
+    regexp_replace(
+      regexp_replace(oneSpace, " ?\\n[ \\n]*", "\n"),
+      "^[ \\n]+|[ \\n]+$", "")
+  }
+
+  /** The DuckDB twin of [[htmlToText]] over a SQL fragment — same RE2
+    * patterns, same replace chain, 'g' everywhere (Spark replaces all
+    * occurrences by default; DuckDB needs the flag). */
+  def htmlToTextSql(e: String): String = {
+    val lf = s"regexp_replace($e, '\\r\\n|\\r', chr(10), 'g')"
+    val noBlock = s"regexp_replace($lf, " +
+      "'(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', '', 'g')"
+    val noComment = s"regexp_replace($noBlock, '(?s)<!--.*?-->', '', 'g')"
+    val breaks = s"regexp_replace($noComment, " +
+      "'(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/title)\\b[^>]*>', " +
+      "chr(10), 'g')"
+    val noTags = s"regexp_replace($breaks, '<[^>]*>', '', 'g')"
+    val decoded = Seq("&lt;" -> "'<'", "&gt;" -> "'>'",
+        "&quot;" -> "'\"'", "&#39;" -> "chr(39)", "&nbsp;" -> "' '",
+        "&amp;" -> "'&'")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        s"replace($c, '$ent', $ch)" }
+    val oneSpace = s"regexp_replace($decoded, '[ \\t]+', ' ', 'g')"
+    s"regexp_replace(regexp_replace($oneSpace, ' ?\\n[ \\n]*', chr(10), " +
+      "'g'), '^[ \\n]+|[ \\n]+$', '', 'g')"
+  }
+
   // --- Gopher quality rules (Rae et al. 2021, Appendix A) ---------------
 
   /** The Gopher stopword-presence list. */

@@ -1104,6 +1104,96 @@ object CatalogML3 {
         |       CAST(len(lines) - len(kept) AS BIGINT) AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // HTML → text extraction — the step before every quality/dedup
+    // pass when the corpus arrives as crawled markup. The fixture is
+    // plain word soup, so the query derives pages first (q117's
+    // trick): doc_id%4==1 → a full page (title, a style block whose
+    // CSS must vanish, one word per <p>, a script whose body contains
+    // a bare `<` that must never reach the tag regex), %4==2 →
+    // entity-laden text (incl. `&lt;tag&gt;`, which must decode to
+    // LITERAL "<tag>" text because decoding runs after tag
+    // stripping), %4==3 → a comment wrapping markup + <br> +
+    // &nbsp;, else untouched plain text. The oracle replays the
+    // identical RE2 chain via TextOps.htmlToTextSql.
+    ("q143_text_html_extract", (s: SparkSession, d: String) => {
+      val m4 = col("doc_id") % 4
+      val page = when(m4 === 1, concat(
+          lit("<html><head><title>T</title><style type=\"text/css\">" +
+            "p{color:red}</style></head><body><p>"),
+          call_function("replace", col("text"), lit(" "), lit("</p><p>")),
+          lit("</p><script>if(1<2){x=1;}</script></body></html>")))
+        .when(m4 === 2, concat(
+          call_function("replace", col("text"), lit(" "), lit("&nbsp;")),
+          lit(" &lt;tag&gt; &amp; &quot;q&quot; &#39;")))
+        .when(m4 === 3, concat(
+          col("text"), lit("<!-- hidden <b>secret</b> -->"),
+          lit("<br>NEXT&nbsp;LINE")))
+        .otherwise(col("text"))
+      spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), page.as("__html"))
+        .select(col("doc_id"),
+          length(col("__html")).cast("long").as("n_chars_html"),
+          TextOps.htmlToText(col("__html")).as("clean_text"))
+        .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
+    }, Some {
+      // NOTE: the enclosing template applies stripMargin AFTER this
+      // fragment is interpolated, so no continuation line here may
+      // start with '|' (a leading '||' loses its first pipe) — string
+      // concatenation operators therefore trail the line
+      val page =
+        """CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 1 THEN '<html><head><title>T</title><style type="text/css">p{color:red}</style></head><body><p>' ||
+          |    replace(text, ' ', '</p><p>') ||
+          |    '</p><script>if(1<2){x=1;}</script></body></html>'
+          |  WHEN 2 THEN replace(text, ' ', '&nbsp;') ||
+          |    ' &lt;tag&gt; &amp; &quot;q&quot; &#39;'
+          |  WHEN 3 THEN text || '<!-- hidden <b>secret</b> -->' ||
+          |    '<br>NEXT&nbsp;LINE'
+          |  ELSE text END""".stripMargin
+      s"""WITH b AS (
+         |  SELECT doc_id, $page AS html FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(html) AS BIGINT) AS n_chars_html,
+         |       ${TextOps.htmlToTextSql("html")} AS clean_text,
+         |       CAST(len(${TextOps.htmlToTextSql("html")}) AS BIGINT)
+         |         AS n_chars_clean
+         |FROM b ORDER BY doc_id""".stripMargin
+    }),
+
+    // EXACT grouped quantiles without a global sort — the p50/p90/p99
+    // doc-length-per-language numbers every corpus report quotes,
+    // computed by counting, not sorting: corpus → (lang, value) count
+    // table → group-partitioned running count → smallest value whose
+    // cumulative count reaches ceil(n·p/100). Rank arithmetic is
+    // integer-only on both engines (no double rounding class); the 1
+    // and 100 percents pin the min/max edges. DuckDB replays the
+    // identical CDF logic (its own quantile_disc is deliberately NOT
+    // used — the oracle should prove the arithmetic, not an engine's
+    // interpolation convention).
+    ("q144_profile_quantiles", (s: SparkSession, d: String) => {
+      graft.ops.Profile.exactQuantilesBy(
+        spread(table(s, d, "documents"), "doc_id"),
+        "lang", "n_chars", Seq(1, 10, 25, 50, 75, 90, 99, 100))
+        .orderBy("lang", "pct")
+    }, Some(
+      """WITH c AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT lang, v,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM c
+        |), p AS (SELECT unnest([1, 10, 25, 50, 75, 90, 99, 100]) AS pct)
+        |SELECT lang, pct, MIN(v) AS value,
+        |       CAST(MIN(n) AS BIGINT) AS n_values
+        |FROM cum, p
+        |WHERE cum >= (n * pct + 99) // 100
+        |GROUP BY lang, pct
+        |ORDER BY lang, pct""".stripMargin)),
+
     // BPE encode at BYTE level — q116 gates the compiled encoder's
     // token COUNTS; this gates the full ENCODED STRING (marker
     // placement included) against DuckDB's replace chain, so any

@@ -95,7 +95,14 @@ object ScalingCurve {
       "q141",
       // intra-doc repetition removal: row-local order-preserving
       // array_distinct, zero shuffle — should be q133's flat class
-      "q142")
+      "q142",
+      // HTML extraction: row-local regex/replace chain, zero shuffle —
+      // q133's class but ~3× the regex work per byte
+      "q143",
+      // exact grouped quantiles: one corpus-sized (group, value)
+      // count exchange, then domain-sized windows — should be near-flat
+      // once the count table saturates the value domain
+      "q144")
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is

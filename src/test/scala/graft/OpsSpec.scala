@@ -412,6 +412,49 @@ class OpsSpec extends SparkSpec {
     assert(exchanges.size <= 2, s"melt must not add exchanges: ${exchanges.size}")
   }
 
+  test("Profile.exactQuantilesBy: hand-computed CDF picks, edges, guards") {
+    // group g: values 1,2,3,4,5,5,5,5,5,10 (n=10)
+    // cdf: 1→1, 2→2, 3→3, 4→4, 5→9, 10→10
+    val g = Seq(1, 2, 3, 4, 5, 5, 5, 5, 5, 10).map(("g", _))
+    // group h: single value (every percent hits it)
+    val h = Seq(("h", 7))
+    val df = (g ++ h).toDF("grp", "v")
+    val out = graft.ops.Profile
+      .exactQuantilesBy(df, "grp", "v", Seq(1, 10, 40, 50, 90, 99, 100))
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // rank = ceil(10*p/100): p1→1(v=1), p10→1(v=1), p40→4(v=4),
+    // p50→5(v=5), p90→9(v=5), p99→10(v=10), p100→10(v=10)
+    assert(out(("g", 1)) == 1L && out(("g", 10)) == 1L)
+    assert(out(("g", 40)) == 4L)
+    assert(out(("g", 50)) == 5L && out(("g", 90)) == 5L)
+    assert(out(("g", 99)) == 10L && out(("g", 100)) == 10L)
+    assert(Seq(1, 10, 40, 50, 90, 99, 100).forall(p => out(("h", p)) == 7L))
+    // nulls are excluded from ranks, not counted
+    val withNull = (g.map { case (k, v) => (k, Some(v): Option[Int]) } ++
+      Seq(("g", None: Option[Int]))).toDF("grp", "v")
+    val n = graft.ops.Profile
+      .exactQuantilesBy(withNull, "grp", "v", Seq(100))
+      .as[(String, Int, Long, Long)].head()
+    assert(n._3 == 10L && n._4 == 10L)
+    // guards: non-integral value column, out-of-range/duplicate percents
+    val dbl = Seq(("g", 1.5)).toDF("grp", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.exactQuantilesBy(dbl, "grp", "v", Seq(50)) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.exactQuantilesBy(df, "grp", "v", Seq(0)) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.exactQuantilesBy(df, "grp", "v", Seq(50, 50)) }
+    // no single-partition exchange: every Exchange is keyed, none is
+    // SinglePartition (the global-sort anti-pattern this op exists
+    // to avoid)
+    val plan = graft.ops.Profile
+      .exactQuantilesBy(df, "grp", "v", Seq(50, 90))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in quantile plan:\n$plan")
+  }
+
   test("grouped top-ngram fraction equals the per-row HOF formulation") {
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
     val viaHof = docs.select(col("doc_id"),

@@ -267,4 +267,35 @@ class TextPipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("htmlToText: block elision, break insertion, single-decode entities") {
+    def ext(s: String): String = {
+      val r = Seq(Tuple1(s)).toDF("h")
+        .select(TextOps.htmlToText(col("h"))).head()
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // script/style bodies (with bare < inside) vanish BEFORE tag strip;
+    // </p> and </title> become newlines
+    assert(ext("<html><head><title>T</title><style>p{a:b}</style></head>" +
+      "<body><p>a</p><p>b</p><script>if(1<2){x=1;}</script></body></html>")
+      == "T\na\nb")
+    // comments wrapping markup vanish entirely; <br> breaks; nbsp decodes
+    assert(ext("x<!-- hidden <b>secret</b> --><br>NEXT&nbsp;LINE")
+      == "x\nNEXT LINE")
+    // entity decode runs AFTER tag strip (so &lt;tag&gt; is literal
+    // text) and &amp; decodes LAST (single-decode: &amp;lt; -> &lt;)
+    assert(ext("&lt;tag&gt; &amp; &quot;q&quot; &#39; &amp;lt;")
+      == "<tag> & \"q\" ' &lt;")
+    // plain text is whitespace-normalized only; null stays null
+    assert(ext("plain  words\r\nhere") == "plain words\nhere")
+    assert(ext(null) == null)
+    // unclosed script degrades gracefully: the generic tag strip still
+    // removes the tag itself (body text survives — not a browser)
+    assert(ext("a<script>rest") == "arest")
+    // zero-shuffle claim
+    val plan = Seq(Tuple1("x")).toDF("h")
+      .select(TextOps.htmlToText(col("h")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
