@@ -466,6 +466,176 @@ case class NearestCentroids(child: Expression,
     copy(child = newChild)
 }
 
+/** Two-level (coarse-quantizer tree) top-k nearest-centroid probe —
+  * closes the flat probe's O(nlist)-per-row envelope: [[NearestCentroids]]
+  * scores EVERY centroid literal per row, so when nlist grows with the
+  * corpus (the SemDeDup/IVF sizing rule that keeps cells task-sized) a
+  * corpus-sized probe stage is N·nlist. Here the fine centroids are
+  * grouped under `ntop` coarse centroids; per row the probe scores the
+  * coarse level (O(ntop)), keeps the `wprobe` best coarse cells, and
+  * scores only THEIR fine members — O(ntop + wprobe·nlist/ntop) ≈
+  * O(2·√nlist) at ntop=√nlist, the standard IVF coarse-quantizer shape
+  * (Johnson et al. 2017, billion-scale similarity search). The model
+  * rides the expression as ONE reference object (the
+  * [[SignLshBuckets]]/[[NearestCentroids]] discipline): expression SIZE
+  * is still O(nlist) — the model has to live somewhere — but per-row
+  * COMPUTE is the tree's, which is the envelope that mattered.
+  *
+  * Scoring arithmetic is byte-for-byte [[NearestCentroids]]' (equal-dims
+  * norm reuse, truncated-prefix fallback, cos desc / id asc ties at both
+  * levels), so a tree probe with wprobe = ntop reproduces the flat probe
+  * EXACTLY, and a narrower tree differs only where the true cell's
+  * coarse parent fell outside the wprobe picks — the documented
+  * approximation, not arithmetic drift. */
+case class TwoLevelNearestCentroids(
+    child: Expression,
+    coarse: Array[(Long, Array[Float])],
+    groups: Array[Array[(Long, Array[Float])]],
+    wprobe: Int, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  require(coarse.nonEmpty, "coarse model must be non-empty")
+  require(groups.length == coarse.length,
+    s"one fine group per coarse centroid (${groups.length} vs ${coarse.length})")
+  require(wprobe >= 1, s"wprobe must be >= 1, got $wprobe")
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  private val wEff: Int = math.min(wprobe, coarse.length)
+
+  override def prettyName: String = "graft_two_level_nearest_centroids"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val coarseNorms: Array[Double] =
+    coarse.map { case (_, cv) => vnorm(cv) }
+  @transient private lazy val groupNorms: Array[Array[Double]] =
+    groups.map(_.map { case (_, cv) => vnorm(cv) })
+
+  private def vnorm(cv: Array[Float]): Double = {
+    var ny = 0.0
+    var i = 0
+    while (i < cv.length) { val v = cv(i).toDouble; ny += v * v; i += 1 }
+    math.sqrt(ny)
+  }
+
+  // NearestCentroids' scoring verbatim: precomputed norms on the
+  // equal-dims path, CosineSimilarity's truncated-prefix arithmetic on
+  // mismatch
+  private def score(arr: ArrayData, xn: Int, nx: Double, sqnx: Double,
+                    cv: Array[Float], cn: Double): Double = {
+    val n = math.min(xn, cv.length)
+    if (n == xn && n == cv.length) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += arr.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+      if (nx == 0.0 || cn == 0.0) 0.0 else dot / (sqnx * cn)
+    } else {
+      var dot = 0.0; var nxx = 0.0; var nyy = 0.0
+      var j = 0
+      while (j < n) {
+        val xv = arr.getFloat(j).toDouble
+        val yv = cv(j).toDouble
+        dot += xv * yv; nxx += xv * xv; nyy += yv * yv; j += 1
+      }
+      if (nxx == 0.0 || nyy == 0.0) 0.0
+      else dot / (math.sqrt(nxx) * math.sqrt(nyy))
+    }
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val xn = arr.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < xn) { val v = arr.getFloat(i).toDouble; nx += v * v; i += 1 }
+    val sqnx = math.sqrt(nx)
+
+    // level 1: top-wprobe coarse cells by (cos desc, id asc)
+    val wCos = new Array[Double](wEff)
+    val wIdx = new Array[Int](wEff)
+    var wFilled = 0
+    var c = 0
+    while (c < coarse.length) {
+      val cos = score(arr, xn, nx, sqnx, coarse(c)._2, coarseNorms(c))
+      val cid = coarse(c)._1
+      var pos = wFilled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(cos, wCos(pos - 1))
+        cmp > 0 || (cmp == 0 && cid < coarse(wIdx(pos - 1))._1)
+      }) pos -= 1
+      if (pos < wEff) {
+        val lim = math.min(wFilled, wEff - 1)
+        var m = lim
+        while (m > pos) { wCos(m) = wCos(m - 1); wIdx(m) = wIdx(m - 1); m -= 1 }
+        wCos(pos) = cos
+        wIdx(pos) = c
+        if (wFilled < wEff) wFilled += 1
+      }
+      c += 1
+    }
+
+    // level 2: top-k over the selected groups' fine members
+    var kEff = 0
+    var g = 0
+    while (g < wFilled) { kEff += groups(wIdx(g)).length; g += 1 }
+    kEff = math.min(k, kEff)
+    val bestCos = new Array[Double](math.max(kEff, 1))
+    val bestId = new Array[Long](math.max(kEff, 1))
+    var filled = 0
+    g = 0
+    while (g < wFilled) {
+      val grp = groups(wIdx(g))
+      val grpN = groupNorms(wIdx(g))
+      var f = 0
+      while (f < grp.length) {
+        val (fid, fv) = grp(f)
+        val cos = score(arr, xn, nx, sqnx, fv, grpN(f))
+        var pos = filled
+        while (pos > 0 && {
+          val cmp = java.lang.Double.compare(cos, bestCos(pos - 1))
+          cmp > 0 || (cmp == 0 && fid < bestId(pos - 1))
+        }) pos -= 1
+        if (kEff > 0 && pos < kEff) {
+          val lim = math.min(filled, kEff - 1)
+          var m = lim
+          while (m > pos) { bestCos(m) = bestCos(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
+          bestCos(pos) = cos
+          bestId(pos) = fid
+          if (filled < kEff) filled += 1
+        }
+        f += 1
+      }
+      g += 1
+    }
+
+    val rows = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(bestId(r), bestCos(r))
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("twoLevelCents", this,
+      classOf[TwoLevelNearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelNearestCentroids =
+    copy(child = newChild)
+}
+
 /** All sign-LSH bucket ids of a vector in ONE pass:
   * `output(t) = Σ_i (dot(vec, planes(t)(i)) >= 0 ? 1L << i : 0)`.
   *
@@ -641,6 +811,25 @@ object VectorFunctions {
                        k: Int): Column =
     org.apache.spark.sql.functions.transform(
       nearestCentroidsScored(vec, cents, k), s => s.getField("cid"))
+
+  /** Two-level tree probe, scored: top-k (cid, cos) structs through the
+    * coarse-quantizer tree ([[TwoLevelNearestCentroids]]). */
+  def twoLevelNearestCentroidsScored(vec: Column,
+                                     coarse: Array[(Long, Array[Float])],
+                                     groups: Array[Array[(Long, Array[Float])]],
+                                     wprobe: Int, k: Int): Column =
+    GraftSqlShim.column(
+      TwoLevelNearestCentroids(expr(vec), coarse, groups, wprobe, k))
+
+  /** Top-k nearest fine-centroid ids through the coarse-quantizer
+    * tree. */
+  def twoLevelNearestCentroids(vec: Column,
+                               coarse: Array[(Long, Array[Float])],
+                               groups: Array[Array[(Long, Array[Float])]],
+                               wprobe: Int, k: Int): Column =
+    org.apache.spark.sql.functions.transform(
+      twoLevelNearestCentroidsScored(vec, coarse, groups, wprobe, k),
+      s => s.getField("cid"))
 
   /** m-byte product-quantization code of a vector. */
   def pqEncode(vec: Column, model: PqModel): Column =

@@ -414,6 +414,103 @@ object Similarity {
     topKFromScores(scored, qidCol, idCol, "cos", k)
   }
 
+  // --- two-level (coarse-quantizer tree) IVF ---------------------------
+
+  /** Two-level coarse-quantizer model over an existing fine-centroid
+    * model: the `ntop` fine centroids with the smallest
+    * md5(decimal id string) (ties by id — [[portableSeedCentroids]]'
+    * pick rule, so an external engine replays the tree verbatim) become
+    * the coarse level, and every fine centroid is assigned to its
+    * nearest coarse centroid (cos desc, ties to the smaller coarse id).
+    * Built entirely on the DRIVER — the model is nlist × dim floats and
+    * the assignment is nlist × ntop dot products; no Spark job runs.
+    * Returns (coarse, groups) with groups(i) = the fine members of
+    * coarse(i), each group sorted by fine id.
+    *
+    * Why: the flat probe scores all nlist centroids per row. With the
+    * "grow nlist with the corpus" sizing rule (cells stay task-sized),
+    * a corpus-sized probe stage is N·nlist — the one envelope the q135
+    * SCALING row documents. The tree makes it
+    * N·(ntop + wprobe·nlist/ntop): at nlist = 10⁵, ntop = √nlist ≈ 316
+    * and wprobe = 4, that is ~1.6k scores per row instead of 10⁵. */
+  def twoLevelModel(cents: Array[(Long, Array[Float])], ntop: Int)
+      : (Array[(Long, Array[Float])], Array[Array[(Long, Array[Float])]]) = {
+    require(cents.nonEmpty, "two-level model needs centroids")
+    require(ntop >= 1, s"ntop must be >= 1, got $ntop")
+    def md5hex(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val coarse = cents.sortBy { case (id, _) => (md5hex(id), id) }
+      .take(math.min(ntop, cents.length))
+    // same double-accumulation cosine as the probe expression, so the
+    // driver-side assignment and any SQL replay agree bit-for-bit
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = a(j).toDouble; val y = b(j).toDouble
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val groups = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
+    cents.foreach { case (fid, fv) =>
+      var best = -1; var bestCos = 0.0
+      var i = 0
+      while (i < coarse.length) {
+        val c = cos(fv, coarse(i)._2)
+        if (best < 0 || c > bestCos ||
+            (c == bestCos && coarse(i)._1 < coarse(best)._1)) {
+          best = i; bestCos = c
+        }
+        i += 1
+      }
+      groups(best) += ((fid, fv))
+    }
+    (coarse, groups.map(_.sortBy(_._1).toArray))
+  }
+
+  /** IVF top-k through the coarse-quantizer tree — [[ivfTopK]] with the
+    * flat O(nlist) per-row probe replaced by the two-level
+    * O(ntop + wprobe·nlist/ntop) probe
+    * ([[graft.functions.TwoLevelNearestCentroids]]), on BOTH sides:
+    * corpus rows are assigned to the best fine centroid the tree can
+    * see (wprobe coarse cells, then argmax over their members) and
+    * queries probe the nprobe best fine cells the same way, so
+    * assignment and probe stay mutually consistent — the standard
+    * hierarchical-IVF approximation (a row whose true cell hides under
+    * an unprobed coarse parent lands in the best visible cell instead).
+    * wprobe = ntop reproduces [[ivfTopK]] exactly (spec-pinned); the
+    * candidate join and top-k tail are shared unchanged. */
+  def ivfTopKTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      k: Int, nlist: Int = 16, ntop: Int = 4,
+                      wprobe: Int = 2, nprobe: Int = 4,
+                      trainIterations: Int = 0,
+                      portableSeeds: Boolean = false): DataFrame = {
+    val cents =
+      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
+      else seedCentroids(corpus, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "IVF needs a non-empty corpus")
+    val (coarse, groups) = twoLevelModel(cents, ntop)
+    def probe(v: Column, n: Int): Column =
+      VectorFunctions.twoLevelNearestCentroids(v, coarse, groups, wprobe, n)
+
+    val corpusCells = Tables.spread(corpus, idCol)
+      .withColumn("cent_id", element_at(probe(col(vecCol), 1), 1))
+    val queryCells = queries
+      .select(col(qidCol), col(qvecCol),
+        explode(probe(col(qvecCol), nprobe)).as("cent_id"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cent_id"))
+      .where(col(qidCol) =!= col(idCol))
+      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
+    topKFromScores(scored, qidCol, idCol, "cos", k)
+  }
+
   /** IVF × int8: the full 100 TB ANN composition — centroid cells prune
     * the corpus to `nprobe/nlist` of its rows AND the candidate scan
     * inside the probed cells reads packed int8 codes with the integer

@@ -1194,6 +1194,92 @@ object CatalogML3 {
         |GROUP BY lang, pct
         |ORDER BY lang, pct""".stripMargin)),
 
+    // IVF through the COARSE-QUANTIZER TREE — closes the one scaling
+    // envelope the q135 row documents: the flat probe scores all nlist
+    // centroids per row, so with nlist grown alongside the corpus
+    // (the cells-stay-task-sized rule) the probe stage is N·nlist.
+    // The tree scores ntop coarse cells, keeps wprobe, and scores only
+    // their fine members — O(ntop + wprobe·nlist/ntop) per row — on
+    // BOTH sides (corpus assignment and query probe), the standard
+    // hierarchical-IVF approximation. Every stage uses the portable
+    // md5 pick rule, so DuckDB replays the whole tree verbatim:
+    // seeds → coarse picks → fine-to-coarse groups → per-row coarse
+    // top-2 → fine argmax/top-4 within the visible groups → in-cell
+    // exact cosine top-k. wprobe = ntop would reproduce q46 exactly
+    // (spec-pinned); wprobe=2 here exercises the real approximation.
+    ("q145_ann_ivf_tree", (s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.ops.Similarity.ivfTopKTwoLevel(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5, nlist = 16, ntop = 4, wprobe = 2,
+          nprobe = 4, portableSeeds = true)
+        .orderBy("qid", "rank")
+    }, Some(
+      """WITH seeds AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+        |  LIMIT 16
+        |), coarse AS (
+        |  SELECT cent_id AS top_id, cent_vec AS top_vec
+        |  FROM seeds ORDER BY md5(CAST(cent_id AS VARCHAR)) ASC, cent_id ASC
+        |  LIMIT 4
+        |), fgrp AS (
+        |  SELECT cent_id, cent_vec, top_id FROM (
+        |    SELECT s.cent_id, s.cent_vec, c.top_id,
+        |           row_number() OVER (PARTITION BY s.cent_id ORDER BY
+        |             list_cosine_similarity(CAST(s.cent_vec AS DOUBLE[]),
+        |                                    CAST(c.top_vec AS DOUBLE[])) DESC,
+        |             c.top_id ASC) AS rn
+        |    FROM seeds s CROSS JOIN coarse c) WHERE rn = 1
+        |), ctop AS (
+        |  SELECT vec_id, embedding, top_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.top_id,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(c.top_vec AS DOUBLE[])) DESC,
+        |             c.top_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN coarse c) WHERE rn <= 2
+        |), asg AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT t.vec_id, t.embedding, f.cent_id,
+        |           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |             list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+        |                                    CAST(f.cent_vec AS DOUBLE[])) DESC,
+        |             f.cent_id ASC) AS rn
+        |    FROM ctop t JOIN fgrp f ON f.top_id = t.top_id) WHERE rn = 1
+        |), qtop AS (
+        |  SELECT qid, qvec, top_id FROM (
+        |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.top_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                    CAST(c.top_vec AS DOUBLE[])) DESC,
+        |             c.top_id ASC) AS rn
+        |    FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 20)
+        |  WHERE rn <= 2
+        |), qcells AS (
+        |  SELECT qid, qvec, cent_id FROM (
+        |    SELECT t.qid, t.qvec, f.cent_id,
+        |           row_number() OVER (PARTITION BY t.qid ORDER BY
+        |             list_cosine_similarity(CAST(t.qvec AS DOUBLE[]),
+        |                                    CAST(f.cent_vec AS DOUBLE[])) DESC,
+        |             f.cent_id ASC) AS rn
+        |    FROM qtop t JOIN fgrp f ON f.top_id = t.top_id) WHERE rn <= 4
+        |), scored AS (
+        |  SELECT qc.qid, a.vec_id,
+        |         list_cosine_similarity(CAST(qc.qvec AS DOUBLE[]),
+        |                                CAST(a.embedding AS DOUBLE[])) AS cos
+        |  FROM qcells qc JOIN asg a USING (cent_id)
+        |  WHERE qc.qid != a.vec_id
+        |)
+        |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+        |  SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // BPE encode at BYTE level — q116 gates the compiled encoder's
     // token COUNTS; this gates the full ENCODED STRING (marker
     // placement included) against DuckDB's replace chain, so any

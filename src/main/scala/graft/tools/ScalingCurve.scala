@@ -102,7 +102,12 @@ object ScalingCurve {
       // exact grouped quantiles: one corpus-sized (group, value)
       // count exchange, then domain-sized windows — should be near-flat
       // once the count table saturates the value domain
-      "q144")
+      "q144",
+      // tree-probed IVF at the catalog's fixture-sized tree (nlist=16,
+      // ntop=4): corpus-side assignment scan + fixed 20-query probe —
+      // q46's class; the LARGE-nlist probe economics are measured in
+      // tools.TreeProbeAb (flat is N·nlist, tree is N·(ntop+w·nlist/ntop))
+      "q145")
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is

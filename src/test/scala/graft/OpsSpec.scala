@@ -228,6 +228,65 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall collapsed: $recall")
   }
 
+  test("two-level probe: wprobe = ntop reproduces the flat probe exactly") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val cents = Similarity.portableSeedCentroids(emb, "vec_id", "embedding", 16)
+    val (coarse, groups) = Similarity.twoLevelModel(cents, 4)
+    // model sanity: groups partition the fine set; coarse = the 4
+    // md5-smallest fine ids (the portable pick over the seed set)
+    assert(groups.map(_.length).sum == cents.length)
+    assert(groups.flatMap(_.map(_._1)).sorted.toSeq ==
+      cents.map(_._1).sorted.toSeq)
+    def md5hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(coarse.map(_._1).toSeq ==
+      cents.sortBy { case (id, _) => (md5hex(id), id) }.take(4).map(_._1).toSeq)
+    // probing EVERY coarse cell makes the candidate set the full fine
+    // set → the tree must equal the flat probe bit-for-bit (ids AND
+    // scores), on every fixture vector
+    import graft.functions.VectorFunctions
+    val both = emb.select(
+        VectorFunctions.nearestCentroidsScored(col("embedding"), cents, 4).as("flat"),
+        VectorFunctions.twoLevelNearestCentroidsScored(
+          col("embedding"), coarse, groups, wprobe = 4, k = 4).as("tree"))
+      .selectExpr("flat = tree AS same")
+      .as[Boolean].collect()
+    assert(both.forall(identity), "tree(wprobe=ntop) diverged from flat probe")
+  }
+
+  test("ivfTopKTwoLevel: full-width tree equals ivfTopK; narrow tree keeps recall") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val flat = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", 5, nlist = 16, nprobe = 4, portableSeeds = true)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val full = Similarity.ivfTopKTwoLevel(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", 5, nlist = 16, ntop = 4, wprobe = 4,
+        nprobe = 4, portableSeeds = true)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(full.toSeq == flat.toSeq,
+      "wprobe = ntop must reproduce the one-level IVF row-for-row")
+    // the narrow tree is the production shape — recall floor vs exact
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val narrow = Similarity.ivfTopKTwoLevel(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", 5, nlist = 16, ntop = 4, wprobe = 2,
+        nprobe = 4, portableSeeds = true)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & narrow).size.toDouble / exact.size
+    assert(recall >= 0.4, s"two-level recall collapsed: $recall")
+    // the probe adds no exchange to either side: the only exchanges in
+    // the plan are the candidate join's and the final top-k's
+    val plan = Similarity.ivfTopKTwoLevel(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", 5, nlist = 16, ntop = 4, wprobe = 2,
+        nprobe = 4, portableSeeds = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"query side must broadcast, not shuffle:\n$plan")
+  }
+
   test("kmeans-trained ivf centroids differ from seeds and keep recall") {
     val emb = graft.ops.Tables.table(spark, sf, "embeddings")
     val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", 8).toMap
