@@ -360,6 +360,43 @@ object ByteMatchCount {
   * produce) and centroid norms precomputed likewise; ranking is
   * cos DESC with ties to the SMALLER centroid id (Double.compare
   * semantics, as the struct orderings used before). */
+/** The centroid-scoring arithmetic shared by [[NearestCentroids]] and
+  * [[TwoLevelNearestCentroids]] — ONE definition, so the tree probe's
+  * "wprobe = ntop reproduces the flat probe EXACTLY" contract (which
+  * ivfTopKTwoLevel, the q145 oracle, and OpsSpec all rest on) is
+  * enforced by the compiler, not by a comment. Equal-dims path reuses
+  * the precomputed centroid norm; mismatched dims replay
+  * [[CosineSimilarity]]'s truncated-prefix arithmetic. */
+private[functions] object CentroidScoring {
+  def vnorm(cv: Array[Float]): Double = {
+    var ny = 0.0
+    var i = 0
+    while (i < cv.length) { val v = cv(i).toDouble; ny += v * v; i += 1 }
+    math.sqrt(ny)
+  }
+
+  def score(arr: ArrayData, xn: Int, nx: Double, sqnx: Double,
+            cv: Array[Float], cn: Double): Double = {
+    val n = math.min(xn, cv.length)
+    if (n == xn && n == cv.length) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += arr.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+      if (nx == 0.0 || cn == 0.0) 0.0 else dot / (sqnx * cn)
+    } else {
+      var dot = 0.0; var nxx = 0.0; var nyy = 0.0
+      var j = 0
+      while (j < n) {
+        val xv = arr.getFloat(j).toDouble
+        val yv = cv(j).toDouble
+        dot += xv * yv; nxx += xv * xv; nyy += yv * yv; j += 1
+      }
+      if (nxx == 0.0 || nyy == 0.0) 0.0
+      else dot / (math.sqrt(nxx) * math.sqrt(nyy))
+    }
+  }
+}
+
 case class NearestCentroids(child: Expression,
                             cents: Array[(Long, Array[Float])], k: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -384,12 +421,7 @@ case class NearestCentroids(child: Expression,
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val centNorms: Array[Double] =
-    cents.map { case (_, cv) =>
-      var ny = 0.0
-      var i = 0
-      while (i < cv.length) { val v = cv(i).toDouble; ny += v * v; i += 1 }
-      math.sqrt(ny)
-    }
+    cents.map { case (_, cv) => CentroidScoring.vnorm(cv) }
 
   def compute(arr: ArrayData): ArrayData = {
     val xn = arr.numElements()
@@ -404,30 +436,7 @@ case class NearestCentroids(child: Expression,
     var c = 0
     while (c < cents.length) {
       val (cid, cv) = cents(c)
-      val n = math.min(xn, cv.length)
-      val cos = if (n == xn && n == cv.length) {
-        // equal dims (the normal case): precomputed norms are exactly the
-        // per-pair norms, so reuse them.
-        var dot = 0.0
-        var j = 0
-        while (j < n) { dot += arr.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
-        if (nx == 0.0 || centNorms(c) == 0.0) 0.0
-        else dot / (sqnx * centNorms(c))
-      } else {
-        // dimension mismatch: replay CosineSimilarity's truncated
-        // arithmetic exactly — all three accumulators over the common
-        // prefix, in index order — so scores never silently diverge from
-        // the documented per-pair contract.
-        var dot = 0.0; var nxx = 0.0; var nyy = 0.0
-        var j = 0
-        while (j < n) {
-          val xv = arr.getFloat(j).toDouble
-          val yv = cv(j).toDouble
-          dot += xv * yv; nxx += xv * xv; nyy += yv * yv; j += 1
-        }
-        if (nxx == 0.0 || nyy == 0.0) 0.0
-        else dot / (math.sqrt(nxx) * math.sqrt(nyy))
-      }
+      val cos = CentroidScoring.score(arr, xn, nx, sqnx, cv, centNorms(c))
       // find insertion point among the current top-k
       var pos = filled
       while (pos > 0 && {
@@ -513,40 +522,15 @@ case class TwoLevelNearestCentroids(
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val coarseNorms: Array[Double] =
-    coarse.map { case (_, cv) => vnorm(cv) }
+    coarse.map { case (_, cv) => CentroidScoring.vnorm(cv) }
   @transient private lazy val groupNorms: Array[Array[Double]] =
-    groups.map(_.map { case (_, cv) => vnorm(cv) })
+    groups.map(_.map { case (_, cv) => CentroidScoring.vnorm(cv) })
 
-  private def vnorm(cv: Array[Float]): Double = {
-    var ny = 0.0
-    var i = 0
-    while (i < cv.length) { val v = cv(i).toDouble; ny += v * v; i += 1 }
-    math.sqrt(ny)
-  }
-
-  // NearestCentroids' scoring verbatim: precomputed norms on the
-  // equal-dims path, CosineSimilarity's truncated-prefix arithmetic on
-  // mismatch
+  // scoring is [[CentroidScoring]] — the SAME definition the flat probe
+  // compiles, which is what makes wprobe = ntop exactly reproduce it
   private def score(arr: ArrayData, xn: Int, nx: Double, sqnx: Double,
-                    cv: Array[Float], cn: Double): Double = {
-    val n = math.min(xn, cv.length)
-    if (n == xn && n == cv.length) {
-      var dot = 0.0
-      var j = 0
-      while (j < n) { dot += arr.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
-      if (nx == 0.0 || cn == 0.0) 0.0 else dot / (sqnx * cn)
-    } else {
-      var dot = 0.0; var nxx = 0.0; var nyy = 0.0
-      var j = 0
-      while (j < n) {
-        val xv = arr.getFloat(j).toDouble
-        val yv = cv(j).toDouble
-        dot += xv * yv; nxx += xv * xv; nyy += yv * yv; j += 1
-      }
-      if (nxx == 0.0 || nyy == 0.0) 0.0
-      else dot / (math.sqrt(nxx) * math.sqrt(nyy))
-    }
-  }
+                    cv: Array[Float], cn: Double): Double =
+    CentroidScoring.score(arr, xn, nx, sqnx, cv, cn)
 
   def compute(arr: ArrayData): ArrayData = {
     val xn = arr.numElements()

@@ -392,22 +392,45 @@ object Similarity {
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               trainIterations: Int = 0,
               portableSeeds: Boolean = false): DataFrame = {
+    val cents = ivfCents(corpus, idCol, vecCol, nlist,
+      trainIterations, portableSeeds)
+    ivfTopKWithProbe(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      k, nprobe,
+      assign = v => nearestCentId(v, cents),
+      probe = (v, n) => probedCellIds(v, cents, n))
+  }
+
+  /** The shared centroid-model branch of every IVF entry point. */
+  private def ivfCents(corpus: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int, trainIterations: Int,
+                       portableSeeds: Boolean): Array[(Long, Array[Float])] = {
     val cents =
       if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
       else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")
+    cents
+  }
 
+  /** The shared IVF search body — corpus assignment, per-query probe,
+    * cell-keyed candidate join, exact in-cell top-k — parameterized by
+    * the probe expressions ONLY, so [[ivfTopK]] (flat probe) and
+    * [[ivfTopKTwoLevel]] (coarse-quantizer tree) cannot drift: a fix to
+    * the join/filter/tail lands on both by construction, which is what
+    * keeps the wprobe = ntop ≡ ivfTopK spec meaningful. Queries are
+    * small by contract: probing ranks centroid literals per row (no
+    * explode-then-window — it adds no exchange) and the query cells
+    * broadcast. */
+  private def ivfTopKWithProbe(corpus: DataFrame, idCol: String, vecCol: String,
+                               queries: DataFrame, qidCol: String,
+                               qvecCol: String, k: Int, nprobe: Int,
+                               assign: Column => Column,
+                               probe: (Column, Int) => Column): DataFrame = {
     val corpusCells = Tables.spread(corpus, idCol)
-      .withColumn("cent_id", nearestCentId(col(vecCol), cents))
-
-    // queries are small by contract: rank the centroid literals per row
-    // (no explode-then-window — probing adds no exchange) and keep the
-    // nprobe closest cells
+      .withColumn("cent_id", assign(col(vecCol)))
     val queryCells = queries
       .select(col(qidCol), col(qvecCol),
-        explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
-
+        explode(probe(col(qvecCol), nprobe)).as("cent_id"))
     val scored = corpusCells.join(broadcast(queryCells), Seq("cent_id"))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
@@ -491,24 +514,15 @@ object Similarity {
                       wprobe: Int = 2, nprobe: Int = 4,
                       trainIterations: Int = 0,
                       portableSeeds: Boolean = false): DataFrame = {
-    val cents =
-      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
-      else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
-      else seedCentroids(corpus, idCol, vecCol, nlist)
-    require(cents.nonEmpty, "IVF needs a non-empty corpus")
+    val cents = ivfCents(corpus, idCol, vecCol, nlist,
+      trainIterations, portableSeeds)
     val (coarse, groups) = twoLevelModel(cents, ntop)
     def probe(v: Column, n: Int): Column =
       VectorFunctions.twoLevelNearestCentroids(v, coarse, groups, wprobe, n)
-
-    val corpusCells = Tables.spread(corpus, idCol)
-      .withColumn("cent_id", element_at(probe(col(vecCol), 1), 1))
-    val queryCells = queries
-      .select(col(qidCol), col(qvecCol),
-        explode(probe(col(qvecCol), nprobe)).as("cent_id"))
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cent_id"))
-      .where(col(qidCol) =!= col(idCol))
-      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
-    topKFromScores(scored, qidCol, idCol, "cos", k)
+    ivfTopKWithProbe(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      k, nprobe,
+      assign = v => element_at(probe(v, 1), 1),
+      probe = probe)
   }
 
   /** IVF × int8: the full 100 TB ANN composition — centroid cells prune

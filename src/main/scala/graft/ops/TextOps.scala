@@ -441,12 +441,17 @@ object TextOps {
     * contain bare `<`/`>` (`if(1<2)`, CSS child selectors), so the
     * generic tag regex must never see them; (3) drop comments
     * (`<!-- -->` may wrap markup that must not resurface as text);
-    * (4) block-level CLOSERS and `<br>` become newlines — the layout
-    * signal Gopher's line rules and [[removeRepeatedLines]] need;
-    * (5) strip every remaining tag; (6) decode the five XML named
-    * entities + nbsp, `&amp;` LAST so `&amp;lt;` decodes to the
-    * literal `&lt;` the author wrote, not to `<` (single-decode
-    * semantics); (7) whitespace discipline as in [[normalizeText]].
+    * (4) block-level tags — OPENERS as well as closers, because
+    * omitting `</p>`/`</li>` is valid HTML5 and ubiquitous in crawls
+    * (`<p>one<p>two` must not fuse to "onetwo") — and `<br>` become
+    * newlines, the layout signal Gopher's line rules and
+    * [[removeRepeatedLines]] need; (5) strip every remaining tag;
+    * (6) decode the five XML named entities (`&lt; &gt; &quot; &apos;
+    * &amp;`) + `&#39;` + `&nbsp;`, `&amp;` LAST so `&amp;lt;` decodes
+    * to the literal `&lt;` the author wrote, not to `<` (single-decode
+    * semantics); (7) whitespace discipline as in [[normalizeText]]
+    * (newline runs collapse, so opener+closer breaks never double a
+    * blank line).
     *
     * Pure row-local regexp/replace chain — rides the scan's codegen
     * stage, zero shuffle at any corpus size. Both dialects are RE2-
@@ -461,10 +466,11 @@ object TextOps {
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", "")
     val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", "")
     val breaks = regexp_replace(noComment,
-      "(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/title)\\b[^>]*>", "\n")
+      "(?i)</?(br|p|div|li|tr|td|th|h[1-6]|blockquote|title|table|ul|ol)\\b[^>]*>",
+      "\n")
     val noTags = regexp_replace(breaks, "<[^>]*>", "")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+        "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) =>
         call_function("replace", c, lit(ent), lit(ch)) }
     val oneSpace = regexp_replace(decoded, "[ \\t]+", " ")
@@ -486,12 +492,12 @@ object TextOps {
       "'(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', '', 'g')"
     val noComment = s"regexp_replace($noBlock, '(?s)<!--.*?-->', '', 'g')"
     val breaks = s"regexp_replace($noComment, " +
-      "'(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/title)\\b[^>]*>', " +
+      "'(?i)</?(br|p|div|li|tr|td|th|h[1-6]|blockquote|title|table|ul|ol)\\b[^>]*>', " +
       "chr(10), 'g')"
     val noTags = s"regexp_replace($breaks, '<[^>]*>', '', 'g')"
     val decoded = Seq("&lt;" -> "'<'", "&gt;" -> "'>'",
-        "&quot;" -> "'\"'", "&#39;" -> "chr(39)", "&nbsp;" -> "' '",
-        "&amp;" -> "'&'")
+        "&quot;" -> "'\"'", "&apos;" -> "chr(39)", "&#39;" -> "chr(39)",
+        "&nbsp;" -> "' '", "&amp;" -> "'&'")
       .foldLeft(noTags) { case (c, (ent, ch)) =>
         s"replace($c, '$ent', $ch)" }
     val oneSpace = s"regexp_replace($decoded, '[ \\t]+', ' ', 'g')"

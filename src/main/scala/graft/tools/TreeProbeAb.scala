@@ -29,6 +29,7 @@ object TreeProbeAb {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_AB_DIR", "/tmp/graft-scale/x100")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "2").toInt
+    require(rounds >= 1, s"SPARK_GRAFT_AB_ROUNDS must be >= 1, got $rounds")
     val nlists = sys.env.getOrElse("SPARK_GRAFT_AB_NLISTS", "256,1024,4096")
       .split(",").map(_.trim.toInt).toSeq
     val wprobe = sys.env.getOrElse("SPARK_GRAFT_AB_WPROBE", "4").toInt
@@ -57,7 +58,9 @@ object TreeProbeAb {
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t) / 1e9
       }
-      once(treeAssign) // warmup (JIT + codegen)
+      // warm up BOTH shapes — each pays its own codegen/JIT, and a
+      // one-round run must not hand the tree a cold-start advantage
+      once(flatAssign); once(treeAssign)
       val results = for (r <- 1 to rounds; (name, thunk) <-
           Seq(("flat", () => flatAssign), ("tree", () => treeAssign))) yield {
         val dt = once(thunk())

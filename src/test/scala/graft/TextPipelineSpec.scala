@@ -284,8 +284,12 @@ class TextPipelineSpec extends SparkSpec {
       == "x\nNEXT LINE")
     // entity decode runs AFTER tag strip (so &lt;tag&gt; is literal
     // text) and &amp; decodes LAST (single-decode: &amp;lt; -> &lt;)
-    assert(ext("&lt;tag&gt; &amp; &quot;q&quot; &#39; &amp;lt;")
-      == "<tag> & \"q\" ' &lt;")
+    assert(ext("&lt;tag&gt; &amp; &quot;q&quot; &#39;&apos; &amp;lt;")
+      == "<tag> & \"q\" '' &lt;")
+    // HTML5 omitted closers are valid and ubiquitous: open block tags
+    // break too, so adjacent cells/paragraphs never fuse into one word
+    assert(ext("<p>one<p>two") == "one\ntwo")
+    assert(ext("<tr><td>a</td><td>b</td></tr>") == "a\nb")
     // plain text is whitespace-normalized only; null stays null
     assert(ext("plain  words\r\nhere") == "plain words\nhere")
     assert(ext(null) == null)
