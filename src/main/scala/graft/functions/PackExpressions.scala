@@ -109,3 +109,85 @@ object FfdPack {
     GraftSqlShim.column(FfdPack(GraftSqlShim.expression(items), capacity))
   }
 }
+
+/** ORDER-PRESERVING greedy sentence packing — the RAG/context-window
+  * chunking shape [[FfdPack]] deliberately is not: retrieval chunks
+  * must keep prose in reading order and never split a sentence, so the
+  * greedy rule is "append the next sentence while the chunk stays ≤
+  * maxChars (joined by `sep`), else start a new chunk". One compiled
+  * reference-object node per document (the [[FfdPack]] discipline) —
+  * row-local, O(total chars), rides the scan's codegen stage.
+  *
+  * A single sentence longer than maxChars becomes its own oversize
+  * chunk (the caller truncates upstream or lets it ride — same
+  * contract as FfdPack's oversize bins). Lengths are CODEPOINT counts
+  * (Spark `length`/DuckDB `len` semantics), so the greedy boundary is
+  * engine-portable. Deterministic: output is a pure function of the
+  * sentence SEQUENCE.
+  *
+  * Output: array<string> of chunk texts in document order. */
+case class SentencePack(child: Expression, maxChars: Int, sep: String)
+    extends UnaryExpression {
+
+  require(maxChars >= 1, s"maxChars must be positive, got $maxChars")
+  require(sep != null, "sep must not be null")
+
+  override def prettyName: String = "graft_sentence_pack"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val sepUtf =
+    org.apache.spark.unsafe.types.UTF8String.fromString(sep)
+  @transient private lazy val sepChars = sepUtf.numChars()
+
+  def compute(sents: ArrayData): ArrayData = {
+    val n = sents.numElements()
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var cur: java.lang.StringBuilder = null
+    var curLen = 0L
+    var i = 0
+    while (i < n) {
+      val s = sents.getUTF8String(i)
+      val sLen = s.numChars().toLong
+      if (cur == null) {
+        cur = new java.lang.StringBuilder(s.toString)
+        curLen = sLen
+      } else if (curLen + sepChars + sLen <= maxChars) {
+        cur.append(sep).append(s.toString)
+        curLen += sepChars + sLen
+      } else {
+        chunks += org.apache.spark.unsafe.types.UTF8String.fromString(cur.toString)
+        cur = new java.lang.StringBuilder(s.toString)
+        curLen = sLen
+      }
+      i += 1
+    }
+    if (cur != null)
+      chunks += org.apache.spark.unsafe.types.UTF8String.fromString(cur.toString)
+    new GenericArrayData(chunks.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("sentencePack", this, classOf[SentencePack].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SentencePack =
+    copy(child = newChild)
+}
+
+object SentencePack {
+  /** Column API over an array<string> sentence column. */
+  def pack(sentences: Column, maxChars: Int, sep: String = " "): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(
+      SentencePack(GraftSqlShim.expression(sentences), maxChars, sep))
+  }
+}

@@ -176,6 +176,38 @@ object TextOps {
       .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
   }
 
+  /** Sentence-aware chunking — the RAG/context-window shape
+    * [[chunkDocs]] deliberately is not: fixed character windows split
+    * mid-sentence, and a retrieval chunk that starts in the middle of a
+    * thought embeds badly. Sentences (terminal-punctuation boundaries)
+    * are packed IN READING ORDER into chunks of at most `maxChars`
+    * joined characters, never splitting a sentence; a lone sentence
+    * longer than maxChars rides as its own oversize chunk.
+    *
+    * The sentence split is RE2-portable (no lookbehind, which DuckDB's
+    * RE2 lacks): a U+0001 sentinel is injected after each
+    * `[.!?]` + whitespace run, then split — the punctuation stays with
+    * its sentence. Packing is one compiled
+    * [[graft.functions.SentencePack]] node per document (the FfdPack
+    * discipline): row-local generator projection, zero shuffle at any
+    * corpus size, output ≈ 1× corpus bytes.
+    *
+    * Returns (idCol, chunk_id 0-based, chunk, n_chars). */
+  def chunkSentences(docs: DataFrame, idCol: String, textCol: String,
+                     maxChars: Int, sep: String = " "): DataFrame = {
+    require(maxChars >= 1, s"maxChars must be >= 1: $maxChars")
+    val marked = regexp_replace(col(textCol), "([.!?])[ \\t]+", "$1\u0001")
+    val sents = filter(split(marked, "\u0001"), s => length(trim(s)) > lit(0))
+    docs
+      .select(col(idCol),
+        posexplode(graft.functions.SentencePack.pack(sents, maxChars, sep))
+          .as(Seq("__k", "chunk")))
+      .select(col(idCol),
+        col("__k").cast("int").as("chunk_id"),
+        col("chunk"),
+        length(col("chunk")).cast("long").as("n_chars"))
+  }
+
   // --- BPE vocabulary induction (tokenizer prep) ------------------------
 
   /** Frequency-weighted adjacent-symbol pair counts over the corpus's

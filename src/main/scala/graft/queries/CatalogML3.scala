@@ -1194,6 +1194,69 @@ object CatalogML3 {
         |GROUP BY lang, pct
         |ORDER BY lang, pct""".stripMargin)),
 
+    // Sentence-aware chunking — the RAG shape q111's fixed windows are
+    // not: sentences pack in reading order into ≤80-char chunks, never
+    // splitting a sentence (one compiled SentencePack node per doc).
+    // The fixture is unpunctuated word soup, so the query derives
+    // sentences first: every 7th word gets a terminal mark, rotating
+    // . ! ? so the whole split class is exercised. The oracle replays
+    // the greedy boundary as a recursive CTE over (doc, sentence idx)
+    // running-length state — q137's oracle pattern, order-preserving
+    // variant.
+    ("q146_text_chunk_sentences", (s: SparkSession, d: String) => {
+      val ts = split(col("text"), " ")
+      val sentText = concat_ws(" ", transform(ts, (w, i) => {
+        val pos = i + lit(1)
+        val j = (pos.cast("double") / lit(7.0)).cast("int")
+        val mark = when(pos % 7 === 0,
+            when(j % 3 === 1, lit(".")).when(j % 3 === 2, lit("!"))
+              .otherwise(lit("?")))
+          .otherwise(lit(""))
+        concat(w, mark)
+      }))
+      val docs = spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), sentText.as("text"))
+      TextOps.chunkSentences(docs, "doc_id", "text", maxChars = 80)
+        .orderBy("doc_id", "chunk_id")
+    }, Some(
+      """WITH RECURSIVE sent AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           array_to_string(list_transform(string_split(text, ' '),
+        |             (w, i) -> CASE WHEN i % 7 = 0 THEN w ||
+        |                  CASE ((i // 7) % 3) WHEN 1 THEN '.'
+        |                       WHEN 2 THEN '!' ELSE '?' END
+        |                ELSE w END), ' '),
+        |           '([.!?])[ \t]+', '\1' || chr(1), 'g') AS marked
+        |  FROM documents
+        |), sl0 AS (
+        |  SELECT doc_id, u.sent AS sent, u.idx AS idx FROM (
+        |    SELECT doc_id, string_split(marked, chr(1)) AS arr FROM sent
+        |  ), UNNEST([{'sent': arr[i], 'idx': i}
+        |             FOR i IN range(1, len(arr) + 1)]) AS t(u)
+        |), sl AS (
+        |  SELECT doc_id, sent,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS idx,
+        |         len(sent) AS l
+        |  FROM sl0 WHERE len(trim(sent)) > 0
+        |), rec AS (
+        |  SELECT doc_id, idx, 1 AS chunk_id, l AS cur FROM sl WHERE idx = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.idx,
+        |         CASE WHEN r.cur + 1 + s.l <= 80
+        |              THEN r.chunk_id ELSE r.chunk_id + 1 END,
+        |         CASE WHEN r.cur + 1 + s.l <= 80
+        |              THEN r.cur + 1 + s.l ELSE s.l END
+        |  FROM rec r JOIN sl s ON s.doc_id = r.doc_id AND s.idx = r.idx + 1
+        |)
+        |SELECT r.doc_id, CAST(r.chunk_id - 1 AS INT) AS chunk_id,
+        |       string_agg(s.sent, ' ' ORDER BY s.idx) AS chunk,
+        |       CAST(len(string_agg(s.sent, ' ' ORDER BY s.idx)) AS BIGINT)
+        |         AS n_chars
+        |FROM rec r JOIN sl s USING (doc_id, idx)
+        |GROUP BY r.doc_id, r.chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // IVF through the COARSE-QUANTIZER TREE — closes the one scaling
     // envelope the q135 row documents: the flat probe scores all nlist
     // centroids per row, so with nlist grown alongside the corpus

@@ -107,7 +107,10 @@ object ScalingCurve {
       // ntop=4): corpus-side assignment scan + fixed 20-query probe —
       // q46's class; the LARGE-nlist probe economics are measured in
       // tools.TreeProbeAb (flat is N·nlist, tree is N·(ntop+w·nlist/ntop))
-      "q145")
+      "q145",
+      // sentence-aware chunking: row-local derivation + one compiled
+      // SentencePack generator per doc — q111's near-flat class
+      "q146")
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is

@@ -302,4 +302,30 @@ class TextPipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("chunkSentences: greedy boundaries, order kept, oversize rides alone") {
+    val docs = Seq(
+      // sentences of 8/9/7 chars; max 20 with ' ' joins:
+      // "one two." (8) + "three f!" (8+1+8=17) fits; "four g?" starts new
+      (1L, "one two. three f! four g?"),
+      // a lone sentence longer than max rides as its own oversize chunk
+      (2L, "this sentence is far too long to fit. ok."),
+      // no terminal punctuation → one sentence, one chunk
+      (3L, "just words no marks")
+    ).toDF("id", "text")
+    val out = TextOps.chunkSentences(docs, "id", "text", maxChars = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(out((1L, 0)) == (("one two. three f!", 17L)))
+    assert(out((1L, 1)) == (("four g?", 7L)))
+    assert(out((2L, 0)) == (("this sentence is far too long to fit.", 37L)))
+    assert(out((2L, 1)) == (("ok.", 3L)))
+    assert(out((3L, 0)) == (("just words no marks", 19L)))
+    // sentences never split; reading order preserved within chunks
+    assert(out.keys.toSeq.sorted == Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (3L, 0)))
+    // zero-shuffle claim: generator projection only
+    val plan = TextOps.chunkSentences(docs, "id", "text", 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
