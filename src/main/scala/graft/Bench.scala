@@ -172,6 +172,10 @@ object Bench {
     // queries stay per-key. Budget at 138 queries: 130 keys ≈ 1.7 KB.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // q147 (the composed ingest pipeline) deliberately keeps its OWN
+    // key rather than riding q12x: the rollup's cross-round
+    // comparability depends on its member set staying fixed at the
+    // nine round-8 entries
     val streamFamily = "^q12[2-9]|^q130".r
     val rollupFamily = only.isEmpty // a restricted dev run keeps per-entry keys
     val keyed = results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }

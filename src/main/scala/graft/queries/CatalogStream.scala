@@ -531,6 +531,61 @@ object CatalogStream {
         |       CAST(unnest(generate_series(1, CAST(tot // 100000 AS BIGINT)))
         |         AS BIGINT) AS crossed_at
         |FROM c WHERE tot >= 100000
-        |ORDER BY user_id, crossed_at""".stripMargin))
+        |ORDER BY user_id, crossed_at""".stripMargin)),
+
+    // THE COMPOSED INGEST PIPELINE through the real engine — the gate
+    // family's capstone: q122-q130 each prove ONE streaming semantic;
+    // this runs the crawl-ingest composition a deployment actually
+    // ships as a single streaming job: normalize (the compiled
+    // NfcNormalize node, inside a microbatch) → rule quality gate
+    // (token count + type-token ratio, both engine-portable) →
+    // replay dedup (crawler re-fetch: wave B re-delivers the %6==0
+    // docs byte-identically; dropDuplicates state collapses them to
+    // effective-once). Plain dropDuplicates keeps UNBOUNDED state —
+    // honest here because doc ids recur forever in a crawl; the
+    // state-BOUNDED complement and its tradeoff are q129's subject.
+    // Oracle: the batch pipeline over the distinct delivered set.
+    ("q147_stream_ingest_pipeline", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val dir = stageWavesCached(d, "docs-ingest")(Seq(
+        docs.where(col("doc_id") % 3 < 2),
+        docs.where(col("doc_id") % 3 === 2)
+          .unionAll(docs.where(col("doc_id") % 6 === 0))))
+      runWaves(s, dir, docs.schema, "append", ownsDir = false) { df =>
+        val tn = graft.ops.TextOps.normalizeText(col("text"))
+        val withNorm = df.withColumn("text_norm", tn)
+          .withColumn("ts", split(trim(col("text_norm")), "\\s+"))
+          .withColumn("n_tokens", size(col("ts")).cast("long"))
+          .withColumn("ttr",
+            size(array_distinct(col("ts"))).cast("double") /
+              size(col("ts")).cast("double"))
+        withNorm
+          .where(col("n_tokens") >= 8 && col("ttr") > 0.55)
+          .dropDuplicates("doc_id")
+          .select(col("doc_id"), col("n_tokens"),
+            md5(col("text_norm")).as("digest"))
+      }.orderBy("doc_id")
+    }, Some {
+      val tn = graft.ops.TextOps.normalizeTextSql("text")
+      s"""WITH delivered AS (
+         |  SELECT DISTINCT doc_id, text FROM (
+         |    SELECT doc_id, text FROM documents WHERE CAST(doc_id % 3 AS INT) < 2
+         |    UNION ALL
+         |    SELECT doc_id, text FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+         |    UNION ALL
+         |    SELECT doc_id, text FROM documents WHERE CAST(doc_id % 6 AS INT) = 0
+         |  )
+         |), n AS (
+         |  SELECT doc_id, $tn AS tn FROM delivered
+         |), t AS (
+         |  SELECT doc_id, tn, string_split_regex(trim(tn), '\\s+') AS ts FROM n
+         |)
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, md5(tn) AS digest
+         |FROM t
+         |WHERE len(ts) >= 8
+         |  AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) > 0.55
+         |ORDER BY doc_id""".stripMargin
+    })
   )
 }

@@ -75,4 +75,34 @@ class StreamGateSpec extends SparkSpec {
       .select(col("user_id"), col("k").as("n"), col("k").as("mx"))
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("q147 composed ingest pipeline equals the batch composition") {
+    val got = q("q147_stream_ingest_pipeline")
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // the batch replica: distinct delivered set → normalize → gate
+    val delivered = docs.where(col("doc_id") % 3 < 2)
+      .unionAll(docs.where(col("doc_id") % 3 === 2))
+      .unionAll(docs.where(col("doc_id") % 6 === 0))
+      .distinct()
+    val tn = graft.ops.TextOps.normalizeText(col("text"))
+    val expected = delivered
+      .withColumn("tn", tn)
+      .withColumn("ts", split(trim(col("tn")), "\\s+"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("ts"))).cast("double") /
+          size(col("ts")).cast("double"))
+      .where(col("n_tokens") >= 8 && col("ttr") > 0.55)
+      .select(col("doc_id"), col("n_tokens"), md5(col("tn")).as("digest"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "streamed pipeline must equal its batch composition")
+    // both legs of the pipeline must bite on this fixture: the replay
+    // dedup collapsed the re-delivered %6 docs...
+    val nDelivered = delivered.count()
+    assert(got.count() < nDelivered, "the quality gate is dead")
+    // ...and the gate filtered at least one doc that dedup kept
+    val kept = got.count()
+    assert(kept > 0 && kept < nDelivered)
+  }
 }
