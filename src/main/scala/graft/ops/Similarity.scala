@@ -803,16 +803,38 @@ object Similarity {
                                   qvecCol: String,
                                   cents: Array[(Long, Array[Float])],
                                   nprobe: Int,
-                                  extraCols: Seq[String] = Nil): DataFrame = {
+                                  extraCols: Seq[String] = Nil,
+                                  probe: Option[(Column, Int) => Column] = None)
+      : DataFrame = {
     import graft.functions.VectorFunctions.packInt8
+    val p = probe.getOrElse((v: Column, n: Int) => probedCellIds(v, cents, n))
     queries
       .select(col(qidCol) +: col(qvecCol) +: Quantize.maxAbs(col(qvecCol)).as("__ma") +:
         extraCols.map(col): _*)
       .select(col(qidCol) +:
         packInt8(Quantize.int8Codes(col(qvecCol), col("__ma"))).as("qcodes") +:
-        explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id") +:
+        explode(p(col(qvecCol), nprobe)).as("cent_id") +:
         extraCols.map(col): _*)
   }
+
+  /** The per-anchor probe expression for an index search: flat
+    * ([[probedCellIds]], O(nlist) per row) or, when `treeProbe =
+    * Some((ntop, wprobe))`, the coarse-quantizer tree
+    * (O(ntop + wprobe·nlist/ntop) — the q145 fix, carried into the
+    * DEPLOYMENT path where it matters most: index PROBING recurs per
+    * anchor batch forever, and anchors = corpus makes it N·nlist,
+    * while the index build's flat assignment is one-time and amortized
+    * over every later query). wprobe = ntop reproduces the flat probe
+    * exactly (spec-pinned); narrower is the standard hierarchical
+    * approximation with the measured wprobe dial (SCALING.md). */
+  private def indexProbeFn(cents: Array[(Long, Array[Float])],
+                           treeProbe: Option[(Int, Int)])
+      : Option[(Column, Int) => Column] =
+    treeProbe.map { case (ntop, wprobe) =>
+      val (coarse, groups) = twoLevelModel(cents, ntop)
+      (v: Column, n: Int) =>
+        VectorFunctions.twoLevelNearestCentroids(v, coarse, groups, wprobe, n)
+    }
 
   /** Shared tail of the quantized-IVF search: integer-dot candidate scan
     * inside the probed cells → per-query shortlist → exact float re-rank
@@ -911,13 +933,16 @@ object Similarity {
                                 corpus: DataFrame, idCol: String, vecCol: String,
                                 queries: DataFrame, qidCol: String, qvecCol: String,
                                 k: Int, nprobe: Int = 4,
-                                shortlist: Int = 0): DataFrame = {
+                                shortlist: Int = 0,
+                                treeProbe: Option[(Int, Int)] = None): DataFrame = {
+    val probeFn = indexProbeFn(cents, treeProbe)
     // materialize the (small: nprobe rows per query) cell table once —
     // the driver-side probed-cell collect AND the shortlist join both
     // read it, and without truncation the second use would re-run the
     // query quantization + centroid probing as a second Spark job
     val queryCells = Checkpointing.truncate(
-      quantizedQueryCells(queries, qidCol, qvecCol, cents, nprobe))
+      quantizedQueryCells(queries, qidCol, qvecCol, cents, nprobe,
+        probe = probeFn))
     val probed = queryCells.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val index = spark.table(tableName)
@@ -957,7 +982,8 @@ object Similarity {
                              labelCol: String,
                              anchors: DataFrame, qidCol: String, qvecCol: String,
                              qlabelCol: String, k: Int,
-                             nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
+                             nprobe: Int = 4, shortlist: Int = 0,
+                             treeProbe: Option[(Int, Int)] = None): DataFrame = {
     import graft.functions.VectorFunctions.int8Dot
     require(cents.nonEmpty, "IVF needs a non-empty centroid model")
     require(index.columns.contains(labelCol),
@@ -978,12 +1004,15 @@ object Similarity {
     // full (qcodes, label) cell stream just to take distinct cent_ids
     // would be a corpus-sized checkpoint; the light pass re-runs only
     // the probe ranking
+    val probeFn = indexProbeFn(cents, treeProbe)
+    val probeExpr = probeFn.getOrElse(
+      (v: Column, n: Int) => probedCellIds(v, cents, n))
     val probed = a0
-      .select(explode(probedCellIds(col(qvecCol), cents, nprobe)).as("cent_id"))
+      .select(explode(probeExpr(col(qvecCol), nprobe)).as("cent_id"))
       .distinct().collect().map(_.getLong(0)).sorted
     val pruned = index.where(col("cent_id").isin(probed.map(Long.box).toIndexedSeq: _*))
     val queryCells = quantizedQueryCells(a0, qidCol, qvecCol, cents, nprobe,
-      extraCols = Seq(qlabelCol))
+      extraCols = Seq(qlabelCol), probe = probeFn)
     // gate units: one cell row ≈ dim code bytes + id/label overhead
     val cellsEff = nq * nprobe.toLong * ((dim + 64) / 40).max(1)
     val cand = pruned

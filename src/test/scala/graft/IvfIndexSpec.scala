@@ -133,6 +133,17 @@ class IvfIndexSpec extends SparkSpec {
       .orderBy("qid", "rank").collect().toSeq
     assert(fromIndex4 == inline0)
 
+    // (b2) the coarse-quantizer TREE probe at wprobe = ntop sees every
+    // fine cell, so it must equal the flat probe's results row-for-row
+    // — the q145 exactness contract carried into the deployment path
+    val fromIndexTree = Similarity.hardNegativesFromIndex(
+        spark.table("ivf_lbl"), cents, emb, "vec_id", "embedding", "label",
+        anchors, "qid", "qvec", "qlabel", k = 5, nprobe = 4,
+        treeProbe = Some((4, 4)))
+      .orderBy("qid", "rank").collect().toSeq
+    assert(fromIndexTree == fromIndex4,
+      "tree probe at wprobe = ntop must reproduce the flat index search")
+
     // (c) corpus-scale posture: with the broadcast gate forced below
     // the anchor count, the plan must contain NO broadcast of the
     // anchor-cell stream — the candidate join degrades to a shuffle
