@@ -1257,6 +1257,46 @@ object CatalogML3 {
         |GROUP BY r.doc_id, r.chunk_id
         |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Source-format breadth: the documents table rides a full
+    // write→read ROUND TRIP through JSON Lines and CSV (explicit
+    // schemas both ways — schema inference at 100 TB is a second full
+    // scan), then one aggregate per (format, lang) whose counts, sums,
+    // and content digests must match the parquet truth. The oracle IS
+    // the losslessness claim: DuckDB computes the same aggregate from
+    // the parquet table alone, crossed with the two format labels — so
+    // a single corrupted char, dropped row, or mis-quoted field in
+    // either format pass fails the hash. Scratch output is pid-keyed
+    // and shutdown-deleted (q131's convention).
+    ("q148_source_roundtrip", (s: SparkSession, d: String) => {
+      val docs = spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val root = graft.ops.LocalFiles.processScratchDir("roundtrip") +
+        "/" + Integer.toHexString(d.hashCode)
+      docs.write.mode("overwrite").json(s"$root/json")
+      docs.write.mode("overwrite")
+        .option("header", "true").csv(s"$root/csv")
+      val j = s.read.schema(docs.schema).json(s"$root/json")
+        .withColumn("fmt", lit("json"))
+      val c = s.read.option("header", "true").schema(docs.schema)
+        .csv(s"$root/csv")
+        .withColumn("fmt", lit("csv"))
+      j.unionAll(c)
+        .groupBy("fmt", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .orderBy("fmt", "lang")
+    }, Some(
+      """SELECT fmt, lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(len(text)) AS BIGINT) AS sum_text_chars,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |FROM documents, (SELECT unnest(['csv', 'json']) AS fmt)
+        |GROUP BY fmt, lang
+        |ORDER BY fmt, lang""".stripMargin)),
+
     // IVF through the COARSE-QUANTIZER TREE — closes the one scaling
     // envelope the q135 row documents: the flat probe scores all nlist
     // centroids per row, so with nlist grown alongside the corpus

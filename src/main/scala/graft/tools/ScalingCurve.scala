@@ -110,7 +110,10 @@ object ScalingCurve {
       "q145",
       // sentence-aware chunking: row-local derivation + one compiled
       // SentencePack generator per doc — q111's near-flat class
-      "q146")
+      "q146",
+      // JSON/CSV round trip: two corpus writes + two reads + one agg —
+      // pure I/O volume, should be linear with a flat per-job floor
+      "q148")
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is
