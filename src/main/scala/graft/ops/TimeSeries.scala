@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series completeness operators — the reporting prep between raw
+  * event streams and anything that assumes a dense time axis (rate
+  * charts, anomaly baselines, per-interval SLO math): real event data
+  * has holes, and a per-interval aggregate silently SKIPS empty
+  * intervals instead of reporting them as zero/carried-forward.
+  */
+object TimeSeries {
+
+  /** Per-key dense time grid with last-observation-carried-forward —
+    * the classic gap-fill: bucket events per (key, bucket), then emit
+    * EVERY bucket from each key's first to last observation at `step`
+    * spacing; missing buckets appear with n_events = 0, a NULL raw
+    * value, is_gap = true, and `locf_value` carrying the most recent
+    * observed bucket value forward (never null: each key's grid starts
+    * at an observed bucket by construction).
+    *
+    * `bucket` must be an integral column expression (epoch-hour,
+    * epoch-day…) and `value` an integral measure (cents, counts) — the
+    * grid arithmetic and the carried values stay engine-portable, no
+    * float drift class.
+    *
+    * Scale design: ONE corpus-sized exchange — the map-side-combined
+    * (key, bucket) aggregate. The span probe is one tiny per-key agg
+    * over the bucket table; the grid is a row-local `sequence` explode
+    * over spans (output rows = Σ span/step per key — the caller's
+    * explicit densification budget, bounded by time-range/step, NOT by
+    * corpus size); the grid join and the LOCF window are both keyed by
+    * `keyCol`, so nothing is ever single-partition. A key whose span
+    * is pathologically long against `step` produces a proportionally
+    * long grid — that is the densification ASK, priced in rows, and
+    * the is_gap flag is what lets a report cap it downstream.
+    *
+    * Returns (keyCol, bucket, n_events, bucket_value, is_gap,
+    * locf_value) — bucket_value stays NULL on gaps (the honest raw);
+    * locf_value is the filled series. */
+  def gapFillLocf(df: DataFrame, keyCol: String, bucket: Column,
+                  value: Column, step: Long = 1L): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val agg = df.groupBy(col(keyCol), bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(value.cast("long")).as("bucket_value"))
+    val spans = agg.groupBy(col(keyCol))
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"), lit(step))).as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("bucket_value"),
+        col("n_events").isNull.as("is_gap"),
+        last(col("bucket_value"), ignoreNulls = true).over(w).as("locf_value"))
+  }
+}

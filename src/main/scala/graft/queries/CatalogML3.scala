@@ -1297,6 +1297,48 @@ object CatalogML3 {
         |GROUP BY fmt, lang
         |ORDER BY fmt, lang""".stripMargin)),
 
+    // Time-series gap-fill with LOCF — per-user hourly grid over the
+    // events stream: real event data has holes, and a per-interval
+    // aggregate silently SKIPS empty hours; a rate chart / anomaly
+    // baseline needs them as explicit zero/carried-forward rows. All
+    // arithmetic integral (epoch-hour buckets, floor-cents values —
+    // q124's portability trick), so the grid, the gaps, and the
+    // carried values replay bit-exactly: DuckDB's generate_series +
+    // IGNORE NULLS window is the verbatim twin.
+    ("q149_timeseries_gapfill", (s: SparkSession, d: String) => {
+      val events = table(s, d, "events")
+      graft.ops.TimeSeries.gapFillLocf(
+          events, "user_id",
+          bucket = floor(col("ts").cast("timestamp").cast("double") / 3600),
+          value = floor(col("value") * 100))
+        .orderBy("user_id", "bucket")
+    }, Some(
+      """WITH a AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS bucket_value
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM a GROUP BY 1
+        |), g AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS bucket
+        |  FROM s
+        |)
+        |SELECT g.user_id, g.bucket,
+        |       coalesce(a.n_events, 0) AS n_events,
+        |       a.bucket_value,
+        |       a.n_events IS NULL AS is_gap,
+        |       last_value(a.bucket_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS locf_value
+        |FROM g LEFT JOIN a USING (user_id, bucket)
+        |ORDER BY user_id, bucket""".stripMargin)),
+
     // IVF through the COARSE-QUANTIZER TREE — closes the one scaling
     // envelope the q135 row documents: the flat probe scores all nlist
     // centroids per row, so with nlist grown alongside the corpus

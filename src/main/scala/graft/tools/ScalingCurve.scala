@@ -114,6 +114,11 @@ object ScalingCurve {
       // JSON/CSV round trip: two corpus writes + two reads + one agg —
       // pure I/O volume, should be linear with a flat per-job floor
       "q148")
+      // q149 (time-series gap-fill) is NOT here: it reads the events
+      // fixture, which this harness does not expand (only documents/
+      // embeddings have the bijective re-encoding story); its scale
+      // argument is structural — one (key,bucket) exchange + a grid
+      // priced in span/step rows — and its plan is in PLANS.md
       // q135 (indexed hard negatives, anchors = corpus) is NOT in this
       // list: its anchor set grows WITH the corpus, so at the
       // catalog's fixture-sized nlist=16 the candidate stream is

@@ -514,6 +514,30 @@ class OpsSpec extends SparkSpec {
       s"single-partition exchange in quantile plan:\n$plan")
   }
 
+  test("TimeSeries.gapFillLocf: gaps emitted, locf carries, step guard") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 1L, 5L),   // bucket 1: 2 events, 15
+      ("a", 2L, 7L),                   // bucket 2: 1 event, 7
+      ("a", 5L, 1L),                   // buckets 3,4 are gaps
+      ("b", 9L, 4L)                    // single-bucket key: no gaps
+    ).toDF("k", "b", "v")
+    val out = graft.ops.TimeSeries
+      .gapFillLocf(df, "k", col("b"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4), r.getLong(5)))).toMap
+    assert(out(("a", 1L)) == ((2L, Some(15L), false, 15L)))
+    assert(out(("a", 2L)) == ((1L, Some(7L), false, 7L)))
+    assert(out(("a", 3L)) == ((0L, None, true, 7L)))  // gap: locf from b2
+    assert(out(("a", 4L)) == ((0L, None, true, 7L)))
+    assert(out(("a", 5L)) == ((1L, Some(1L), false, 1L)))
+    assert(out(("b", 9L)) == ((1L, Some(4L), false, 4L)))
+    assert(out.size == 6) // dense grid: 5 buckets for a, 1 for b
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.gapFillLocf(df, "k", col("b"), col("v"), step = 0)
+    }
+  }
+
   test("grouped top-ngram fraction equals the per-row HOF formulation") {
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
     val viaHof = docs.select(col("doc_id"),
