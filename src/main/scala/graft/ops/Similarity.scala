@@ -829,11 +829,14 @@ object Similarity {
     * approximation with the measured wprobe dial (SCALING.md). */
   private def indexProbeFn(cents: Array[(Long, Array[Float])],
                            treeProbe: Option[(Int, Int)])
-      : Option[(Column, Int) => Column] =
-    treeProbe.map { case (ntop, wprobe) =>
-      val (coarse, groups) = twoLevelModel(cents, ntop)
-      (v: Column, n: Int) =>
-        VectorFunctions.twoLevelNearestCentroids(v, coarse, groups, wprobe, n)
+      : (Column, Int) => Column =
+    treeProbe match {
+      case Some((ntop, wprobe)) =>
+        val (coarse, groups) = twoLevelModel(cents, ntop)
+        (v: Column, n: Int) =>
+          VectorFunctions.twoLevelNearestCentroids(v, coarse, groups, wprobe, n)
+      case None =>
+        (v: Column, n: Int) => probedCellIds(v, cents, n)
     }
 
   /** Shared tail of the quantized-IVF search: integer-dot candidate scan
@@ -942,7 +945,7 @@ object Similarity {
     // query quantization + centroid probing as a second Spark job
     val queryCells = Checkpointing.truncate(
       quantizedQueryCells(queries, qidCol, qvecCol, cents, nprobe,
-        probe = probeFn))
+        probe = Some(probeFn)))
     val probed = queryCells.select("cent_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val index = spark.table(tableName)
@@ -1005,14 +1008,12 @@ object Similarity {
     // would be a corpus-sized checkpoint; the light pass re-runs only
     // the probe ranking
     val probeFn = indexProbeFn(cents, treeProbe)
-    val probeExpr = probeFn.getOrElse(
-      (v: Column, n: Int) => probedCellIds(v, cents, n))
     val probed = a0
-      .select(explode(probeExpr(col(qvecCol), nprobe)).as("cent_id"))
+      .select(explode(probeFn(col(qvecCol), nprobe)).as("cent_id"))
       .distinct().collect().map(_.getLong(0)).sorted
     val pruned = index.where(col("cent_id").isin(probed.map(Long.box).toIndexedSeq: _*))
     val queryCells = quantizedQueryCells(a0, qidCol, qvecCol, cents, nprobe,
-      extraCols = Seq(qlabelCol), probe = probeFn)
+      extraCols = Seq(qlabelCol), probe = Some(probeFn))
     // gate units: one cell row ≈ dim code bytes + id/label overhead
     val cellsEff = nq * nprobe.toLong * ((dim + 64) / 40).max(1)
     val cand = pruned

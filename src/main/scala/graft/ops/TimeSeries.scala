@@ -13,17 +13,25 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   /** Per-key dense time grid with last-observation-carried-forward —
-    * the classic gap-fill: bucket events per (key, bucket), then emit
-    * EVERY bucket from each key's first to last observation at `step`
-    * spacing; missing buckets appear with n_events = 0, a NULL raw
-    * value, is_gap = true, and `locf_value` carrying the most recent
-    * observed bucket value forward (never null: each key's grid starts
-    * at an observed bucket by construction).
+    * the classic gap-fill: bucket events per (key, grid cell), then
+    * emit EVERY cell from each key's first to last observation;
+    * missing cells appear with n_events = 0, a NULL raw value,
+    * is_gap = true, and `locf_value` carrying the most recent observed
+    * cell value forward (never null: each key's grid starts at an
+    * observed cell by construction).
+    *
+    * `step` is the CELL WIDTH: buckets are floor-aligned to absolute
+    * multiples of step (`bucket - pmod(bucket, step)`) BEFORE
+    * aggregation, so every observation lands in a grid cell and the
+    * grid (which advances by step) can never skip one — an off-grid
+    * observation folds into its cell rather than silently vanishing.
     *
     * `bucket` must be an integral column expression (epoch-hour,
     * epoch-day…) and `value` an integral measure (cents, counts) — the
     * grid arithmetic and the carried values stay engine-portable, no
-    * float drift class.
+    * float drift class (pmod alignment is integer-only and
+    * floor-correct for negative buckets, where `div` would truncate
+    * toward zero).
     *
     * Scale design: ONE corpus-sized exchange — the map-side-combined
     * (key, bucket) aggregate. The span probe is one tiny per-key agg
@@ -42,7 +50,9 @@ object TimeSeries {
   def gapFillLocf(df: DataFrame, keyCol: String, bucket: Column,
                   value: Column, step: Long = 1L): DataFrame = {
     require(step >= 1, s"step must be >= 1, got $step")
-    val agg = df.groupBy(col(keyCol), bucket.cast("long").as("bucket"))
+    val b = bucket.cast("long")
+    val cell = if (step == 1L) b else b - pmod(b, lit(step))
+    val agg = df.groupBy(col(keyCol), cell.as("bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(value.cast("long")).as("bucket_value"))
     val spans = agg.groupBy(col(keyCol))

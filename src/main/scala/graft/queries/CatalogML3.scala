@@ -1265,8 +1265,14 @@ object CatalogML3 {
     // the losslessness claim: DuckDB computes the same aggregate from
     // the parquet table alone, crossed with the two format labels — so
     // a single corrupted char, dropped row, or mis-quoted field in
-    // either format pass fails the hash. Scratch output is pid-keyed
-    // and shutdown-deleted (q131's convention).
+    // either format pass fails the hash. The CSV leg sets the options
+    // general crawl text NEEDS to round-trip — edge whitespace
+    // preserved on read (Spark's CSV reader trims it by default) and
+    // multiLine for quoted embedded newlines — even though THIS
+    // fixture's word-soup text is CSV-trivial (no quotes / commas /
+    // newlines / edge spaces, verified): the contract is set for the
+    // general case, the fixture proves the trivial one. Scratch output
+    // is pid-keyed and shutdown-deleted (q131's convention).
     ("q148_source_roundtrip", (s: SparkSession, d: String) => {
       val docs = spread(table(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
@@ -1278,6 +1284,9 @@ object CatalogML3 {
       val j = s.read.schema(docs.schema).json(s"$root/json")
         .withColumn("fmt", lit("json"))
       val c = s.read.option("header", "true").schema(docs.schema)
+        .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(s"$root/csv")
         .withColumn("fmt", lit("csv"))
       j.unionAll(c)

@@ -43,6 +43,17 @@ class IvfIndexSpec extends SparkSpec {
     val want = inline0.orderBy("qid", "rank").collect().toSeq
     assert(got == want)
 
+    // the coarse-quantizer tree at wprobe = ntop sees every fine cell,
+    // so the index search must also reproduce the flat path exactly —
+    // the q145 exactness contract on THIS deployment path (the probed-
+    // cell pushdown and the cell stream both route through the tree)
+    val gotTree = Similarity.ivfTopKQuantizedFromIndex(spark, "ivf_idx",
+        cents, emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 10, nprobe = 4, treeProbe = Some((4, 4)))
+      .orderBy("qid", "rank").collect().toSeq
+    assert(gotTree == want,
+      "tree probe at wprobe = ntop must reproduce the flat index search")
+
     // (b) + (c): plan shape of the probe — AQE off so the concrete
     // scan/exchange nodes are visible to collect (AdaptiveSparkPlanExec
     // hides its children)

@@ -536,6 +536,21 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.TimeSeries.gapFillLocf(df, "k", col("b"), col("v"), step = 0)
     }
+    // step > 1: buckets fold into floor-aligned cells, so an off-grid
+    // observation (bucket 5 at step 2 → cell 4) is aggregated, never
+    // silently dropped by a grid that advances by step
+    val out2 = graft.ops.TimeSeries
+      .gapFillLocf(df.where(col("k") === "a"), "k", col("b"), col("v"),
+        step = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getBoolean(4), r.getLong(5)))).toMap
+    // cells: 0 (bucket 1: 2 ev, 15), 2 (bucket 2: 1 ev, 7), 4 (bucket 5)
+    assert(out2(0L) == ((2L, false, 15L)))
+    assert(out2(2L) == ((1L, false, 7L)))
+    assert(out2(4L) == ((1L, false, 1L)))
+    assert(out2.size == 3) // every event accounted for, no gap cells
+    assert(out2.values.map(_._1).sum == 4L,
+      "step > 1 must fold off-grid observations, not drop them")
   }
 
   test("grouped top-ngram fraction equals the per-row HOF formulation") {

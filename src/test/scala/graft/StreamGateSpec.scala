@@ -97,12 +97,18 @@ class StreamGateSpec extends SparkSpec {
       .select(col("doc_id"), col("n_tokens"), md5(col("tn")).as("digest"))
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       "streamed pipeline must equal its batch composition")
-    // both legs of the pipeline must bite on this fixture: the replay
-    // dedup collapsed the re-delivered %6 docs...
-    val nDelivered = delivered.count()
-    assert(got.count() < nDelivered, "the quality gate is dead")
-    // ...and the gate filtered at least one doc that dedup kept
+    // both legs must bite on this fixture. The QUALITY GATE: fewer
+    // survivors than distinct delivered docs
     val kept = got.count()
-    assert(kept > 0 && kept < nDelivered)
+    val nDelivered = delivered.count()
+    assert(kept > 0 && kept < nDelivered, "the quality gate is dead")
+    // The REPLAY DEDUP, asserted directly: the sink carries each doc_id
+    // at most once even though wave B re-delivered the %6==0 docs — and
+    // at least one re-delivered doc passed the gate, so the dedup state
+    // genuinely collapsed a duplicate (the assertion is not vacuous)
+    assert(got.groupBy("doc_id").count().where(col("count") > 1).isEmpty,
+      "a re-delivered doc appeared twice — dropDuplicates state is dead")
+    assert(got.where(col("doc_id") % 6 === 0).count() > 0,
+      "no re-delivered doc survived the gate — the dedup check is vacuous")
   }
 }
