@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance similarity self-join — the Ed-Join shape.
+  *
+  * The set-similarity family (MinHash/SimHash/n-gram Jaccard,
+  * [[Dedup]]) treats a document as a BAG of features, so it cannot
+  * distinguish "kitten"/"sitten" (edit distance 1) from an anagram:
+  * typo-level entity resolution (titles, names, URLs, product keys)
+  * needs the string-ORDER-aware metric. This operator returns every
+  * pair within Levenshtein distance `maxDist`, exactly — no
+  * probabilistic recall — without the O(N²) all-pairs scan.
+  *
+  * Shape (Ed-Join, Xiao et al., VLDB'08 — the published algorithm,
+  * re-expressed declaratively):
+  *   1. each string of length ≥ q·(d+1) emits its positional q-gram
+  *      multiset; one aggregation learns global gram frequencies;
+  *   2. PREFIX FILTER: per string keep only the q·d+1 RAREST grams
+  *      (rarest-first is what keeps candidate buckets small — any
+  *      total order is lossless, the frequency order is the fast
+  *      one). Two strings within distance d MUST share a gram in
+  *      their prefixes: d edits destroy at most q·d grams, so of any
+  *      q·d+1 grams at least one survives verbatim in the partner.
+  *   3. candidates = within-gram-bucket pairs (ONE exchange via
+  *      [[Dedup.bucketedSelfPairs]], bucket-local enumeration);
+  *   4. strings shorter than q·(d+1) carry too few grams for the
+  *      pigeonhole bound, so the (constant-length-bounded) short
+  *      slice pairs through a length-band equality join instead —
+  *      each side's length explodes to the d+1 reachable partner
+  *      lengths, so the band join is a plain hash join, not a range
+  *      scan;
+  *   5. verify: join ids back to strings (candidates are id-only —
+  *      strings never ride the gram shuffle) and keep pairs whose
+  *      `levenshtein(a, b, d)` is within threshold. The thresholded
+  *      three-arg form abandons a row's DP lane as soon as the band
+  *      exceeds d — O(d·len) per pair, not O(len²).
+  *
+  * Scale accounting: the corpus-sized shuffles are the gram
+  * frequency aggregation (map-side combined, gram-keyed), the
+  * gram-frequency join + per-id prefix window, and the one bucket
+  * exchange of (gram, id) prefix rows — each carries ids and ≤
+  * (q·d+1) short grams per row, never full strings. The verify join
+  * shuffles only candidate ids against the base table. The honest
+  * envelope is gram-bucket skew: a corpus where even RAREST-prefix
+  * grams concentrate (e.g. near-constant strings) degenerates toward
+  * all-pairs — which is the true answer size in that corpus, not an
+  * artifact; `maxBucket` (default unbounded) can cap enumeration for
+  * recall-tolerant callers, at the cost of exactness.
+  */
+object EditJoin {
+
+  /** All pairs (id_a < id_b) with levenshtein ≤ maxDist.
+    * Output: (id_a, id_b, dist: long). Null strings are excluded
+    * (distance to NULL is undefined on both engines). */
+  def editJoin(df: DataFrame, idCol: String, strCol: String,
+               maxDist: Int, q: Int = 3,
+               maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val d = maxDist
+    val prefixLen = q * d + 1
+    // pigeonhole bound needs gramCount = len-q+1 >= q*d+1 on BOTH
+    // members; any pair touching a shorter string takes the band path
+    val gramFloor = q * (d + 1)
+
+    val base = df
+      .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+      .where(col("__s").isNotNull)
+      .withColumn("__len", length(col("__s")))
+
+    // ── long-string path: rarest-gram prefix filter ──
+    val longs = base.where(col("__len") >= gramFloor)
+    val gramRows = longs.select(col("__id"),
+      explode(expr(s"transform(sequence(0, __len - $q), i -> substring(__s, i + 1, $q))"))
+        .as("__gram"))
+    val gramFreq = gramRows.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
+    val prefix = gramRows
+      .join(gramFreq, "__gram") // gram-keyed shuffle; freq side is post-agg small
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__cnt"), col("__gram"))))
+      .where(col("__rn") <= prefixLen)
+      .select(col("__gram"), col("__id"))
+    val gramCand = Dedup.bucketedSelfPairs(prefix, "__id",
+      Seq("__gram"), maxBucket)
+
+    // ── short-string path: length-band equality join ──
+    // every qualifying pair touching a short string has both lengths
+    // < gramFloor + d, a constant bound — the slice is tiny in any
+    // natural corpus and the join is keyed, never cross
+    val nearShort = base.where(col("__len") < gramFloor + d)
+      .select(col("__id"), col("__len"))
+    val reach = nearShort.select(col("__id"), col("__len"),
+      explode(expr(s"sequence(__len, __len + $d)")).as("__tgt"))
+    val shortCand = reach.as("a")
+      .join(nearShort.as("b"), col("a.__tgt") === col("b.__len") &&
+        (col("a.__len") < col("b.__len") ||
+          (col("a.__len") === col("b.__len") && col("a.__id") < col("b.__id"))))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"))
+
+    val cand = gramCand.unionAll(shortCand).distinct()
+
+    // ── verify: id-only candidates rejoin the base for strings ──
+    val a = base.select(col("__id").as("id_a"), col("__s").as("__sa"),
+      col("__len").as("__la"))
+    val b = base.select(col("__id").as("id_b"), col("__s").as("__sb"),
+      col("__len").as("__lb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .where(abs(col("__la") - col("__lb")) <= d)
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), d).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= d)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EditJoin}
+import graft.ops.Tables._
+
+/** Round-9 closing extensions — the q15x family: string-edit
+  * similarity join, positional-index phrase search, incremental
+  * aggregate maintenance, robust outliers, key-skew profiling, and
+  * fixed-iteration link analysis. One bench key (q15x rollup) —
+  * per-entry numbers via SPARK_GRAFT_ONLY.
+  */
+object CatalogML4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typo'd-name fixture both engines derive identically from every
+    * 5th part row (TPC-H color-word names are SO self-similar that
+    * the full table yields 4.3M true pairs at sf0.1 — real work, but
+    * a wasteful gate entry; the 1-in-5 slice keeps the shape at ~2%
+    * of the volume): each kept key takes its PREDECESSOR-in-slice's
+    * name (id-5 self-join — no global-sort lag window) and, by
+    * (id div 5) mod 4, either keeps its own name or injects one
+    * substitution / one deletion / one prepended char — so every
+    * 4-block guarantees a distance-1 pair and the join has real
+    * engineered matches at every scale (plus the organic color-word
+    * coincidences). */
+  private def typoNames(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "part")
+      .where(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("id"), col("p_name"))
+    val prev = raw.select((col("id") + 5).as("id"),
+      col("p_name").as("__prev"))
+    raw.join(prev, Seq("id"), "left")
+      .withColumn("__prev", coalesce(col("__prev"), col("p_name")))
+      .withColumn("__m", expr("(id div 5) % 4"))
+      .select(col("id"),
+        when(col("__m") === 1,
+            concat(substring(col("__prev"), 1, 4), lit("x"),
+              substring(col("__prev"), 6, 1000000)))
+          .when(col("__m") === 2,
+            concat(substring(col("__prev"), 1, 7),
+              substring(col("__prev"), 9, 1000000)))
+          .when(col("__m") === 3, concat(lit("x"), col("__prev")))
+          .otherwise(col("p_name")).as("name"))
+  }
+
+  private val typoNamesSql: String =
+    """sel AS (
+      |  SELECT r.p_partkey AS id,
+      |         CASE CAST((r.p_partkey // 5) % 4 AS INT)
+      |           WHEN 1 THEN substr(pv.prev, 1, 4) || 'x' ||
+      |             substr(pv.prev, 6, 1000000)
+      |           WHEN 2 THEN substr(pv.prev, 1, 7) ||
+      |             substr(pv.prev, 9, 1000000)
+      |           WHEN 3 THEN 'x' || pv.prev
+      |           ELSE r.p_name END AS name
+      |  FROM part r
+      |  JOIN (SELECT a.p_partkey AS id,
+      |               COALESCE(b.p_name, a.p_name) AS prev
+      |        FROM part a LEFT JOIN part b
+      |          ON b.p_partkey = a.p_partkey - 5
+      |         AND b.p_partkey % 5 = 0
+      |        WHERE a.p_partkey % 5 = 0) pv
+      |    ON pv.id = r.p_partkey
+      |  WHERE r.p_partkey % 5 = 0
+      |)""".stripMargin
+
+  def entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Exact edit-distance similarity join (Ed-Join): every name pair
+    // within Levenshtein 2, via the rarest-q-gram prefix filter + one
+    // bucket-local pair exchange + thresholded-DP verify — never the
+    // O(N²) scan. The oracle IS the O(N²) definition, kept tractable
+    // by the same |Δlen| ≤ d necessary condition expressed as a
+    // length-band EQUALITY join (the shorter side fans out to its d+1
+    // reachable partner lengths).
+    ("q150_dedup_edit_join", (s: SparkSession, d: String) => {
+      EditJoin.editJoin(spread(typoNames(s, d), "id"), "id", "name",
+          maxDist = 2, q = 3)
+        .orderBy("id_a", "id_b")
+    }, Some(
+      s"""WITH $typoNamesSql,
+         |lens AS (SELECT id, name, len(name) AS l FROM sel),
+         |fan AS (
+         |  SELECT id, name, l, l + u.k AS tgt
+         |  FROM lens, (SELECT unnest([0, 1, 2]) AS k) u
+         |),
+         |cand AS (
+         |  SELECT a.id AS ia, a.name AS na, b.id AS ib, b.name AS nb
+         |  FROM fan a JOIN lens b ON b.l = a.tgt
+         |  WHERE (a.l < b.l) OR (a.l = b.l AND a.id < b.id)
+         |)
+         |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+         |       CAST(levenshtein(na, nb) AS BIGINT) AS dist
+         |FROM cand
+         |WHERE levenshtein(na, nb) <= 2
+         |ORDER BY id_a, id_b""".stripMargin)),
+  )
+}
