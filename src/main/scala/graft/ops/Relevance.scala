@@ -352,4 +352,79 @@ object Relevance {
         (col("__sw").cast("double") + bias).as("score"))
       .withColumn("keep", col("score") > lit(0.0))
   }
+
+  /** Positional postings — the inverted-index row stream (term, id,
+    * pos), 1-based token positions on the whitespace tokenization.
+    * This is the index a phrase/proximity search engine builds once
+    * and a 100 TB corpus pays for exactly one explode; downstream
+    * consumers filter it by term BEFORE any exchange, so only the
+    * queried terms' postings ever shuffle. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__p0", "term")))
+      .select(col("term"), col("__id").as("id"),
+        (col("__p0") + 1).cast("long").as("pos"))
+
+  /** Exact phrase search over the positional index: for each phrase,
+    * every (doc, occurrence-start) where the phrase's tokens appear
+    * CONSECUTIVELY. Output: (phrase, id, n_occ, first_pos) for docs
+    * with ≥1 occurrence; overlapping occurrences all count (the
+    * token-adjacency definition — NOT the non-overlapping substring
+    * replace count, which undercounts self-overlapping phrases).
+    *
+    * Scale shape: the postings stream is filtered to the union of the
+    * phrases' terms first — a tiny literal IN-list pushed to the scan
+    * — so the per-word adjacency joins (k−1 of them for a k-word
+    * phrase, all keyed on (id, startPos)) move only matching-term
+    * postings. No all-token shuffle, no per-doc regex scans over the
+    * corpus: term selectivity does the pruning, exactly like a real
+    * inverted index probe. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "at least one phrase")
+    val words = phrases.map(_.split(" ").toSeq)
+    require(words.forall(_.nonEmpty), "empty phrase")
+    val allTerms = words.flatten.distinct
+    val postings = positionalPostings(docs, idCol, textCol)
+      .where(col("term").isInCollection(allTerms))
+    val perPhrase = phrases.zip(words).map { case (phrase, ws) =>
+      val starts = ws.zipWithIndex
+        .map { case (w, i) =>
+          postings.where(col("term") === w)
+            .select(col("id"), (col("pos") - i).as("__start"))
+        }
+        .reduce((a, b) => a.join(b, Seq("id", "__start")))
+      starts.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_occ"), min("__start").as("first_pos"))
+        .select(lit(phrase).as("phrase"), col("id"), col("n_occ"),
+          col("first_pos"))
+    }
+    perPhrase.reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin of [[phraseSearch]] (same adjacency-join definition;
+    * `table`/`id`/`text` name the corpus relation and columns). */
+  def phraseSearchSql(tableName: String, idCol: String, textCol: String,
+                      phrases: Seq[String]): String = {
+    val blocks = phrases.map { phrase =>
+      val ws = phrase.split(" ").toSeq
+      val joins = ws.zipWithIndex.map { case (w, i) =>
+        val alias = s"s$i"
+        val sel = s"(SELECT doc_id, pos - $i AS start FROM p WHERE term = '$w') $alias"
+        if (i == 0) s"FROM $sel"
+        else s"JOIN $sel ON $alias.doc_id = s0.doc_id AND $alias.start = s0.start"
+      }.mkString("\n  ")
+      s"""SELECT '$phrase' AS phrase, s0.doc_id AS id,
+         |  CAST(count(*) AS BIGINT) AS n_occ,
+         |  CAST(min(s0.start) AS BIGINT) AS first_pos
+         |  $joins
+         |GROUP BY 1, 2""".stripMargin
+    }
+    s"""WITH t AS (SELECT $idCol AS doc_id, string_split($textCol, ' ') AS w
+       |           FROM $tableName),
+       |p AS (SELECT doc_id, unnest(w) AS term,
+       |             generate_subscripts(w, 1) AS pos FROM t)
+       |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{EditJoin}
+import graft.ops.{EditJoin, Relevance}
 import graft.ops.Tables._
 
 /** Round-9 closing extensions — the q15x family: string-edit
@@ -97,5 +97,25 @@ object CatalogML4 {
          |FROM cand
          |WHERE levenshtein(na, nb) <= 2
          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Exact phrase search over a positional inverted index: postings
+    // (term, doc, pos) filtered to the query terms BEFORE any
+    // exchange, then k−1 adjacency joins keyed on (doc, start) — the
+    // inverted-index probe shape, not a per-doc regex scan. The "a a"
+    // phrase pins the OVERLAPPING-occurrence semantics (token
+    // adjacency counts "a a a" twice; a substring replace-count would
+    // say once). Oracle replays the identical adjacency joins on
+    // DuckDB's unnest/generate_subscripts positions.
+    ("q151_search_phrase", (s: SparkSession, d: String) => {
+      Relevance.phraseSearch(
+          spread(table(s, d, "documents"), "doc_id"), "doc_id", "text",
+          Q151Phrases)
+        .orderBy("phrase", "id")
+    }, Some(
+      Relevance.phraseSearchSql("documents", "doc_id", "text",
+        Q151Phrases) + "\nORDER BY phrase, id")),
   )
+
+  private val Q151Phrases =
+    Seq("table hash", "customer join", "slow hash batch", "a a")
 }

@@ -508,4 +508,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Seq("a", "solo", "x"),
       s"expected one rep per cluster + singleton, got $kept")
   }
+
+  test("phraseSearch: adjacency semantics, overlap counting, multi-phrase") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b c"),          // "a a" overlaps: starts 1,2; "a a a" once
+      (2L, "b c a a x a a"),      // "a a" twice, non-adjacent groups
+      (3L, "c b a"),              // no "a a"
+      (4L, "table hash table hash")) // repeated bigram, starts 1,3
+      .toDF("doc_id", "text")
+    val got = graft.ops.Relevance
+      .phraseSearch(docs, "doc_id", "text", Seq("a a", "a a a", "table hash", "zz qq"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a a", 1L, 2L, 1L), ("a a", 2L, 2L, 3L),
+      ("a a a", 1L, 1L, 1L),
+      ("table hash", 4L, 2L, 1L)))
+  }
+
+  test("phraseSearch single-word phrase degenerates to term lookup") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x"), (2L, "y")).toDF("doc_id", "text")
+    val got = graft.ops.Relevance.phraseSearch(docs, "doc_id", "text", Seq("x"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("x", 1L, 2L, 1L)))
+  }
 }
