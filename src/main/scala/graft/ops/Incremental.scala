@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental aggregate maintenance — partial-aggregate state as
+  * data.
+  *
+  * The 100 TB shape this exists for: a corpus-wide report (counts,
+  * exact sums, min/max per group) must NOT rescan the corpus when a
+  * day's delta lands. The classic answer is the same one Spark uses
+  * INSIDE an aggregation (partial aggregates merged by a final pass),
+  * lifted to storage: persist the per-group partial state, aggregate
+  * only the delta, merge state-with-state. Every component here is a
+  * commutative monoid — count (+), DECIMAL sum (+, exact and
+  * order-free, see [[Tables.dsum]]), min, max — so merging is
+  * associative: state(A ∪ B) = merge(state(A), state(B)) holds
+  * bit-exactly, batches can land in any order, and a re-merge of N
+  * epoch states equals the from-scratch aggregate. Averages are NOT
+  * in the state (not a monoid); [[finish]] derives them at render
+  * time from sum/count.
+  *
+  * Scale accounting: [[aggState]] over a delta is one map-side-
+  * combined exchange of the DELTA only; [[mergeStates]] shuffles
+  * group-cardinality rows (the state table), never corpus rows. The
+  * state table is group-cardinality-sized — the thing you'd broadcast
+  * if a join ever needed it.
+  */
+object Incremental {
+
+  /** Per-group partial-aggregate state of `valueCol`:
+    * (groupCols..., n, s DECIMAL, mn, mx). The DECIMAL sum stays a
+    * DECIMAL in the state (exact, mergeable); only [[finish]] renders
+    * it to a portable double. */
+  def aggState(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               scale: Int = 2): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast(DecimalType(18, scale))).as("s"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+
+  /** Merge any number of compatible states into one (associative,
+    * order-free). */
+  def mergeStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+  }
+
+  /** Render a state to the report row: count, portable-double sum
+    * (decimal→string→double, the [[Tables.dsum]] route), derived avg,
+    * min, max. */
+  def finish(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.select(
+      groupCols.map(col) ++ Seq(
+        col("n").cast("long").as("n"),
+        col("s").cast("string").cast("double").as("total"),
+        (col("s").cast("string").cast("double") / col("n")).as("avg"),
+        col("mn"), col("mx")): _*)
+
+  /** Fold a delta into a persisted state TABLE (stage-and-swap: the
+    * merged state lands in a staging table first — Spark cannot
+    * overwrite a table that feeds the running plan — then replaces
+    * the live one; crash between drop and rename leaves the staged
+    * table intact for manual recovery, and the delta can simply be
+    * re-applied to the previous snapshot). */
+  def advanceStateTable(spark: SparkSession, stateTable: String,
+                        delta: DataFrame, groupCols: Seq[String],
+                        valueCol: String, scale: Int = 2): Unit = {
+    val staged = s"${stateTable}__next"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    mergeStates(Seq(spark.table(stateTable),
+        aggState(delta, groupCols, valueCol, scale)), groupCols)
+      .write.saveAsTable(staged)
+    spark.sql(s"DROP TABLE $stateTable")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $stateTable")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{EditJoin, Relevance}
+import graft.ops.{EditJoin, Incremental, Relevance}
 import graft.ops.Tables._
 
 /** Round-9 closing extensions — the q15x family: string-edit
@@ -114,6 +114,43 @@ object CatalogML4 {
     }, Some(
       Relevance.phraseSearchSql("documents", "doc_id", "text",
         Q151Phrases) + "\nORDER BY phrase, id")),
+    // Incremental aggregate maintenance: partial-agg state AS DATA.
+    // The gate runs the REAL maintenance flow — base-epoch state
+    // persisted to a table, a delta epoch folded in via the
+    // stage-and-swap advance — and the result must equal the
+    // from-scratch aggregate (the oracle), which is exactly the
+    // monoid-merge guarantee (count/DECIMAL-sum/min/max all
+    // commutative monoids; avg derived at finish). At 100 TB the
+    // delta is the only corpus-sized scan; the merge shuffles
+    // group-cardinality rows.
+    ("q152_incr_agg_state", (s: SparkSession, d: String) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q152_state_$tag"
+      Seq(st, s"${st}__next").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val orders = table(s, d, "orders")
+      val cut = "TIMESTAMP '1997-01-01'"
+      Incremental.aggState(orders.where(expr(s"o_orderdate < $cut")),
+          Seq("o_orderpriority"), "o_totalprice")
+        .write.saveAsTable(st)
+      Incremental.advanceStateTable(s, st,
+        orders.where(expr(s"o_orderdate >= $cut")),
+        Seq("o_orderpriority"), "o_totalprice")
+      Incremental.finish(s.table(st), Seq("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      s"""SELECT o_orderpriority,
+         |       CAST(count(o_totalprice) AS BIGINT) AS n,
+         |       ${graft.ops.Tables.dsumSql("o_totalprice")} AS total,
+         |       ${graft.ops.Tables.dsumSql("o_totalprice")} /
+         |         count(o_totalprice) AS avg,
+         |       min(o_totalprice) AS mn, max(o_totalprice) AS mx
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   private val Q151Phrases =

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.ops.{Incremental, Tables}
+
+/** [[graft.ops.Incremental]] — state-as-data aggregate maintenance. */
+class IncrementalSpec extends SparkSpec {
+
+  private val group = Seq("o_orderpriority")
+
+  /** Drop table AND its warehouse dir — the metastore is per-JVM but
+    * spark-warehouse persists across forked test runs. */
+  private def scrub(tables: String*): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  test("merge of epoch states equals the from-scratch aggregate, any order") {
+    val orders = Tables.table(spark, sf, "orders")
+    val epochs = Seq(
+      orders.where(expr("o_orderkey % 3 = 0")),
+      orders.where(expr("o_orderkey % 3 = 1")),
+      orders.where(expr("o_orderkey % 3 = 2")))
+    val states = epochs.map(e =>
+      Incremental.aggState(e, group, "o_totalprice"))
+    val direct = Incremental.finish(
+      Incremental.aggState(orders, group, "o_totalprice"), group)
+      .orderBy("o_orderpriority").collect().toSeq
+    for (perm <- Seq(states, states.reverse, Seq(states(1), states(2), states(0)))) {
+      val merged = Incremental.finish(
+        Incremental.mergeStates(perm, group), group)
+        .orderBy("o_orderpriority").collect().toSeq
+      assert(merged == direct)
+    }
+  }
+
+  test("advanceStateTable folds deltas in-place; result tracks from-scratch") {
+    val st = "q152spec_state"
+    scrub(st, s"${st}__next")
+    val orders = Tables.table(spark, sf, "orders")
+    Incremental.aggState(orders.where(expr("o_orderkey % 4 = 0")),
+        group, "o_totalprice")
+      .write.mode("overwrite").saveAsTable(st)
+    for (m <- 1 to 3)
+      Incremental.advanceStateTable(spark, st,
+        orders.where(expr(s"o_orderkey % 4 = $m")), group, "o_totalprice")
+    val got = Incremental.finish(spark.table(st), group)
+      .orderBy("o_orderpriority").collect().toSeq
+    val want = Incremental.finish(
+        Incremental.aggState(orders, group, "o_totalprice"), group)
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got == want)
+  }
+
+  test("maintenance plan scans state + delta only — never the base epoch") {
+    val st = "q152spec_state2"
+    scrub(st)
+    val orders = Tables.table(spark, sf, "orders")
+    Incremental.aggState(orders.where(expr("o_orderkey % 2 = 0")),
+        group, "o_totalprice")
+      .write.mode("overwrite").saveAsTable(st)
+    // AQE off so the concrete scan nodes are visible to collect
+    // (AdaptiveSparkPlanExec hides its children)
+    val scans =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        Incremental.mergeStates(Seq(spark.table(st),
+            Incremental.aggState(orders.where(expr("o_orderkey % 2 = 1")),
+              group, "o_totalprice")), group)
+          .queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec => f
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.size == 2, s"expected state + delta scans, got $scans")
+    val paths = scans.map(_.relation.location.rootPaths.mkString(","))
+    assert(paths.exists(_.contains(st)), s"no state-table scan in $paths")
+    val deltaScan = scans.find(_.relation.location.rootPaths
+      .mkString(",").contains("orders.parquet"))
+    assert(deltaScan.exists(_.dataFilters.nonEmpty),
+      "delta scan must carry the epoch predicate, not a full rescan")
+  }
+}
