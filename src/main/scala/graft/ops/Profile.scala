@@ -101,4 +101,50 @@ object Profile {
       .groupBy(col(groupCol), col("pct"))
       .agg(min("__v").as("value"), min("__n").as("n_values"))
   }
+
+  /** Robust per-group outlier profile — median/MAD fences, the
+    * monitoring rule that survives the outliers it is hunting (mean/
+    * stddev fences move WITH the anomaly; the breakdown point of the
+    * median is 50%).
+    *
+    * All rank arithmetic runs in CENT-QUANTIZED integer space
+    * (`floor(value·100)`: IEEE multiply + floor are bit-identical on
+    * any engine — no round-half convention, no double-sum class), via
+    * the same counting CDF as [[exactQuantilesBy]]: two count-table
+    * aggregations (values, then absolute deviations), each
+    * domain-sized, never a corpus sort. The median/MAD table is
+    * group-cardinality-sized and broadcasts back onto the row stream;
+    * the fence `|v − med| > k·MAD` is integer row-local compare.
+    *
+    * Returns one row per group: (groupCol, n, med_cents, mad_cents,
+    * n_outliers, out_min_cents, out_max_cents) — the outlier extremes
+    * are NULL for fully-inlying groups. A zero MAD (≥50% of the group
+    * at one value) flags every other value, the documented
+    * median-fence degeneracy; callers wanting slack add it to k. */
+  def robustOutliersBy(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int = 3): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val cents = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        floor(col(valueCol) * 100).cast("long").as("__vc"))
+    val med = exactQuantilesBy(cents, groupCol, "__vc", Seq(50))
+      .select(col(groupCol), col("value").as("__med"),
+        col("n_values").as("__n"))
+    val dev = cents.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col("__vc") - col("__med")))
+    val mad = exactQuantilesBy(dev, groupCol, "__dev", Seq(50))
+      .select(col(groupCol), col("value").as("__mad"))
+    val fenced = dev.join(broadcast(mad), groupCol)
+      .where(col("__dev") > lit(k) * col("__mad"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n_out"), min("__vc").as("__omin"),
+        max("__vc").as("__omax"))
+    med.join(broadcast(mad), groupCol)
+      .join(fenced, Seq(groupCol), "left")
+      .select(col(groupCol), col("__n").as("n"),
+        col("__med").as("med_cents"), col("__mad").as("mad_cents"),
+        coalesce(col("__n_out"), lit(0L)).as("n_outliers"),
+        col("__omin").as("out_min_cents"),
+        col("__omax").as("out_max_cents"))
+  }
 }

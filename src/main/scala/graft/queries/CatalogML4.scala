@@ -151,6 +151,56 @@ object CatalogML4 {
          |         count(o_totalprice) AS avg,
          |       min(o_totalprice) AS mn, max(o_totalprice) AS mx
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // Robust per-group outliers: median/MAD fences over cent-floored
+    // integers (floor(v·100): IEEE multiply + floor — no round-half
+    // convention, no double-sum class anywhere), both medians by the
+    // q144 counting CDF, fence = integer compare. The oracle replays
+    // the identical two-level CDF; zero-outlier groups keep NULL
+    // extremes on both engines.
+    ("q153_profile_robust_outliers", (s: SparkSession, d: String) => {
+      graft.ops.Profile.robustOutliersBy(
+          spread(table(s, d, "events"), "event_id"), "event_type", "value",
+          k = 3)
+        .orderBy("event_type")
+    }, Some(
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), vc AS (
+        |  SELECT event_type, v, count(*) AS ct FROM c GROUP BY 1, 2
+        |), vcum AS (
+        |  SELECT event_type, v,
+        |         SUM(ct) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |         SUM(ct) OVER (PARTITION BY event_type) AS n
+        |  FROM vc
+        |), med AS (
+        |  SELECT event_type, MIN(v) AS med, CAST(MIN(n) AS BIGINT) AS n
+        |  FROM vcum WHERE cum >= (n * 50 + 99) // 100 GROUP BY 1
+        |), dev AS (
+        |  SELECT c.event_type, c.v, abs(c.v - m.med) AS dv
+        |  FROM c JOIN med m USING (event_type)
+        |), dc AS (
+        |  SELECT event_type, dv, count(*) AS ct FROM dev GROUP BY 1, 2
+        |), dcum AS (
+        |  SELECT event_type, dv,
+        |         SUM(ct) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+        |         SUM(ct) OVER (PARTITION BY event_type) AS n
+        |  FROM dc
+        |), mad AS (
+        |  SELECT event_type, MIN(dv) AS mad
+        |  FROM dcum WHERE cum >= (n * 50 + 99) // 100 GROUP BY 1
+        |), fenced AS (
+        |  SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_out,
+        |         MIN(d.v) AS omin, MAX(d.v) AS omax
+        |  FROM dev d JOIN mad USING (event_type)
+        |  WHERE d.dv > 3 * mad.mad GROUP BY 1
+        |)
+        |SELECT m.event_type, m.n, m.med AS med_cents, mad.mad AS mad_cents,
+        |       COALESCE(f.n_out, 0) AS n_outliers,
+        |       f.omin AS out_min_cents, f.omax AS out_max_cents
+        |FROM med m JOIN mad USING (event_type)
+        |LEFT JOIN fenced f USING (event_type)
+        |ORDER BY m.event_type""".stripMargin)),
   )
 
   private val Q151Phrases =

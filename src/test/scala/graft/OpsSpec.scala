@@ -906,4 +906,27 @@ class OpsSpec extends SparkSpec {
       assert(g == want, s"expected $want got $g")
     }
   }
+
+  test("robustOutliersBy: known medians, zero-MAD degeneracy, inlier group") {
+    import spark.implicits._
+    // g1: values 1..9 plus a 100 spike -> med 5.00, MAD ~2.00 in cents
+    // g2: constant 7 except one 9       -> MAD 0, every other value fenced
+    // g3: tight cluster, no outliers    -> NULL extremes
+    val rows =
+      ((1 to 9).map(v => ("g1", v.toDouble)) :+ ("g1", 100.0)) ++
+      (Seq.fill(9)(("g2", 7.0)) :+ ("g2", 9.0)) ++
+      Seq(("g3", 1.0), ("g3", 1.01), ("g3", 1.02))
+    val got = graft.ops.Profile
+      .robustOutliersBy(rows.toDF("g", "v"), "g", "v", k = 3)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    // g1: cents 100..900,10000; n=10 -> median rank ceil(5)=5 -> 500;
+    //     devs 0,100..400,9500 -> MAD 200; fence 600 -> only 10000 out
+    assert(got(0) == ("g1", 10L, 500L, 200L, 1L, Some(10000L), Some(10000L)))
+    // g2: med 700, MAD 0, fence 0 -> the single 900 is out
+    assert(got(1) == ("g2", 10L, 700L, 0L, 1L, Some(900L), Some(900L)))
+    // g3: cents 100,101,102 -> med 101, MAD 1, fence 3 -> none out
+    assert(got(2) == ("g3", 3L, 101L, 1L, 0L, None, None))
+  }
 }
