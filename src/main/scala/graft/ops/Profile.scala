@@ -147,4 +147,54 @@ object Profile {
         col("__omin").as("out_min_cents"),
         col("__omax").as("out_max_cents"))
   }
+
+  /** Key-distribution (skew) profile — the diagnosis a planner wants
+    * BEFORE it shuffles 100 TB on a key: per candidate key column,
+    * cardinality, the hottest key's share (the salting trigger),
+    * Shannon entropy in nats (effective cardinality = e^H), and the
+    * Gini coefficient of the count distribution (0 = perfectly
+    * uniform, →1 = one key owns the table).
+    *
+    * One melt pass + one (col, value)-keyed count aggregation — the
+    * [[summary]] shape — then everything derives from the
+    * distinct-values-sized count table: the rank window for Gini and
+    * the closing per-column aggregate never see corpus rows.
+    * Portability: both sums are term-exact (i·cᵢ in DECIMAL(38,0);
+    * cᵢ·ln cᵢ with the integer-domain [[graft.functions.PortableLn]]
+    * series in DECIMAL(18,6)) and rendered through the
+    * string-route; the remaining arithmetic is row-local IEEE. Gini
+    * rank ties are count-ties, whose contribution to Σ i·cᵢ is
+    * permutation-invariant, so the window tiebreak cannot leak in. */
+  def keyDistribution(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "profile at least one key column")
+    import graft.functions.PortableSketches.lnOfIntFast
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = df
+      .select(explode(array(keys.map(k =>
+        struct(lit(k).as("col_name"), col(k).cast("string").as("__val"))): _*))
+        .as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.__val").as("__val"))
+      .where(col("__val").isNotNull)
+    val counts = pairs.groupBy("col_name", "__val")
+      .agg(count(lit(1)).as("__ct"))
+    val ranked = counts.withColumn("__i", row_number().over(
+      Window.partitionBy("col_name").orderBy(col("__ct"), col("__val"))))
+    def strDouble(c: Column): Column = c.cast("string").cast("double")
+    ranked.groupBy("col_name")
+      .agg(sum("__ct").cast("long").as("n"),
+        count(lit(1)).as("n_distinct"),
+        max("__ct").as("top_count"),
+        strDouble(sum((col("__i") * col("__ct")).cast(DecimalType(38, 0))))
+          .as("__s1"),
+        strDouble(sum((col("__ct") * lnOfIntFast(col("__ct")))
+          .cast(DecimalType(18, 6)))).as("__slnc"))
+      .select(col("col_name"), col("n"), col("n_distinct"), col("top_count"),
+        (col("top_count").cast("double") / col("n")).as("top_share"),
+        (lnOfIntFast(col("n")) - col("__slnc") / col("n")).as("entropy_nats"),
+        (lit(2.0) * col("__s1") /
+          (col("n_distinct").cast("double") * col("n").cast("double")) -
+          (col("n_distinct") + 1).cast("double") / col("n_distinct"))
+          .as("gini"))
+  }
 }

@@ -201,6 +201,51 @@ object CatalogML4 {
         |FROM med m JOIN mad USING (event_type)
         |LEFT JOIN fenced f USING (event_type)
         |ORDER BY m.event_type""".stripMargin)),
+    // Key-distribution (skew) profile over events' candidate shuffle
+    // keys: unique (event_id), low-cardinality (event_type), zipf-ish
+    // (user_id). Entropy via the portable integer-ln series, Gini via
+    // the exact DECIMAL rank-sum — both term-exact then string-routed,
+    // so the doubles match DuckDB bit-for-bit. event_id pins the
+    // uniform edge (gini 0, entropy ln n).
+    ("q154_profile_key_skew", (s: SparkSession, d: String) => {
+      graft.ops.Profile.keyDistribution(
+          spread(table(s, d, "events"), "event_id"),
+          Seq("event_id", "event_type", "user_id"))
+        .orderBy("col_name")
+    }, Some {
+      import graft.functions.PortableSketches.lnOfIntSql
+      s"""WITH p AS (
+         |  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val
+         |  FROM events WHERE event_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'event_type', event_type FROM events
+         |  WHERE event_type IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+         |  WHERE user_id IS NOT NULL
+         |), c AS (
+         |  SELECT col_name, val, count(*) AS ct FROM p GROUP BY 1, 2
+         |), r AS (
+         |  SELECT col_name, ct, row_number() OVER (
+         |    PARTITION BY col_name ORDER BY ct, val) AS i
+         |  FROM c
+         |), a AS (
+         |  SELECT col_name, CAST(SUM(ct) AS BIGINT) AS n,
+         |         CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(MAX(ct) AS BIGINT) AS top_count,
+         |         CAST(CAST(SUM(CAST(i * ct AS DECIMAL(38,0))) AS VARCHAR)
+         |           AS DOUBLE) AS s1,
+         |         CAST(CAST(SUM(CAST(ct * ${lnOfIntSql("ct")}
+         |           AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS slnc
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT col_name, n, n_distinct, top_count,
+         |       CAST(top_count AS DOUBLE) / n AS top_share,
+         |       ${lnOfIntSql("n")} - slnc / n AS entropy_nats,
+         |       2.0 * s1 / (CAST(n_distinct AS DOUBLE) * CAST(n AS DOUBLE))
+         |         - CAST(n_distinct + 1 AS DOUBLE) / n_distinct AS gini
+         |FROM a ORDER BY col_name""".stripMargin
+    }),
   )
 
   private val Q151Phrases =

@@ -929,4 +929,29 @@ class OpsSpec extends SparkSpec {
     // g3: cents 100,101,102 -> med 101, MAD 1, fence 3 -> none out
     assert(got(2) == ("g3", 3L, 101L, 1L, 0L, None, None))
   }
+
+  test("keyDistribution: hand-computed entropy/gini, uniform edge") {
+    import spark.implicits._
+    // k: counts a:4, b:2, c:1, d:1 (n=8, D=4)
+    // u: perfectly uniform 2,2,2,2
+    val rows = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, Seq("w","x","y","z")(i % 4)) }
+    val got = graft.ops.Profile
+      .keyDistribution(rows.toDF("k", "u"), Seq("k", "u"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    val (kRow, uRow) = (got(0), got(1))
+    assert(kRow._1 == "k" && kRow._2 == 8L && kRow._3 == 4L && kRow._4 == 4L)
+    assert(math.abs(kRow._5 - 0.5) < 1e-15)                       // top share
+    val entK = math.log(8) - (2 * math.log(2) + 4 * math.log(4)) / 8
+    // DECIMAL(18,6) rounds each c*ln(c) term to 1e-6 (portability by
+    // construction beats the last digits): tolerance is term-count-scaled
+    assert(math.abs(kRow._6 - entK) < 1e-5, s"entropy ${kRow._6} vs $entK")
+    // sorted c = 1,1,2,4 -> sum i*c = 25 -> G = 50/32 - 5/4 = 0.3125
+    assert(math.abs(kRow._7 - 0.3125) < 1e-15, s"gini ${kRow._7}")
+    assert(uRow._1 == "u" && uRow._3 == 4L && math.abs(uRow._7) < 1e-15)
+    val entU = math.log(8) - (8 * math.log(2)) / 8
+    assert(math.abs(uRow._6 - entU) < 1e-5)
+  }
 }
