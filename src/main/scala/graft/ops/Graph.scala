@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link analysis over edge tables — the graph-shaped signal a corpus
+  * pipeline wants from its reference structure (host link graphs for
+  * crawl-quality priors, citation graphs, user↔item interaction
+  * graphs). Complements [[Dedup.connectedComponents]] (membership)
+  * with CENTRALITY.
+  *
+  * PageRank here is the fixed-iteration power method, expressed as T
+  * rounds of (edge ⋈ rank) → per-destination sum — each round ONE
+  * key-shuffled aggregation of contribution scalars (never vectors,
+  * never the edge payload twice), the exact shape GraphX's Pregel
+  * compiles to, with Catalyst handling the join strategy per round.
+  * Determinism discipline: the per-destination contribution sum is
+  * the only order-sensitive reduction, so it runs in DECIMAL(38,12)
+  * (term-exact, order-free, string-routed back to double — the
+  * [[Tables.dsum]] rule); every remaining operation is row-local
+  * IEEE, so T iterations produce bit-identical ranks under any
+  * partitioning — and on any engine, which is what lets a full
+  * differential oracle exist for an iterative algorithm.
+  *
+  * Scale accounting per iteration: one shuffle of |E| (src-keyed
+  * join; AQE may broadcast the rank side while it fits — rank rows
+  * are node-sized scalars) + one map-side-combined |E|→|V| sum. T is
+  * fixed and small; there is no driver-side convergence collect in
+  * the loop (callers wanting convergence checks can diff successive
+  * rank frames themselves — one extra action, outside this
+  * operator's contract).
+  */
+object Graph {
+
+  /** Fixed-iteration damped PageRank over a DIRECTED edge list
+    * (symmetrize for undirected graphs). Nodes = every id appearing
+    * as src or dst; out-degree-0 (dangling) nodes receive rank but
+    * redistribute none — the standard leaky variant; add reverse
+    * edges or self-loops if mass conservation matters.
+    *
+    * Returns (node, out_deg, rank) after `iters` rounds from the
+    * uniform 1/N start. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .join(outDeg, Seq("node"), "left")
+      .withColumn("out_deg", coalesce(col("out_deg"), lit(0L)))
+    // N rides along as a broadcast literal-free cross join (one-row agg)
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    def withRank(r: DataFrame): DataFrame = r // readability alias
+    var ranks = withRank(nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), col("out_deg"),
+        (lit(1.0) / col("__n")).as("rank"), col("__n")))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.where(col("out_deg") > 0)
+          .select(col("node").as("src"),
+            (col("rank") / col("out_deg")).as("__c")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__c").cast(DecimalType(38, 12)))
+          .cast("string").cast("double").as("__s"))
+      ranks = withRank(ranks
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("out_deg"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"),
+          col("__n")))
+    }
+    ranks.select(col("node"), col("out_deg"), col("rank"))
+  }
+
+  /** DuckDB twin of [[pageRank]]: the same T rounds unrolled as a CTE
+    * chain (`edgesCte` must define relation e(src, dst)). */
+  def pageRankSql(edgesCte: String, iters: Int,
+                  damping: Double = 0.85): String = {
+    require(iters >= 1)
+    val dsum = "CAST(CAST(SUM(CAST(r.rank / r.out_deg AS DECIMAL(38,12))) " +
+      "AS VARCHAR) AS DOUBLE)"
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (
+         |  SELECT e.dst AS node, $dsum AS s
+         |  FROM e JOIN r${t - 1} r ON e.src = r.node AND r.out_deg > 0
+         |  GROUP BY 1
+         |), r$t AS (
+         |  SELECT n.node, n.out_deg,
+         |         ${1.0 - damping} / (SELECT n FROM nn) +
+         |           $damping * COALESCE(a.s, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN a$t a ON a.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od
+       |        FROM e GROUP BY 1),
+       |nodes AS (
+       |  SELECT v.node, COALESCE(d.od, 0) AS out_deg
+       |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) v
+       |  LEFT JOIN deg d ON d.node = v.node
+       |),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank
+       |       FROM nodes),
+       |$rounds
+       |SELECT node, out_deg, rank FROM r$iters""".stripMargin
+  }
+}

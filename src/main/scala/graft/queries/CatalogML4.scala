@@ -246,6 +246,33 @@ object CatalogML4 {
          |         - CAST(n_distinct + 1 AS DOUBLE) / n_distinct AS gini
          |FROM a ORDER BY col_name""".stripMargin
     }),
+    // Fixed-iteration damped PageRank over the symmetrized customer↔
+    // supplier interaction graph (distinct purchase pairs; supplier
+    // ids offset into their own space). Three power-method rounds,
+    // each one |E| join + one DECIMAL(38,12) contribution sum — the
+    // decimal discipline is what makes an ITERATIVE algorithm
+    // bit-portable enough to carry a full differential oracle (the
+    // same three rounds unrolled as a DuckDB CTE chain).
+    ("q155_graph_pagerank", (s: SparkSession, d: String) => {
+      val e0 = table(s, d, "lineitem")
+        .join(table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000000L).as("s2"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("s2").as("dst"))
+        .unionAll(e0.select(col("s2").as("src"), col("c").as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("node")
+    }, Some(
+      graft.ops.Graph.pageRankSql(
+        """e0 AS (
+          |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS s2
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |),
+          |e AS (SELECT c AS src, s2 AS dst FROM e0
+          |      UNION ALL SELECT s2, c FROM e0)""".stripMargin,
+        iters = 3) + "\nORDER BY node")),
   )
 
   private val Q151Phrases =

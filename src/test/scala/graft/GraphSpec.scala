@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** [[graft.ops.Graph.pageRank]] — fixed-iteration power method. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+
+  /** Driver-side reference: same leaky-dangling definition, plain
+    * double arithmetic (tolerance absorbs the DECIMAL(38,12) term
+    * rounding the distributed sum applies). */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        damping: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nodes.size
+    var r = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((1.0 - damping) / n + damping * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("directed 3-cycle stays uniform at every iteration") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    for (t <- Seq(1, 4)) {
+      val got = ranks(edges, t)
+      got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, got))
+    }
+  }
+
+  test("undirected star matches the driver-side reference") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = star ++ star.map(_.swap)
+    val got = ranks(edges, 3)
+    val want = reference(edges, 3)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"$k: $v vs ${want(k)}")
+    }
+    // symmetrized graph conserves mass (no dangling leak)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(0L) > got(1L), "center must outrank leaves")
+  }
+
+  test("dangling node receives but never redistributes (leaky variant)") {
+    val got = ranks(Seq((1L, 2L)), 1)
+    // n=2, r0=0.5 each; node 1 gets only teleport, node 2 gets 1's mass
+    assert(math.abs(got(1L) - 0.075) < 1e-12)
+    assert(math.abs(got(2L) - (0.075 + 0.85 * 0.5)) < 1e-12)
+  }
+
+  test("skewed graph: high-degree hub outranks, reference agrees") {
+    // hub 0 linked by 5 spokes, plus a 2-chain hanging off spoke 1
+    val base = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 1L), (7L, 6L))
+    val edges = base ++ base.map(_.swap)
+    val got = ranks(edges, 4)
+    val want = reference(edges, 4)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"$k: $v vs ${want(k)}")
+    }
+    assert(got(0L) == got.values.max)
+  }
+}
