@@ -177,12 +177,21 @@ object Bench {
     // comparability depends on its member set staying fixed at the
     // nine round-8 entries
     val streamFamily = "^q12[2-9]|^q130".r
+    // the round-9-closing additions (q150+: edit join, phrase search,
+    // incremental state, robust outliers, key skew, pagerank, …)
+    // report as ONE q15x key — the line-length budget rule: new
+    // families roll up, established per-query keys stay comparable.
+    // Per-entry numbers via SPARK_GRAFT_ONLY=q150,…
+    val newFamily = "^q15[0-9]".r
     val rollupFamily = only.isEmpty // a restricted dev run keeps per-entry keys
     val keyed = results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
-    val (fam, rest) =
+    val (fam, rest0) =
       keyed.partition { case (k, _) => rollupFamily && streamFamily.findFirstIn(k).isDefined }
+    val (fam15, rest) =
+      rest0.partition { case (k, _) => rollupFamily && newFamily.findFirstIn(k).isDefined }
     val entries = rest ++
-      (if (fam.nonEmpty) Seq(("q12x", fam.map(_._2).sum)) else Nil)
+      (if (fam.nonEmpty) Seq(("q12x", fam.map(_._2).sum)) else Nil) ++
+      (if (fam15.nonEmpty) Seq(("q15x", fam15.map(_._2).sum)) else Nil)
     val qs = entries.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + sec2(v) }
       .mkString("{", ",", "}")

@@ -66,10 +66,13 @@ object EditJoin {
     // members; any pair touching a shorter string takes the band path
     val gramFloor = q * (d + 1)
 
-    val base = df
+    // base feeds four consumers (grams, the short band, both verify
+    // sides) — cached via the bounded registry so the corpus scans
+    // once, not four times (plan-dump review caught the recompute)
+    val base = CachedFrames.cached(df
       .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
       .where(col("__s").isNotNull)
-      .withColumn("__len", length(col("__s")))
+      .withColumn("__len", length(col("__s"))))
 
     // ── long-string path: rarest-gram prefix filter ──
     val longs = base.where(col("__len") >= gramFloor)

@@ -44,8 +44,18 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    // Iterative lineage discipline (the [[Dedup.connectedComponents]]
+    // pattern, and the reason this is not a naive loop): rank_{t+1}
+    // references rank_t TWICE (directly and through its contribution
+    // aggregate), so an untruncated loop doubles the plan — and the
+    // edge-derivation scans — every round (2^T blowup; the first
+    // plan dump of this operator carried 120 scans at T=3). The edge
+    // frame is truncated once and each round's rank frame truncates
+    // before the next builds on it, with superseded checkpoint files
+    // rotated away in reliable mode.
+    val e = Checkpointing.truncate(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg"))
     val nodes = e.select(col("src").as("node"))
@@ -54,8 +64,7 @@ object Graph {
       .withColumn("out_deg", coalesce(col("out_deg"), lit(0L)))
     // N rides along as a broadcast literal-free cross join (one-row agg)
     val nRow = nodes.agg(count(lit(1)).as("__n"))
-    def withRank(r: DataFrame): DataFrame = r // readability alias
-    var ranks = withRank(nodes.crossJoin(broadcast(nRow))
+    var ranks = Checkpointing.truncate(nodes.crossJoin(broadcast(nRow))
       .select(col("node"), col("out_deg"),
         (lit(1.0) / col("__n")).as("rank"), col("__n")))
     for (_ <- 1 to iters) {
@@ -66,12 +75,14 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__c").cast(DecimalType(38, 12)))
           .cast("string").cast("double").as("__s"))
-      ranks = withRank(ranks
+      val prev = ranks
+      ranks = Checkpointing.truncate(ranks
         .join(contribs, Seq("node"), "left")
         .select(col("node"), col("out_deg"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"),
           col("__n")))
+      Checkpointing.release(prev) // superseded round's stable files
     }
     ranks.select(col("node"), col("out_deg"), col("rank"))
   }

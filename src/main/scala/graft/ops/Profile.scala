@@ -124,9 +124,12 @@ object Profile {
   def robustOutliersBy(df: DataFrame, groupCol: String, valueCol: String,
                        k: Int = 3): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
-    val cents = df.where(col(valueCol).isNotNull)
+    // cents feeds the value CDF, the deviation stream, and (via dev)
+    // the fence — cached so the corpus scans once (dev itself is a
+    // broadcast join over this cache, cheap to recompute twice)
+    val cents = CachedFrames.cached(df.where(col(valueCol).isNotNull)
       .select(col(groupCol),
-        floor(col(valueCol) * 100).cast("long").as("__vc"))
+        floor(col(valueCol) * 100).cast("long").as("__vc")))
     val med = exactQuantilesBy(cents, groupCol, "__vc", Seq(50))
       .select(col(groupCol), col("value").as("__med"),
         col("n_values").as("__n"))

@@ -386,8 +386,12 @@ object Relevance {
     val words = phrases.map(_.split(" ").toSeq)
     require(words.forall(_.nonEmpty), "empty phrase")
     val allTerms = words.flatten.distinct
-    val postings = positionalPostings(docs, idCol, textCol)
-      .where(col("term").isInCollection(allTerms))
+    // the term-filtered postings are matching-rows-sized and feed one
+    // consumer per phrase word — cache them (bounded registry) so the
+    // corpus explode runs once, not Σ|phrase| times
+    val postings = CachedFrames.cached(
+      positionalPostings(docs, idCol, textCol)
+        .where(col("term").isInCollection(allTerms)))
     val perPhrase = phrases.zip(words).map { case (phrase, ws) =>
       val starts = ws.zipWithIndex
         .map { case (w, i) =>

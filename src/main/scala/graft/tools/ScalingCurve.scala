@@ -113,7 +113,21 @@ object ScalingCurve {
       "q146",
       // JSON/CSV round trip: two corpus writes + two reads + one agg —
       // pure I/O volume, should be linear with a flat per-job floor
-      "q148")
+      "q148",
+      // phrase search: the postings explode is corpus-sized but the
+      // term filter lands BEFORE the exchange — the curve should show
+      // the explode+filter scan, with the adjacency joins flat
+      // (matching-term postings only)
+      "q151")
+      // q150/q152/q153/q154/q155 are NOT here: they read the part/
+      // orders/events/lineitem fixtures, which this harness does not
+      // expand (only documents/embeddings have the bijective
+      // re-encoding story). Their scale evidence is the three fixture
+      // scales (sf0.001/0.01/0.1 oracle sweep + bench) plus the
+      // structural arguments and plan dumps: q150's candidate volume
+      // is prefix-bucket-bounded, q152 touches delta + state only,
+      // q153/q154 collapse to domain-sized count tables, q155 is T
+      // keyed |E| joins.
       // q149 (time-series gap-fill) is NOT here: it reads the events
       // fixture, which this harness does not expand (only documents/
       // embeddings have the bijective re-encoding story); its scale
