@@ -78,7 +78,7 @@ object CatalogML4 {
     // reachable partner lengths).
     ("q150_dedup_edit_join", (s: SparkSession, d: String) => {
       EditJoin.editJoin(spread(typoNames(s, d), "id"), "id", "name",
-          maxDist = 2, q = 3)
+          maxDist = 2, q = 4)
         .orderBy("id_a", "id_b")
     }, Some(
       s"""WITH $typoNamesSql,
