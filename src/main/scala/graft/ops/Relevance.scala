@@ -381,17 +381,22 @@ object Relevance {
     * corpus: term selectivity does the pruning, exactly like a real
     * inverted index probe. */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
-                   phrases: Seq[String]): DataFrame = {
+                   phrases: Seq[String]): DataFrame =
+    phraseSearchOver(positionalPostings(docs, idCol, textCol), phrases)
+
+  /** Adjacency-join phrase core over any (term, id, pos) postings
+    * stream — shared by the inline path and the persisted-index probe. */
+  private def phraseSearchOver(postingsAll: DataFrame,
+                               phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "at least one phrase")
     val words = phrases.map(_.split(" ").toSeq)
     require(words.forall(_.nonEmpty), "empty phrase")
     val allTerms = words.flatten.distinct
     // the term-filtered postings are matching-rows-sized and feed one
     // consumer per phrase word — cache them (bounded registry) so the
-    // corpus explode runs once, not Σ|phrase| times
+    // corpus explode / index scan runs once, not Σ|phrase| times
     val postings = CachedFrames.cached(
-      positionalPostings(docs, idCol, textCol)
-        .where(col("term").isInCollection(allTerms)))
+      postingsAll.where(col("term").isInCollection(allTerms)))
     val perPhrase = phrases.zip(words).map { case (phrase, ws) =>
       val starts = ws.zipWithIndex
         .map { case (w, i) =>
@@ -406,6 +411,33 @@ object Relevance {
     }
     perPhrase.reduce(_ unionAll _)
   }
+
+  /** Persist the positional postings as a bucketed, term-sorted index
+    * table — the build-once half of a real inverted index: the corpus
+    * pays its one explode at write time, and every later probe scans
+    * only the term-pruned slice (bucket files are term-sorted, so the
+    * pushed equality filters skip row groups; the documents table is
+    * never touched again — plan-asserted in the spec). */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+                         tableName: String, numBuckets: Int = 32): Unit =
+    Bucketing.writeBucketedBy(positionalPostings(docs, idCol, textCol),
+      tableName, numBuckets, Seq("term"), Seq("term"))
+
+  /** Absorb a new crawl into the postings index without re-reading the
+    * archive — ids must be unique across crawls (the cross-corpus
+    * contract); appended rows hash into the same term buckets so
+    * probes keep their pruned shape over old + new. */
+  def appendToPostingsIndex(newDocs: DataFrame, idCol: String,
+                            textCol: String, tableName: String,
+                            numBuckets: Int = 32): Unit =
+    Bucketing.appendBucketedBy(positionalPostings(newDocs, idCol, textCol),
+      tableName, numBuckets, Seq("term"), Seq("term"))
+
+  /** [[phraseSearch]] answered from a [[writePostingsIndex]] table. */
+  def phraseSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            tableName: String,
+                            phrases: Seq[String]): DataFrame =
+    phraseSearchOver(spark.table(tableName), phrases)
 
   /** DuckDB twin of [[phraseSearch]] (same adjacency-join definition;
     * `table`/`id`/`text` name the corpus relation and columns). */

@@ -273,6 +273,34 @@ object CatalogML4 {
           |e AS (SELECT c AS src, s2 AS dst FROM e0
           |      UNION ALL SELECT s2, c FROM e0)""".stripMargin,
         iters = 3) + "\nORDER BY node")),
+    // The persisted half of the inverted index (q151's build-once
+    // sibling, the q93/q138 pattern for IR): postings written to a
+    // bucketed term-sorted table, a "new crawl" slice appended WITHOUT
+    // re-reading the archive, then the phrase probe answered from the
+    // index alone — same adjacency core, so the oracle is q151's SQL
+    // over the unioned corpus.
+    ("q156_search_phrase_indexed", (s: SparkSession, d: String) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val pt = s"q156_postings_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), pt)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      Relevance.writePostingsIndex(docs, "doc_id", "text", pt)
+      val crawl2 = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      Relevance.appendToPostingsIndex(crawl2, "doc_id", "text", pt)
+      Relevance.phraseSearchFromIndex(s, pt, Q151Phrases)
+        .orderBy("phrase", "id")
+    }, Some(
+      Relevance.phraseSearchSql(
+        """(SELECT doc_id, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 1000000000, text FROM documents
+          | WHERE doc_id % 7 = 0) u""".stripMargin,
+        "doc_id", "text", Q151Phrases) + "\nORDER BY phrase, id")),
   )
 
   private val Q151Phrases =

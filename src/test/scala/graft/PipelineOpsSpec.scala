@@ -533,4 +533,46 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got == Set(("x", 1L, 2L, 1L)))
   }
+
+  test("postings index: probe equals inline search, append absorbs a crawl") {
+    import spark.implicits._
+    val pt = "postings_spec_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $pt")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), pt)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val a = Seq((1L, "x y z x y"), (2L, "y z"), (3L, "q r")).toDF("doc_id", "text")
+    val b = Seq((10L, "x y q"), (11L, "z z z")).toDF("doc_id", "text")
+    graft.ops.Relevance.writePostingsIndex(a, "doc_id", "text", pt, numBuckets = 4)
+    graft.ops.Relevance.appendToPostingsIndex(b, "doc_id", "text", pt, numBuckets = 4)
+    val phrases = Seq("x y", "z z", "y z")
+    val fromIdx = graft.ops.Relevance.phraseSearchFromIndex(spark, pt, phrases)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val inline = graft.ops.Relevance.phraseSearch(a.unionAll(b), "doc_id", "text", phrases)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(fromIdx == inline)
+    assert(fromIdx.contains(("z z", 11L, 2L, 1L)), s"overlap count from index: $fromIdx")
+  }
+
+  test("postings probe scans the index only, term filter pushed") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pt = "postings_spec_idx" // built by the previous test
+    val scans =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val probe = graft.ops.Relevance.phraseSearchFromIndex(spark, pt, Seq("x y"))
+        // the operator caches its postings slice; drop the cache entry
+        // BEFORE planning so the underlying file scan is visible
+        spark.catalog.clearCache()
+        probe.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      val path = sc.relation.location.rootPaths.mkString(",")
+      assert(path.contains(pt), s"probe must scan only the index, got $path")
+      assert(sc.metadata.get("PushedFilters").exists(_.contains("In(term")),
+        s"term filter must push to the index scan: ${sc.metadata.get("PushedFilters")}")
+    }
+  }
 }
