@@ -419,9 +419,20 @@ object Relevance {
     * pushed equality filters skip row groups; the documents table is
     * never touched again — plan-asserted in the spec). */
   def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
-                         tableName: String, numBuckets: Int = 32): Unit =
+                         tableName: String, numBuckets: Int = 32,
+                         statsTable: Option[String] = None): Unit = {
     Bucketing.writeBucketedBy(positionalPostings(docs, idCol, textCol),
       tableName, numBuckets, Seq("term"), Seq("term"))
+    // doc lengths derive from the JUST-WRITTEN index (re-read, not
+    // re-tokenized — the signature-index discipline): ranked retrieval
+    // needs (id, dl) without a full index scan at probe time
+    statsTable.foreach { st =>
+      Bucketing.writeBucketedBy(
+        docs.sparkSession.table(tableName).groupBy(col("id"))
+          .agg(count(lit(1)).as("dl")),
+        st, numBuckets, Seq("id"), Seq("id"))
+    }
+  }
 
   /** Absorb a new crawl into the postings index without re-reading the
     * archive — ids must be unique across crawls (the cross-corpus
@@ -429,15 +440,67 @@ object Relevance {
     * probes keep their pruned shape over old + new. */
   def appendToPostingsIndex(newDocs: DataFrame, idCol: String,
                             textCol: String, tableName: String,
-                            numBuckets: Int = 32): Unit =
-    Bucketing.appendBucketedBy(positionalPostings(newDocs, idCol, textCol),
-      tableName, numBuckets, Seq("term"), Seq("term"))
+                            numBuckets: Int = 32,
+                            statsTable: Option[String] = None): Unit = {
+    val p = CachedFrames.cached(positionalPostings(newDocs, idCol, textCol))
+    Bucketing.appendBucketedBy(p, tableName, numBuckets,
+      Seq("term"), Seq("term"))
+    statsTable.foreach { st =>
+      Bucketing.appendBucketedBy(
+        p.groupBy(col("id")).agg(count(lit(1)).as("dl")),
+        st, numBuckets, Seq("id"), Seq("id"))
+    }
+  }
 
   /** [[phraseSearch]] answered from a [[writePostingsIndex]] table. */
   def phraseSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
                             tableName: String,
                             phrases: Seq[String]): DataFrame =
     phraseSearchOver(spark.table(tableName), phrases)
+
+  /** BM25 ranked retrieval answered from a persisted postings index +
+    * its (id, dl) stats table — one index, both probe types (phrase
+    * adjacency and ranked keyword), which is the point of paying for
+    * the build once.
+    *
+    * Shape: tf = the term-pruned index slice counted per (doc, term);
+    * df and the corpus stats are tiny aggregates (term-count and
+    * one-row) that broadcast; dl joins per MATCHED doc only. The
+    * per-doc score sums its term contributions through DECIMAL(38,12)
+    * — order-free, so ranking is stable under any partitioning and
+    * (with `logIdf = false`, rational idf) bit-identical cross-engine.
+    * Tokenization is the index's raw space-split: scoring semantics
+    * live at index-build time, as in any real search engine. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+                    postingsTable: String, statsTable: String,
+                    terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                    logIdf: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    import org.apache.spark.sql.types.DecimalType
+    val tf = spark.table(postingsTable)
+      .where(col("term").isInCollection(terms))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfT = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val stats = spark.table(statsTable)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("dl")).cast("double").as("__sumdl"))
+    val dl = spark.table(statsTable)
+      .select(col("id"), col("dl").cast("double").as("__dl"))
+    val odds = (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + odds) else odds
+    val contrib = idf * (col("__tf") * (lit(k1) + lit(1.0)) /
+      (col("__tf") + lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * (col("__dl") / (col("__sumdl") / col("__n"))))))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .join(dl, "id")
+      .select(col("id"), contrib.as("__c"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("__c").cast(DecimalType(38, 12))).cast("double").as("score"))
+  }
 
   /** DuckDB twin of [[phraseSearch]] (same adjacency-join definition;
     * `table`/`id`/`text` name the corpus relation and columns). */

@@ -301,8 +301,61 @@ object CatalogML4 {
           | SELECT doc_id + 1000000000, text FROM documents
           | WHERE doc_id % 7 = 0) u""".stripMargin,
         "doc_id", "text", Q151Phrases) + "\nORDER BY phrase, id")),
+    // BM25 ranked retrieval from the SAME index family q156 builds —
+    // one postings table + its (id, dl) stats sibling, probe = term-
+    // pruned tf slice + broadcast df/corpus stats + per-matched-doc dl
+    // join, contributions summed in DECIMAL(38,12) (order-free ⇒ the
+    // iterative/rational arithmetic is oracle-exact, q81's rational-
+    // idf discipline on the index's raw space-split tokens).
+    ("q157_search_bm25_indexed", (s: SparkSession, d: String) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val (pt, st) = (s"q157_postings_$tag", s"q157_docstats_$tag")
+      Seq(pt, st).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      Relevance.writePostingsIndex(docs, "doc_id", "text", pt,
+        statsTable = Some(st))
+      Relevance.bm25FromIndex(s, pt, st, Q157Terms, logIdf = false)
+        .orderBy("id")
+    }, Some {
+      val in = Q157Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH p AS (
+         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), dl AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS dl FROM p GROUP BY 1
+         |), st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |         CAST(sum(dl) AS DOUBLE) AS sum_dl
+         |  FROM dl
+         |), tf AS (
+         |  SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM p WHERE term IN ($in) GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+         |), contrib AS (
+         |  SELECT tf.id,
+         |         ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+         |           (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) +
+         |             0.75 * (CAST(dl.dl AS DOUBLE) /
+         |               (st.sum_dl / st.n_docs))))) AS c
+         |  FROM tf
+         |  JOIN dfq USING (term)
+         |  JOIN dl ON dl.id = tf.id, st
+         |)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |       CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS score
+         |FROM contrib GROUP BY 1 ORDER BY id""".stripMargin
+    }),
   )
 
   private val Q151Phrases =
     Seq("table hash", "customer join", "slow hash batch", "a a")
+
+  private val Q157Terms = Seq("table", "customer", "vector", "slow")
 }

@@ -575,4 +575,38 @@ class PipelineOpsSpec extends SparkSpec {
         s"term filter must push to the index scan: ${sc.metadata.get("PushedFilters")}")
     }
   }
+
+  test("bm25FromIndex matches inline bm25 and tracks appends") {
+    import spark.implicits._
+    val (pt, st) = ("bm25_spec_postings", "bm25_spec_stats")
+    Seq(pt, st).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    // lowercase single-spaced corpus: inline bm25's regex tokenizer and
+    // the index's raw space-split agree, so the two paths must match
+    val a = Seq((1L, "spark table scan table"), (2L, "hash join table"),
+      (3L, "sort merge join"), (4L, "scan scan scan")).toDF("doc_id", "text")
+    val b = Seq((10L, "table table join"), (11L, "window agg")).toDF("doc_id", "text")
+    val terms = Seq("table", "join", "scan")
+    graft.ops.Relevance.writePostingsIndex(a, "doc_id", "text", pt,
+      numBuckets = 4, statsTable = Some(st))
+    graft.ops.Relevance.appendToPostingsIndex(b, "doc_id", "text", pt,
+      numBuckets = 4, statsTable = Some(st))
+    assert(spark.table(st).count() == 6, "stats must cover both crawls")
+    val fromIdx = graft.ops.Relevance.bm25FromIndex(spark, pt, st, terms,
+        logIdf = false)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val inline = graft.ops.Relevance.bm25(a.unionAll(b), "doc_id", "text",
+        terms, logIdf = false)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fromIdx.keySet == inline.keySet)
+    fromIdx.foreach { case (id, (m, s)) =>
+      assert(m == inline(id)._1, s"doc $id matched-term count")
+      assert(math.abs(s - inline(id)._2) < 1e-9, s"doc $id: $s vs ${inline(id)._2}")
+    }
+  }
 }
