@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -62,21 +62,44 @@ object Incremental {
         (col("s").cast("string").cast("double") / col("n")).as("avg"),
         col("mn"), col("mx")): _*)
 
-  /** Fold a delta into a persisted state TABLE (stage-and-swap: the
-    * merged state lands in a staging table first — Spark cannot
-    * overwrite a table that feeds the running plan — then replaces
-    * the live one; crash between drop and rename leaves the staged
-    * table intact for manual recovery, and the delta can simply be
-    * re-applied to the previous snapshot). */
-  def advanceStateTable(spark: SparkSession, stateTable: String,
-                        delta: DataFrame, groupCols: Seq[String],
-                        valueCol: String, scale: Int = 2): Unit = {
+  /** Generic monoid-state merge: any state whose columns reduce by
+    * commutative, associative aggregates (sum, min, max, bit_or, …)
+    * merges the same way the built-in [[mergeStates]] does. `aggs`
+    * must alias each output back to its state-column name. */
+  def mergeStatesBy(states: Seq[DataFrame], keys: Seq[String],
+                    aggs: Seq[Column]): DataFrame = {
+    require(states.nonEmpty, "at least one state")
+    require(aggs.nonEmpty, "at least one merge aggregate")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a pre-aggregated delta STATE into a persisted state table
+    * under an arbitrary monoid merge (stage-and-swap: the merged
+    * state lands in a staging table first — Spark cannot overwrite a
+    * table that feeds the running plan — then replaces the live one;
+    * crash between drop and rename leaves the staged table intact for
+    * manual recovery, and the delta can simply be re-applied to the
+    * previous snapshot). */
+  def advanceStateTableBy(spark: SparkSession, stateTable: String,
+                          deltaState: DataFrame, keys: Seq[String],
+                          aggs: Seq[Column]): Unit = {
     val staged = s"${stateTable}__next"
     spark.sql(s"DROP TABLE IF EXISTS $staged")
-    mergeStates(Seq(spark.table(stateTable),
-        aggState(delta, groupCols, valueCol, scale)), groupCols)
+    mergeStatesBy(Seq(spark.table(stateTable), deltaState), keys, aggs)
       .write.saveAsTable(staged)
     spark.sql(s"DROP TABLE $stateTable")
     spark.sql(s"ALTER TABLE $staged RENAME TO $stateTable")
   }
+
+  /** [[advanceStateTableBy]] specialized to the built-in
+    * count/sum/min/max state of [[aggState]]. */
+  def advanceStateTable(spark: SparkSession, stateTable: String,
+                        delta: DataFrame, groupCols: Seq[String],
+                        valueCol: String, scale: Int = 2): Unit =
+    advanceStateTableBy(spark, stateTable,
+      aggState(delta, groupCols, valueCol, scale), groupCols,
+      Seq(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx")))
 }

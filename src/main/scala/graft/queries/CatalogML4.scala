@@ -352,6 +352,58 @@ object CatalogML4 {
          |       CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS score
          |FROM contrib GROUP BY 1 ORDER BY id""".stripMargin
     }),
+    // Sketch-state maintenance: the q75 mergeable-HLL registers lifted
+    // to a PERSISTED state table — base epoch written, a late delta
+    // max-merged in through the generic monoid advance (q152's
+    // machinery, different monoid), distinct-users answered from the
+    // register table alone. The oracle replays the full-corpus
+    // register arithmetic: max-merge-equals-whole is the HLL register
+    // monoid law, end-to-end differentially checked.
+    ("q158_sketch_state_hll", (s: SparkSession, d: String) => {
+      import graft.functions.PortableSketches._
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q158_hll_$tag"
+      Seq(st, s"${st}__next").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val events = table(s, d, "events")
+      def regs(df: DataFrame): DataFrame = df
+        .select(col("event_type"), hllDigest(col("user_id")).as("__d"))
+        .groupBy(col("event_type"), hllBucket(col("__d")).as("bucket"))
+        .agg(max(hllRho(col("__d"))).as("r"))
+      val cut = "TIMESTAMP '2024-01-21'"
+      regs(events.where(expr(s"ts < $cut"))).write.saveAsTable(st)
+      Incremental.advanceStateTableBy(s, st,
+        regs(events.where(expr(s"ts >= $cut"))),
+        Seq("event_type", "bucket"), Seq(max(col("r")).as("r")))
+      s.table(st).groupBy("event_type")
+        .agg(count(lit(1)).as("state_registers"),
+          sum(hllRegisterTerm(col("r"))).as("__z"),
+          count(lit(1)).as("__p"))
+        .select(col("event_type"), col("state_registers"),
+          hllEstimate(col("__z"), col("__p")).as("approx_users"))
+        .orderBy("event_type")
+    }, Some {
+      import graft.functions.PortableSketches._
+      s"""WITH m AS (
+         |  SELECT event_type, ${hllBucketSql("d")} AS bucket,
+         |         max(${hllRhoSql("d")}) AS r
+         |  FROM (SELECT event_type, ${hllDigestSql("user_id")} AS d
+         |        FROM events)
+         |  GROUP BY 1, 2
+         |), z AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS state_registers,
+         |         sum($hllRegisterTermSql) AS zsum, count(*) AS present
+         |  FROM m GROUP BY 1
+         |)
+         |SELECT event_type, state_registers,
+         |       ${hllEstimateSql("zsum", "present")} AS approx_users
+         |FROM z ORDER BY event_type""".stripMargin
+    }),
   )
 
   private val Q151Phrases =

@@ -83,4 +83,25 @@ class IncrementalSpec extends SparkSpec {
     assert(deltaScan.exists(_.dataFilters.nonEmpty),
       "delta scan must carry the epoch predicate, not a full rescan")
   }
+
+  test("generic monoid advance: HLL register state, 3-way split equals whole") {
+    import graft.functions.PortableSketches._
+    import graft.ops.Tables
+    val st = "q158spec_state"
+    scrub(st, s"${st}__next")
+    val events = Tables.table(spark, sf, "events")
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), hllDigest(col("user_id")).as("__d"))
+      .groupBy(col("event_type"), hllBucket(col("__d")).as("bucket"))
+      .agg(max(hllRho(col("__d"))).as("r"))
+    regs(events.where(expr("event_id % 3 = 0")))
+      .write.mode("overwrite").saveAsTable(st)
+    for (m <- 1 to 2)
+      graft.ops.Incremental.advanceStateTableBy(spark, st,
+        regs(events.where(expr(s"event_id % 3 = $m"))),
+        Seq("event_type", "bucket"), Seq(max(col("r")).as("r")))
+    val got = spark.table(st).orderBy("event_type", "bucket").collect().toSeq
+    val whole = regs(events).orderBy("event_type", "bucket").collect().toSeq
+    assert(got == whole, "register max-merge across epochs must equal the whole")
+  }
 }
