@@ -151,6 +151,44 @@ object Profile {
         col("__omax").as("out_max_cents"))
   }
 
+  /** Per-group winsorization audit — clip values to the group's
+    * [pLow, pHigh] exact percentiles (the value-clamping pass a
+    * tabular training pipeline runs so one fat-finger row cannot own
+    * the gradient) and report what moved.
+    *
+    * Same portability frame as [[robustOutliersBy]]: cent-floored
+    * integer space, fences from the counting CDF ([[exactQuantilesBy]]
+    * — domain-sized, no corpus sort), clamp = integer
+    * greatest/least, means as exact DECIMAL(38,0) cent sums rendered
+    * through the string route. Returns (groupCol, n, lo_cents,
+    * hi_cents, n_clipped_lo, n_clipped_hi, mean_cents,
+    * mean_winsorized_cents). */
+  def winsorizeBy(df: DataFrame, groupCol: String, valueCol: String,
+                  pLow: Int, pHigh: Int): DataFrame = {
+    require(1 <= pLow && pLow < pHigh && pHigh <= 100,
+      s"need 1 <= pLow < pHigh <= 100, got ($pLow, $pHigh)")
+    import org.apache.spark.sql.types.DecimalType
+    val cents = CachedFrames.cached(df.where(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        floor(col(valueCol) * 100).cast("long").as("__vc")))
+    val fences = exactQuantilesBy(cents, groupCol, "__vc", Seq(pLow, pHigh))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("pct") === pLow, col("value"))).as("__lo"),
+        min(when(col("pct") === pHigh, col("value"))).as("__hi"))
+    def meanCents(c: Column): Column =
+      sum(c.cast(DecimalType(38, 0))).cast("string").cast("double") /
+        count(lit(1))
+    cents.join(broadcast(fences), groupCol)
+      .withColumn("__w", greatest(col("__lo"), least(col("__hi"), col("__vc"))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        min("__lo").as("lo_cents"), min("__hi").as("hi_cents"),
+        sum((col("__vc") < col("__lo")).cast("long")).as("n_clipped_lo"),
+        sum((col("__vc") > col("__hi")).cast("long")).as("n_clipped_hi"),
+        meanCents(col("__vc")).as("mean_cents"),
+        meanCents(col("__w")).as("mean_winsorized_cents"))
+  }
+
   /** Key-distribution (skew) profile — the diagnosis a planner wants
     * BEFORE it shuffles 100 TB on a key: per candidate key column,
     * cardinality, the hottest key's share (the salting trigger),

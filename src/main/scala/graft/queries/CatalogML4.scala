@@ -404,6 +404,50 @@ object CatalogML4 {
          |       ${hllEstimateSql("zsum", "present")} AS approx_users
          |FROM z ORDER BY event_type""".stripMargin
     }),
+    // Per-group winsorization at p01/p99 — the value-clamping pass
+    // before tabular training, in the q153 portability frame
+    // (cent-floored integers, counting-CDF fences, integer clamp,
+    // exact DECIMAL cent means through the string route).
+    ("q159_profile_winsorize", (s: SparkSession, d: String) => {
+      graft.ops.Profile.winsorizeBy(
+          spread(table(s, d, "events"), "event_id"), "event_type", "value",
+          pLow = 1, pHigh = 99)
+        .orderBy("event_type")
+    }, Some(
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), vc AS (
+        |  SELECT event_type, v, count(*) AS ct FROM c GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, v,
+        |         SUM(ct) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |         SUM(ct) OVER (PARTITION BY event_type) AS n
+        |  FROM vc
+        |), p AS (SELECT unnest([1, 99]) AS pct),
+        |q AS (
+        |  SELECT event_type, pct, MIN(v) AS value
+        |  FROM cum, p WHERE cum >= (n * pct + 99) // 100
+        |  GROUP BY event_type, pct
+        |), f AS (
+        |  SELECT event_type,
+        |         MIN(CASE WHEN pct = 1 THEN value END) AS lo,
+        |         MIN(CASE WHEN pct = 99 THEN value END) AS hi
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       MIN(f.lo) AS lo_cents, MIN(f.hi) AS hi_cents,
+        |       CAST(sum(CASE WHEN c.v < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clipped_lo,
+        |       CAST(sum(CASE WHEN c.v > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clipped_hi,
+        |       CAST(CAST(sum(CAST(c.v AS DECIMAL(38,0))) AS VARCHAR)
+        |         AS DOUBLE) / count(*) AS mean_cents,
+        |       CAST(CAST(sum(CAST(greatest(f.lo, least(f.hi, c.v))
+        |         AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / count(*)
+        |         AS mean_winsorized_cents
+        |FROM c JOIN f USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   private val Q151Phrases =

@@ -954,4 +954,17 @@ class OpsSpec extends SparkSpec {
     val entU = math.log(8) - (8 * math.log(2)) / 8
     assert(math.abs(uRow._6 - entU) < 1e-5)
   }
+
+  test("winsorizeBy: hand-computed fences, clip counts, means") {
+    import spark.implicits._
+    val rows = (1 to 10).map(v => ("g", v.toDouble)) // cents 100..1000
+    val got = graft.ops.Profile
+      .winsorizeBy(rows.toDF("g", "v"), "g", "v", pLow = 10, pHigh = 90)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    // ranks: lo = ceil(10*10/100) = 1 -> 100; hi = ceil(9) = 9 -> 900
+    // clipped: none below 100, only 1000 above 900
+    // means: raw 550; winsorized (5500 - 1000 + 900)/10 = 540
+    assert(got == Seq(("g", 10L, 100L, 900L, 0L, 1L, 550.0, 540.0)), got)
+  }
 }
