@@ -197,15 +197,21 @@ object Profile {
     * uniform, →1 = one key owns the table).
     *
     * One melt pass + one (col, value)-keyed count aggregation — the
-    * [[summary]] shape — then everything derives from the
-    * distinct-values-sized count table: the rank window for Gini and
-    * the closing per-column aggregate never see corpus rows.
-    * Portability: both sums are term-exact (i·cᵢ in DECIMAL(38,0);
+    * [[summary]] shape — then everything derives from aggregates of
+    * the count table. The Gini rank sum does NOT rank values
+    * individually (a row_number over a unique key's count table is a
+    * corpus-sized single-partition sort — the q144 anti-pattern; the
+    * in-round review caught the first draft doing exactly that):
+    * equal counts contribute a CLOSED-FORM run sum, so the rank
+    * window runs over the (column, count, multiplicity) table — one
+    * row per DISTINCT COUNT VALUE (a unique key collapses to one row
+    * m = D) — with Σ i·cᵢ for a run of m equal counts starting at
+    * rank r being c·(m·r + m·(m−1)/2), exact in longs up to ~3·10⁹
+    * ranks per column and then summed in DECIMAL(38,0).
+    * Portability: both sums are term-exact (the run terms above;
     * cᵢ·ln cᵢ with the integer-domain [[graft.functions.PortableLn]]
-    * series in DECIMAL(18,6)) and rendered through the
-    * string-route; the remaining arithmetic is row-local IEEE. Gini
-    * rank ties are count-ties, whose contribution to Σ i·cᵢ is
-    * permutation-invariant, so the window tiebreak cannot leak in. */
+    * series in DECIMAL(18,6)) and rendered through the string-route;
+    * the remaining arithmetic is row-local IEEE. */
   def keyDistribution(df: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "profile at least one key column")
     import graft.functions.PortableSketches.lnOfIntFast
@@ -219,17 +225,25 @@ object Profile {
       .where(col("__val").isNotNull)
     val counts = pairs.groupBy("col_name", "__val")
       .agg(count(lit(1)).as("__ct"))
-    val ranked = counts.withColumn("__i", row_number().over(
-      Window.partitionBy("col_name").orderBy(col("__ct"), col("__val"))))
+    // (column, count) multiplicity table: one row per distinct COUNT
+    // value — the window below is count-domain-sized, never
+    // value-domain- (let alone corpus-) sized
+    val runs = counts.groupBy("col_name", "__ct")
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("__cumm", sum("__m").over(
+        Window.partitionBy("col_name").orderBy(col("__ct"))))
+      .withColumn("__rstart", col("__cumm") - col("__m") + 1)
     def strDouble(c: Column): Column = c.cast("string").cast("double")
-    ranked.groupBy("col_name")
-      .agg(sum("__ct").cast("long").as("n"),
-        count(lit(1)).as("n_distinct"),
+    val runRanks = col("__m") * col("__rstart") +
+      expr("(__m * (__m - 1)) div 2")
+    runs.groupBy("col_name")
+      .agg(sum(col("__ct") * col("__m")).cast("long").as("n"),
+        sum("__m").as("n_distinct"),
         max("__ct").as("top_count"),
-        strDouble(sum((col("__i") * col("__ct")).cast(DecimalType(38, 0))))
+        strDouble(sum(col("__ct").cast(DecimalType(38, 0)) * runRanks))
           .as("__s1"),
-        strDouble(sum((col("__ct") * lnOfIntFast(col("__ct")))
-          .cast(DecimalType(18, 6)))).as("__slnc"))
+        strDouble(sum((col("__ct") * lnOfIntFast(col("__ct")) * col("__m"))
+          .cast(DecimalType(38, 6)))).as("__slnc"))
       .select(col("col_name"), col("n"), col("n_distinct"), col("top_count"),
         (col("top_count").cast("double") / col("n")).as("top_share"),
         (lnOfIntFast(col("n")) - col("__slnc") / col("n")).as("entropy_nats"),

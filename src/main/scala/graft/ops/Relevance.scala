@@ -502,6 +502,11 @@ object Relevance {
         sum(col("__c").cast(DecimalType(38, 12))).cast("double").as("score"))
   }
 
+  /** Escape a string for interpolation into a single-quoted SQL
+    * literal (an apostrophe in a phrase/term would otherwise emit a
+    * malformed oracle — the one artifact the gate trusts). */
+  private[graft] def sqlLit(s: String): String = s.replace("'", "''")
+
   /** DuckDB twin of [[phraseSearch]] (same adjacency-join definition;
     * `table`/`id`/`text` name the corpus relation and columns). */
   def phraseSearchSql(tableName: String, idCol: String, textCol: String,
@@ -510,11 +515,11 @@ object Relevance {
       val ws = phrase.split(" ").toSeq
       val joins = ws.zipWithIndex.map { case (w, i) =>
         val alias = s"s$i"
-        val sel = s"(SELECT doc_id, pos - $i AS start FROM p WHERE term = '$w') $alias"
+        val sel = s"(SELECT doc_id, pos - $i AS start FROM p WHERE term = '${sqlLit(w)}') $alias"
         if (i == 0) s"FROM $sel"
         else s"JOIN $sel ON $alias.doc_id = s0.doc_id AND $alias.start = s0.start"
       }.mkString("\n  ")
-      s"""SELECT '$phrase' AS phrase, s0.doc_id AS id,
+      s"""SELECT '${sqlLit(phrase)}' AS phrase, s0.doc_id AS id,
          |  CAST(count(*) AS BIGINT) AS n_occ,
          |  CAST(min(s0.start) AS BIGINT) AS first_pos
          |  $joins

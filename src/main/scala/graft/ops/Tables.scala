@@ -77,4 +77,18 @@ object Tables {
 
   def davgSql(e: String, scale: Int = 2): String =
     s"${dsumSql(e, scale)} / count(*)"
+
+  /** Drop managed tables AND their warehouse directories — needed by
+    * every index/state-table query and spec because the in-memory
+    * metastore dies with the JVM while `spark-warehouse/` persists,
+    * after which a bare `DROP TABLE IF EXISTS` no-ops and the next
+    * `saveAsTable` fails with LOCATION_ALREADY_EXISTS. */
+  def dropTablesAndDirs(spark: SparkSession, tables: String*): Unit =
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
 }

@@ -126,13 +126,7 @@ object CatalogML4 {
     ("q152_incr_agg_state", (s: SparkSession, d: String) => {
       val tag = Integer.toHexString(d.hashCode)
       val st = s"q152_state_$tag"
-      Seq(st, s"${st}__next").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
       val orders = table(s, d, "orders")
       val cut = "TIMESTAMP '1997-01-01'"
       Incremental.aggState(orders.where(expr(s"o_orderdate < $cut")),
@@ -225,19 +219,21 @@ object CatalogML4 {
          |  WHERE user_id IS NOT NULL
          |), c AS (
          |  SELECT col_name, val, count(*) AS ct FROM p GROUP BY 1, 2
-         |), r AS (
-         |  SELECT col_name, ct, row_number() OVER (
-         |    PARTITION BY col_name ORDER BY ct, val) AS i
-         |  FROM c
+         |), runs AS (
+         |  SELECT col_name, ct, count(*) AS m,
+         |         SUM(count(*)) OVER (PARTITION BY col_name ORDER BY ct)
+         |           - count(*) + 1 AS rstart
+         |  FROM c GROUP BY col_name, ct
          |), a AS (
-         |  SELECT col_name, CAST(SUM(ct) AS BIGINT) AS n,
-         |         CAST(count(*) AS BIGINT) AS n_distinct,
+         |  SELECT col_name, CAST(SUM(ct * m) AS BIGINT) AS n,
+         |         CAST(SUM(m) AS BIGINT) AS n_distinct,
          |         CAST(MAX(ct) AS BIGINT) AS top_count,
-         |         CAST(CAST(SUM(CAST(i * ct AS DECIMAL(38,0))) AS VARCHAR)
+         |         CAST(CAST(SUM(CAST(ct AS DECIMAL(38,0)) *
+         |           (m * rstart + (m * (m - 1)) // 2)) AS VARCHAR)
          |           AS DOUBLE) AS s1,
-         |         CAST(CAST(SUM(CAST(ct * ${lnOfIntSql("ct")}
-         |           AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS slnc
-         |  FROM r GROUP BY 1
+         |         CAST(CAST(SUM(CAST((ct * ${lnOfIntSql("ct")}) * m
+         |           AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS slnc
+         |  FROM runs GROUP BY 1
          |)
          |SELECT col_name, n, n_distinct, top_count,
          |       CAST(top_count AS DOUBLE) / n AS top_share,
@@ -282,11 +278,7 @@ object CatalogML4 {
     ("q156_search_phrase_indexed", (s: SparkSession, d: String) => {
       val tag = Integer.toHexString(d.hashCode)
       val pt = s"q156_postings_$tag"
-      s.sql(s"DROP TABLE IF EXISTS $pt")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), pt)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.ops.Tables.dropTablesAndDirs(s, pt)
       val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
       Relevance.writePostingsIndex(docs, "doc_id", "text", pt)
       val crawl2 = docs.where(col("doc_id") % 7 === 0)
@@ -310,20 +302,14 @@ object CatalogML4 {
     ("q157_search_bm25_indexed", (s: SparkSession, d: String) => {
       val tag = Integer.toHexString(d.hashCode)
       val (pt, st) = (s"q157_postings_$tag", s"q157_docstats_$tag")
-      Seq(pt, st).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      graft.ops.Tables.dropTablesAndDirs(s, pt, st)
       val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
       Relevance.writePostingsIndex(docs, "doc_id", "text", pt,
         statsTable = Some(st))
       Relevance.bm25FromIndex(s, pt, st, Q157Terms, logIdf = false)
         .orderBy("id")
     }, Some {
-      val in = Q157Terms.map(t => s"'$t'").mkString(", ")
+      val in = Q157Terms.map(t => s"'${Relevance.sqlLit(t)}'").mkString(", ")
       s"""WITH p AS (
          |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
          |  FROM documents
@@ -363,13 +349,7 @@ object CatalogML4 {
       import graft.functions.PortableSketches._
       val tag = Integer.toHexString(d.hashCode)
       val st = s"q158_hll_$tag"
-      Seq(st, s"${st}__next").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
       val events = table(s, d, "events")
       def regs(df: DataFrame): DataFrame = df
         .select(col("event_type"), hllDigest(col("user_id")).as("__d"))

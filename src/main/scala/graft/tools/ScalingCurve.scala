@@ -118,16 +118,21 @@ object ScalingCurve {
       // term filter lands BEFORE the exchange — the curve should show
       // the explode+filter scan, with the adjacency joins flat
       // (matching-term postings only)
-      "q151")
-      // q150/q152/q153/q154/q155 are NOT here: they read the part/
-      // orders/events/lineitem fixtures, which this harness does not
-      // expand (only documents/embeddings have the bijective
+      "q151",
+      // the persisted-index IR pair (documents-based, so they CAN ride
+      // the curve): build cost is the linear part (index write = one
+      // corpus explode to a bucketed table), the probes should stay
+      // matching-term-sized
+      "q156", "q157")
+      // q150/q152/q153/q154/q155/q158/q159 are NOT here: they read
+      // the part/orders/events/lineitem fixtures, which this harness
+      // does not expand (only documents/embeddings have the bijective
       // re-encoding story). Their scale evidence is the three fixture
       // scales (sf0.001/0.01/0.1 oracle sweep + bench) plus the
       // structural arguments and plan dumps: q150's candidate volume
-      // is prefix-bucket-bounded, q152 touches delta + state only,
-      // q153/q154 collapse to domain-sized count tables, q155 is T
-      // keyed |E| joins.
+      // is prefix-bucket-bounded, q152/q158 touch delta + state only,
+      // q153/q154/q159 collapse to domain-sized count tables, q155 is
+      // T keyed |E| joins.
       // q149 (time-series gap-fill) is NOT here: it reads the events
       // fixture, which this harness does not expand (only documents/
       // embeddings have the bijective re-encoding story); its scale

@@ -9,15 +9,10 @@ class IncrementalSpec extends SparkSpec {
 
   private val group = Seq("o_orderpriority")
 
-  /** Drop table AND its warehouse dir — the metastore is per-JVM but
-    * spark-warehouse persists across forked test runs. */
-  private def scrub(tables: String*): Unit = tables.foreach { t =>
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), t)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-  }
+  /** Table + warehouse-dir scrub (the metastore is per-JVM but
+    * spark-warehouse persists across forked test runs). */
+  private def scrub(tables: String*): Unit =
+    Tables.dropTablesAndDirs(spark, tables: _*)
 
   test("merge of epoch states equals the from-scratch aggregate, any order") {
     val orders = Tables.table(spark, sf, "orders")

@@ -537,11 +537,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("postings index: probe equals inline search, append absorbs a crawl") {
     import spark.implicits._
     val pt = "postings_spec_idx"
-    spark.sql(s"DROP TABLE IF EXISTS $pt")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), pt)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.ops.Tables.dropTablesAndDirs(spark, pt)
     val a = Seq((1L, "x y z x y"), (2L, "y z"), (3L, "q r")).toDF("doc_id", "text")
     val b = Seq((10L, "x y q"), (11L, "z z z")).toDF("doc_id", "text")
     graft.ops.Relevance.writePostingsIndex(a, "doc_id", "text", pt, numBuckets = 4)
@@ -579,13 +575,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("bm25FromIndex matches inline bm25 and tracks appends") {
     import spark.implicits._
     val (pt, st) = ("bm25_spec_postings", "bm25_spec_stats")
-    Seq(pt, st).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    graft.ops.Tables.dropTablesAndDirs(spark, pt, st)
     // lowercase single-spaced corpus: inline bm25's regex tokenizer and
     // the index's raw space-split agree, so the two paths must match
     val a = Seq((1L, "spark table scan table"), (2L, "hash join table"),
