@@ -87,6 +87,98 @@ object Graph {
     ranks.select(col("node"), col("out_deg"), col("rank"))
   }
 
+  /** Personalized (seeded) PageRank: teleport mass returns only to
+    * the seed set instead of uniformly — the quality-propagation
+    * shape (score every page by its link proximity to a TRUSTED seed
+    * list, the TrustRank idea), which is how a crawl pipeline turns a
+    * small curated domain list into a corpus-wide prior. Seeds not
+    * present in the graph are ignored; nodes unreachable from any
+    * seed legitimately score 0. Same per-round accounting and DECIMAL
+    * determinism as [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String, iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = Checkpointing.truncate(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("__seed", lit(true))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .join(outDeg, Seq("node"), "left")
+      .withColumn("out_deg", coalesce(col("out_deg"), lit(0L)))
+      .join(seedSet, Seq("node"), "left")
+      .withColumn("__seed", coalesce(col("__seed"), lit(false)))
+    val nsRow = nodes.agg(sum(col("__seed").cast("long")).as("__ns"))
+    def teleport: Column =
+      when(col("__seed"), lit(1.0 - damping) / col("__ns")).otherwise(lit(0.0))
+    var ranks = Checkpointing.truncate(nodes.crossJoin(broadcast(nsRow))
+      .select(col("node"), col("out_deg"), col("__seed"), col("__ns"),
+        when(col("__seed"), lit(1.0) / col("__ns")).otherwise(lit(0.0))
+          .as("rank")))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.where(col("out_deg") > 0)
+          .select(col("node").as("src"),
+            (col("rank") / col("out_deg")).as("__c")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__c").cast(DecimalType(38, 12)))
+          .cast("string").cast("double").as("__s"))
+      val prev = ranks
+      ranks = Checkpointing.truncate(ranks
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("out_deg"), col("__seed"), col("__ns"),
+          (teleport + lit(damping) * coalesce(col("__s"), lit(0.0)))
+            .as("rank")))
+      Checkpointing.release(prev)
+    }
+    ranks.select(col("node"), col("out_deg"), col("rank"))
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]] (`edgesCte` defines
+    * e(src, dst); `seedsCte` defines seeds(node)). */
+  def personalizedPageRankSql(edgesCte: String, seedsCte: String,
+                              iters: Int, damping: Double = 0.85): String = {
+    require(iters >= 1)
+    val dsum = "CAST(CAST(SUM(CAST(r.rank / r.out_deg AS DECIMAL(38,12))) " +
+      "AS VARCHAR) AS DOUBLE)"
+    val tele = s"CASE WHEN n.seed THEN ${1.0 - damping} / " +
+      "(SELECT n FROM ns) ELSE 0.0 END"
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (
+         |  SELECT e.dst AS node, $dsum AS s
+         |  FROM e JOIN r${t - 1} r ON e.src = r.node AND r.out_deg > 0
+         |  GROUP BY 1
+         |), r$t AS (
+         |  SELECT n.node, n.out_deg,
+         |         $tele + $damping * COALESCE(a.s, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN a$t a ON a.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |$seedsCte,
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od
+       |        FROM e GROUP BY 1),
+       |nodes AS (
+       |  SELECT v.node, COALESCE(d.od, 0) AS out_deg,
+       |         sd.node IS NOT NULL AS seed
+       |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) v
+       |  LEFT JOIN deg d ON d.node = v.node
+       |  LEFT JOIN (SELECT DISTINCT node FROM seeds) sd ON sd.node = v.node
+       |),
+       |ns AS (SELECT CAST(SUM(CASE WHEN seed THEN 1 ELSE 0 END) AS BIGINT)
+       |       AS n FROM nodes),
+       |r0 AS (SELECT node, out_deg, seed,
+       |       CASE WHEN seed THEN 1.0 / (SELECT n FROM ns)
+       |            ELSE 0.0 END AS rank
+       |       FROM nodes),
+       |$rounds
+       |SELECT node, out_deg, rank FROM r$iters""".stripMargin
+  }
+
   /** DuckDB twin of [[pageRank]]: the same T rounds unrolled as a CTE
     * chain (`edgesCte` must define relation e(src, dst)). */
   def pageRankSql(edgesCte: String, iters: Int,

@@ -428,6 +428,77 @@ object CatalogML4 {
         |         AS mean_winsorized_cents
         |FROM c JOIN f USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // Entity resolution composed end-to-end: the q150 edit join's
+    // typo pairs → hash-min connected components → keep the min-id
+    // representative per cluster (unpaired names always survive) —
+    // the full typo-collapse a catalog/name table actually runs.
+    // Oracle = q150's pair definition closed transitively with a
+    // recursive CTE, reps = id == component min.
+    ("q161_entity_resolution", (s: SparkSession, d: String) => {
+      val names = typoNames(s, d)
+      val pairs = EditJoin.editJoin(spread(names, "id"), "id", "name",
+        maxDist = 2, q = 4)
+      graft.ops.Dedup.keepRepresentatives(names, "id", pairs)
+        .orderBy("id")
+    }, Some(
+      s"""WITH RECURSIVE $typoNamesSql,
+         |lens AS (SELECT id, name, len(name) AS l FROM sel),
+         |fan AS (
+         |  SELECT id, name, l, l + u.k AS tgt
+         |  FROM lens, (SELECT unnest([0, 1, 2]) AS k) u
+         |),
+         |prs AS (
+         |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+         |  FROM fan a JOIN lens b ON b.l = a.tgt
+         |  WHERE ((a.l < b.l) OR (a.l = b.l AND a.id < b.id))
+         |    AND levenshtein(a.name, b.name) <= 2
+         |),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+         |),
+         |lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM lab WHERE id <> cluster)
+         |SELECT s.id, s.name FROM sel s
+         |LEFT JOIN dropped x ON x.id = s.id
+         |WHERE x.id IS NULL
+         |ORDER BY s.id""".stripMargin)),
+
+    // Personalized (seeded) PageRank — TrustRank-style quality
+    // propagation: teleport mass returns only to a trusted seed set
+    // (one nation's customers), so supplier scores measure link
+    // proximity to the trusted cohort; unreachable nodes score a
+    // legitimate 0. Same DECIMAL discipline ⇒ same full unrolled-CTE
+    // differential oracle.
+    ("q162_graph_pagerank_seeded", (s: SparkSession, d: String) => {
+      val e0 = table(s, d, "lineitem")
+        .join(table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000000L).as("s2"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("s2").as("dst"))
+        .unionAll(e0.select(col("s2").as("src"), col("c").as("dst")))
+      val seeds = table(s, d, "customer")
+        .where(col("c_nationkey") === 1)
+        .select(col("c_custkey").as("node"))
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, "node", iters = 3)
+        .orderBy("node")
+    }, Some(
+      graft.ops.Graph.personalizedPageRankSql(
+        """e0 AS (
+          |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS s2
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |),
+          |e AS (SELECT c AS src, s2 AS dst FROM e0
+          |      UNION ALL SELECT s2, c FROM e0)""".stripMargin,
+        """seeds AS (SELECT c_custkey AS node FROM customer
+          |          WHERE c_nationkey = 1)""".stripMargin,
+        iters = 3) + "\nORDER BY node")),
   )
 
   private val Q151Phrases =

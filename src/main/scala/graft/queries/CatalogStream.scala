@@ -586,6 +586,54 @@ object CatalogStream {
          |WHERE len(ts) >= 8
          |  AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) > 0.55
          |ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // Streaming maintenance of the q152 state table: three arrival
+    // waves fold into the persisted monoid state through foreachBatch
+    // (each microbatch = one aggState + one stage-and-swap advance —
+    // the report-maintenance loop a deployment runs against a live
+    // topic), and the final report must equal the from-scratch batch
+    // aggregate. Monoid merging makes wave BOUNDARIES immaterial —
+    // exactly the property that lets the same state table absorb
+    // batch backfills and streaming deltas interchangeably.
+    ("q160_stream_state_advance", (s: SparkSession, d: String) => {
+      import graft.ops.Incremental
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q160_state_$tag"
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
+      val events = table(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dir = stageWavesCached(d, "events-state")(Seq(
+        events.where(col("event_id") % 3 === 0),
+        events.where(col("event_id") % 3 === 1),
+        events.where(col("event_id") % 3 === 2)))
+      Incremental.aggState(events.where(lit(false)),
+          Seq("event_type"), "value", scale = 6)
+        .write.saveAsTable(st)
+      val src = s.readStream.format("parquet").schema(events.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-state-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Incremental.advanceStateTableBy(s, st,
+              Incremental.aggState(b, Seq("event_type"), "value", scale = 6),
+              Seq("event_type"),
+              Seq(sum(col("n")).as("n"), sum(col("s")).as("s"),
+                min(col("mn")).as("mn"), max(col("mx")).as("mx")))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally rmrf(ckpt)
+      Incremental.finish(s.table(st), Seq("event_type"))
+        .orderBy("event_type")
+    }, Some(
+      s"""SELECT event_type,
+         |       CAST(count(value) AS BIGINT) AS n,
+         |       ${dsumSql("value", 6)} AS total,
+         |       ${dsumSql("value", 6)} / count(value) AS avg,
+         |       min(value) AS mn, max(value) AS mx
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

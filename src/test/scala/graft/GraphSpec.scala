@@ -71,4 +71,38 @@ class GraphSpec extends SparkSpec {
     }
     assert(got(0L) == got.values.max)
   }
+
+  test("personalized PageRank: mass stays near seeds, reference agrees") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two 3-cycles bridged by nothing: seed in component A only
+    val a = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val b = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    val edges = a ++ b
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", Seq(1L, 999L).toDF("node"), "node", iters = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // seed 999 is not in the graph and must be ignored (|S| = 1)
+    // component B is unreachable from the seed -> exact zero
+    Seq(10L, 11L, 12L).foreach(n => assert(got(n) == 0.0, s"$n: ${got(n)}"))
+    // component A holds all the mass; total = 1 (cycle conserves)
+    assert(math.abs(got(1L) + got(2L) + got(3L) - 1.0) < 1e-9)
+    // driver-side reference with the seeded teleport
+    def ref(iters: Int): Map[Long, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      var r = nodes.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+      for (_ <- 1 to iters) {
+        val in = edges.groupBy(_._2).view.mapValues(
+          _.map { case (s0, _) => r(s0) / out(s0) }.sum).toMap
+        r = nodes.map(v => v ->
+          ((if (v == 1L) 0.15 else 0.0) + 0.85 * in.getOrElse(v, 0.0))).toMap
+      }
+      r
+    }
+    val want = ref(4)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"$k: $v vs ${want(k)}")
+    }
+  }
 }
