@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.DecimalType
   * never the edge payload twice), the exact shape GraphX's Pregel
   * compiles to, with Catalyst handling the join strategy per round.
   * Determinism discipline: the per-destination contribution sum is
-  * the only order-sensitive reduction, so it runs in DECIMAL(38,12)
-  * (term-exact, order-free, string-routed back to double — the
-  * [[Tables.dsum]] rule); every remaining operation is row-local
-  * IEEE, so T iterations produce bit-identical ranks under any
-  * partitioning — and on any engine, which is what lets a full
-  * differential oracle exist for an iterative algorithm.
+  * the only order-sensitive reduction. Each term is quantized to
+  * 10⁻¹² units by IEEE multiply + floor — BIT-identical on any
+  * engine, unlike a double→DECIMAL cast, whose engine-specific
+  * conversion path the round-9 sf0.1 sweep caught diverging by one
+  * last-place unit on one of 16,600 seeded ranks — then summed
+  * exactly as integers in DECIMAL(38,0) and divided back in one IEEE
+  * op. Every remaining operation is row-local IEEE, so T iterations
+  * produce bit-identical ranks under any partitioning — and on any
+  * engine, which is what lets a full differential oracle exist for
+  * an iterative algorithm (the ≤10⁻¹²-per-term floor bias is
+  * deterministic and far below ranking resolution).
   *
   * Scale accounting per iteration: one shuffle of |E| (src-keyed
   * join; AQE may broadcast the rank side while it fits — rank rows
@@ -73,8 +78,9 @@ object Graph {
           .select(col("node").as("src"),
             (col("rank") / col("out_deg")).as("__c")), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("__c").cast(DecimalType(38, 12)))
-          .cast("string").cast("double").as("__s"))
+        .agg((sum(floor(col("__c") * lit(1.0e12)).cast("long")
+            .cast(DecimalType(38, 0)))
+          .cast("string").cast("double") / lit(1.0e12)).as("__s"))
       val prev = ranks
       ranks = Checkpointing.truncate(ranks
         .join(contribs, Seq("node"), "left")
@@ -125,8 +131,9 @@ object Graph {
           .select(col("node").as("src"),
             (col("rank") / col("out_deg")).as("__c")), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("__c").cast(DecimalType(38, 12)))
-          .cast("string").cast("double").as("__s"))
+        .agg((sum(floor(col("__c") * lit(1.0e12)).cast("long")
+            .cast(DecimalType(38, 0)))
+          .cast("string").cast("double") / lit(1.0e12)).as("__s"))
       val prev = ranks
       ranks = Checkpointing.truncate(ranks
         .join(contribs, Seq("node"), "left")
@@ -143,8 +150,9 @@ object Graph {
   def personalizedPageRankSql(edgesCte: String, seedsCte: String,
                               iters: Int, damping: Double = 0.85): String = {
     require(iters >= 1)
-    val dsum = "CAST(CAST(SUM(CAST(r.rank / r.out_deg AS DECIMAL(38,12))) " +
-      "AS VARCHAR) AS DOUBLE)"
+    val dsum = "CAST(CAST(SUM(CAST(CAST(floor(r.rank / r.out_deg * " +
+      "1000000000000.0) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) " +
+      "AS DOUBLE) / 1000000000000.0"
     val tele = s"CASE WHEN n.seed THEN ${1.0 - damping} / " +
       "(SELECT n FROM ns) ELSE 0.0 END"
     val rounds = (1 to iters).map { t =>
@@ -184,8 +192,9 @@ object Graph {
   def pageRankSql(edgesCte: String, iters: Int,
                   damping: Double = 0.85): String = {
     require(iters >= 1)
-    val dsum = "CAST(CAST(SUM(CAST(r.rank / r.out_deg AS DECIMAL(38,12))) " +
-      "AS VARCHAR) AS DOUBLE)"
+    val dsum = "CAST(CAST(SUM(CAST(CAST(floor(r.rank / r.out_deg * " +
+      "1000000000000.0) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) " +
+      "AS DOUBLE) / 1000000000000.0"
     val rounds = (1 to iters).map { t =>
       s"""a$t AS (
          |  SELECT e.dst AS node, $dsum AS s
