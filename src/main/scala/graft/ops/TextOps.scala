@@ -990,4 +990,167 @@ object TextOps {
     }
     concat(path, regexp_extract(canon, "^[^?]*(\\?.*)$", 1))
   }
+
+  // ---- collocation mining (PMI) -------------------------------------
+
+  /** Corpus collocations by pointwise mutual information: adjacent
+    * token pairs scored by how much more often they co-occur than
+    * independence predicts —
+    * `pmi = ln c_xy + 2·ln M − ln N − ln c_x − ln c_y`
+    * (c_xy the pair count, c the unigram counts, M total tokens, N
+    * total pairs). The phrase detector behind tokenizer-vocab prep and
+    * query suggestion; a raw-count top-k would just return stopword
+    * pairs, the PMI normalization is the operator.
+    *
+    * Portability discipline: every PMI term is the portable integer-ln
+    * series ([[graft.functions.PortableSketches]]) of an exact count,
+    * combined in one fixed expression-tree order, so the double is
+    * bit-identical in any engine — the oracle can ORDER BY it.
+    * `minCount` floors the pair count (PMI is degenerate on hapaxes:
+    * a 1-of-each pair scores maximal), and the (pmi desc, w1, w2)
+    * tiebreak makes the top-k a total order.
+    *
+    * Tokens are the raw space-split stream (the postings-index
+    * discipline, q156/q157) with empties dropped. Scale: the corpus
+    * reduces to vocab-sized count tables in two map-side-combined
+    * exchanges (pairs, unigrams); the two unigram joins are
+    * vocab-keyed; the totals are two 1-row aggregates the optimizer
+    * broadcasts; top-k is TakeOrderedAndProject, never a global sort.
+    */
+  def collocationsPmi(docs: DataFrame, textCol: String,
+                      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import graft.functions.PortableSketches.lnOfIntFast
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val withToks = docs.select(toks.as("__toks"))
+    val pairs = withToks
+      .where(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__toks) - 1), " +
+          "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))")).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val uni = withToks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("__m"))
+      .crossJoin(pairs.agg(sum(col("c_xy")).as("__n")))
+    pairs.where(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("__cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("__cy")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        ((((lnOfIntFast(col("c_xy")) + lit(2.0) * lnOfIntFast(col("__m")))
+          - lnOfIntFast(col("__n")))
+          - lnOfIntFast(col("__cx")))
+          - lnOfIntFast(col("__cy"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Mirror of [[collocationsPmi]] for the DuckDB oracle — the same
+    * count tables (adjacency spelled as the positional self-join) and
+    * the same ln-term tree. `docsSql` must select `id, text` — the
+    * explicit id keys the per-document adjacency join (a synthetic
+    * `row_number() OVER ()` would depend on scan order). */
+  def collocationsPmiSql(docsSql: String, minCount: Long = 5L,
+                         k: Int = 50): String = {
+    import graft.functions.PortableSketches.lnOfIntSql
+    s"""WITH t AS (
+       |  SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM ($docsSql)
+       |), p AS (
+       |  SELECT id AS doc, unnest(w) AS term,
+       |         generate_subscripts(w, 1) AS pos
+       |  FROM t
+       |), bg AS (
+       |  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM p a JOIN p b ON b.doc = a.doc AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2
+       |), uni AS (
+       |  SELECT term AS w, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1
+       |), tot AS (
+       |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS m,
+       |         (SELECT CAST(sum(c_xy) AS BIGINT) FROM bg) AS n
+       |)
+       |SELECT bg.w1, bg.w2, bg.c_xy,
+       |       ((((${lnOfIntSql("bg.c_xy")} + 2.0 * ${lnOfIntSql("tot.m")})
+       |         - ${lnOfIntSql("tot.n")})
+       |         - ${lnOfIntSql("cx.c")})
+       |         - ${lnOfIntSql("cy.c")}) AS pmi
+       |FROM bg
+       |JOIN uni cx ON cx.w = bg.w1
+       |JOIN uni cy ON cy.w = bg.w2, tot
+       |WHERE bg.c_xy >= $minCount
+       |ORDER BY pmi DESC, bg.w1, bg.w2
+       |LIMIT $k""".stripMargin
+  }
+
+  // ---- mojibake (encoding-damage) detection + repair ----------------
+
+  /** Mojibake markers this repo recognizes, as named constants (all in
+    * explicit \u escapes -- several contain INVISIBLE C1 controls, so
+    * raw literals are un-reviewable and editor-encoding-fragile).
+    * UTF-8 text mis-read as Latin-1 turns \u00e9 (C3 A9) into
+    * \u00c3\u00a9; mis-read as cp1252 it turns \u2019 (E2 80 99) into
+    * \u00e2\u20ac\u2122 -- both flavors occur in real crawls (Latin-1
+    * maps 0x80-0x9F to C1 controls, cp1252 to \u20ac\u2122\u0153). */
+  val MojiQuoteL1: String = "\u00e2\u0080\u0099"   // '\u2019' read as Latin-1
+  val MojiQuoteCp: String = "\u00e2\u20ac\u2122"   // '\u2019' read as cp1252
+  val MojiLDQuoteL1: String = "\u00e2\u0080\u009c" // '\u201c' read as Latin-1
+  val MojiLDQuoteCp: String = "\u00e2\u20ac\u0153" // '\u201c' read as cp1252
+  val MojiAcute: String = "\u00c3\u00a9"            // '\u00e9'
+  val MojiGrave: String = "\u00c3\u00a8"            // '\u00e8'
+  val MojiUuml: String = "\u00c3\u00bc"             // '\u00fc'
+  val MojiOuml: String = "\u00c3\u00b6"             // '\u00f6'
+  val MojiNtilde: String = "\u00c3\u00b1"           // '\u00f1'
+
+  /** The recoverable double-encoding artifacts this repo repairs,
+    * LONGEST pattern first (the 3-char smart-quote sequences before
+    * the 2-char accents). Each maps one mojibake character run back to
+    * the intended code point; U+FFFD is detected but never "repaired"
+    * -- the original byte is gone. */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    MojiQuoteL1 -> "\u2019", MojiQuoteCp -> "\u2019",
+    MojiLDQuoteL1 -> "\u201c", MojiLDQuoteCp -> "\u201c",
+    MojiAcute -> "\u00e9",
+    MojiGrave -> "\u00e8",
+    MojiUuml -> "\u00fc",
+    MojiOuml -> "\u00f6",
+    MojiNtilde -> "\u00f1")
+
+  /** Detection regex over the repairable markers (alternation in the
+    * same longest-first order — both engines' regex scans take the
+    * leftmost-longest alternative the same way on these literals). */
+  val MojibakePattern: String =
+    MojibakeRepairs.map(_._1).map(java.util.regex.Pattern.quote)
+      .map(p => p.stripPrefix("\\Q").stripSuffix("\\E"))
+      .mkString("|")
+
+  /** Count of repairable mojibake marker sequences in `text`. */
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit(MojibakePattern))
+
+  /** Count of unrecoverable U+FFFD replacement characters. */
+  def replacementCharCount(text: Column): Column =
+    regexp_count(text, lit("�"))
+
+  /** Repair the [[MojibakeRepairs]] sequences (a fixed longest-first
+    * replace chain — row-local, zero shuffle; idempotent because no
+    * repaired output contains a marker). */
+  def repairMojibake(text: Column): Column =
+    MojibakeRepairs.foldLeft(text) { case (c, (m, r)) =>
+      replace(c, lit(m), lit(r))
+    }
+
+  /** DuckDB twin of [[repairMojibake]]: the identical replace chain in
+    * the identical order over the SQL expression `expr`. */
+  def repairMojibakeSql(expr: String): String =
+    MojibakeRepairs.foldLeft(expr) { case (e, (m, r)) =>
+      s"replace($e, '$m', '$r')"
+    }
+
+  /** DuckDB twin of [[mojibakeCount]] (regexp_extract_all length —
+    * the literals carry no regex metacharacters, so non-overlapping
+    * leftmost scans count identically in java.util.regex and RE2). */
+  def mojibakeCountSql(expr: String): String =
+    s"CAST(len(regexp_extract_all($expr, '$MojibakePattern')) AS BIGINT)"
 }

@@ -68,4 +68,32 @@ object TimeSeries {
         col("n_events").isNull.as("is_gap"),
         last(col("bucket_value"), ignoreNulls = true).over(w).as("locf_value"))
   }
+
+  /** Per-key trailing TIME-range aggregates — the sliding window that a
+    * ROWS frame (q17) cannot express: each row aggregates every event of
+    * its key within the last `windowMicros` microseconds INCLUSIVE of
+    * the row's own instant (`[t − W, t]`), however many rows that is.
+    *
+    * The frame orders by integer epoch-micros, not a timestamp: RANGE
+    * frame arithmetic over int64 is identical in every engine (the
+    * DuckDB twin spells `RANGE BETWEEN W PRECEDING AND CURRENT ROW`
+    * over the same integer), and equal-instant rows are frame PEERS on
+    * both — the aggregate is well-defined under ties regardless of
+    * partition order. The measure aggregates as an integer (cents,
+    * counts): long sums, no float-accumulation class.
+    *
+    * Scale: ONE hash exchange on `keyCol` + a per-key sort; the frame
+    * is evaluated by Spark's sliding-window accumulator (add/remove at
+    * the frame edges), not by re-scanning `W` worth of rows per row.
+    * Returns the input columns plus `epoch_us, trail_n, trail_value`.
+    */
+  def rollingRange(df: DataFrame, keyCol: String, ts: Column,
+                   valueCents: Column, windowMicros: Long): DataFrame = {
+    require(windowMicros >= 0, s"window must be >= 0, got $windowMicros")
+    val w = Window.partitionBy(keyCol).orderBy(col("epoch_us"))
+      .rangeBetween(-windowMicros, 0)
+    df.withColumn("epoch_us", unix_micros(ts))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_value", sum(valueCents.cast("long")).over(w))
+  }
 }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance — the warehouse layer between a
+  * raw change feed and anything that asks "what was this entity's state
+  * WHEN the fact happened": type-2 history build from a changelog, and
+  * the point-in-time lookup that joins facts against that history.
+  *
+  * The reference (a Kinesis topic broker) moves exactly this kind of
+  * entity-change feed (lagom-kinesis `Subscriber.atLeastOnce`,
+  * KinesisSubscriberActor.scala:176-207 consumes an ordered per-key
+  * change stream); building the queryable history from it is the
+  * canonical downstream analytics step the broker itself never does.
+  */
+object Warehouse {
+
+  /** Build a type-2 (validity-interval) dimension from a changelog.
+    *
+    * Semantics, in three window passes over ONE hash exchange on
+    * `keyCol` (all three windows share the `(key, ts…)` sort order, so
+    * Catalyst plans a single Exchange and a single Sort):
+    *
+    *   1. '''tick-final state''': within each `(key, ts)` tick, only
+    *      the row with the highest `seqCol` survives — a feed can carry
+    *      several updates with one effective timestamp (same-day
+    *      corrections, batched upstream writes) and the LAST one is the
+    *      tick's truth. `seqCol` must order updates within a tick
+    *      (an offset / sequence number / monotone id — the reference's
+    *      per-shard sequence number is exactly this).
+    *   2. '''change-point compression''': a tick whose attributes all
+    *      equal the previous tick's (null-safe, per attribute) opens no
+    *      new version — SCD2 stores STATE CHANGES, not heartbeats. A
+    *      revert (A → B → A) correctly yields three versions.
+    *   3. '''validity intervals''': `valid_from` = the tick, `valid_to`
+    *      = the NEXT change's tick (half-open `[from, to)`), null on the
+    *      current version; `version` numbers a key's history from 1.
+    *
+    * Scale: the changelog shuffles once on `keyCol`; every window is
+    * keyed, nothing is single-partition, and the output is
+    * change-point-sized (≤ changelog, typically ≪). A key's whole
+    * history must fit one task's sort buffer — true for any real
+    * dimension (versions-per-entity is bounded); a key hot enough to
+    * break that is a feed bug, not a layout choice.
+    *
+    * Returns `keyCol, attrCols…, valid_from, valid_to, is_current,
+    * version`.
+    */
+  def scd2Build(changelog: DataFrame, keyCol: String, ts: Column,
+                seqCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Build needs at least one attribute")
+    val k = col(keyCol)
+    val tagged = changelog.select(
+      k +: ts.as("__ts") +: col(seqCol).as("__seq") +:
+        attrCols.map(col): _*)
+    val tick = Window.partitionBy(k, col("__ts")).orderBy(col("__seq").desc)
+    val hist = Window.partitionBy(k).orderBy(col("__ts").asc)
+    val lastOfTick = tagged
+      .withColumn("__rn", row_number().over(tick))
+      .where(col("__rn") === 1)
+    val changed = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(hist)))
+      .reduce(_ || _) || lag(col("__ts"), 1).over(hist).isNull
+    val changePoints = lastOfTick
+      .withColumn("__chg", changed)
+      .where(col("__chg"))
+    changePoints.select(
+      k +: attrCols.map(col) :+
+        col("__ts").as("valid_from") :+
+        lead(col("__ts"), 1).over(hist).as("valid_to") :+
+        lead(col("__ts"), 1).over(hist).isNull.as("is_current") :+
+        row_number().over(hist).cast("long").as("version"): _*)
+  }
+
+  /** Mirror of [[scd2Build]] for the DuckDB differential oracle: the
+    * same three window passes, parameterized the same way.
+    * `changelogSql` must select `k` (key), `ts`, `seq` and the
+    * attribute columns under their output names. */
+  def scd2BuildSql(changelogSql: String, attrCols: Seq[String]): String = {
+    val attrs = attrCols.mkString(", ")
+    val chg = attrCols
+      .map(a => s"$a IS DISTINCT FROM lag($a) OVER (PARTITION BY k ORDER BY ts)")
+      .mkString("(", " OR ", ")")
+    s"""tick AS (
+       |  SELECT k, ts, $attrs FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY k, ts ORDER BY seq DESC) AS rn
+       |    FROM ($changelogSql))
+       |  WHERE rn = 1
+       |), cp AS (
+       |  SELECT k, ts, $attrs FROM (
+       |    SELECT *,
+       |      ($chg OR lag(ts) OVER (PARTITION BY k ORDER BY ts) IS NULL)
+       |        AS chg
+       |    FROM tick)
+       |  WHERE chg
+       |), scd2 AS (
+       |  SELECT k, $attrs, ts AS valid_from,
+       |         lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to,
+       |         lead(ts) OVER (PARTITION BY k ORDER BY ts) IS NULL
+       |           AS is_current,
+       |         CAST(row_number() OVER (PARTITION BY k ORDER BY ts)
+       |           AS BIGINT) AS version
+       |  FROM cp
+       |)""".stripMargin
+  }
+
+  /** Point-in-time (temporal) lookup: for each fact, the dimension
+    * version whose half-open validity interval `[valid_from, valid_to)`
+    * contains the fact's timestamp.
+    *
+    * A fact earlier than the key's first version (or with no dimension
+    * key at all) keeps null attributes — the left join is the honest
+    * answer for "state unknown at that time", and it is what lets the
+    * caller audit feed lag instead of silently dropping facts.
+    *
+    * Plan shape: an equi-join on the key with the interval predicate as
+    * a post-join filter — both sides hash-shuffle on the key (the
+    * dimension is entity-count-sized, the facts corpus-sized; never
+    * broadcast the FACTS). By the SCD2 invariant a key's intervals are
+    * disjoint, so each fact matches AT MOST one version and the join
+    * cannot fan out.
+    */
+  def pointInTime(facts: DataFrame, factKey: String, factTs: Column,
+                  dim: DataFrame, dimKey: String,
+                  attrCols: Seq[String]): DataFrame = {
+    val d = dim.select(
+      col(dimKey).as("__dk") +: col("valid_from") +: col("valid_to") +:
+        attrCols.map(col): _*)
+    facts.join(d,
+        col(factKey) === col("__dk") &&
+          col("valid_from") <= factTs &&
+          (col("valid_to").isNull || factTs < col("valid_to")),
+        "left")
+      .drop("__dk", "valid_to")
+  }
+}

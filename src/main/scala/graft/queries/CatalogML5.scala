@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Behavior, TextOps, TimeSeries, Warehouse}
+import graft.ops.Tables._
+
+/** Round-9 behavioral/warehouse extensions — the q16x family (cont.):
+  * collocation mining, mojibake repair, trailing time-range windows,
+  * funnel + retention-cohort analytics over the event stream, and
+  * SCD2 history build + point-in-time lookup. These are the
+  * downstream-consumer queries of exactly the per-key ordered change
+  * feed the reference brokers (lagom-kinesis
+  * KinesisSubscriberActor.scala:176-207 delivers it; none of this
+  * analysis exists there). Bench reports them under the q16x rollup
+  * key — per-entry numbers via SPARK_GRAFT_ONLY=q163,…
+  */
+object CatalogML5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  def entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Corpus collocations by PMI — the phrase detector behind
+    // tokenizer-vocab prep. Every ln term is the portable integer-ln
+    // of an exact count in one fixed tree order, so the score column
+    // itself is ORDER BY-able cross-engine (the q87/q118 discipline).
+    ("q163_text_collocations_pmi", (s: SparkSession, d: String) => {
+      TextOps.collocationsPmi(table(s, d, "documents"), "text",
+        minCount = 5L, k = 50)
+    }, Some(TextOps.collocationsPmiSql(
+      "SELECT doc_id AS id, text FROM documents", minCount = 5L, k = 50))),
+
+    // Mojibake (encoding-damage) detection + repair — crawl text
+    // arrives with UTF-8-read-as-Latin-1 double-encoding artifacts;
+    // the repairable markers map back deterministically, U+FFFD is
+    // counted but never invented back. Damage is INJECTED by both
+    // engines from the same literals (the fixture has clean ASCII), so
+    // counts, lengths, and the repaired digest replay bit-exactly.
+    ("q164_text_mojibake_repair", (s: SparkSession, d: String) => {
+      val dmg0 = when(col("doc_id") % 3 === 0,
+          replace(replace(col("text"), lit("a"), lit(TextOps.MojiAcute)),
+            lit("o"), lit(TextOps.MojiQuoteCp)))
+        .otherwise(col("text"))
+      val dmg = when(col("doc_id") % 7 === 0,
+        concat(dmg0, lit(" �x�"))).otherwise(dmg0)
+      table(s, d, "documents")
+        .select(col("doc_id"), dmg.as("__d"))
+        .select(col("doc_id"), col("__d"),
+          TextOps.repairMojibake(col("__d")).as("__r"))
+        .select(col("doc_id"),
+          TextOps.mojibakeCount(col("__d")).cast("long").as("n_mojibake"),
+          TextOps.replacementCharCount(col("__d")).cast("long").as("n_ufffd"),
+          length(col("__d")).cast("long").as("len_damaged"),
+          length(col("__r")).cast("long").as("len_repaired"),
+          md5(col("__r")).as("repaired_md5"))
+        .orderBy("doc_id")
+    }, Some {
+      val rep = TextOps.repairMojibakeSql("d")
+      s"""WITH dmg AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN d0 || ' �x�'
+         |              ELSE d0 END AS d
+         |  FROM (
+         |    SELECT doc_id,
+         |           CASE WHEN doc_id % 3 = 0
+         |             THEN replace(replace(text, 'a', '${TextOps.MojiAcute}'),
+         |                          'o', '${TextOps.MojiQuoteCp}')
+         |             ELSE text END AS d0
+         |    FROM documents)
+         |), rep AS (SELECT doc_id, d, $rep AS r FROM dmg)
+         |SELECT doc_id,
+         |       ${TextOps.mojibakeCountSql("d")} AS n_mojibake,
+         |       CAST(len(regexp_extract_all(d, '�')) AS BIGINT)
+         |         AS n_ufffd,
+         |       CAST(length(d) AS BIGINT) AS len_damaged,
+         |       CAST(length(r) AS BIGINT) AS len_repaired,
+         |       md5(r) AS repaired_md5
+         |FROM rep
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    // Per-user trailing 1-hour RANGE window over the event stream —
+    // the time-window sibling of q17's ROWS frames: the frame is "all
+    // of this user's events in the last hour", however many rows that
+    // is. Integer epoch-micros frame bounds + cents values ⇒ the
+    // sliding accumulator replays exactly; equal instants are frame
+    // peers on both engines.
+    ("q165_events_rolling_range", (s: SparkSession, d: String) => {
+      val ev = table(s, d, "events").select(col("event_id"),
+        col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("value"))
+      TimeSeries.rollingRange(ev, "user_id", col("ts"),
+          floor(col("value") * 100), windowMicros = 3600L * 1000000L)
+        .select(col("user_id"), col("event_id"), col("epoch_us"),
+          col("trail_n"), col("trail_value"))
+        .orderBy("user_id", "epoch_us", "event_id")
+    }, Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS epoch_us,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, epoch_us,
+        |       CAST(count(*) OVER w AS BIGINT) AS trail_n,
+        |       CAST(sum(cents) OVER w AS BIGINT) AS trail_value
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, epoch_us, event_id""".stripMargin)),
+
+    // Ordered funnel over the event stream: strictly-ordered
+    // signup → view → click → purchase chains, counted per user with
+    // the min-ts cascade. Ratios are single IEEE divisions of exact
+    // longs.
+    ("q166_events_funnel", (s: SparkSession, d: String) => {
+      Behavior.funnel(table(s, d, "events"), "user_id", col("ts"),
+          "event_type", FunnelSteps)
+        .orderBy("step_idx")
+    }, Some(Behavior.funnelSql(
+      "SELECT user_id AS u, ts, event_type AS typ FROM events",
+      FunnelSteps) + "\nORDER BY step_idx")),
+
+    // Retention-cohort matrix: users grouped by first-activity day,
+    // counted on each later active day. Offset 0 equals cohort size by
+    // construction (the spec invariant); the percentage is one IEEE
+    // division of exact longs.
+    ("q167_events_retention_cohorts", (s: SparkSession, d: String) => {
+      Behavior.retentionCohorts(
+          table(s, d, "events")
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts")),
+          "user_id", col("ts"))
+        .orderBy("cohort_day", "day_offset")
+    }, Some(Behavior.retentionCohortsSql(
+      "SELECT user_id AS u, ts FROM events") +
+      "\nORDER BY cohort_day, day_offset")),
+
+    // SCD2 dimension build from a changelog — the event stream as an
+    // hour-grain entity-state feed (event_id = the per-key sequence
+    // number, exactly the reference's per-shard sequence ordering
+    // role): last-of-tick wins, heartbeats compress away, validity
+    // intervals are half-open with version numbers from 1.
+    ("q168_scd2_build", (s: SparkSession, d: String) => {
+      val ch = table(s, d, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        col("event_type").as("state"))
+      Warehouse.scd2Build(ch, "user_id", date_trunc("hour", col("ts")),
+          "event_id", Seq("state"))
+        .orderBy("user_id", "version")
+    }, Some("WITH " + Warehouse.scd2BuildSql(
+      "SELECT user_id AS k, date_trunc('hour', ts) AS ts, " +
+        "event_id AS seq, event_type AS state FROM events",
+      Seq("state")) +
+      """
+        |SELECT k AS user_id, state, valid_from, valid_to, is_current,
+        |       version
+        |FROM scd2
+        |ORDER BY user_id, version""".stripMargin)),
+
+    // Point-in-time lookup: every event joined against the q168
+    // history at its own timestamp — the temporal join a fact table
+    // needs to see dimension state AS OF the fact. Disjoint validity
+    // intervals ⇒ at most one match per fact; the left join keeps
+    // facts with unknown state honest.
+    ("q169_scd2_point_in_time", (s: SparkSession, d: String) => {
+      val ev = table(s, d, "events").select(col("event_id"),
+        col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      val dim = Warehouse.scd2Build(
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state")),
+        "user_id", date_trunc("hour", col("ts")), "event_id",
+        Seq("state"))
+      val facts = ev.select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100).as("cents"))
+      Warehouse.pointInTime(facts, "user_id", col("ts"), dim,
+          "user_id", Seq("state"))
+        .orderBy("event_id")
+    }, Some("WITH " + Warehouse.scd2BuildSql(
+      "SELECT user_id AS k, date_trunc('hour', ts) AS ts, " +
+        "event_id AS seq, event_type AS state FROM events",
+      Seq("state")) +
+      """,
+        |f AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT f.event_id, f.user_id, f.ts, f.cents,
+        |       s.valid_from, s.state
+        |FROM f LEFT JOIN scd2 s
+        |  ON s.k = f.user_id AND s.valid_from <= f.ts
+        |     AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+        |ORDER BY event_id""".stripMargin)),
+  )
+}

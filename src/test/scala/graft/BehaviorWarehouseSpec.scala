@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Behavior, TextOps, TimeSeries, Warehouse}
+
+/** Hand-computed fixtures for the behavioral/warehouse family
+  * (q163-q169): funnel cascade strictness, retention-cohort
+  * invariants, SCD2 tick/compression/interval semantics, point-in-time
+  * matching, trailing RANGE windows, PMI collocations, and mojibake
+  * repair. */
+class BehaviorWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L
+
+  test("funnel: min-ts cascade counts strictly ordered chains only") {
+    // u1 full chain; u2 stops at view; u3 signup after a stray view,
+    // then view/click; u4 purchase only (never enters); u5 click
+    // BEFORE its view (not counted); u6 view at the SAME instant as
+    // signup (strict > excludes it).
+    val ev = Seq(
+      (1L, 1L, "signup"), (1L, 2L, "view"), (1L, 3L, "click"), (1L, 4L, "purchase"),
+      (2L, 1L, "signup"), (2L, 2L, "view"),
+      (3L, 1L, "view"), (3L, 2L, "signup"), (3L, 5L, "view"), (3L, 6L, "click"),
+      (4L, 1L, "purchase"),
+      (5L, 3L, "signup"), (5L, 2L, "click"), (5L, 4L, "view"),
+      (6L, 1L, "signup"), (6L, 1L, "view")
+    ).toDF("u", "t", "typ")
+    val out = Behavior.funnel(ev, "u", col("t"), "typ",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1, "signup", 5L), (2, "view", 4L), (3, "click", 2L),
+        (4, "purchase", 1L)))
+    assert(out(0).getDouble(3) === 1.0)           // pct_of_first step 1
+    assert(out(0).isNullAt(4))                    // no previous step
+    assert(out(2).getDouble(3) === 2.0 / 5.0)
+    assert(out(2).getDouble(4) === 2.0 / 4.0)
+  }
+
+  test("funnel: empty upstream step yields zero rows downstream, null ratios") {
+    val ev = Seq((1L, 1L, "view")).toDF("u", "t", "typ")
+    val out = Behavior.funnel(ev, "u", col("t"), "typ",
+        Seq("signup", "view")).orderBy("step_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L))
+    assert(out(0).isNullAt(3) && out(1).isNullAt(3)) // 0/0 cohort → null
+  }
+
+  test("retentionCohorts: offset 0 equals cohort size; gaps stay absent") {
+    val ev = Seq(
+      (1L, 0L), (1L, 1L * 86400L + 5L), (1L, 3L * 86400L + 9L),
+      (2L, 10L),
+      (3L, 86400L), (3L, 2L * 86400L)
+    ).toDF("u", "t").select(col("u"), timestamp_seconds(col("t")).as("ts"))
+    val out = Behavior.retentionCohorts(ev, "u", col("ts"))
+      .orderBy("cohort_day", "day_offset").collect()
+    // cohort day0: {u1,u2} offsets 0,1,3; cohort day1: {u3} offsets 0,1
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0L, 2L, 2L), (1L, 1L, 2L), (3L, 1L, 2L),
+        (0L, 1L, 1L), (1L, 1L, 1L)))
+    out.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) === r.getLong(3)) // offset-0 invariant
+    }
+    assert(out(1).getDouble(4) === 0.5)
+  }
+
+  test("scd2Build: tick-final wins, heartbeats compress, revert reopens") {
+    val ch = Seq(
+      ("k1", 1L * H, 1L, "A"), ("k1", 1L * H, 2L, "B"), // tick-final → B
+      ("k1", 2L * H, 3L, "B"),                          // heartbeat
+      ("k1", 3L * H, 4L, "A"),                          // revert → v2
+      ("k2", 5L * H, 9L, "Z")
+    ).toDF("k", "t", "seq", "state")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"),
+        col("seq"), col("state"))
+    val out = Warehouse.scd2Build(ch, "k", col("ts"), "seq", Seq("state"))
+      .orderBy("k", "version").collect()
+    assert(out.length === 3)
+    val k1 = out.filter(_.getString(0) == "k1")
+    assert(k1.map(r => (r.getString(1), r.getLong(5))).toSeq ===
+      Seq(("B", 1L), ("A", 2L)))
+    assert(k1(0).getTimestamp(3) === k1(1).getTimestamp(2)) // half-open chain
+    assert(!k1(0).getBoolean(4) && k1(1).getBoolean(4))     // is_current
+    assert(k1(1).isNullAt(3))                               // open interval
+    assert(out.filter(_.getString(0) == "k2").head.getBoolean(4))
+  }
+
+  test("pointInTime: facts match covering version; early/unknown keys stay null") {
+    val ch = Seq(
+      ("k1", 1L * H, 1L, "B"), ("k1", 3L * H, 2L, "A")
+    ).toDF("k", "t", "seq", "state")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"),
+        col("seq"), col("state"))
+    val dim = Warehouse.scd2Build(ch, "k", col("ts"), "seq", Seq("state"))
+    val facts = Seq(
+      (1L, "k1", H / 2),      // before first version → null
+      (2L, "k1", H + H / 2),  // inside [1h, 3h) → B
+      (3L, "k1", 3L * H),     // boundary: valid_from inclusive → A
+      (4L, "k9", 2L * H)      // unknown key → null
+    ).toDF("fid", "k", "t")
+      .select(col("fid"), col("k"), timestamp_seconds(col("t")).as("fts"))
+    val out = Warehouse.pointInTime(facts, "k", col("fts"), dim, "k",
+        Seq("state"))
+      .orderBy("fid").collect()
+    def st(r: Row) = if (r.isNullAt(r.fieldIndex("state"))) null
+                     else r.getAs[String]("state")
+    assert(out.map(st).toSeq === Seq(null, "B", "A", null))
+    assert(out.length === 4) // disjoint intervals: no fan-out
+  }
+
+  test("rollingRange: trailing time window with instant ties as peers") {
+    val ev = Seq(
+      (1L, 0L, 100L), (1L, 1800L, 200L), (1L, 3660L, 400L),
+      (1L, 3660L, 800L), // tie: frame peer of the row above
+      (2L, 0L, 50L)
+    ).toDF("u", "t", "cents")
+      .select(col("u"), timestamp_seconds(col("t")).as("ts"), col("cents"))
+    val out = TimeSeries.rollingRange(ev, "u", col("ts"), col("cents"),
+        windowMicros = 3600L * 1000000L)
+      .orderBy("u", "epoch_us", "cents")
+      .select("u", "trail_n", "trail_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // t=3660 frame is [60, 3660]: drops t=0, keeps 200+400+800 (peers)
+    assert(out.toSeq === Seq(
+      (1L, 1L, 100L), (1L, 2L, 300L), (1L, 3L, 1400L), (1L, 3L, 1400L),
+      (2L, 1L, 50L)))
+  }
+
+  test("collocationsPmi: counts and the portable ln tree match by hand") {
+    import graft.functions.PortableSketches.lnOfPosLong
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    // pairs: (a,b)=3, (b,a)=1, (b,c)=1; uni a=3 b=3 c=1; M=7, N=5;
+    // minCount=2 floors out the hapax pairs
+    val out = TextOps.collocationsPmi(docs, "text", minCount = 2L, k = 10)
+      .collect()
+    assert(out.length === 1)
+    val top = out.head
+    assert((top.getString(0), top.getString(1), top.getLong(2)) ===
+      ("a", "b", 3L))
+    val expected = lnOfPosLong(3) + 2.0 * lnOfPosLong(7) -
+      lnOfPosLong(5) - lnOfPosLong(3) - lnOfPosLong(3)
+    assert(top.getDouble(3) === expected)
+    // with the floor off, the full pair set survives and stays a
+    // total order under the (pmi desc, w1, w2) tiebreak
+    assert(TextOps.collocationsPmi(docs, "text", 1L, 10).count() === 3)
+  }
+
+  test("mojibake: detect, repair, and stay idempotent") {
+    import TextOps.{MojiAcute, MojiLDQuoteL1, MojiQuoteCp, MojiQuoteL1}
+    val df = Seq(
+      // both read-as-Latin-1 and read-as-cp1252 flavors in one text
+      (s"caf$MojiAcute ${MojiLDQuoteL1}quote$MojiQuoteL1 and$MojiQuoteCp done",
+        4L, 0L),
+      ("clean text", 0L, 0L),
+      ("lost�byte�", 0L, 2L)
+    ).toDF("text", "want_moji", "want_fffd")
+    val got = df.select(
+      TextOps.mojibakeCount(col("text")).cast("long").as("m"),
+      TextOps.replacementCharCount(col("text")).cast("long").as("f"),
+      TextOps.repairMojibake(col("text")).as("r"),
+      TextOps.repairMojibake(TextOps.repairMojibake(col("text"))).as("rr"),
+      col("want_moji"), col("want_fffd")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(4))
+      assert(r.getLong(1) === r.getLong(5))
+      assert(r.getString(2) === r.getString(3)) // idempotent
+    }
+    assert(got(0).getString(2) === "café “quote’ and’ done")
+    // U+FFFD is never invented back
+    assert(got(2).getString(2) === "lost�byte�")
+  }
+}
