@@ -55,11 +55,23 @@ object Warehouse {
     val tagged = changelog.select(
       k +: ts.as("__ts") +: col(seqCol).as("__seq") +:
         attrCols.map(col): _*)
-    val tick = Window.partitionBy(k, col("__ts")).orderBy(col("__seq").desc)
+    // Tick-final via a lag-run over the KEY-partitioned (ts asc, seq
+    // desc) sort — not row_number over PARTITION BY (key, ts): the
+    // (key, ts) partitioning can't serve the (key)-partitioned
+    // history windows, so that formulation pays a SECOND full-corpus
+    // exchange (plan-dump-verified). With the run detection all three
+    // passes share hashpartitioning(key) and one sort — the later
+    // ts-asc windows are satisfied by the (ts asc, seq desc) prefix.
+    // (Trade-off: row_number's partial WindowGroupLimit would drop
+    // same-tick extras before the shuffle; one whole exchange is the
+    // bigger lever at corpus scale.)
+    val tickRun = Window.partitionBy(k)
+      .orderBy(col("__ts").asc, col("__seq").desc)
     val hist = Window.partitionBy(k).orderBy(col("__ts").asc)
     val lastOfTick = tagged
-      .withColumn("__rn", row_number().over(tick))
-      .where(col("__rn") === 1)
+      .withColumn("__prevTs", lag(col("__ts"), 1).over(tickRun))
+      .where(!(col("__prevTs") <=> col("__ts")))
+      .drop("__prevTs")
     val changed = attrCols
       .map(a => !(col(a) <=> lag(col(a), 1).over(hist)))
       .reduce(_ || _) || lag(col("__ts"), 1).over(hist).isNull
