@@ -126,6 +126,160 @@ object Behavior {
           .as("retention_pct"))
   }
 
+  /** Gap-based sessionization: a user's events split into sessions
+    * wherever the gap to the previous event exceeds `gapSeconds`,
+    * reported at SESSION grain — `(user, session_id, start_us, end_us,
+    * duration_us, n_events, cents)`, sessions numbered 1..n per user
+    * by start time.
+    *
+    * The flag/cumsum formulation is tie-safe at the session level:
+    * among rows sharing one instant exactly one sees the far-previous
+    * instant (fires the new-session flag) and the rest see gap 0, so
+    * every tied row lands in the same session whichever order the
+    * engine visits them — the session AGGREGATE is deterministic even
+    * though the per-row flag is not, which is why the operator emits
+    * session grain and the oracle can hash it.
+    *
+    * Scale: one hash exchange on the user (window + the session
+    * groupBy reuse it), integer epoch-micros gap arithmetic, output
+    * session-count-sized. The batch complement of the q127 streaming
+    * session-window merge.
+    */
+  def sessionize(events: DataFrame, userCol: String, ts: Column,
+                 valueCents: Column, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive, got $gapSeconds")
+    val u = col(userCol)
+    val w = Window.partitionBy(u).orderBy(col("__e"))
+    val run = Window.partitionBy(u).orderBy(col("__e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(u, unix_micros(ts).as("__e"),
+        valueCents.cast("long").as("__c"))
+      .withColumn("__new",
+        (col("__e") - lag(col("__e"), 1).over(w) > gapSeconds * 1000000L)
+          .or(lag(col("__e"), 1).over(w).isNull).cast("long"))
+      .withColumn("session_id", sum(col("__new")).over(run))
+      .groupBy(u, col("session_id"))
+      .agg(min(col("__e")).as("start_us"), max(col("__e")).as("end_us"),
+        (max(col("__e")) - min(col("__e"))).as("duration_us"),
+        count(lit(1)).as("n_events"), sum(col("__c")).as("cents"))
+  }
+
+  /** Mirror of [[sessionize]] for the DuckDB oracle. `eventsSql` must
+    * select `u`, `e` (epoch micros) and `c` (cents). */
+  def sessionizeSql(eventsSql: String, gapSeconds: Long,
+                    keyAs: String = "u"): String =
+    s"""WITH ev AS ($eventsSql),
+       |f AS (
+       |  SELECT u, e, c,
+       |         CAST(e - lag(e) OVER (PARTITION BY u ORDER BY e)
+       |              > ${gapSeconds}000000
+       |           OR lag(e) OVER (PARTITION BY u ORDER BY e) IS NULL
+       |           AS BIGINT) AS nw
+       |  FROM ev
+       |), sid AS (
+       |  SELECT u, e, c,
+       |         CAST(sum(nw) OVER (PARTITION BY u ORDER BY e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS session_id
+       |  FROM f
+       |)
+       |SELECT u AS $keyAs, session_id,
+       |       min(e) AS start_us, max(e) AS end_us,
+       |       max(e) - min(e) AS duration_us,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(c) AS BIGINT) AS cents
+       |FROM sid
+       |GROUP BY 1, 2""".stripMargin
+
+  /** First-order Markov transition matrix over a user's ordered event
+    * types: `(src, dst, n, p)` where `p = n / Σ_dst n` — one IEEE
+    * division of exact longs. `seqCol` breaks timestamp ties so the
+    * lag chain is a total order (required: tied rows carry DIFFERENT
+    * types, unlike [[sessionize]]'s tie-invariant flags).
+    *
+    * Scale: one hash exchange on the user for the lag, then the
+    * corpus reduces to a (type × type)-sized count table; the
+    * src-total join is type-keyed.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, ts: Column,
+                       typeCol: String, seqCol: String): DataFrame = {
+    val u = col(userCol)
+    val w = Window.partitionBy(u).orderBy(ts, col(seqCol))
+    val pairs = events
+      .withColumn("__src", lag(col(typeCol), 1).over(w))
+      .where(col("__src").isNotNull)
+      .groupBy(col("__src").as("src"), col(typeCol).as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("src")).agg(sum(col("n")).as("__t"))
+    pairs.join(totals, Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        (col("n").cast("double") / col("__t")).as("p"))
+  }
+
+  /** Mirror of [[eventTransitions]] for the DuckDB oracle. `eventsSql`
+    * must select `u`, `ts`, `seq`, `typ`. */
+  def eventTransitionsSql(eventsSql: String): String =
+    s"""WITH ev AS ($eventsSql),
+       |prs AS (
+       |  SELECT lag(typ) OVER (PARTITION BY u ORDER BY ts, seq) AS src,
+       |         typ AS dst
+       |  FROM ev
+       |), cnt AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM prs WHERE src IS NOT NULL GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT src, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1
+       |)
+       |SELECT cnt.src, cnt.dst, cnt.n,
+       |       CAST(cnt.n AS DOUBLE) / tot.t AS p
+       |FROM cnt JOIN tot ON tot.src = cnt.src""".stripMargin
+
+  /** Daily activity report: per calendar day — distinct active users,
+    * NEW users (first-ever-active that day), and the cumulative
+    * distinct-user count (= running sum of new users, exact — no
+    * sketch needed because first-day attribution is exact).
+    *
+    * Scale: corpus → distinct (user, day) in one map-side-combined
+    * exchange, user-keyed first-day join, then everything is
+    * day-count-sized — the unpartitioned running window is over the
+    * calendar, not the corpus.
+    */
+  def activeUsersDaily(events: DataFrame, userCol: String,
+                       ts: Column): DataFrame = {
+    val u = col(userCol)
+    val days = events.select(u, date_trunc("day", ts).as("day")).distinct()
+    val firstDay = days.groupBy(u).agg(min(col("day")).as("__fd"))
+    val perDay = days.join(firstDay, Seq(userCol))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum((col("day") === col("__fd")).cast("long")).as("new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // calendar-sized frame: the single-partition window is free here
+    perDay.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  /** Mirror of [[activeUsersDaily]] for the DuckDB oracle. `eventsSql`
+    * must select `u` and `ts`. */
+  def activeUsersDailySql(eventsSql: String): String =
+    s"""WITH ev AS ($eventsSql),
+       |days AS (SELECT DISTINCT u,
+       |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM ev),
+       |fd AS (SELECT u, min(day) AS fd FROM days GROUP BY 1),
+       |pd AS (
+       |  SELECT days.day, CAST(count(*) AS BIGINT) AS dau,
+       |         CAST(sum(CAST(days.day = fd.fd AS BIGINT)) AS BIGINT)
+       |           AS new_users
+       |  FROM days JOIN fd ON fd.u = days.u
+       |  GROUP BY 1
+       |)
+       |SELECT day, dau, new_users,
+       |       CAST(sum(new_users) OVER (ORDER BY day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS cum_users
+       |FROM pd""".stripMargin
+
   /** Mirror of [[retentionCohorts]] for the DuckDB oracle. `eventsSql`
     * must select `u` and `ts`. */
   def retentionCohortsSql(eventsSql: String): String =

@@ -531,4 +531,69 @@ object Relevance {
        |             generate_subscripts(w, 1) AS pos FROM t)
        |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** Per-document TF-IDF keyword extraction: each document's top-`k`
+    * terms by `tf · (ln N − ln df)` — the summarization/tagging
+    * primitive behind corpus topic reports and weak keyword labels.
+    *
+    * Portability: idf is the DIFFERENCE of two portable integer-ln
+    * series terms ([[graft.functions.PortableSketches]]) of exact
+    * counts — never libm, never a ratio inside the ln — and the score
+    * is one IEEE multiply of an exact long tf against it, so the score
+    * column itself is ORDER BY-able cross-engine; ranks tiebreak
+    * (score desc, term asc) into a total order.
+    *
+    * Scale: corpus → (doc, term, tf) in one map-side-combined
+    * exchange; df + the 1-row N are vocab-/unit-sized aggregates the
+    * optimizer broadcasts back; the top-k rank is a per-doc window
+    * over the doc's own distinct terms. No global sort anywhere.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import graft.functions.PortableSketches.lnOfIntFast
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val tf = docs
+      .select(col(idCol).as("id"), explode(toks).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term")).crossJoin(n)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          (lnOfIntFast(col("__n")) - lnOfIntFast(col("df"))))
+          .as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Mirror of [[tfidfKeywords]] for the DuckDB oracle. `docsSql` must
+    * select `id, text`. */
+  def tfidfKeywordsSql(docsSql: String, k: Int): String = {
+    import graft.functions.PortableSketches.lnOfIntSql
+    s"""WITH t AS (
+       |  SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM ($docsSql)
+       |), tok AS (SELECT id, unnest(w) AS term FROM t),
+       |tf AS (
+       |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2
+       |), idf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+       |scored AS (
+       |  SELECT tf.id, tf.term, tf.tf, idf.df,
+       |         CAST(tf.tf AS DOUBLE) *
+       |           (${lnOfIntSql("nn.n")} - ${lnOfIntSql("idf.df")})
+       |           AS score
+       |  FROM tf JOIN idf ON idf.term = tf.term, nn
+       |)
+       |SELECT id, term, tf, df, score,
+       |       CAST(row_number() OVER (PARTITION BY id
+       |         ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
 }

@@ -96,4 +96,77 @@ object TimeSeries {
       .withColumn("trail_n", count(lit(1)).over(w))
       .withColumn("trail_value", sum(valueCents.cast("long")).over(w))
   }
+
+  /** Trailing-window anomaly flags: each event compared against the
+    * mean/variance of its key's last `windowMicros` (inclusive of the
+    * row — Spark has no frame-exclusion clause, so both engines
+    * include it; self-inclusion only DAMPENS the z-score, never
+    * inflates it). The flag is the k-sigma rule with the division
+    * cleared: `(v − S/n)² > k²·(SS/n − S²/n²)` rearranged to
+    *
+    *   (v·n − S)² > k² · (n·SS − S²)
+    *
+    * where n, S (Σcents), SS (Σcents²) are EXACT integer window sums.
+    * `v·n − S` stays in int64 (bounded by max-cents · window rows —
+    * ample for cent-scale measures); the SQUARES, where int64 would
+    * genuinely overflow, are evaluated in double with one fixed
+    * operation tree (long→double conversion and IEEE multiply are
+    * engine-identical), so the boolean replays bit-exactly at any
+    * magnitude the integer sums themselves admit. Rows with fewer than `minN`
+    * window peers are never flagged (a 1-event window is its own
+    * mean). Returns the input plus `epoch_us, trail_n, is_anomaly`.
+    *
+    * Scale: same single hash exchange + sliding accumulator as
+    * [[rollingRange]]; all three window sums share one frame.
+    */
+  def rollingAnomaly(df: DataFrame, keyCol: String, ts: Column,
+                     valueCents: Column, windowMicros: Long,
+                     k: Int, minN: Long): DataFrame = {
+    require(k > 0 && minN >= 2, s"need k > 0 and minN >= 2, got $k/$minN")
+    val w = Window.partitionBy(keyCol).orderBy(col("epoch_us"))
+      .rangeBetween(-windowMicros, 0)
+    val v = col("__v")
+    val n = col("__n"); val s = col("__s"); val ss = col("__ss")
+    val lhs = (v * n - s).cast("double") * (v * n - s).cast("double")
+    val rhs = lit(k.toDouble * k.toDouble) *
+      (n.cast("double") * ss.cast("double") -
+        s.cast("double") * s.cast("double"))
+    df.withColumn("epoch_us", unix_micros(ts))
+      .withColumn("__v", valueCents.cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(v).over(w))
+      .withColumn("__ss", sum(v * v).over(w))
+      .withColumn("is_anomaly", n >= minN && lhs > rhs)
+      .withColumnRenamed("__n", "trail_n")
+      .drop("__v", "__s", "__ss")
+  }
+
+  /** Mirror of [[rollingAnomaly]]'s flag arithmetic for the DuckDB
+    * oracle: the same exact integer window sums and the same double
+    * tree. `evSql` must select the key as `u`, `epoch_us`, `v`
+    * (cents), and any `extraCols` to carry through; emits
+    * `u, [extraCols,] epoch_us, trail_n, is_anomaly` rows. */
+  def rollingAnomalySql(evSql: String, windowMicros: Long, k: Int,
+                        minN: Long,
+                        extraCols: Seq[String] = Nil): String = {
+    val extra = extraCols.map(c => s"$c, ").mkString
+    s"""WITH e AS ($evSql),
+       |m AS (
+       |  SELECT u, ${extra}epoch_us, v,
+       |         CAST(count(*) OVER w AS BIGINT) AS n,
+       |         CAST(sum(v) OVER w AS BIGINT) AS s,
+       |         CAST(sum(v * v) OVER w AS BIGINT) AS ss
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY u ORDER BY epoch_us
+       |    RANGE BETWEEN $windowMicros PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT u, ${extra}epoch_us, n AS trail_n,
+       |       n >= $minN AND
+       |       CAST(v * n - s AS DOUBLE) * CAST(v * n - s AS DOUBLE) >
+       |         ${k.toDouble * k.toDouble} *
+       |         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+       |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       |         AS is_anomaly
+       |FROM m""".stripMargin
+  }
 }

@@ -194,5 +194,80 @@ object CatalogML5 {
         |  ON s.k = f.user_id AND s.valid_from <= f.ts
         |     AND (s.valid_to IS NULL OR f.ts < s.valid_to)
         |ORDER BY event_id""".stripMargin)),
+
+    // Gap-based sessionization (30-min timeout) reported at SESSION
+    // grain — the tie-safe flag/cumsum construction makes the session
+    // aggregate deterministic even under shared instants. The batch
+    // complement of q127's streaming session-window merge.
+    ("q170_events_sessionize", (s: SparkSession, d: String) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+      Behavior.sessionize(ev, "user_id", col("ts"),
+          floor(col("value") * 100), gapSeconds = 1800L)
+        .orderBy("user_id", "session_id")
+    }, Some(Behavior.sessionizeSql(
+      "SELECT user_id AS u, epoch_us(ts) AS e, " +
+        "CAST(floor(value * 100) AS BIGINT) AS c FROM events",
+      gapSeconds = 1800L, keyAs = "user_id") +
+      "\nORDER BY user_id, session_id")),
+
+    // First-order Markov transition matrix over each user's ordered
+    // event types — conditional next-event probabilities as single
+    // IEEE divisions of exact longs; event_id breaks timestamp ties
+    // into a total lag order.
+    ("q171_events_transitions", (s: SparkSession, d: String) => {
+      Behavior.eventTransitions(table(s, d, "events"), "user_id",
+          col("ts"), "event_type", "event_id")
+        .orderBy("src", "dst")
+    }, Some(Behavior.eventTransitionsSql(
+      "SELECT user_id AS u, ts, event_id AS seq, event_type AS typ " +
+        "FROM events") + "\nORDER BY 1, 2")),
+
+    // Trailing-window k-sigma anomaly flags with the division cleared
+    // to exact integer window sums — (v·n−S)² > k²(n·SS−S²) — and the
+    // overflow-prone squares in one fixed double tree, so the boolean
+    // replays bit-exactly.
+    ("q172_events_rolling_anomaly", (s: SparkSession, d: String) => {
+      val ev = table(s, d, "events").select(col("event_id"),
+        col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("value"))
+      graft.ops.TimeSeries.rollingAnomaly(ev, "user_id", col("ts"),
+          floor(col("value") * 100), windowMicros = 3600L * 1000000L,
+          k = 2, minN = 5L)
+        .select(col("user_id").as("u"), col("event_id"), col("epoch_us"),
+          col("trail_n"), col("is_anomaly"))
+        .orderBy("u", "epoch_us", "event_id")
+    }, Some(graft.ops.TimeSeries.rollingAnomalySql(
+      "SELECT user_id AS u, event_id, epoch_us(ts) AS epoch_us, " +
+        "CAST(floor(value * 100) AS BIGINT) AS v FROM events",
+      windowMicros = 3600L * 1000000L, k = 2, minN = 5L,
+      extraCols = Seq("event_id")) +
+      "\nORDER BY u, epoch_us, event_id")),
+
+    // Daily activity report: DAU, first-ever-active new users, and the
+    // exact cumulative distinct-user curve (running sum of new users —
+    // first-day attribution makes it exact without a sketch).
+    ("q173_events_active_users", (s: SparkSession, d: String) => {
+      Behavior.activeUsersDaily(
+          table(s, d, "events")
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts")),
+          "user_id", col("ts"))
+        .orderBy("day")
+    }, Some(Behavior.activeUsersDailySql(
+      "SELECT user_id AS u, ts FROM events") + "\nORDER BY day")),
+
+    // Per-document TF-IDF keyword extraction — top-5 terms per doc;
+    // idf is a DIFFERENCE of portable integer-ln terms of exact
+    // counts, score one IEEE multiply, so the driver can hash the
+    // score column itself.
+    ("q174_text_tfidf_keywords", (s: SparkSession, d: String) => {
+      graft.ops.Relevance.tfidfKeywords(
+          table(s, d, "documents").withColumnRenamed("doc_id", "id"),
+          "id", "text", k = 5)
+        .orderBy("id", "rank")
+    }, Some(graft.ops.Relevance.tfidfKeywordsSql(
+      "SELECT doc_id AS id, text FROM documents", k = 5) +
+      "\nORDER BY id, rank")),
   )
 }

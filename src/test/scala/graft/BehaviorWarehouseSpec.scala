@@ -147,6 +147,77 @@ class BehaviorWarehouseSpec extends SparkSpec {
     assert(TextOps.collocationsPmi(docs, "text", 1L, 10).count() === 3)
   }
 
+  test("sessionize: gap splits, tie rows share a session, aggregates exact") {
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 0L, 20L),      // tied first instant: one session
+      (1L, 100L, 30L),                   // within gap
+      (1L, 2000L, 40L),                  // gap > 1000s: new session
+      (2L, 5L, 7L)
+    ).toDF("u", "t", "c")
+      .select(col("u"), timestamp_seconds(col("t")).as("ts"), col("c"))
+    val out = Behavior.sessionize(ev, "u", col("ts"), col("c"),
+        gapSeconds = 1000L)
+      .orderBy("u", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 0L, 100000000L, 100000000L, 3L, 60L),
+      (1L, 2L, 2000000000L, 2000000000L, 0L, 1L, 40L),
+      (2L, 1L, 5000000L, 5000000L, 0L, 1L, 7L)))
+  }
+
+  test("eventTransitions: lag pairs, seq breaks ties, probabilities exact") {
+    val ev = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"),
+      (1L, 3L, 3L, "A"), (1L, 4L, 4L, "B"),
+      (2L, 1L, 5L, "A"), (2L, 1L, 6L, "C") // tied ts: seq orders A→C
+    ).toDF("u", "t", "seq", "typ")
+    val out = Behavior.eventTransitions(ev, "u", col("t"), "typ", "seq")
+      .orderBy("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("A", "B", 2L, 2.0 / 3.0), ("A", "C", 1L, 1.0 / 3.0),
+      ("B", "A", 1L, 1.0)))
+  }
+
+  test("rollingAnomaly: k-sigma spike flagged, flat window and minN not") {
+    val ev = (0 until 5).map(i => (1L, i * 60L, 100L)) :+ (1L, 330L, 1000L)
+    val df = ev.toDF("u", "t", "c")
+      .select(col("u"), timestamp_seconds(col("t")).as("ts"), col("c"))
+    val out = TimeSeries.rollingAnomaly(df, "u", col("ts"), col("c"),
+        windowMicros = 3600L * 1000000L, k = 2, minN = 5L)
+      .orderBy("epoch_us").select("trail_n", "is_anomaly").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    // spike: n=6, S=1500, SS=1050000 → lhs 4500² = 20.25e6 >
+    // rhs 4·(6·1050000 − 1500²) = 16.2e6
+    assert(out.toSeq === Seq((1L, false), (2L, false), (3L, false),
+      (4L, false), (5L, false), (6L, true)))
+  }
+
+  test("activeUsersDaily: dau, first-day news, exact cumulative curve") {
+    val ev = Seq(
+      (1L, 0L), (1L, 86400L), (2L, 10L), (3L, 86410L), (3L, 86420L)
+    ).toDF("u", "t").select(col("u"), timestamp_seconds(col("t")).as("ts"))
+    val out = Behavior.activeUsersDaily(ev, "u", col("ts"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((2L, 2L, 2L), (2L, 1L, 3L)))
+  }
+
+  test("tfidfKeywords: hand tf/df/portable-idf scores and rank tiebreak") {
+    import graft.functions.PortableSketches.lnOfPosLong
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    val out = graft.ops.Relevance.tfidfKeywords(docs, "id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val ln21 = lnOfPosLong(2) - lnOfPosLong(1)
+    val zero = 2.0 * (lnOfPosLong(2) - lnOfPosLong(2))
+    assert(out.toSeq === Seq(
+      (1L, "b", 1L, 1L, ln21, 1L), (1L, "a", 2L, 2L, zero, 2L),
+      (2L, "c", 1L, 1L, ln21, 1L), (2L, "a", 1L, 2L, 0.0, 2L)))
+  }
+
   test("mojibake: detect, repair, and stay idempotent") {
     import TextOps.{MojiAcute, MojiLDQuoteL1, MojiQuoteCp, MojiQuoteL1}
     val df = Seq(
