@@ -211,10 +211,13 @@ object Behavior {
       .where(col("__src").isNotNull)
       .groupBy(col("__src").as("src"), col(typeCol).as("dst"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("src")).agg(sum(col("n")).as("__t"))
-    pairs.join(totals, Seq("src"))
-      .select(col("src"), col("dst"), col("n"),
-        (col("n").cast("double") / col("__t")).as("p"))
+    // row totals as a window over the (type × type)-sized count table —
+    // a groupBy+join reads as more natural but makes Spark re-derive
+    // the pairs lineage for the build side (a SECOND full corpus scan,
+    // plan-dump-caught); the window re-exchanges only the tiny table.
+    val bySrc = Window.partitionBy("src")
+    pairs.select(col("src"), col("dst"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(bySrc)).as("p"))
   }
 
   /** Mirror of [[eventTransitions]] for the DuckDB oracle. `eventsSql`
@@ -228,12 +231,11 @@ object Behavior {
        |), cnt AS (
        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
        |  FROM prs WHERE src IS NOT NULL GROUP BY 1, 2
-       |), tot AS (
-       |  SELECT src, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1
        |)
-       |SELECT cnt.src, cnt.dst, cnt.n,
-       |       CAST(cnt.n AS DOUBLE) / tot.t AS p
-       |FROM cnt JOIN tot ON tot.src = cnt.src""".stripMargin
+       |SELECT src, dst, n,
+       |       CAST(n AS DOUBLE) /
+       |         CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS p
+       |FROM cnt""".stripMargin
 
   /** Daily activity report: per calendar day — distinct active users,
     * NEW users (first-ever-active that day), and the cumulative

@@ -1011,26 +1011,35 @@ object TextOps {
     * tiebreak makes the top-k a total order.
     *
     * Tokens are the raw space-split stream (the postings-index
-    * discipline, q156/q157) with empties dropped. Scale: the corpus
-    * reduces to vocab-sized count tables in two map-side-combined
-    * exchanges (pairs, unigrams); the two unigram joins are
-    * vocab-keyed; the totals are two 1-row aggregates the optimizer
-    * broadcasts; top-k is TakeOrderedAndProject, never a global sort.
+    * discipline, q156/q157) with empties dropped. Scale: ONE corpus
+    * pass — each token is emitted exactly once as `(w1, successor)`
+    * with a NULL successor on the doc-final token, so unigram counts
+    * (group by w1 over everything), pair counts (the non-null rows)
+    * and both totals all derive from a single map-side-combined
+    * vocab²-bounded aggregate. That table is bounded-cached: its four
+    * consumers would otherwise each re-derive the corpus scan (the
+    * five-scan plan the first formulation shipped, plan-dump-caught).
+    * The unigram joins are vocab-keyed; the totals are 1-row
+    * aggregates the optimizer broadcasts; top-k is
+    * TakeOrderedAndProject, never a global sort.
     */
   def collocationsPmi(docs: DataFrame, textCol: String,
                       minCount: Long = 5L, k: Int = 50): DataFrame = {
     import graft.functions.PortableSketches.lnOfIntFast
     val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val withToks = docs.select(toks.as("__toks"))
-    val pairs = withToks
-      .where(size(col("__toks")) >= 2)
+    val pairTable = CachedFrames.cached(docs
+      .select(toks.as("__toks"))
+      .where(size(col("__toks")) >= 1)
       .select(explode(expr(
-        "transform(sequence(1, size(__toks) - 1), " +
-          "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))")).as("__p"))
+        "transform(sequence(1, size(__toks)), " +
+          "i -> struct(__toks[i-1] AS w1, " +
+          "CASE WHEN i < size(__toks) THEN __toks[i] END AS w2))"))
+        .as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-    val uni = withToks.select(explode(col("__toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")))
+    val pairs = pairTable.where(col("w2").isNotNull)
+    val uni = pairTable.groupBy(col("w1").as("w"))
+      .agg(sum(col("c_xy")).as("c"))
     val totals = uni.agg(sum(col("c")).as("__m"))
       .crossJoin(pairs.agg(sum(col("c_xy")).as("__n")))
     pairs.where(col("c_xy") >= minCount)

@@ -123,7 +123,17 @@ object ScalingCurve {
       // the curve): build cost is the linear part (index write = one
       // corpus explode to a bucketed table), the probes should stay
       // matching-term-sized
-      "q156", "q157")
+      "q156", "q157",
+      // PMI collocations: two map-side-combined count exchanges to
+      // vocab-sized tables — the curve should be the token-scan slope
+      // (translate keeps the pair/unigram tables vocab-sized per copy)
+      "q163",
+      // mojibake repair: row-local replace/regex chain, zero shuffle —
+      // q133's flat class
+      "q164",
+      // TF-IDF keywords: (doc, term, tf) exchange + vocab-sized df +
+      // per-doc top-k window — the tf exchange is the linear part
+      "q174")
       // q150/q152/q153/q154/q155/q158/q159 are NOT here: they read
       // the part/orders/events/lineitem fixtures, which this harness
       // does not expand (only documents/embeddings have the bijective
@@ -132,7 +142,13 @@ object ScalingCurve {
       // structural arguments and plan dumps: q150's candidate volume
       // is prefix-bucket-bounded, q152/q158 touch delta + state only,
       // q153/q154/q159 collapse to domain-sized count tables, q155 is
-      // T keyed |E| joins.
+      // T keyed |E| joins. Likewise the q165-q173 event-analytics
+      // family (events-based, q149's situation): their scale evidence
+      // is the three fixture scales + structure — q165/q172 are one
+      // keyed exchange + a sliding-frame accumulator, q166/q167/q173
+      // reduce to user-count-sized intermediates before anything wide,
+      // q168/q169/q170/q171 are one keyed exchange into
+      // change-point-/session-/type²-sized outputs.
       // q149 (time-series gap-fill) is NOT here: it reads the events
       // fixture, which this harness does not expand (only documents/
       // embeddings have the bijective re-encoding story); its scale
