@@ -282,6 +282,89 @@ object Behavior {
        |         AS BIGINT) AS cum_users
        |FROM pd""".stripMargin
 
+  /** Two-proportion A/B significance report: one row per experiment
+    * with per-variant exposure/conversion counts, rates, the pooled
+    * two-proportion z² statistic and a significance flag at the given
+    * z² threshold (z² > 3.8415 ≈ two-sided p < .05 — comparing z²
+    * against the squared critical value clears the sqrt that portable
+    * arithmetic cannot take):
+    *
+    *   z² = (r_a − r_b)² / ( p̂(1−p̂) · (1/n_a + 1/n_b) ),
+    *   p̂ = (c_a + c_b)/(n_a + n_b)
+    *
+    * All inputs are EXACT long counts; every derived number is one
+    * fixed tree of IEEE divisions/multiplies, so rates, z² and the
+    * flag replay bit-exactly cross-engine. Degenerate experiments
+    * (either arm empty, or p̂ ∈ {0, 1} making the variance 0) report
+    * null z² and false.
+    *
+    * `exposures` must be one row per (experiment unit): `variantCol`
+    * ∈ {"A", "B"}, `convCol` boolean. Scale: one map-side-combined
+    * aggregate to a 1-row-per-experiment table; nothing else.
+    */
+  def abTest(exposures: DataFrame, expCol: String, variantCol: String,
+             convCol: String, z2Crit: Double = 3.8415): DataFrame = {
+    val isA = col(variantCol) === "A"
+    val agg = exposures.groupBy(col(expCol))
+      .agg(sum(isA.cast("long")).as("n_a"),
+        sum((!isA).cast("long")).as("n_b"),
+        sum((isA && col(convCol)).cast("long")).as("conv_a"),
+        sum((!isA && col(convCol)).cast("long")).as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a").cast("double")
+    val rb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val denom = p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double"))
+    val z2 = when(col("n_a") > 0 && col("n_b") > 0 && denom > 0.0,
+      (ra - rb) * (ra - rb) / denom)
+    agg.select(col(expCol), col("n_a"), col("n_b"),
+      col("conv_a"), col("conv_b"),
+      when(col("n_a") > 0, ra).as("rate_a"),
+      when(col("n_b") > 0, rb).as("rate_b"),
+      z2.as("z2"),
+      coalesce(z2 > z2Crit, lit(false)).as("significant"))
+  }
+
+  /** Mirror of [[abTest]] for the DuckDB oracle. `exposuresSql` must
+    * select `exp`, `variant`, `conv` (boolean). */
+  def abTestSql(exposuresSql: String, z2Crit: Double = 3.8415): String =
+    s"""WITH e AS ($exposuresSql),
+       |a AS (
+       |  SELECT exp,
+       |    CAST(sum(CAST(variant = 'A' AS BIGINT)) AS BIGINT) AS n_a,
+       |    CAST(sum(CAST(variant <> 'A' AS BIGINT)) AS BIGINT) AS n_b,
+       |    CAST(sum(CAST(variant = 'A' AND conv AS BIGINT)) AS BIGINT)
+       |      AS conv_a,
+       |    CAST(sum(CAST(variant <> 'A' AND conv AS BIGINT)) AS BIGINT)
+       |      AS conv_b
+       |  FROM e GROUP BY 1
+       |), d AS (
+       |  SELECT *,
+       |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+       |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+       |    (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |      AS p
+       |  FROM a
+       |), z AS (
+       |  SELECT *,
+       |    CASE WHEN n_a > 0 AND n_b > 0 AND
+       |              p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE)
+       |                + 1.0 / CAST(n_b AS DOUBLE)) > 0.0
+       |         THEN (ra - rb) * (ra - rb) /
+       |              (p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE)
+       |                + 1.0 / CAST(n_b AS DOUBLE)))
+       |    END AS z2
+       |  FROM d
+       |)
+       |SELECT exp, n_a, n_b, conv_a, conv_b,
+       |       CASE WHEN n_a > 0 THEN ra END AS rate_a,
+       |       CASE WHEN n_b > 0 THEN rb END AS rate_b,
+       |       z2,
+       |       coalesce(z2 > $z2Crit, false) AS significant
+       |FROM z""".stripMargin
+
   /** Mirror of [[retentionCohorts]] for the DuckDB oracle. `eventsSql`
     * must select `u` and `ts`. */
   def retentionCohortsSql(eventsSql: String): String =

@@ -119,6 +119,68 @@ object Warehouse {
        |)""".stripMargin
   }
 
+  /** CDC changelog apply (the MERGE/upsert shape — the SCD1 complement
+    * of [[scd2Build]]'s full history): fold a change feed into a base
+    * snapshot, producing the LATEST state per key.
+    *
+    * Per key, the change with the highest `seqCol` wins (`seqCol` must
+    * be unique per key — the reference's per-shard sequence number is;
+    * a tie would make the winner engine-dependent): op `D` deletes
+    * the key (even if present in base), anything else (`I`/`U`) upserts
+    * the change's attributes; keys untouched by the feed keep their
+    * base row. Exactly the compaction a per-key ordered topic feed
+    * (the reference's delivery model) needs to become a queryable
+    * table.
+    *
+    * Scale: the feed reduces to one winner per key via a struct-max
+    * aggregate — `max(struct(seq, op, attrs…))` orders by seq first, so
+    * the reduction is map-side combinable and NEVER sorts the feed —
+    * then one key-keyed full-outer join against base. No windows, no
+    * global sort; output ≤ |base| + |feed keys|.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCol: String,
+                     seqCol: String, opCol: String,
+                     attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "applyChangelog needs at least one attribute")
+    val k = col(keyCol)
+    val last = changes
+      .groupBy(k)
+      .agg(max(struct(col(seqCol).as("__seq") +: col(opCol).as("__op") +:
+        attrCols.map(col): _*)).as("__last"))
+      .select(k +: col("__last.__op").as("__op") +:
+        attrCols.map(a => col(s"__last.$a").as(s"__c_$a")): _*)
+    base.join(last, Seq(keyCol), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "D")
+      .select(k +: attrCols.map(a =>
+        when(col("__op").isNotNull, col(s"__c_$a"))
+          .otherwise(col(a)).as(a)): _*)
+  }
+
+  /** Mirror of [[applyChangelog]] for the DuckDB oracle: the winner via
+    * row_number over (key, seq desc) — same total order as the
+    * struct-max because seq is the leading field. `baseSql` must select
+    * `k` + the attributes; `changesSql` must select `k, seq, op` + the
+    * attributes. */
+  def applyChangelogSql(baseSql: String, changesSql: String,
+                        attrCols: Seq[String]): String = {
+    val attrs = attrCols.mkString(", ")
+    val picked = attrCols
+      .map(a => s"CASE WHEN l.op IS NOT NULL THEN l.$a ELSE b.$a END AS $a")
+      .mkString(",\n       ")
+    s"""WITH b AS ($baseSql),
+       |l AS (
+       |  SELECT k, op, $attrs FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY k ORDER BY seq DESC) AS rn
+       |    FROM ($changesSql))
+       |  WHERE rn = 1
+       |)
+       |SELECT coalesce(b.k, l.k) AS k,
+       |       $picked
+       |FROM b FULL OUTER JOIN l ON l.k = b.k
+       |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+  }
+
   /** Point-in-time (temporal) lookup: for each fact, the dimension
     * version whose half-open validity interval `[valid_from, valid_to)`
     * contains the fact's timestamp.

@@ -269,5 +269,67 @@ object CatalogML5 {
     }, Some(graft.ops.Relevance.tfidfKeywordsSql(
       "SELECT doc_id AS id, text FROM documents", k = 5) +
       "\nORDER BY id, rank")),
+
+    // CDC changelog apply (MERGE/upsert — the SCD1 complement of
+    // q168's history): customer snapshot + an orders-derived I/U/D
+    // feed; last-per-key wins via a map-side struct-max, one
+    // full-outer key join, deletes drop even base rows.
+    ("q175_cdc_apply", (s: SparkSession, d: String) => {
+      val base = table(s, d, "customer").select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        floor(col("c_acctbal") * 100).as("cents"))
+      val changes = table(s, d, "orders").select(
+        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "P", "D")
+          .when(col("o_orderstatus") === "O", "I")
+          .otherwise("U").as("op"),
+        concat(lit("cust-"), col("o_custkey")).as("name"),
+        floor(col("o_totalprice") * 100).as("cents"))
+      Warehouse.applyChangelog(base, changes, "k", "seq", "op",
+          Seq("name", "cents"))
+        .orderBy("k")
+    }, Some(Warehouse.applyChangelogSql(
+      "SELECT c_custkey AS k, c_name AS name, " +
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer",
+      """SELECT o_custkey AS k, o_orderkey AS seq,
+        |       CASE WHEN o_orderstatus = 'P' THEN 'D'
+        |            WHEN o_orderstatus = 'O' THEN 'I'
+        |            ELSE 'U' END AS op,
+        |       'cust-' || o_custkey AS name,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders""".stripMargin,
+      Seq("name", "cents")) + "\nORDER BY k")),
+
+    // Two-proportion A/B significance over the event stream: variant
+    // by user parity, conversion = did-purchase (exp1) / hit-error
+    // (exp2); z² against the squared critical value clears the sqrt
+    // portable arithmetic cannot take — every number one fixed IEEE
+    // tree over exact long counts.
+    ("q176_events_abtest", (s: SparkSession, d: String) => {
+      val perUser = table(s, d, "events").groupBy(col("user_id"))
+        .agg(
+          max((col("event_type") === "purchase").cast("int")).as("__p"),
+          max((col("event_type") === "error").cast("int")).as("__e"))
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      val exp1 = perUser.select(lit("exp1_purchase").as("exp"),
+        col("variant"), (col("__p") === 1).as("conv"))
+      val exp2 = perUser.select(lit("exp2_error").as("exp"),
+        col("variant"), (col("__e") === 1).as("conv"))
+      Behavior.abTest(exp1.unionAll(exp2), "exp", "variant", "conv")
+        .orderBy("exp")
+    }, Some(Behavior.abTestSql(
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |           AS variant,
+        |         max(CAST(event_type = 'purchase' AS INT)) = 1 AS convp,
+        |         max(CAST(event_type = 'error' AS INT)) = 1 AS conve
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT 'exp1_purchase' AS exp, variant, convp AS conv FROM u
+        |UNION ALL
+        |SELECT 'exp2_error', variant, conve FROM u""".stripMargin) +
+      "\nORDER BY exp")),
   )
 }

@@ -147,6 +147,40 @@ class BehaviorWarehouseSpec extends SparkSpec {
     assert(TextOps.collocationsPmi(docs, "text", 1L, 10).count() === 3)
   }
 
+  test("applyChangelog: last change wins, deletes drop, inserts add, untouched keep") {
+    val base = Seq(("k1", "a", 10L), ("k2", "b", 20L), ("k3", "c", 30L))
+      .toDF("k", "name", "cents")
+    val changes = Seq(
+      ("k2", 1L, "U", "b2", 21L), ("k2", 2L, "U", "b3", 22L), // last wins
+      ("k3", 5L, "D", "x", 0L),                               // delete base
+      ("k4", 9L, "I", "d", 40L),                              // insert new
+      ("k5", 1L, "I", "e", 50L), ("k5", 2L, "D", "x", 0L)     // born+died
+    ).toDF("k", "seq", "op", "name", "cents")
+    val out = graft.ops.Warehouse.applyChangelog(base, changes, "k",
+        "seq", "op", Seq("name", "cents"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("k1", "a", 10L), ("k2", "b3", 22L), ("k4", "d", 40L)))
+  }
+
+  test("abTest: hand z-squared, significance, and degenerate arms") {
+    // A: 4 users 3 conv, B: 4 users 0 conv → z² = 0.5625/0.1171875 = 4.8
+    val e1 = (1 to 4).map(i => ("e1", "A", i <= 3)) ++
+      (1 to 4).map(_ => ("e1", "B", false))
+    // everyone converts → pooled variance 0 → null z², not significant
+    val e2 = Seq(("e2", "A", true), ("e2", "B", true))
+    // one-arm experiment → null z², null rate_b
+    val e3 = Seq(("e3", "A", true))
+    val df = (e1 ++ e2 ++ e3).toDF("exp", "variant", "conv")
+    val out = Behavior.abTest(df, "exp", "variant", "conv")
+      .orderBy("exp").collect()
+    assert(out(0).getDouble(7) === 4.8)
+    assert(out(0).getBoolean(8))
+    assert(out(1).isNullAt(7) && !out(1).getBoolean(8))
+    assert(out(2).isNullAt(7) && out(2).isNullAt(6) && !out(2).getBoolean(8))
+  }
+
   test("sessionize: gap splits, tie rows share a session, aggregates exact") {
     val ev = Seq(
       (1L, 0L, 10L), (1L, 0L, 20L),      // tied first instant: one session
