@@ -93,6 +93,22 @@ object Incremental {
     spark.sql(s"ALTER TABLE $staged RENAME TO $stateTable")
   }
 
+  /** Stage-and-swap `stateTable` to the result of `next(current)` —
+    * the generic (non-monoid) advance for state whose update is a
+    * TRANSFORM of the current table (e.g. the CDC MERGE of
+    * [[Warehouse.applyChangelog]]), not a keyed aggregate merge. The
+    * staged write materializes fully BEFORE the old table drops, so a
+    * failed transform leaves the current state intact (the same
+    * crash-safety order as [[advanceStateTableBy]]). */
+  def transformStateTable(spark: SparkSession, stateTable: String)
+                         (next: DataFrame => DataFrame): Unit = {
+    val staged = s"${stateTable}__next"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    next(spark.table(stateTable)).write.saveAsTable(staged)
+    spark.sql(s"DROP TABLE $stateTable")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $stateTable")
+  }
+
   /** [[advanceStateTableBy]] specialized to the built-in
     * count/sum/min/max state of [[aggState]]. */
   def advanceStateTable(spark: SparkSession, stateTable: String,

@@ -634,6 +634,69 @@ object CatalogStream {
          |       ${dsumSql("value", 6)} AS total,
          |       ${dsumSql("value", 6)} / count(value) AS avg,
          |       min(value) AS mn, max(value) AS mx
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming CDC maintenance: the q175 MERGE run as a live loop —
+    // three arrival waves of an I/U/D change feed fold into a
+    // persisted latest-state table through foreachBatch, each
+    // microbatch one applyChangelog + stage-and-swap. Unlike q160's
+    // monoid state, CDC folding is order-SENSITIVE: state_k =
+    // apply(state_{k-1}, wave_k) equals the one-shot batch apply IFF
+    // no later wave carries a smaller sequence number for a key than
+    // an earlier one — exactly the per-key in-order delivery contract
+    // the reference's per-shard sequencing guarantees
+    // (KinesisSubscriberActor.scala:176-207). The waves are therefore
+    // staged by SEQ RANGE (a mod-split would violate the contract and
+    // genuinely diverge — deletes would un-delete). Oracle: the
+    // from-scratch batch MERGE over the whole feed.
+    ("q177_stream_cdc_apply", (s: SparkSession, d: String) => {
+      import graft.ops.{Incremental, Warehouse}
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q177_state_$tag"
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
+      val base = table(s, d, "customer").select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        floor(col("c_acctbal") * 100).as("cents"))
+      val changes = table(s, d, "orders").select(
+        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "P", "D")
+          .when(col("o_orderstatus") === "O", "I")
+          .otherwise("U").as("op"),
+        concat(lit("cust-"), col("o_custkey")).as("name"),
+        floor(col("o_totalprice") * 100).as("cents"))
+      // one-row staging probe (fixture prep, not operator cost): the
+      // seq-range thirds that model in-order delivery
+      val mx = changes.agg(max(col("seq"))).head().getLong(0)
+      val dir = stageWavesCached(d, "orders-cdc")(Seq(
+        changes.where(col("seq") * 3 <= mx),
+        changes.where(col("seq") * 3 > mx && col("seq") * 3 <= 2 * mx),
+        changes.where(col("seq") * 3 > 2 * mx)))
+      base.write.saveAsTable(st)
+      val src = s.readStream.format("parquet").schema(changes.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Incremental.transformStateTable(s, st)(cur =>
+              Warehouse.applyChangelog(cur, b, "k", "seq", "op",
+                Seq("name", "cents")))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally rmrf(ckpt)
+      s.table(st).orderBy("k")
+    }, Some(graft.ops.Warehouse.applyChangelogSql(
+      "SELECT c_custkey AS k, c_name AS name, " +
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer",
+      """SELECT o_custkey AS k, o_orderkey AS seq,
+        |       CASE WHEN o_orderstatus = 'P' THEN 'D'
+        |            WHEN o_orderstatus = 'O' THEN 'I'
+        |            ELSE 'U' END AS op,
+        |       'cust-' || o_custkey AS name,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders""".stripMargin,
+      Seq("name", "cents")) + "\nORDER BY k"))
   )
 }

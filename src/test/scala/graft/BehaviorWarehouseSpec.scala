@@ -164,6 +164,29 @@ class BehaviorWarehouseSpec extends SparkSpec {
       ("k1", "a", 10L), ("k2", "b3", 22L), ("k4", "d", 40L)))
   }
 
+  test("CDC fold: seq-ordered waves equal the batch merge; out-of-order genuinely diverges") {
+    import graft.ops.Warehouse.applyChangelog
+    val base = Seq(("k1", "a", 1L)).toDF("k", "name", "cents")
+    val all = Seq(("k1", 3L, "D", "x", 0L), ("k1", 5L, "U", "b", 2L))
+      .toDF("k", "seq", "op", "name", "cents")
+    def apply1(b: org.apache.spark.sql.DataFrame,
+               c: org.apache.spark.sql.DataFrame) =
+      applyChangelog(b, c, "k", "seq", "op", Seq("name", "cents"))
+    val batch = apply1(base, all).collect()
+    // in-order waves (seq ranges): delete then re-insert → equals batch
+    val ordered = apply1(apply1(base, all.where(col("seq") === 3)),
+      all.where(col("seq") === 5)).collect()
+    assert(batch.map(_.toSeq).toSeq === ordered.map(_.toSeq).toSeq)
+    assert(batch.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("k1", "b")))
+    // out-of-order waves (the contract q177 documents): the stale
+    // delete lands LAST and kills the newer upsert — divergence is
+    // real, which is why the waves must respect per-key seq order
+    val shuffled = apply1(apply1(base, all.where(col("seq") === 5)),
+      all.where(col("seq") === 3)).collect()
+    assert(shuffled.isEmpty)
+  }
+
   test("abTest: hand z-squared, significance, and degenerate arms") {
     // A: 4 users 3 conv, B: 4 users 0 conv → z² = 0.5625/0.1171875 = 4.8
     val e1 = (1 to 4).map(i => ("e1", "A", i <= 3)) ++
