@@ -282,6 +282,88 @@ object Behavior {
        |         AS BIGINT) AS cum_users
        |FROM pd""".stripMargin
 
+  /** Time-to-convert distribution per funnel step transition: for each
+    * consecutive step pair, EXACT percentiles (the q144 counting-CDF
+    * machinery — integral microsecond latencies, integer rank
+    * arithmetic, no sort) of `earliest completion of step i+1 −
+    * earliest completion of step i` over the users who completed both.
+    * The honest latency companion to [[funnel]]'s counts: the same
+    * min-ts cascade, so a user's latency is measured between the SAME
+    * completions the funnel counted.
+    *
+    * Output `(step_pair, pct, value, n_values)` — value in integer
+    * microseconds. Scale: the per-step cascade is user-count-sized
+    * (see [[funnel]]); the quantile stage collapses each pair's
+    * latencies to a value-domain count table in one map-side-combined
+    * exchange (never a global sort).
+    */
+  def funnelLatency(events: DataFrame, userCol: String, ts: Column,
+                    typeCol: String, steps: Seq[String],
+                    percents: Seq[Int]): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two steps")
+    val u = col(userCol)
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(u).agg(min(ts).as("__t"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      events.where(col(typeCol) === step)
+        .join(prev.select(u, col("__t").as("__pt")), Seq(userCol))
+        .where(ts > col("__pt"))
+        .groupBy(u).agg(min(ts).as("__t"))
+    }
+    val lats = stages.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        a.select(u, col("__t").as("__ta"))
+          .join(b.select(u, col("__t").as("__tb")), Seq(userCol))
+          .select(
+            lit(s"${i + 1}:${steps(i)}->${steps(i + 1)}").as("step_pair"),
+            (unix_micros(col("__tb")) - unix_micros(col("__ta")))
+              .as("lat_us"))
+      case other => sys.error(s"unreachable sliding window: $other")
+    }
+    Profile.exactQuantilesBy(lats.reduce(_ unionAll _),
+      "step_pair", "lat_us", percents)
+  }
+
+  /** Mirror of [[funnelLatency]] for the DuckDB oracle — the funnel
+    * stage CTEs plus the q144 CDF replay. `eventsSql` must select
+    * `u`, `ts`, `typ`. */
+  def funnelLatencySql(eventsSql: String, steps: Seq[String],
+                       percents: Seq[Int]): String = {
+    val stages = steps.zipWithIndex.map { case (step, i) =>
+      val lit = step.replace("'", "''")
+      if (i == 0)
+        s"s0 AS (SELECT u, min(ts) AS t FROM ev WHERE typ = '$lit' GROUP BY 1)"
+      else
+        s"""s$i AS (
+           |  SELECT ev.u, min(ev.ts) AS t
+           |  FROM ev JOIN s${i - 1} p ON p.u = ev.u
+           |  WHERE ev.typ = '$lit' AND ev.ts > p.t
+           |  GROUP BY 1)""".stripMargin
+    }
+    val pairs = (0 until steps.size - 1).map { i =>
+      val label = s"${i + 1}:${steps(i)}->${steps(i + 1)}".replace("'", "''")
+      s"""SELECT '$label' AS step_pair,
+         |       epoch_us(b.t) - epoch_us(a.t) AS v
+         |FROM s$i a JOIN s${i + 1} b ON b.u = a.u""".stripMargin
+    }
+    s"""WITH ev AS ($eventsSql),
+       |${stages.mkString(",\n")},
+       |lat AS (${pairs.mkString("\nUNION ALL\n")}),
+       |c AS (
+       |  SELECT step_pair, v, COUNT(*) AS cnt FROM lat GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT step_pair, v,
+       |         SUM(cnt) OVER (PARTITION BY step_pair ORDER BY v) AS cum,
+       |         SUM(cnt) OVER (PARTITION BY step_pair) AS n
+       |  FROM c
+       |), p AS (SELECT unnest([${percents.mkString(", ")}]) AS pct)
+       |SELECT step_pair, pct, MIN(v) AS value,
+       |       CAST(MIN(n) AS BIGINT) AS n_values
+       |FROM cum, p
+       |WHERE cum >= (n * pct + 99) // 100
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Two-proportion A/B significance report: one row per experiment
     * with per-variant exposure/conversion counts, rates, the pooled
     * two-proportion z² statistic and a significance flag at the given

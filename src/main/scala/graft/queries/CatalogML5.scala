@@ -331,5 +331,22 @@ object CatalogML5 {
         |UNION ALL
         |SELECT 'exp2_error', variant, conve FROM u""".stripMargin) +
       "\nORDER BY exp")),
+
+    // Funnel time-to-convert distribution: exact p25/50/90 latencies
+    // (integer microseconds, counting-CDF — no sort) between the SAME
+    // earliest completions q166 counted. Users who stall between
+    // steps simply don't appear in that pair's distribution.
+    ("q178_events_funnel_latency", (s: SparkSession, d: String) => {
+      Behavior.funnelLatency(
+          table(s, d, "events")
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+              col("event_type")),
+          "user_id", col("ts"), "event_type", FunnelSteps,
+          percents = Seq(25, 50, 90))
+        .orderBy("step_pair", "pct")
+    }, Some(Behavior.funnelLatencySql(
+      "SELECT user_id AS u, ts, event_type AS typ FROM events",
+      FunnelSteps, percents = Seq(25, 50, 90)) +
+      "\nORDER BY step_pair, pct")),
   )
 }

@@ -164,6 +164,22 @@ class BehaviorWarehouseSpec extends SparkSpec {
       ("k1", "a", 10L), ("k2", "b3", 22L), ("k4", "d", 40L)))
   }
 
+  test("funnelLatency: exact CDF picks over known step latencies") {
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 10L, "view"),
+      (2L, 0L, "signup"), (2L, 30L, "view"),
+      (3L, 0L, "signup") // stalls: absent from the pair's distribution
+    ).toDF("u", "t", "typ")
+      .select(col("u"), timestamp_seconds(col("t")).as("ts"), col("typ"))
+    val out = Behavior.funnelLatency(ev, "u", col("ts"), "typ",
+        Seq("signup", "view"), percents = Seq(50, 100))
+      .orderBy("pct").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("1:signup->view", 50, 10000000L, 2L),
+      ("1:signup->view", 100, 30000000L, 2L)))
+  }
+
   test("CDC fold: seq-ordered waves equal the batch merge; out-of-order genuinely diverges") {
     import graft.ops.Warehouse.applyChangelog
     val base = Seq(("k1", "a", 1L)).toDF("k", "name", "cents")
