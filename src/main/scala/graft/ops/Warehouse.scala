@@ -119,6 +119,45 @@ object Warehouse {
        |)""".stripMargin
   }
 
+  /** Incremental SCD2 maintenance: fold a NEW change tail into an
+    * existing [[scd2Build]] dimension without the original changelog.
+    *
+    * Works because an SCD2 dimension IS its own change-point
+    * changelog: replaying `(key, valid_from, attrs)` through
+    * [[scd2Build]] reproduces the dimension exactly (change points
+    * never compress against each other by construction). So the merge
+    * is: keys untouched by the feed pass through verbatim; touched
+    * keys rebuild from `their change points ∪ the new tail` — cost
+    * O(touched slice + feed), NEVER the archived changelog.
+    *
+    * Contracts: the feed is in-order per key (every new change's tick
+    * is ≥ the key's last `valid_from` — the reference's per-shard
+    * ordering; an out-of-order tick would need the real changelog),
+    * and feed `seqCol` values are ≥ 0 — replayed change points carry
+    * negative sequence numbers (Long.MinValue + version) so a new
+    * change LANDING ON the current version's tick wins tick-final.
+    *
+    * Scale: one semi + one anti key join against the feed's distinct
+    * keys, then [[scd2Build]]'s single keyed exchange over the touched
+    * slice only. Done ≡ full rebuild (the oracle and spec assert it).
+    */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, keyCol: String,
+                ts: Column, seqCol: String,
+                attrCols: Seq[String]): DataFrame = {
+    val keys = changes.select(col(keyCol)).distinct()
+    val replay = dim.join(keys, Seq(keyCol), "left_semi")
+      .select(col(keyCol) +: col("valid_from").as("__rts") +:
+        (col("version") + lit(Long.MinValue)).as("__rseq") +:
+        attrCols.map(col): _*)
+    val fresh = changes.select(col(keyCol) +: ts.as("__rts") +:
+      col(seqCol).cast("long").as("__rseq") +: attrCols.map(col): _*)
+    val rebuilt = scd2Build(replay.unionAll(fresh), keyCol,
+      col("__rts"), "__rseq", attrCols)
+    dim.join(keys, Seq(keyCol), "left_anti")
+      .select(rebuilt.columns.map(col): _*)
+      .unionAll(rebuilt)
+  }
+
   /** CDC changelog apply (the MERGE/upsert shape — the SCD1 complement
     * of [[scd2Build]]'s full history): fold a change feed into a base
     * snapshot, producing the LATEST state per key.

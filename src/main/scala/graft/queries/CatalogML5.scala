@@ -348,5 +348,36 @@ object CatalogML5 {
       "SELECT user_id AS u, ts, event_type AS typ FROM events",
       FunnelSteps, percents = Seq(25, 50, 90)) +
       "\nORDER BY step_pair, pct")),
+
+    // Incremental SCD2 maintenance: the dimension built from the feed
+    // BEFORE Jan 20 is advanced with the tail AFTER it — replaying the
+    // touched keys' own change points plus the new tail through the
+    // builder, untouched keys passing through verbatim. The oracle is
+    // the FULL from-scratch rebuild: the incremental path must be
+    // indistinguishable from never having split the feed. (Cut is
+    // hour-ALIGNED so no tick spans the splice.)
+    ("q179_scd2_incremental", (s: SparkSession, d: String) => {
+      val ev = table(s, d, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        col("event_type").as("state"))
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+      val dim = Warehouse.scd2Build(ev.where(col("ts") < cut), "user_id",
+        date_trunc("hour", col("ts")), "event_id", Seq("state"))
+      Warehouse.scd2Apply(dim,
+          ev.where(col("ts") >= cut)
+            .select(col("user_id"),
+              date_trunc("hour", col("ts")).as("__cts"),
+              col("event_id"), col("state")),
+          "user_id", col("__cts"), "event_id", Seq("state"))
+        .orderBy("user_id", "version")
+    }, Some("WITH " + Warehouse.scd2BuildSql(
+      "SELECT user_id AS k, date_trunc('hour', ts) AS ts, " +
+        "event_id AS seq, event_type AS state FROM events",
+      Seq("state")) +
+      """
+        |SELECT k AS user_id, state, valid_from, valid_to, is_current,
+        |       version
+        |FROM scd2
+        |ORDER BY user_id, version""".stripMargin)),
   )
 }

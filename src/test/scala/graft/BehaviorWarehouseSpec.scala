@@ -87,6 +87,33 @@ class BehaviorWarehouseSpec extends SparkSpec {
     assert(out.filter(_.getString(0) == "k2").head.getBoolean(4))
   }
 
+  test("scd2Apply: incremental advance equals the full rebuild, splice tick included") {
+    import graft.ops.Warehouse.{scd2Apply, scd2Build}
+    // base feed: k1 A@1h then B@2h; tail: C lands ON the current tick
+    // (2h, higher seq — must win tick-final over the replayed point)
+    // then a C heartbeat at 3h (must compress); k2 untouched; k3 born
+    // in the tail.
+    val all = Seq(
+      ("k1", 1L * H, 1L, "A"), ("k1", 2L * H, 2L, "B"),
+      ("k1", 2L * H, 3L, "C"), ("k1", 3L * H, 4L, "C"),
+      ("k2", 1L * H, 1L, "Z"),
+      ("k3", 5L * H, 9L, "Y")
+    ).toDF("k", "t", "seq", "state")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"),
+        col("seq"), col("state"))
+    val base = all.where(col("seq") <= 2)
+    val tail = all.where(col("seq") > 2)
+    val dim = scd2Build(base, "k", col("ts"), "seq", Seq("state"))
+    val inc = scd2Apply(dim, tail, "k", col("ts"), "seq", Seq("state"))
+      .orderBy("k", "version").collect().map(_.toSeq)
+    val full = scd2Build(all, "k", col("ts"), "seq", Seq("state"))
+      .orderBy("k", "version").collect().map(_.toSeq)
+    assert(inc.toSeq === full.toSeq)
+    // and the splice semantics concretely: k1 = A[1h,2h), C[2h,∞)
+    val k1 = inc.filter(_.head == "k1")
+    assert(k1.map(r => (r(1), r(5))).toSeq === Seq(("A", 1L), ("C", 2L)))
+  }
+
   test("pointInTime: facts match covering version; early/unknown keys stay null") {
     val ch = Seq(
       ("k1", 1L * H, 1L, "B"), ("k1", 3L * H, 2L, "A")
