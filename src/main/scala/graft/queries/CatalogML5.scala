@@ -379,5 +379,60 @@ object CatalogML5 {
         |       version
         |FROM scd2
         |ORDER BY user_id, version""".stripMargin)),
+
+    // Event-family capstone: sessions (q170) enriched with the user's
+    // SCD2 state AT SESSION START (q168 history + q169 temporal join),
+    // reported per state — the "what were users doing, segmented by
+    // what we knew about them at the time" readout, composed from the
+    // three individually-oracled operators in one plan.
+    ("q180_events_pipeline", (s: SparkSession, d: String) => {
+      val ev = table(s, d, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      val dim = Warehouse.scd2Build(
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state")),
+        "user_id", date_trunc("hour", col("ts")), "event_id",
+        Seq("state"))
+      val sess = Behavior.sessionize(ev, "user_id", col("ts"),
+        floor(col("value") * 100), gapSeconds = 1800L)
+      val facts = sess.select(col("user_id"), col("session_id"),
+        timestamp_micros(col("start_us")).as("sts"),
+        col("duration_us"), col("n_events"), col("cents"))
+      Warehouse.pointInTime(facts, "user_id", col("sts"), dim,
+          "user_id", Seq("state"))
+        .groupBy(coalesce(col("state"), lit("unknown"))
+          .as("state_at_start"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("duration_us")).as("sum_duration_us"),
+          sum(col("n_events")).as("sum_events"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("state_at_start")
+    }, Some("WITH " + Warehouse.scd2BuildSql(
+      "SELECT user_id AS k, date_trunc('hour', ts) AS ts, " +
+        "event_id AS seq, event_type AS state FROM events",
+      Seq("state")) + ",\n" +
+      "sess AS (" + Behavior.sessionizeSql(
+        "SELECT user_id AS u, epoch_us(ts) AS e, " +
+          "CAST(floor(value * 100) AS BIGINT) AS c FROM events",
+        gapSeconds = 1800L, keyAs = "user_id") + "),\n" +
+      """f AS (
+        |  SELECT user_id, make_timestamp(start_us) AS sts,
+        |         duration_us, n_events, cents
+        |  FROM sess
+        |), e AS (
+        |  SELECT f.*, s.state
+        |  FROM f LEFT JOIN scd2 s
+        |    ON s.k = f.user_id AND s.valid_from <= f.sts
+        |       AND (s.valid_to IS NULL OR f.sts < s.valid_to)
+        |)
+        |SELECT coalesce(state, 'unknown') AS state_at_start,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(duration_us) AS BIGINT) AS sum_duration_us,
+        |       CAST(sum(n_events) AS BIGINT) AS sum_events,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)),
   )
 }
