@@ -221,4 +221,83 @@ object Graph {
        |$rounds
        |SELECT node, out_deg, rank FROM r$iters""".stripMargin
   }
+
+  /** Synchronous label-propagation communities (LPA): every node
+    * starts labeled with its own id; each round it adopts the label
+    * MOST FREQUENT among its in-neighbors (ties to the smallest
+    * label; nodes with no in-edges keep theirs). Unlike
+    * [[Dedup.connectedComponents]]' hash-min (membership = reachable
+    * set), frequency voting finds DENSE communities inside one
+    * component — the crawl-graph use is host clustering where
+    * everything is weakly connected but neighborhoods matter.
+    * Callers symmetrize `edges` for the undirected reading.
+    *
+    * Everything is INTEGER arithmetic (labels, vote counts) and the
+    * per-node argmax is the total order (count desc, label asc), so T
+    * synchronous rounds are bit-portable with no decimal machinery —
+    * the full unrolled-CTE differential oracle exists for free
+    * ([[labelPropagationSql]]).
+    *
+    * Scale per round: one |E| src-keyed join carrying (dst, lbl)
+    * pairs, one map-side-combined (node, lbl) count, one node-sized
+    * argmax, one node-keyed carry join. Fixed T, no driver collect;
+    * same per-round lineage truncation + checkpoint rotation as
+    * [[pageRank]] (rank_{t+1} references rank_t twice).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = Checkpointing.truncate(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
+    var labels = Checkpointing.truncate(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+        .withColumn("lbl", col("node")))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("node")
+        .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l")))
+          .as("__w"))
+        .select(col("node"), col("__w.l").as("__new"))
+      val prev = labels
+      labels = Checkpointing.truncate(
+        labels.join(votes, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__new"), col("lbl")).as("lbl")))
+      Checkpointing.release(prev)
+    }
+    labels
+  }
+
+  /** Mirror of [[labelPropagation]] for the DuckDB oracle: the same T
+    * rounds unrolled as CTEs, the argmax as row_number over
+    * (count desc, label asc) — the identical total order. `edgesCte`
+    * must define `e(src, dst)`. */
+  def labelPropagationSql(edgesCte: String, iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""v$t AS (
+         |  SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM e JOIN l${t - 1} l ON l.node = e.src
+         |  GROUP BY 1, 2
+         |), w$t AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER
+         |      (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$t)
+         |  WHERE rn = 1
+         |), l$t AS (
+         |  SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+         |  FROM l${t - 1} l LEFT JOIN w$t w ON w.node = l.node
+         |)""".stripMargin
+    }
+    s"""WITH $edgesCte,
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |l0 AS (SELECT node, node AS lbl FROM n),
+       |${rounds.mkString(",\n")}
+       |SELECT node, lbl FROM l$iters""".stripMargin
+  }
 }

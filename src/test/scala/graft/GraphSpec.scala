@@ -106,4 +106,21 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(v - want(k)) < 1e-9, s"$k: $v vs ${want(k)}")
     }
   }
+
+  test("labelPropagation: two triangles separate; no-in-edge node keeps its label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two triangles bridged by one edge (symmetrized), plus a
+    // directed-only stub 50→51 (50 has no in-edges → keeps label 50)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap) :+ (50L, 51L)).toDF("src", "dst")
+    val got = graft.ops.Graph.labelPropagation(edges, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-simulated synchronous rounds with (count desc, label asc):
+    // r1: 1→2 2→1 3→1 10→3 11→10 12→10; r2: 1→1 2→1 3→1 10→10 11→3
+    // 12→3; r3: triangle A all 1, triangle B all 3
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 50L -> 50L, 51L -> 50L))
+  }
 }
