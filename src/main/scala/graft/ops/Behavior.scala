@@ -282,6 +282,71 @@ object Behavior {
        |         AS BIGINT) AS cum_users
        |FROM pd""".stripMargin
 
+  /** Top-k most frequent length-3 event paths (behavior n-grams — the
+    * "how do users actually move" readout [[eventTransitions]]'s
+    * first-order matrix cannot see). Same total-order lag chain
+    * (`seqCol` breaks timestamp ties); paths reduce to a
+    * (type³)-bounded count table in one map-side-combined exchange
+    * after the user-keyed lag; top-k is TakeOrderedAndProject under
+    * the (n desc, path asc) total order.
+    */
+  def eventPaths(events: DataFrame, userCol: String, ts: Column,
+                 typeCol: String, seqCol: String, k: Int): DataFrame = {
+    val u = col(userCol)
+    val w = Window.partitionBy(u).orderBy(ts, col(seqCol))
+    events
+      .withColumn("__p1", lag(col(typeCol), 1).over(w))
+      .withColumn("__p2", lag(col(typeCol), 2).over(w))
+      .where(col("__p2").isNotNull)
+      .groupBy(concat_ws("->", col("__p2"), col("__p1"), col(typeCol))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Mirror of [[eventPaths]] for the DuckDB oracle. `eventsSql` must
+    * select `u`, `ts`, `seq`, `typ`. */
+  def eventPathsSql(eventsSql: String, k: Int): String =
+    s"""WITH ev AS ($eventsSql),
+       |lagged AS (
+       |  SELECT lag(typ, 2) OVER (PARTITION BY u ORDER BY ts, seq) AS p2,
+       |         lag(typ, 1) OVER (PARTITION BY u ORDER BY ts, seq) AS p1,
+       |         typ
+       |  FROM ev
+       |)
+       |SELECT p2 || '->' || p1 || '->' || typ AS path,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM lagged WHERE p2 IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY n DESC, path
+       |LIMIT $k""".stripMargin
+
+  /** Seasonal activity profile: the (day-of-week × hour-of-day)
+    * heatmap of event counts and cents — the load/seasonality readout
+    * behind capacity planning and anomaly baselining. One map-side-
+    * combined aggregate to a ≤168-row table; day-of-week is Spark's
+    * convention (1 = Sunday … 7 = Saturday; the oracle shifts
+    * DuckDB's 0-based dow to match).
+    */
+  def seasonalProfile(events: DataFrame, ts: Column,
+                      valueCents: Column): DataFrame =
+    events.groupBy(dayofweek(ts).cast("int").as("dow"),
+        hour(ts).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueCents.cast("long")).as("cents"))
+
+  /** Mirror of [[seasonalProfile]] for the DuckDB oracle. `eventsSql`
+    * must select `ts` and `c` (cents). */
+  def seasonalProfileSql(eventsSql: String): String =
+    s"""WITH ev AS ($eventsSql)
+       |SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       |       CAST(hour(ts) AS INT) AS hod,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(c) AS BIGINT) AS cents
+       |FROM ev
+       |GROUP BY 1, 2""".stripMargin
+
   /** Time-to-convert distribution per funnel step transition: for each
     * consecutive step pair, EXACT percentiles (the q144 counting-CDF
     * machinery — integral microsecond latencies, integer rank

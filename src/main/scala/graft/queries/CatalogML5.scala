@@ -459,5 +459,27 @@ object CatalogML5 {
         |e AS (SELECT c AS src, s2 AS dst FROM e0
         |      UNION ALL SELECT s2, c FROM e0)""".stripMargin,
       iters = 3) + "\nORDER BY node")),
+
+    // Behavior trigrams: the top-20 most frequent 3-step event paths —
+    // the sequence readout q171's first-order matrix cannot express
+    // (a Markov chain forgets; the path table does not).
+    ("q182_events_paths", (s: SparkSession, d: String) => {
+      Behavior.eventPaths(table(s, d, "events"), "user_id", col("ts"),
+          "event_type", "event_id", k = 20)
+    }, Some(Behavior.eventPathsSql(
+      "SELECT user_id AS u, ts, event_id AS seq, event_type AS typ " +
+        "FROM events", k = 20))),
+
+    // Seasonal (dow × hour) activity heatmap — counts and cents into a
+    // ≤168-row profile in one map-side-combined aggregate.
+    ("q183_events_seasonal", (s: SparkSession, d: String) => {
+      Behavior.seasonalProfile(
+          table(s, d, "events")
+            .select(col("ts").cast("timestamp").as("ts"), col("value")),
+          col("ts"), floor(col("value") * 100))
+        .orderBy("dow", "hod")
+    }, Some(Behavior.seasonalProfileSql(
+      "SELECT ts, CAST(floor(value * 100) AS BIGINT) AS c FROM events") +
+      "\nORDER BY dow, hod")),
   )
 }

@@ -294,6 +294,28 @@ class BehaviorWarehouseSpec extends SparkSpec {
       (4L, false), (5L, false), (6L, true)))
   }
 
+  test("eventPaths: trigram counts under the total order") {
+    val ev = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"), (1L, 4L, 4L, "B"),
+      (2L, 1L, 5L, "A"), (2L, 2L, 6L, "B"), (2L, 3L, 7L, "A")
+    ).toDF("u", "t", "seq", "typ")
+    val out = Behavior.eventPaths(ev, "u", col("t"), "typ", "seq", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("A->B->A", 2L), ("B->A->B", 1L)))
+  }
+
+  test("seasonalProfile: Spark dow convention, cents sum per cell") {
+    // 2024-01-07 is a Sunday → Spark dow 1; 2024-01-08 Monday → 2
+    val ev = Seq(
+      ("2024-01-07 10:15:00", 100L), ("2024-01-07 10:45:00", 250L),
+      ("2024-01-08 23:00:00", 40L)
+    ).toDF("s", "c").select(col("s").cast("timestamp").as("ts"), col("c"))
+    val out = Behavior.seasonalProfile(ev, col("ts"), col("c"))
+      .orderBy("dow", "hod").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, 10, 2L, 350L), (2, 23, 1L, 40L)))
+  }
+
   test("activeUsersDaily: dau, first-day news, exact cumulative curve") {
     val ev = Seq(
       (1L, 0L), (1L, 86400L), (2L, 10L), (3L, 86410L), (3L, 86420L)
