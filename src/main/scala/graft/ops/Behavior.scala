@@ -282,6 +282,116 @@ object Behavior {
        |         AS BIGINT) AS cum_users
        |FROM pd""".stripMargin
 
+  /** RFM segmentation: each user scored into quartiles of Recency
+    * (days since last event, vs the corpus max instant), Frequency
+    * (event count) and Monetary (cents sum) — the classic marketing
+    * segmentation, done the SCALABLE way: quartile THRESHOLDS come
+    * from the counting-CDF exact quantiles (never an ntile over one
+    * global partition), broadcast back as three 1-row frames, and the
+    * quartile is `1 + (v>t25) + (v>t50) + (v>t75)` — integer compares,
+    * ties well-defined, engine-portable. Quartile 1 = lowest metric
+    * value (for recency-days that means MOST recent).
+    *
+    * Scale: one map-side-combined user aggregate (bounded-cached: the
+    * melt and the final join both consume it — entity-sized, and the
+    * registry's eviction merely recomputes), one explode-melt pass,
+    * the q144 CDF per metric, three broadcast threshold rows. Returns
+    * `(user, r_days, f, m_cents, r_q, f_q, m_q, segment)`.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, ts: Column,
+                  valueCents: Column): DataFrame = {
+    val u = col(userCol)
+    val mx = events.agg(max(unix_micros(ts)).as("__mx"))
+    val base = CachedFrames.cached(events.groupBy(u)
+      .agg(max(unix_micros(ts)).as("__last"),
+        count(lit(1)).as("f"),
+        sum(valueCents.cast("long")).as("m_cents"))
+      .crossJoin(mx)
+      .select(u, ((col("__mx") - col("__last")) / lit(86400000000L))
+        .cast("long").as("r_days"), col("f"), col("m_cents")))
+    val melted = base.select(u, explode(array(
+        struct(lit("r").as("metric"), col("r_days").as("v")),
+        struct(lit("f").as("metric"), col("f").as("v")),
+        struct(lit("m").as("metric"), col("m_cents").as("v")))).as("__e"))
+      .select(col("__e.metric").as("metric"), col("__e.v").as("v"))
+    val t = CachedFrames.cached(
+      Profile.exactQuantilesBy(melted, "metric", "v", Seq(25, 50, 75))
+        .groupBy("metric").agg(
+          min(when(col("pct") === 25, col("value"))).as("t25"),
+          min(when(col("pct") === 50, col("value"))).as("t50"),
+          min(when(col("pct") === 75, col("value"))).as("t75")))
+    def thr(m: String) = t.where(col("metric") === m)
+      .select(col("t25").as(s"__${m}25"), col("t50").as(s"__${m}50"),
+        col("t75").as(s"__${m}75"))
+    def quart(v: Column, m: String): Column =
+      (lit(1) + (v > col(s"__${m}25")).cast("int") +
+        (v > col(s"__${m}50")).cast("int") +
+        (v > col(s"__${m}75")).cast("int")).cast("int")
+    base.crossJoin(thr("r")).crossJoin(thr("f")).crossJoin(thr("m"))
+      .select(u, col("r_days"), col("f"), col("m_cents"),
+        quart(col("r_days"), "r").as("r_q"),
+        quart(col("f"), "f").as("f_q"),
+        quart(col("m_cents"), "m").as("m_q"))
+      .withColumn("segment",
+        concat(col("r_q"), col("f_q"), col("m_q")))
+  }
+
+  /** Mirror of [[rfmSegments]] for the DuckDB oracle. `eventsSql` must
+    * select `u`, `ts`, `c` (cents); `keyAs` names the user column. */
+  def rfmSegmentsSql(eventsSql: String, keyAs: String = "u"): String =
+    s"""WITH ev AS ($eventsSql),
+       |base AS (
+       |  SELECT u,
+       |         (
+       |           (SELECT max(epoch_us(ts)) FROM ev) - max(epoch_us(ts))
+       |         ) // 86400000000 AS r_days,
+       |         CAST(count(*) AS BIGINT) AS f,
+       |         CAST(sum(c) AS BIGINT) AS m_cents
+       |  FROM ev GROUP BY 1
+       |), melted AS (
+       |  SELECT 'r' AS metric, r_days AS v FROM base
+       |  UNION ALL SELECT 'f', f FROM base
+       |  UNION ALL SELECT 'm', m_cents FROM base
+       |), c AS (
+       |  SELECT metric, v, COUNT(*) AS cnt FROM melted GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT metric, v,
+       |         SUM(cnt) OVER (PARTITION BY metric ORDER BY v) AS cum,
+       |         SUM(cnt) OVER (PARTITION BY metric) AS n
+       |  FROM c
+       |), p AS (SELECT unnest([25, 50, 75]) AS pct),
+       |qs AS (
+       |  SELECT metric, pct, MIN(v) AS value
+       |  FROM cum, p
+       |  WHERE cum >= (n * pct + 99) // 100
+       |  GROUP BY 1, 2
+       |), t AS (
+       |  SELECT metric,
+       |         min(CASE WHEN pct = 25 THEN value END) AS t25,
+       |         min(CASE WHEN pct = 50 THEN value END) AS t50,
+       |         min(CASE WHEN pct = 75 THEN value END) AS t75
+       |  FROM qs GROUP BY 1
+       |), w AS (
+       |  SELECT b.*,
+       |    CAST(1 + CAST(b.r_days > tr.t25 AS INT)
+       |           + CAST(b.r_days > tr.t50 AS INT)
+       |           + CAST(b.r_days > tr.t75 AS INT) AS INT) AS r_q,
+       |    CAST(1 + CAST(b.f > tf.t25 AS INT)
+       |           + CAST(b.f > tf.t50 AS INT)
+       |           + CAST(b.f > tf.t75 AS INT) AS INT) AS f_q,
+       |    CAST(1 + CAST(b.m_cents > tm.t25 AS INT)
+       |           + CAST(b.m_cents > tm.t50 AS INT)
+       |           + CAST(b.m_cents > tm.t75 AS INT) AS INT) AS m_q
+       |  FROM base b,
+       |       (SELECT * FROM t WHERE metric = 'r') tr,
+       |       (SELECT * FROM t WHERE metric = 'f') tf,
+       |       (SELECT * FROM t WHERE metric = 'm') tm
+       |)
+       |SELECT u AS $keyAs, r_days, f, m_cents, r_q, f_q, m_q,
+       |       CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+       |         CAST(m_q AS VARCHAR) AS segment
+       |FROM w""".stripMargin
+
   /** Top-k most frequent length-3 event paths (behavior n-grams — the
     * "how do users actually move" readout [[eventTransitions]]'s
     * first-order matrix cannot see). Same total-order lag chain

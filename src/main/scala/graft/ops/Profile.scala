@@ -252,4 +252,31 @@ object Profile {
           (col("n_distinct") + 1).cast("double") / col("n_distinct"))
           .as("gini"))
   }
+
+  /** Data-quality expectations audit — the Great-Expectations-style
+    * gate a pipeline runs before promoting a table: each rule is
+    * `(name, measured aggregate, pass aggregate)`, and ALL rules
+    * evaluate in ONE aggregation pass over the frame (a k-rule audit
+    * must not cost k corpus scans — the single 1-row aggregate is
+    * exploded into rule rows afterwards).
+    *
+    * Measures are cast to double for a uniform report column; exact
+    * integer measures (counts, orphan tallies) stay exact in double
+    * far past any table's row count, so the report hashes
+    * cross-engine. Returns `(rule, value, pass)`.
+    */
+  def auditExpectations(df: DataFrame,
+                        rules: Seq[(String, Column, Column)]): DataFrame = {
+    require(rules.nonEmpty, "auditExpectations needs at least one rule")
+    val cols = rules.zipWithIndex.flatMap { case ((_, m, p), i) =>
+      Seq(m.cast("double").as(s"__m$i"), p.as(s"__p$i"))
+    }
+    df.agg(cols.head, cols.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((n, _, _), i) =>
+        struct(lit(n).as("rule"), col(s"__m$i").as("value"),
+          col(s"__p$i").as("pass"))
+      }: _*)).as("__r"))
+      .select(col("__r.rule").as("rule"), col("__r.value").as("value"),
+        col("__r.pass").as("pass"))
+  }
 }

@@ -1162,4 +1162,51 @@ object TextOps {
     * leftmost scans count identically in java.util.regex and RE2). */
   def mojibakeCountSql(expr: String): String =
     s"CAST(len(regexp_extract_all($expr, '$MojibakePattern')) AS BIGINT)"
+
+  // ---- readability (Flesch reading ease) -----------------------------
+
+  /** Flesch reading-ease ingredients as exact integer counts —
+    * words (non-empty space tokens), sentences (terminal-punctuation
+    * runs, floored at 1 so unpunctuated text scores as one sentence),
+    * and syllables approximated as vowel GROUPS (`[aeiouy]+`, the
+    * standard regex proxy; both engines' RE2-compatible scan counts
+    * identical non-overlapping runs). Returns the three counts plus
+    *
+    *   flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    *
+    * — one fixed IEEE tree over the exact longs, so the score column
+    * hashes cross-engine. Row-local, zero shuffle. Empty text (zero
+    * words) yields a null score, never NaN.
+    */
+  def fleschReadingEase(text: Column): Seq[Column] = {
+    val words = size(filter(split(text, " "), t => t =!= "")).cast("long")
+    val sents = greatest(regexp_count(text, lit("[.!?]+")).cast("long"),
+      lit(1L))
+    val syll = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    val score = when(words > 0,
+      lit(206.835) -
+        lit(1.015) * (words.cast("double") / sents.cast("double")) -
+        lit(84.6) * (syll.cast("double") / words.cast("double")))
+    Seq(words.as("n_words"), sents.as("n_sentences"),
+      syll.as("n_syllables"), score.as("flesch"))
+  }
+
+  /** DuckDB twin of [[fleschReadingEase]] over the SQL expression
+    * `expr` — emits the four column expressions (comma-joined). */
+  def fleschReadingEaseSql(expr: String): String = {
+    val words = s"CAST(len(list_filter(string_split($expr, ' '), " +
+      "x -> x <> '')) AS BIGINT)"
+    val sents = s"greatest(CAST(len(regexp_extract_all($expr, '[.!?]+')) " +
+      "AS BIGINT), 1)"
+    val syll = s"CAST(len(regexp_extract_all(lower($expr), '[aeiouy]+')) " +
+      "AS BIGINT)"
+    s"""$words AS n_words,
+       |       $sents AS n_sentences,
+       |       $syll AS n_syllables,
+       |       CASE WHEN $words > 0 THEN
+       |         206.835e0 -
+       |           1.015e0 * (CAST($words AS DOUBLE) / CAST($sents AS DOUBLE)) -
+       |           84.6e0 * (CAST($syll AS DOUBLE) / CAST($words AS DOUBLE))
+       |       END AS flesch""".stripMargin
+  }
 }

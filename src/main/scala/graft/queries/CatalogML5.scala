@@ -481,5 +481,120 @@ object CatalogML5 {
     }, Some(Behavior.seasonalProfileSql(
       "SELECT ts, CAST(floor(value * 100) AS BIGINT) AS c FROM events") +
       "\nORDER BY dow, hod")),
+
+    // Flesch reading-ease over the q146 synthetic sentence derivation
+    // (the fixture is unpunctuated word soup; every 7th word gets a
+    // rotating terminal mark so the sentence term is real). Counts
+    // exact, score one fixed IEEE tree — the readability gate beside
+    // Gopher's structural rules.
+    ("q184_text_readability", (s: SparkSession, d: String) => {
+      val ts = split(col("text"), " ")
+      val sentText = concat_ws(" ", transform(ts, (w, i) => {
+        val pos = i + lit(1)
+        val j = (pos.cast("double") / lit(7.0)).cast("int")
+        val mark = when(pos % 7 === 0,
+            when(j % 3 === 1, lit(".")).when(j % 3 === 2, lit("!"))
+              .otherwise(lit("?")))
+          .otherwise(lit(""))
+        concat(w, mark)
+      }))
+      table(s, d, "documents")
+        .select(col("doc_id"), sentText.as("__t"))
+        .select(col("doc_id") +:
+          TextOps.fleschReadingEase(col("__t")): _*)
+        .orderBy("doc_id")
+    }, Some {
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         array_to_string(list_transform(string_split(text, ' '),
+         |           (w, i) -> CASE WHEN i % 7 = 0 THEN w ||
+         |                CASE ((i // 7) % 3) WHEN 1 THEN '.'
+         |                     WHEN 2 THEN '!' ELSE '?' END
+         |              ELSE w END), ' ') AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id, ${TextOps.fleschReadingEaseSql("t")}
+         |FROM m
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    // Data-quality expectations audit — six promotion-gate rules over
+    // orders⋈customer evaluated in ONE aggregation pass (a k-rule
+    // audit must not cost k corpus scans), exploded to (rule, value,
+    // pass) rows.
+    ("q185_quality_audit", (s: SparkSession, d: String) => {
+      val j = table(s, d, "orders")
+        .withColumn("__od", col("o_orderdate").cast("timestamp"))
+        .join(table(s, d, "customer")
+            .select(col("c_custkey").as("__ck")),
+          col("o_custkey") === col("__ck"), "left")
+      val orphans = sum(col("__ck").isNull.cast("long"))
+      val dupes = count(col("o_orderkey")) -
+        countDistinct(col("o_orderkey"))
+      val badStatus =
+        sum((!col("o_orderstatus").isin("F", "O", "P")).cast("long"))
+      val badDates = sum((col("__od") <
+          lit("1995-01-01 00:00:00").cast("timestamp") ||
+        col("__od") >= lit("2002-01-01 00:00:00").cast("timestamp"))
+        .cast("long"))
+      graft.ops.Profile.auditExpectations(j, Seq(
+        ("custkey_fk_resolved", orphans, orphans === 0),
+        ("date_in_range", badDates, badDates === 0),
+        ("orderkey_unique", dupes, dupes === 0),
+        ("rows_present", count(lit(1)), count(lit(1)) > 0),
+        ("status_in_domain", badStatus, badStatus === 0),
+        ("totalprice_positive", min(col("o_totalprice")),
+          min(col("o_totalprice")) > 0.0)))
+        .orderBy("rule")
+    }, Some(
+      """WITH j AS (
+        |  SELECT o.*, c.c_custkey AS ck
+        |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CAST(ck IS NULL AS BIGINT)) AS DOUBLE) AS m0,
+        |    sum(CAST(ck IS NULL AS BIGINT)) = 0 AS p0,
+        |    CAST(sum(CAST(o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |      OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+        |      AS BIGINT)) AS DOUBLE) AS m1,
+        |    sum(CAST(o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |      OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+        |      AS BIGINT)) = 0 AS p1,
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+        |      AS DOUBLE) AS m2,
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) = 0 AS p2,
+        |    CAST(count(*) AS DOUBLE) AS m3,
+        |    count(*) > 0 AS p3,
+        |    CAST(sum(CAST(o_orderstatus NOT IN ('F', 'O', 'P')
+        |      AS BIGINT)) AS DOUBLE) AS m4,
+        |    sum(CAST(o_orderstatus NOT IN ('F', 'O', 'P')
+        |      AS BIGINT)) = 0 AS p4,
+        |    CAST(min(o_totalprice) AS DOUBLE) AS m5,
+        |    min(o_totalprice) > 0.0 AS p5
+        |  FROM j
+        |)
+        |SELECT * FROM (
+        |  SELECT 'custkey_fk_resolved' AS rule, m0 AS value, p0 AS pass FROM a
+        |  UNION ALL SELECT 'date_in_range', m1, p1 FROM a
+        |  UNION ALL SELECT 'orderkey_unique', m2, p2 FROM a
+        |  UNION ALL SELECT 'rows_present', m3, p3 FROM a
+        |  UNION ALL SELECT 'status_in_domain', m4, p4 FROM a
+        |  UNION ALL SELECT 'totalprice_positive', m5, p5 FROM a
+        |)
+        |ORDER BY rule""".stripMargin)),
+
+    // RFM segmentation — quartiles of recency/frequency/monetary via
+    // the counting-CDF thresholds (never an ntile over one global
+    // partition) and integer threshold compares; segment = "rfm"
+    // digit string.
+    ("q186_events_rfm", (s: SparkSession, d: String) => {
+      val ev = table(s, d, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+      Behavior.rfmSegments(ev, "user_id", col("ts"),
+          floor(col("value") * 100))
+        .orderBy("user_id")
+    }, Some(Behavior.rfmSegmentsSql(
+      "SELECT user_id AS u, ts, CAST(floor(value * 100) AS BIGINT) AS c " +
+        "FROM events", keyAs = "user_id") + "\nORDER BY user_id")),
   )
 }

@@ -133,7 +133,10 @@ object ScalingCurve {
       "q164",
       // TF-IDF keywords: (doc, term, tf) exchange + vocab-sized df +
       // per-doc top-k window — the tf exchange is the linear part
-      "q174")
+      "q174",
+      // Flesch readability: row-local regex counts + one IEEE tree,
+      // zero shuffle — q133's flat class
+      "q184")
       // q150/q152/q153/q154/q155/q158/q159 are NOT here: they read
       // the part/orders/events/lineitem fixtures, which this harness
       // does not expand (only documents/embeddings have the bijective

@@ -294,6 +294,49 @@ class BehaviorWarehouseSpec extends SparkSpec {
       (4L, false), (5L, false), (6L, true)))
   }
 
+  test("fleschReadingEase: hand counts, sentence floor, empty-text null") {
+    val df = Seq("aa bb. cc", "no punctuation here", "").toDF("text")
+    val out = df.select(col("text") +:
+        graft.ops.TextOps.fleschReadingEase(col("text")): _*)
+      .collect()
+    val r0 = out.find(_.getString(0) == "aa bb. cc").get
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3)) === ((3L, 1L, 1L)))
+    assert(r0.getDouble(4) ===
+      206.835 - 1.015 * (3.0 / 1.0) - 84.6 * (1.0 / 3.0))
+    val r1 = out.find(_.getString(0) == "no punctuation here").get
+    assert(r1.getLong(2) === 1L) // sentence floor
+    val r2 = out.find(_.getString(0) == "").get
+    assert(r2.getLong(1) === 0L && r2.isNullAt(4)) // null, never NaN
+  }
+
+  test("auditExpectations: one pass, failing and passing rules report honestly") {
+    val df = Seq((1L, -5.0), (1L, 2.0), (2L, 3.0)).toDF("id", "v")
+    val out = graft.ops.Profile.auditExpectations(df, Seq(
+        ("id_unique", count(col("id")) - countDistinct(col("id")),
+          count(col("id")) - countDistinct(col("id")) === 0),
+        ("rows_present", count(lit(1)), count(lit(1)) > 0),
+        ("v_positive", min(col("v")), min(col("v")) > 0.0)))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      ("id_unique", 1.0, false), ("rows_present", 3.0, true),
+      ("v_positive", -5.0, false)))
+  }
+
+  test("rfmSegments: clean quartile fixture end to end") {
+    // user i: i events, last at day 6+i, 10 cents each →
+    // r_days 4-i, f = i, m = 10i; thresholds r {0,1,2}, f/m {1,2,3}
+    val ev = (1 to 4).flatMap { i =>
+      (1 to i).map(j => (i.toLong, (6L + i) * 86400L - j * 3600L, 10L))
+    }.toDF("u", "t", "c")
+      .select(col("u"), timestamp_seconds(col("t")).as("ts"), col("c"))
+    val out = Behavior.rfmSegments(ev, "u", col("ts"), col("c"))
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("segment")))
+    assert(out.toSeq === Seq(
+      (1L, "411"), (2L, "322"), (3L, "233"), (4L, "144")))
+  }
+
   test("eventPaths: trigram counts under the total order") {
     val ev = Seq(
       (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"), (1L, 4L, 4L, "B"),
