@@ -147,22 +147,38 @@ object Behavior {
     */
   def sessionize(events: DataFrame, userCol: String, ts: Column,
                  valueCents: Column, gapSeconds: Long): DataFrame = {
+    val u = col(userCol)
+    withSessionIds(
+        events.select(u, ts.as("__ts0"),
+          valueCents.cast("long").as("__c")),
+        userCol, col("__ts0"), gapSeconds)
+      .groupBy(u, col("session_id"))
+      .agg(min(col("__e")).as("start_us"), max(col("__e")).as("end_us"),
+        (max(col("__e")) - min(col("__e"))).as("duration_us"),
+        count(lit(1)).as("n_events"), sum(col("__c")).as("cents"))
+  }
+
+  /** Event-grain session tagging — the input plus `__e` (epoch micros)
+    * and `session_id`. The per-ROW session id is itself deterministic
+    * under tied instants (exactly one tied row fires the new-session
+    * flag, so every tied row's running sum lands on the same id — the
+    * [[sessionize]] argument, which builds on this), which is what
+    * lets downstream per-event operators (the q187 within-session
+    * funnel) consume it. */
+  def withSessionIds(events: DataFrame, userCol: String, ts: Column,
+                     gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, s"gap must be positive, got $gapSeconds")
     val u = col(userCol)
     val w = Window.partitionBy(u).orderBy(col("__e"))
     val run = Window.partitionBy(u).orderBy(col("__e"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
-      .select(u, unix_micros(ts).as("__e"),
-        valueCents.cast("long").as("__c"))
+      .withColumn("__e", unix_micros(ts))
       .withColumn("__new",
         (col("__e") - lag(col("__e"), 1).over(w) > gapSeconds * 1000000L)
           .or(lag(col("__e"), 1).over(w).isNull).cast("long"))
       .withColumn("session_id", sum(col("__new")).over(run))
-      .groupBy(u, col("session_id"))
-      .agg(min(col("__e")).as("start_us"), max(col("__e")).as("end_us"),
-        (max(col("__e")) - min(col("__e"))).as("duration_us"),
-        count(lit(1)).as("n_events"), sum(col("__c")).as("cents"))
+      .drop("__new")
   }
 
   /** Mirror of [[sessionize]] for the DuckDB oracle. `eventsSql` must

@@ -596,5 +596,43 @@ object CatalogML5 {
     }, Some(Behavior.rfmSegmentsSql(
       "SELECT user_id AS u, ts, CAST(floor(value * 100) AS BIGINT) AS c " +
         "FROM events", keyAs = "user_id") + "\nORDER BY user_id")),
+
+    // WITHIN-SESSION funnel: the q166 cascade counted over
+    // (user, session) — "converted in a single visit", the strictest
+    // product-funnel reading. Session ids come from q170's tie-safe
+    // tagging at EVENT grain (the per-row id is deterministic — see
+    // withSessionIds); the funnel key is the composite user#session.
+    ("q187_events_session_funnel", (s: SparkSession, d: String) => {
+      val ev = table(s, d, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+      val tagged = Behavior.withSessionIds(ev, "user_id", col("ts"),
+          gapSeconds = 1800L)
+        .withColumn("skey",
+          concat(col("user_id"), lit("#"), col("session_id")))
+      Behavior.funnel(tagged, "skey", col("ts"), "event_type",
+          FunnelSteps)
+        .orderBy("step_idx")
+    }, Some(Behavior.funnelSql(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts)
+        |              > 1800000000
+        |           OR lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           AS BIGINT) AS nw
+        |  FROM events
+        |), sid AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM f
+        |)
+        |SELECT CAST(user_id AS VARCHAR) || '#' ||
+        |         CAST(session_id AS VARCHAR) AS u,
+        |       ts, event_type AS typ
+        |FROM sid""".stripMargin,
+      FunnelSteps) + "\nORDER BY step_idx")),
   )
 }

@@ -698,5 +698,59 @@ object CatalogStream {
         |       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders""".stripMargin,
       Seq("name", "cents")) + "\nORDER BY k"))
+  ,
+
+    // Streaming SCD2 maintenance: q179's incremental history advance
+    // run as a live loop — three arrival waves fold into a persisted
+    // DIMENSION table, each microbatch one scd2Apply + stage-and-swap.
+    // The waves are split at HOUR-ALIGNED time cuts: per-key in-order
+    // arrival (the reference's contract, as in q177) AND no tick
+    // spans a wave boundary (scd2Apply's tick contract). Starts from
+    // the EMPTY dimension; the final table must equal the
+    // from-scratch q168 build over the whole feed.
+    ("q188_stream_scd2_maintain", (s: SparkSession, d: String) => {
+      import graft.ops.{Incremental, Warehouse}
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q188_state_$tag"
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
+      val ch = table(s, d, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        col("event_type").as("state"))
+      val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val dir = stageWavesCached(d, "events-scd2")(Seq(
+        ch.where(col("ts") < cut1),
+        ch.where(col("ts") >= cut1 && col("ts") < cut2),
+        ch.where(col("ts") >= cut2)))
+      Warehouse.scd2Build(ch.where(lit(false)), "user_id",
+          date_trunc("hour", col("ts")), "event_id", Seq("state"))
+        .write.saveAsTable(st)
+      val src = s.readStream.format("parquet").schema(ch.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Incremental.transformStateTable(s, st)(cur =>
+              Warehouse.scd2Apply(cur,
+                b.select(col("user_id"),
+                  date_trunc("hour", col("ts")).as("__cts"),
+                  col("event_id"), col("state")),
+                "user_id", col("__cts"), "event_id", Seq("state")))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally rmrf(ckpt)
+      s.table(st).orderBy("user_id", "version")
+    }, Some("WITH " + graft.ops.Warehouse.scd2BuildSql(
+      "SELECT user_id AS k, date_trunc('hour', ts) AS ts, " +
+        "event_id AS seq, event_type AS state FROM events",
+      Seq("state")) +
+      """
+        |SELECT k AS user_id, state, valid_from, valid_to, is_current,
+        |       version
+        |FROM scd2
+        |ORDER BY user_id, version""".stripMargin))
   )
 }

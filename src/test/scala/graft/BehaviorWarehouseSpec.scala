@@ -191,6 +191,24 @@ class BehaviorWarehouseSpec extends SparkSpec {
       ("k1", "a", 10L), ("k2", "b3", 22L), ("k4", "d", 40L)))
   }
 
+  test("session funnel: a chain crossing a session boundary does not count") {
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 100L, "view"),   // same session: counts
+      (2L, 0L, "signup"), (2L, 5000L, "view")   // gap > 1000s: new session
+    ).toDF("u", "t", "typ")
+      .select(col("u"), timestamp_seconds(col("t")).as("ts"), col("typ"))
+    val tagged = Behavior.withSessionIds(ev, "u", col("ts"), 1000L)
+      .withColumn("skey", concat(col("u"), lit("#"), col("session_id")))
+    val inSession = Behavior.funnel(tagged, "skey", col("ts"), "typ",
+        Seq("signup", "view"))
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(inSession.toSeq === Seq(2L, 1L)) // u2's view is out-of-session
+    val plain = Behavior.funnel(ev, "u", col("ts"), "typ",
+        Seq("signup", "view"))
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(plain.toSeq === Seq(2L, 2L)) // the plain funnel counts it
+  }
+
   test("funnelLatency: exact CDF picks over known step latencies") {
     val ev = Seq(
       (1L, 0L, "signup"), (1L, 10L, "view"),
