@@ -298,6 +298,83 @@ object Behavior {
        |         AS BIGINT) AS cum_users
        |FROM pd""".stripMargin
 
+  /** Market-basket association pairs: for every unordered item pair
+    * co-occurring in at least `minSupport` baskets — `(item_a, item_b,
+    * n_ab, support, confidence, lift)`, top-`k` by lift. All three
+    * measures are single IEEE divisions/multiplies of exact long
+    * counts (`support = n_ab/N`, `confidence = n_ab/n_a`,
+    * `lift = (n_ab·N)/(n_a·n_b)` with the products in double — exact
+    * long→double conversion far past any basket count), so the report
+    * hashes cross-engine.
+    *
+    * Scale: the APRIORI prune does the work — items below
+    * `minSupport` are dropped BEFORE the within-basket pair join (a
+    * pair can never out-support its rarer item), so the quadratic
+    * per-basket enumeration runs over frequent items only; the join
+    * is basket-keyed, counts are map-side-combined, and top-k is
+    * TakeOrderedAndProject under the (lift desc, item_a, item_b)
+    * total order.
+    */
+  def basketPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long, k: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val b = col(basketCol)
+    val items = baskets.select(b.as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val n = items.agg(countDistinct(col("__b")).as("__n"))
+    val freq = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minSupport)
+    val kept = items
+      .join(freq.select(col("__i"), col("__c")), Seq("__i"))
+    val pairs = kept.select(col("__b"), col("__i").as("item_a"),
+        col("__c").as("__ca"))
+      .join(kept.select(col("__b"), col("__i").as("item_b"),
+        col("__c").as("__cb")), Seq("__b"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"), min(col("__ca")).as("__na"),
+        min(col("__cb")).as("__nb"))
+      .where(col("n_ab") >= minSupport)
+    pairs.crossJoin(n)
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("__n").cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") / col("__na").cast("double"))
+          .as("confidence"),
+        (col("n_ab").cast("double") * col("__n").cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** Mirror of [[basketPairs]] for the DuckDB oracle. `basketsSql`
+    * must select `b`, `i`. */
+  def basketPairsSql(basketsSql: String, minSupport: Long,
+                     k: Int): String =
+    s"""WITH it AS (SELECT DISTINCT b, i FROM ($basketsSql)),
+       |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM it),
+       |freq AS (
+       |  SELECT i, CAST(count(*) AS BIGINT) AS c FROM it
+       |  GROUP BY 1 HAVING count(*) >= $minSupport
+       |), kept AS (
+       |  SELECT it.b, it.i, freq.c FROM it JOIN freq ON freq.i = it.i
+       |), prs AS (
+       |  SELECT a.i AS item_a, x.i AS item_b,
+       |         CAST(count(*) AS BIGINT) AS n_ab,
+       |         min(a.c) AS na, min(x.c) AS nb
+       |  FROM kept a JOIN kept x ON x.b = a.b AND a.i < x.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |)
+       |SELECT item_a, item_b, n_ab,
+       |       CAST(n_ab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+       |       CAST(n_ab AS DOUBLE) / CAST(na AS DOUBLE) AS confidence,
+       |       CAST(n_ab AS DOUBLE) * CAST(n.n AS DOUBLE) /
+       |         (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS lift
+       |FROM prs, n
+       |ORDER BY lift DESC, item_a, item_b
+       |LIMIT $k""".stripMargin
+
   /** RFM segmentation: each user scored into quartiles of Recency
     * (days since last event, vs the corpus max instant), Frequency
     * (event count) and Monetary (cents sum) — the classic marketing

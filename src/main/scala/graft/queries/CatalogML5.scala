@@ -634,5 +634,18 @@ object CatalogML5 {
         |       ts, event_type AS typ
         |FROM sid""".stripMargin,
       FunnelSteps) + "\nORDER BY step_idx")),
+
+    // Market-basket association pairs over orders×categories
+    // (parts bucketed to 50 categories so co-occurrence is dense):
+    // support/confidence/lift with APRIORI pruning before the
+    // quadratic per-basket enumeration, top-25 by lift.
+    ("q189_basket_lift", (s: SparkSession, d: String) => {
+      val baskets = table(s, d, "lineitem")
+        .select(col("l_orderkey").as("b"),
+          (col("l_partkey") % 50).as("i"))
+      Behavior.basketPairs(baskets, "b", "i", minSupport = 5L, k = 25)
+    }, Some(Behavior.basketPairsSql(
+      "SELECT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem",
+      minSupport = 5L, k = 25))),
   )
 }

@@ -355,6 +355,25 @@ class BehaviorWarehouseSpec extends SparkSpec {
       (1L, "411"), (2L, "322"), (3L, "233"), (4L, "144")))
   }
 
+  test("basketPairs: apriori prune, exact support/confidence/lift") {
+    val baskets = Seq(
+      ("b1", "A"), ("b1", "B"), ("b1", "C"),
+      ("b2", "A"), ("b2", "B"), ("b2", "B"), // dup item collapses
+      ("b3", "A")
+    ).toDF("b", "i")
+    val out = Behavior.basketPairs(baskets, "b", "i",
+        minSupport = 2L, k = 10).collect()
+    // C (1 basket) pruned before pairing; (A,B) in b1+b2:
+    // support 2/3, confidence 2/3 (n_A=3), lift 2·3/(3·2) = 1.0
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) ===
+      ("A", "B", 2L))
+    assert(r.getDouble(3) === 2.0 / 3.0)
+    assert(r.getDouble(4) === 2.0 / 3.0)
+    assert(r.getDouble(5) === 1.0)
+  }
+
   test("eventPaths: trigram counts under the total order") {
     val ev = Seq(
       (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"), (1L, 4L, 4L, "B"),
