@@ -109,12 +109,33 @@ object CachedFrames {
   private val live = new java.util.ArrayDeque[DataFrame]()
 
   def cached(df: DataFrame): DataFrame = synchronized {
-    val c = df.cache()
-    live.addLast(c)
-    while (live.size > MaxLive) {
-      live.removeFirst().unpersist(blocking = false)
+    // Spark's CacheManager dedups entries by (canonicalized) logical
+    // plan, so registering the same plan twice would yield two
+    // registry handles over ONE cache entry — evicting the older
+    // handle would unpersist the shared entry and silently un-cache
+    // the newer registration. Dedup here the same way the
+    // CacheManager does (sameResult over the analyzed plan): a repeat
+    // registration refreshes the existing handle's eviction position
+    // instead of enqueueing a second handle.
+    val plan = df.queryExecution.analyzed
+    var hit: DataFrame = null
+    val it = live.iterator()
+    while (hit == null && it.hasNext) {
+      val e = it.next()
+      if (e.queryExecution.analyzed.sameResult(plan)) hit = e
     }
-    c
+    if (hit != null) {
+      live.remove(hit) // identity equality — Dataset doesn't override equals
+      live.addLast(hit)
+      hit
+    } else {
+      val c = df.cache()
+      live.addLast(c)
+      while (live.size > MaxLive) {
+        live.removeFirst().unpersist(blocking = false)
+      }
+      c
+    }
   }
 
   def releaseAll(): Unit = synchronized {

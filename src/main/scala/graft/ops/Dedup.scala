@@ -961,12 +961,27 @@ object Dedup {
 
   /** Embedding near-duplicate pairs, exact all-pairs cosine — the
     * |V|² variant for corpora small enough to broadcast one side.
-    * Prefer [[embeddingCosinePairsLsh]] at scale. */
+    * Prefer [[embeddingCosinePairsLsh]] at scale.
+    *
+    * The broadcast is SIZE-GATED like every other small-side hint in
+    * this module ([[maybeBroadcast]]): vectors are wide rows, so the
+    * row count is scaled to id-row byte equivalents (dim·4/40) before
+    * the gate — an over-limit corpus falls back to a hint-free cross
+    * join (still |V|², but no silent driver OOM; at that size the LSH
+    * path is the real answer). `expectedCount` skips the sizing count
+    * when the caller knows the cardinality (same contract as
+    * [[embeddingCosinePairsLsh]]). */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double): DataFrame = {
+                           threshold: Double,
+                           expectedCount: Long = -1L,
+                           dim: Int = 64): DataFrame = {
+    val n = if (expectedCount >= 0) expectedCount else df.count()
+    // wide-row gate: a dim-float vector row ≈ dim*4 bytes vs the ~40-byte
+    // id rows the conf limit is calibrated for (round-8 review rule)
+    val idRowEquiv = n * math.max(1L, dim * 4L / 40L)
     val a = spreadCompute(df, idCol).select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.crossJoin(broadcast(b))
+    a.crossJoin(maybeBroadcast(b, idRowEquiv))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
       .where(col("cos") >= threshold)

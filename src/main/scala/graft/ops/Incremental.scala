@@ -78,10 +78,11 @@ object Incremental {
   /** Fold a pre-aggregated delta STATE into a persisted state table
     * under an arbitrary monoid merge (stage-and-swap: the merged
     * state lands in a staging table first — Spark cannot overwrite a
-    * table that feeds the running plan — then replaces the live one;
-    * crash between drop and rename leaves the staged table intact for
-    * manual recovery, and the delta can simply be re-applied to the
-    * previous snapshot). */
+    * table that feeds the running plan — then replaces the live one
+    * via the rename dance of [[swapStaged]]; every crash window
+    * leaves a state recoverable by [[recoverStateTable]], and in the
+    * worst case the delta can simply be re-applied to the previous
+    * snapshot). */
   def advanceStateTableBy(spark: SparkSession, stateTable: String,
                           deltaState: DataFrame, keys: Seq[String],
                           aggs: Seq[Column]): Unit = {
@@ -89,24 +90,82 @@ object Incremental {
     spark.sql(s"DROP TABLE IF EXISTS $staged")
     mergeStatesBy(Seq(spark.table(stateTable), deltaState), keys, aggs)
       .write.saveAsTable(staged)
-    spark.sql(s"DROP TABLE $stateTable")
-    spark.sql(s"ALTER TABLE $staged RENAME TO $stateTable")
+    swapStaged(spark, stateTable)
   }
 
   /** Stage-and-swap `stateTable` to the result of `next(current)` —
     * the generic (non-monoid) advance for state whose update is a
     * TRANSFORM of the current table (e.g. the CDC MERGE of
     * [[Warehouse.applyChangelog]]), not a keyed aggregate merge. The
-    * staged write materializes fully BEFORE the old table drops, so a
-    * failed transform leaves the current state intact (the same
-    * crash-safety order as [[advanceStateTableBy]]). */
+    * staged write materializes fully BEFORE the live table is
+    * touched, so a failed transform leaves the current state intact
+    * (the same crash-safety order as [[advanceStateTableBy]]). */
   def transformStateTable(spark: SparkSession, stateTable: String)
                          (next: DataFrame => DataFrame): Unit = {
     val staged = s"${stateTable}__next"
     spark.sql(s"DROP TABLE IF EXISTS $staged")
     next(spark.table(stateTable)).write.saveAsTable(staged)
-    spark.sql(s"DROP TABLE $stateTable")
+    swapStaged(spark, stateTable)
+  }
+
+  /** Promote a fully-written `<stateTable>__next` staging table to
+    * live: rename live → `__old`, rename `__next` → live, drop
+    * `__old`. Unlike a drop-then-rename, NO crash window destroys
+    * committed state — between the two renames the live NAME is
+    * briefly absent (one catalog op wide) but both snapshots exist on
+    * disk, and after any crash [[recoverStateTable]] can finish or
+    * unwind the swap from what it finds. Concurrent readers of the
+    * table NAME may still observe the one-op gap; point-in-time
+    * readers should read a snapshot export, not the live name. */
+  private def swapStaged(spark: SparkSession, stateTable: String): Unit = {
+    val staged = s"${stateTable}__next"
+    val old = s"${stateTable}__old"
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $stateTable RENAME TO $old")
     spark.sql(s"ALTER TABLE $staged RENAME TO $stateTable")
+    spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Detect and resolve an interrupted [[swapStaged]]. Returns what
+    * it did:
+    *
+    *  - `"completed-swap"` — live name was missing but the staged
+    *    table existed (crash between the renames): the staged table
+    *    is promoted and any `__old` leftover dropped.
+    *  - `"restored-old"` — live and staged both missing but `__old`
+    *    exists (staged vanished mid-swap — should not happen under
+    *    [[swapStaged]]'s ordering, handled defensively): the prior
+    *    snapshot is restored.
+    *  - `"dropped-old"` — live exists, `__old` dangled (crash after
+    *    the second rename): leftover dropped.
+    *  - `"dropped-stale-staging"` — live exists and a `__next`
+    *    dangled (crash after staging, before the swap began). The
+    *    staging table holds a merged state whose delta durability is
+    *    unknown to this helper, so the safe resolution is to drop it
+    *    and re-run the advance against the intact live state.
+    *  - `"clean"` — nothing to do.
+    */
+  def recoverStateTable(spark: SparkSession, stateTable: String): String = {
+    val staged = s"${stateTable}__next"
+    val old = s"${stateTable}__old"
+    val cat = spark.catalog
+    val hasLive = cat.tableExists(stateTable)
+    val hasStaged = cat.tableExists(staged)
+    val hasOld = cat.tableExists(old)
+    if (!hasLive && hasStaged) {
+      spark.sql(s"ALTER TABLE $staged RENAME TO $stateTable")
+      if (hasOld) spark.sql(s"DROP TABLE $old")
+      "completed-swap"
+    } else if (!hasLive && hasOld) {
+      spark.sql(s"ALTER TABLE $old RENAME TO $stateTable")
+      "restored-old"
+    } else if (hasLive && hasOld) {
+      spark.sql(s"DROP TABLE $old")
+      "dropped-old"
+    } else if (hasLive && hasStaged) {
+      spark.sql(s"DROP TABLE $staged")
+      "dropped-stale-staging"
+    } else "clean"
   }
 
   /** [[advanceStateTableBy]] specialized to the built-in

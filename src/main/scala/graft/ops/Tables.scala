@@ -82,12 +82,35 @@ object Tables {
     * every index/state-table query and spec because the in-memory
     * metastore dies with the JVM while `spark-warehouse/` persists,
     * after which a bare `DROP TABLE IF EXISTS` no-ops and the next
-    * `saveAsTable` fails with LOCATION_ALREADY_EXISTS. */
+    * `saveAsTable` fails with LOCATION_ALREADY_EXISTS.
+    *
+    * Resolution order: if the table still exists, its directory comes
+    * from the CATALOG (correct for any case / database / custom
+    * location); only a vanished table falls back to the
+    * `<warehouse.dir>/<lowercased name>` convention — the metastore
+    * lowercases identifiers on disk, so a mixed-case name must not be
+    * joined verbatim. Database-qualified names are rejected on the
+    * fallback path rather than guessing a wrong directory. */
   def dropTablesAndDirs(spark: SparkSession, tables: String*): Unit =
     tables.foreach { t =>
+      val catalogLoc: Option[String] =
+        if (spark.catalog.tableExists(t))
+          scala.util.Try(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+            .where(col("col_name") === "Location")
+            .select("data_type").as(org.apache.spark.sql.Encoders.STRING)
+            .head()).toOption
+        else None
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val loc = catalogLoc match {
+        case Some(l) => new org.apache.hadoop.fs.Path(l)
+        case None =>
+          require(!t.contains("."),
+            s"dropTablesAndDirs: cannot infer the warehouse directory of " +
+              s"a database-qualified name with no catalog entry: $t")
+          new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"),
+            t.toLowerCase(java.util.Locale.ROOT))
+      }
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) { fs.delete(loc, true); () }
     }

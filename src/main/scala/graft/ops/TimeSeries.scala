@@ -17,8 +17,11 @@ object TimeSeries {
     * emit EVERY cell from each key's first to last observation;
     * missing cells appear with n_events = 0, a NULL raw value,
     * is_gap = true, and `locf_value` carrying the most recent observed
-    * cell value forward (never null: each key's grid starts at an
-    * observed cell by construction).
+    * cell value forward. Each key's grid starts at an observed CELL by
+    * construction, but a cell whose events all carry NULL `value`
+    * aggregates to a NULL bucket_value — so `locf_value` is null only
+    * until the key's first non-null observed cell value, and stays
+    * non-null from there on.
     *
     * `step` is the CELL WIDTH: buckets are floor-aligned to absolute
     * multiples of step (`bucket - pmod(bucket, step)`) BEFORE

@@ -68,4 +68,40 @@ class CheckpointingSpec extends SparkSpec {
     val (minedAgain, _) = run()
     assert(minedAgain == minedLocal)
   }
+
+  test("CachedFrames dedups registrations by analyzed plan") {
+    import graft.ops.CachedFrames
+    CachedFrames.releaseAll()
+    try {
+      val a = docs.select(col("doc_id"), length(col("text")).as("len"))
+      val c1 = CachedFrames.cached(a)
+      // the same logical plan via a DIFFERENT Dataset object — the
+      // CacheManager would serve both from one entry, so the registry
+      // must hold one handle, not two
+      val c2 = CachedFrames.cached(
+        docs.select(col("doc_id"), length(col("text")).as("len")))
+      assert(CachedFrames.liveCount == 1,
+        "re-registering an identical plan must refresh, not enqueue")
+      assert(c2 eq c1, "the registered handle is returned on a repeat")
+
+      // refresh moves the entry to the BACK of the eviction order:
+      // register b, re-register a, then fill to the cap — b must be
+      // the first evicted (uncached), a must survive
+      val b = docs.select(col("doc_id"), upper(col("text")).as("u"))
+      val cb = CachedFrames.cached(b)
+      CachedFrames.cached(a) // refresh a behind b
+      var filler = 0
+      while (CachedFrames.liveCount < CachedFrames.MaxLive) {
+        filler += 1
+        CachedFrames.cached(docs.select(col("doc_id"),
+          (col("doc_id") + filler).as(s"f$filler")))
+      }
+      CachedFrames.cached(docs.select(col("doc_id"),
+        (col("doc_id") * 1000).as("overflow"))) // one past the cap
+      assert(cb.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "the stale (unrefreshed) entry must be the one evicted")
+      assert(c1.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "the refreshed entry must survive the eviction")
+    } finally CachedFrames.releaseAll()
+  }
 }

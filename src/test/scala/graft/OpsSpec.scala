@@ -161,6 +161,36 @@ class OpsSpec extends SparkSpec {
       s"expected all dup-sized joins hint-free above the limit:\n$sh")
   }
 
+  test("embeddingCosinePairs: cross-join broadcast gated by the conf limit") {
+    // evens share one axis (cos = 1 pairs), odds another — nonempty output
+    val corpus = (1L to 12L).map { i =>
+      val v = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, v)
+    }.toDF("id", "vec")
+    def run(limit: Option[String]): (String, Seq[(Long, Long)]) = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      limit.foreach(spark.conf.set(Dedup.MaxBroadcastIdsKey, _))
+      try {
+        val out = Dedup.embeddingCosinePairs(corpus, "id", "vec", 0.99,
+          expectedCount = 12L, dim = 4)
+        val rows = out.select("id_a", "id_b").as[(Long, Long)]
+          .collect().sorted.toSeq
+        (out.queryExecution.executedPlan.toString, rows)
+      } finally {
+        spark.conf.unset(Dedup.MaxBroadcastIdsKey)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val (bc, rowsBc) = run(None)
+    assert(bc.contains("BroadcastNestedLoopJoin"),
+      s"expected the hinted broadcast cross join below the limit:\n$bc")
+    val (sh, rowsSh) = run(Some("0"))
+    assert(!sh.contains("BroadcastNestedLoopJoin"),
+      s"expected a hint-free join above the limit:\n$sh")
+    assert(rowsBc.nonEmpty && rowsBc == rowsSh,
+      "identical pairs in both modes")
+  }
+
   test("minhash-LSH finds high-jaccard pairs and skips low ones") {
     val a = (1 to 40).map(i => s"tok$i").mkString(" ")
     val b = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY" // ~0.9 jaccard
