@@ -23,7 +23,12 @@ object Behavior {
     * every intermediate is user-count-sized, every join is
     * same-key-partitioned (AQE plans them as one exchange chain), and
     * the per-step reduction runs map-side before its exchange. The
-    * final frame is `steps.length` rows.
+    * final frame is `steps.length` rows. The `(user, ts, type)`
+    * projection is bound through the [[CachedFrames]] registry so the
+    * k per-step filters read ONE materialization of the corpus (and,
+    * in the within-session composition, ONE pass of the sessionizing
+    * window) instead of k full scans; eviction under the registry cap
+    * merely recomputes — pushdown-friendly either way.
     *
     * Returns `(step_idx, step, n_users, pct_of_first, pct_of_prev)` —
     * the two ratios are single IEEE divisions of exact longs
@@ -34,15 +39,7 @@ object Behavior {
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val u = col(userCol)
-    // stage(i): (user, __t) = earliest completion time of steps(0..i)
-    val first = events.where(col(typeCol) === steps.head)
-      .groupBy(u).agg(min(ts).as("__t"))
-    val stages = steps.tail.scanLeft(first) { (prev, step) =>
-      events.where(col(typeCol) === step)
-        .join(prev.select(u, col("__t").as("__pt")), Seq(userCol))
-        .where(ts > col("__pt"))
-        .groupBy(u).agg(min(ts).as("__t"))
-    }
+    val stages = funnelStages(events, userCol, ts, typeCol, steps)
     val counts = stages.zip(steps).zipWithIndex.map {
       case ((stage, step), i) =>
         stage.agg(count(lit(1)).as("n_users"))
@@ -60,6 +57,28 @@ object Behavior {
           .as("pct_of_first"),
         (col("n_users").cast("double") / nullif(col("__np"), lit(0L)))
           .as("pct_of_prev"))
+  }
+
+  /** The min-ts funnel cascade shared by [[funnel]] and
+    * [[funnelLatency]]: stage(i) = (user, __t) with __t the earliest
+    * completion time of the ordered prefix steps(0..i). The single
+    * `(user, ts, type)` projection all k step filters read is
+    * registered with [[CachedFrames]] — one corpus scan feeds the
+    * whole cascade. */
+  private def funnelStages(events: DataFrame, userCol: String,
+                           ts: Column, typeCol: String,
+                           steps: Seq[String]): Seq[DataFrame] = {
+    val u = col(userCol)
+    val ev = CachedFrames.cached(
+      events.select(u, ts.as("__fts"), col(typeCol).as("__ftyp")))
+    val first = ev.where(col("__ftyp") === steps.head)
+      .groupBy(u).agg(min(col("__fts")).as("__t"))
+    steps.tail.scanLeft(first) { (prev, step) =>
+      ev.where(col("__ftyp") === step)
+        .join(prev.select(u, col("__t").as("__pt")), Seq(userCol))
+        .where(col("__fts") > col("__pt"))
+        .groupBy(u).agg(min(col("__fts")).as("__t"))
+    }
   }
 
   /** Mirror of [[funnel]] for the DuckDB oracle. `eventsSql` must
@@ -570,14 +589,7 @@ object Behavior {
                     percents: Seq[Int]): DataFrame = {
     require(steps.size >= 2, "funnelLatency needs at least two steps")
     val u = col(userCol)
-    val first = events.where(col(typeCol) === steps.head)
-      .groupBy(u).agg(min(ts).as("__t"))
-    val stages = steps.tail.scanLeft(first) { (prev, step) =>
-      events.where(col(typeCol) === step)
-        .join(prev.select(u, col("__t").as("__pt")), Seq(userCol))
-        .where(ts > col("__pt"))
-        .groupBy(u).agg(min(ts).as("__t"))
-    }
+    val stages = funnelStages(events, userCol, ts, typeCol, steps)
     val lats = stages.sliding(2).toSeq.zipWithIndex.map {
       case (Seq(a, b), i) =>
         a.select(u, col("__t").as("__ta"))
