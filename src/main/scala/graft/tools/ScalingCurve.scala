@@ -136,7 +136,12 @@ object ScalingCurve {
       "q174",
       // Flesch readability: row-local regex counts + one IEEE tree,
       // zero shuffle — q133's flat class
-      "q184")
+      "q184",
+      // HDR quantile sketch over a continuous quotient double: one
+      // compiled bucket node per row + one map-side-combined
+      // (group, bucket) exchange to a register table — the quantile
+      // walk is register-sized, so the curve should be the scan slope
+      "q192")
       // q150/q152/q153/q154/q155/q158/q159 are NOT here: they read
       // the part/orders/events/lineitem fixtures, which this harness
       // does not expand (only documents/embeddings have the bijective
