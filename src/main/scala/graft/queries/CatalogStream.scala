@@ -751,6 +751,68 @@ object CatalogStream {
         |SELECT k AS user_id, state, valid_from, valid_to, is_current,
         |       version
         |FROM scd2
-        |ORDER BY user_id, version""".stripMargin))
+        |ORDER BY user_id, version""".stripMargin)),
+
+    // STREAM-STREAM LEFT OUTER interval join — the semantics users hit
+    // with late-arriving enrichment: q126's inner interval join PLUS
+    // null emission for an unmatched left row once the watermark
+    // EVICTS it (its ts+after horizon falls below the state
+    // watermark); an unmatched row whose horizon is still open at
+    // stream end is withheld, never flushed. Engineered unmatched
+    // rows: user_id % 9 == 0 rows are EXCLUDED from the right side, so
+    // those left rows provably cannot match and split into
+    // emitted-null (old, horizon below the final watermark) vs
+    // withheld (recent) — the split the oracle replays: with a 1 h
+    // watermark and ±10 min bounds, null rows are exactly the
+    // unmatched lefts with a_ts + 600 < min(max a_ts, max b_ts) −
+    // 3600 (the engine's multi-watermark policy takes the MIN across
+    // both sides). Thresholds stay µs-continuous vs whole-second
+    // deltas, so boundary strictness cannot bite. StreamGateSpec
+    // proves both classes are nonempty on the fixture.
+    ("q193_stream_stream_outer", (s: SparkSession, d: String) => {
+      val events = ev(s, d).where(col("user_id") % 3 === 0)
+      val e = epochSec(col("ts"))
+      val (mn, mx) = minMaxEpoch(events, d, "u3")
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020u3")(Seq(
+        events.where(e <= split), events.where(e > split)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
+        val a = df.where(col("event_id") % 2 === 0)
+          .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+            col("ts").as("a_ts"))
+        val b = df.where((col("event_id") % 2 === 1) &&
+            (col("user_id") % 9 =!= 0))
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("ts").as("b_ts"))
+        StreamOps.streamStreamJoinLeftOuter(a, b, "a_user", "b_user",
+          "a_ts", "b_ts", "3600 seconds", "600 seconds", "600 seconds")
+          .select(col("a_id"), col("b_id"))
+      }
+        .orderBy("a_id", "b_id")
+    }, Some(
+      """WITH e0 AS (
+        |  SELECT event_id, epoch(ts) AS e, user_id FROM events
+        |  WHERE user_id % 3 = 0
+        |), a AS (
+        |  SELECT event_id AS a_id, user_id AS a_user, e AS a_e
+        |  FROM e0 WHERE event_id % 2 = 0
+        |), b AS (
+        |  SELECT event_id AS b_id, user_id AS b_user, e AS b_e
+        |  FROM e0 WHERE event_id % 2 = 1 AND user_id % 9 <> 0
+        |), wm AS (
+        |  SELECT LEAST((SELECT max(a_e) FROM a),
+        |               (SELECT max(b_e) FROM b)) - 3600.0 AS w
+        |), m AS (
+        |  SELECT a.a_id, b.b_id FROM a JOIN b ON b.b_user = a.a_user
+        |   AND b.b_e BETWEEN a.a_e - 600 AND a.a_e + 600
+        |), nullrows AS (
+        |  SELECT a.a_id, CAST(NULL AS BIGINT) AS b_id
+        |  FROM a CROSS JOIN wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.a_id)
+        |    AND a.a_e + 600.0 < wm.w
+        |)
+        |SELECT a_id, b_id FROM m
+        |UNION ALL SELECT a_id, b_id FROM nullrows
+        |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -60,6 +60,27 @@ object StreamOps {
         expr(s"$keyA = $keyB AND $tsB BETWEEN $tsA - INTERVAL $before " +
           s"AND $tsA + INTERVAL $after"))
 
+  /** LEFT-OUTER stream-stream interval join — [[streamStreamJoin]]
+    * plus the eviction-emission semantics late-arriving enrichment
+    * actually hits: an unmatched LEFT row is emitted null-padded only
+    * once the watermark PROVES no future partner can arrive (its
+    * `ts + after` horizon falls below the join's state watermark); an
+    * unmatched row whose horizon is still open when the stream ends is
+    * withheld, not emitted — null emission is an eviction event, never
+    * a stream-end flush. Matched rows emit like the inner join.
+    * Watermarks on BOTH sides are mandatory for outer emission (the
+    * engine needs a bound to declare "no more matches"). */
+  def streamStreamJoinLeftOuter(a: DataFrame, b: DataFrame,
+                                keyA: String, keyB: String,
+                                tsA: String, tsB: String,
+                                watermark: String, before: String,
+                                after: String): DataFrame =
+    a.withWatermark(tsA, watermark)
+      .join(b.withWatermark(tsB, watermark),
+        expr(s"$keyA = $keyB AND $tsB BETWEEN $tsA - INTERVAL $before " +
+          s"AND $tsA + INTERVAL $after"),
+        "left_outer")
+
   /** Stream-static enrichment join (dimension broadcast per microbatch). */
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
              dimKey: String): DataFrame =

@@ -111,4 +111,46 @@ class StreamGateSpec extends SparkSpec {
     assert(got.where(col("doc_id") % 6 === 0).count() > 0,
       "no re-delivered doc survived the gate — the dedup check is vacuous")
   }
+
+  test("q193 left-outer join: null rows emit on eviction, never before; both classes live") {
+    val got = q("q193_stream_stream_outer").cache()
+    // batch replica of the oracle arithmetic
+    val e0 = graft.ops.Tables.table(spark, sf, "events")
+      .where(col("user_id") % 3 === 0)
+      .select(col("event_id"), col("ts").cast("timestamp").cast("double").as("e"),
+        col("user_id"))
+    val a = e0.where(col("event_id") % 2 === 0)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("e").as("a_e"))
+    val b = e0.where((col("event_id") % 2 === 1) && (col("user_id") % 9 =!= 0))
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("e").as("b_e"))
+    val maxA = a.agg(max("a_e")).head().getDouble(0)
+    val maxB = b.agg(max("b_e")).head().getDouble(0)
+    val wm = math.min(maxA, maxB) - 3600.0
+    val matched = a.join(b, col("b_user") === col("a_user") &&
+        col("b_e").between(col("a_e") - 600, col("a_e") + 600))
+      .select(col("a_id"), col("b_id"))
+    val unmatched = a.join(matched.select("a_id").distinct(), Seq("a_id"),
+      "left_anti")
+    val evicted = unmatched.where(col("a_e") + 600.0 < wm)
+      .select(col("a_id"), lit(null).cast("long").as("b_id"))
+    val withheld = unmatched.where(col("a_e") + 600.0 >= wm)
+    val expected = matched.unionAll(evicted)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "sink must equal matched + evicted-unmatched null rows exactly")
+    // emission is an EVICTION event: withheld unmatched rows (horizon
+    // still open at stream end) must be absent from the sink
+    assert(withheld.count() > 0, "no withheld unmatched rows — the " +
+      "emit-on-eviction-not-before half of the contract is vacuous")
+    assert(got.join(withheld.select("a_id"), Seq("a_id")).isEmpty,
+      "a withheld unmatched row leaked into the sink before eviction")
+    // the engineered no-partner class (user%9==0 excluded from b) must
+    // appear among the emitted nulls — the null path provably fired
+    assert(got.where(col("b_id").isNull && col("a_id").isin(
+        unmatched.where(col("a_user") % 9 === 0).select("a_id")
+          .as[Long].collect().toSeq: _*)).count() > 0,
+      "no engineered unmatched row was null-emitted")
+    got.unpersist()
+  }
 }
