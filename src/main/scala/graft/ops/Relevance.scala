@@ -353,6 +353,99 @@ object Relevance {
       .withColumn("keep", col("score") > lit(0.0))
   }
 
+  // --- Trained multiclass language ID (hashed char-ngram NB) -----------
+
+  /** Character n-grams of a projected string column (by NAME — the
+    * lambda must capture a plain attribute, not an expression tree:
+    * HOFs are interpreted and re-evaluate captures per element).
+    * Offsets 1..len−n+1, empty array below n chars — spelled as an
+    * explicit IF because Spark's `sequence(1, 0)` DESCENDS ([1, 0])
+    * where the oracle's `generate_series(1, 0)` is empty. */
+  private[graft] def charGramsOf(colName: String, n: Int): Column =
+    expr(s"IF(length($colName) >= $n, " +
+      s"transform(sequence(1, length($colName) - ${n - 1}), " +
+      s"i -> substring($colName, i, $n)), " +
+      s"CAST(array() AS ARRAY<STRING>))")
+
+  /** Train a multiclass hashed char-ngram Naive Bayes model — the
+    * TRAINED language ID replacing [[TextOps.langId]]'s stopword
+    * heuristic for signals word lists cannot see (orthography: accents,
+    * scripts — exactly what distinguishes languages sharing a
+    * vocabulary). One counting pass, one-vs-all over a shared count
+    * table:
+    *
+    *   w(label, b) = ln(c_{label,b}+1) − ln(C_label + B)
+    *   prior(label) = ln(n_label + 1)
+    *
+    * Every ln argument is a positive integer (the bit-portable
+    * integer-ln series), so train AND score replay verbatim in the
+    * DuckDB oracle (q194) — the q136 binary-NB discipline generalized
+    * to C classes.
+    *
+    * Scale: one char-gram explode → (label, bucket) partial-agg
+    * shuffle (≤ C·B rows), class totals and doc counts are
+    * class-cardinality-sized. Returns the DENSE model table
+    * (label, bucket, w, prior) — B rows per class, the broadcastable
+    * model. */
+  def nbMulticlassModel(labeled: DataFrame, textCol: String,
+                        labelCol: String, n: Int = 3,
+                        buckets: Int = 1024): DataFrame = {
+    import graft.functions.PortableSketches.lnOfInt
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = labeled.sparkSession
+    val base = labeled.select(col(labelCol).as("label"),
+      col(textCol).as("__t"))
+    val cnt = base
+      .select(col("label"), explode(charGramsOf("__t", n)).as("__g"))
+      .select(col("label"), tokenBucket(col("__g"), buckets).as("bucket"))
+      .groupBy("label", "bucket").agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy("label").agg(sum(col("__c")).as("__ct"))
+    val ndoc = base.groupBy("label").agg(count(lit(1)).as("__nd"))
+    require(ndoc.count() >= 2,
+      "multiclass training needs at least two labels")
+    val grid = tot.select("label")
+      .crossJoin(spark.range(buckets.toLong).select(col("id").as("bucket")))
+    grid
+      .join(cnt, Seq("label", "bucket"), "left")
+      .join(tot, Seq("label"))
+      .join(ndoc, Seq("label"))
+      .select(col("label"), col("bucket"),
+        (lnOfInt(coalesce(col("__c"), lit(0L)) + lit(1L))
+          - lnOfInt(col("__ct") + lit(buckets.toLong))).as("w"),
+        lnOfInt(col("__nd") + lit(1L)).as("prior"))
+  }
+
+  /** Classify documents under a [[nbMulticlassModel]]: per class,
+    * `prior + Σ_grams w(class, bucket(gram))` (exact DECIMAL(38,12)
+    * sum, rendered to double once); predicted class = max score, ties
+    * to the LARGEST label (the struct-max total order — the oracle's
+    * `ORDER BY score DESC, label DESC` twin). Docs with fewer than n
+    * characters emit no row (no grams — the [[dsirWeights]] contract).
+    *
+    * Scale: the model is C·B rows — broadcast; the gram stream joins
+    * it (C rows per gram), partial-aggregates to (doc, class), then
+    * (doc) — both keyed on the doc. Returns (idCol, pred, score). */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+                 model: DataFrame, n: Int = 3,
+                 buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.spread(docs, idCol)
+      .select(col(idCol), col(textCol).as("__t"))
+      .select(col(idCol), explode(charGramsOf("__t", n)).as("__g"))
+      .select(col(idCol), tokenBucket(col("__g"), buckets).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("w").cast(DecimalType(38, 12))).as("__sw"),
+        min(col("prior")).as("__p"))
+      .select(col(idCol), col("label"),
+        (col("__sw").cast("double") + col("__p")).as("score"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("score"), col("label"))).as("__b"))
+      .select(col(idCol), col("__b").getField("label").as("pred"),
+        col("__b").getField("score").as("score"))
+  }
+
   /** Positional postings — the inverted-index row stream (term, id,
     * pos), 1-based token positions on the whitespace tokenization.
     * This is the index a phrase/proximity search engine builds once

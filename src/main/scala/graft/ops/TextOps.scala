@@ -86,6 +86,36 @@ object TextOps {
 
   def langId(text: Column): Column = langIdFromTokens(lowerTokens(text))
 
+  /** Deterministic per-language orthography injection — the q164
+    * damage-injection pattern applied to language ID: the synthetic
+    * fixture's text carries NO language signal (every lang draws from
+    * the same 31-word vocabulary; measured: every feature family hits
+    * the 41% majority floor), so the trained-langid gate derives a
+    * REALISTIC multilingual corpus by translating each lang's docs
+    * through its own single-character orthography map (umlauts,
+    * accents, CJK) from these shared literals — the signal real
+    * language ID actually keys on, which the stopword heuristic
+    * provably cannot see (no stopword changes) and hashed char-ngrams
+    * learn. \u escapes, never retyped glyphs (the q164 lesson: a
+    * retyped literal silently never matches and BOTH engines miss
+    * identically, leaving the gate green and dead). */
+  val LangOrtho: Seq[(String, String, String)] = Seq(
+    ("de", "aou", "\u00e4\u00f6\u00fc"),
+    ("es", "no", "\u00f1\u00f3"),
+    ("fr", "ei", "\u00e9\u00ee"),
+    ("zh", "aeiou", "\u7684\u662f\u4e0d\u4e86\u5728"))
+
+  def orthoInject(lang: Column, text: Column): Column =
+    LangOrtho.foldRight(text) { case ((l, from, to), els) =>
+      when(lang === l, translate(text, from, to)).otherwise(els)
+    }
+
+  /** SQL twin of [[orthoInject]] — built from the SAME literals. */
+  def orthoInjectSql(lang: String, text: String): String =
+    "CASE " + LangOrtho.map { case (l, f, t) =>
+      s"WHEN $lang = '$l' THEN translate($text, '$f', '$t')"
+    }.mkString(" ") + s" ELSE $text END"
+
   // --- quality scoring ------------------------------------------------
 
   /** Gopher-style quality components, each in [0,1]. Pass a precomputed
