@@ -369,16 +369,41 @@ object Similarity {
     * deterministic only up to partitioning (the hash-seeded pick is
     * bit-stable; use that where bit-reproducibility matters). */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      nlist: Int = 16, iterations: Int = 2): Array[(Long, Array[Float])] = {
-    var cents = seedCentroids(corpus, idCol, vecCol, nlist)
+                      nlist: Int = 16, iterations: Int = 2,
+                      trainFraction: Double = 1.0): Array[(Long, Array[Float])] = {
+    val trainSet = trainingSet(corpus, idCol, trainFraction)
+    var cents = seedCentroids(trainSet, idCol, vecCol, nlist)
     for (_ <- 0 until iterations) {
-      val means = Tables.spread(corpus, idCol)
+      val means = Tables.spread(trainSet, idCol)
         .groupBy(nearestCentId(col(vecCol), cents).as("cent_id"))
         .agg(centroidAgg(col(vecCol)).as("cent_vec"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
       cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
     }
     cents
+  }
+
+  /** The train-on-a-sample dial every Lloyd trainer shares — the
+    * standard 100 TB posture: centroid/codebook quality converges on a
+    * small deterministic sample (k-means needs ~thousands of points
+    * per centroid, not the corpus), so TRAIN on
+    * [[Sampling.deterministicSample]] (portable md5-threshold
+    * membership — the sample is a pure row predicate, reproducible on
+    * any engine) and ASSIGN on everything once. `trainFraction = 1.0`
+    * (the default) is byte-for-byte the previous full-corpus behavior.
+    * The sample is lineage-truncated so each Lloyd iteration scans the
+    * materialized sample, not corpus-scan + re-filter per round —
+    * at 1% on 100 TB that is iterations × 1 TB instead of
+    * iterations × 100 TB. Measured recall-vs-fraction: SCALING.md
+    * round-10 (q115 harness: sampled training matches full-corpus
+    * recall at 10%). */
+  private def trainingSet(corpus: DataFrame, idCol: String,
+                          trainFraction: Double): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0,1], got $trainFraction")
+    if (trainFraction >= 1.0) corpus
+    else Checkpointing.truncate(
+      Sampling.deterministicSample(corpus, idCol, trainFraction))
   }
 
   /** IVF top-k: corpus rows are assigned to their nearest centroid once
@@ -391,9 +416,10 @@ object Similarity {
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               trainIterations: Int = 0,
-              portableSeeds: Boolean = false): DataFrame = {
+              portableSeeds: Boolean = false,
+              trainFraction: Double = 1.0): DataFrame = {
     val cents = ivfCents(corpus, idCol, vecCol, nlist,
-      trainIterations, portableSeeds)
+      trainIterations, portableSeeds, trainFraction)
     ivfTopKWithProbe(corpus, idCol, vecCol, queries, qidCol, qvecCol,
       k, nprobe,
       assign = v => nearestCentId(v, cents),
@@ -403,9 +429,11 @@ object Similarity {
   /** The shared centroid-model branch of every IVF entry point. */
   private def ivfCents(corpus: DataFrame, idCol: String, vecCol: String,
                        nlist: Int, trainIterations: Int,
-                       portableSeeds: Boolean): Array[(Long, Array[Float])] = {
+                       portableSeeds: Boolean,
+                       trainFraction: Double = 1.0): Array[(Long, Array[Float])] = {
     val cents =
-      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      if (trainIterations > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations, trainFraction)
       else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")
@@ -513,9 +541,10 @@ object Similarity {
                       k: Int, nlist: Int = 16, ntop: Int = 4,
                       wprobe: Int = 2, nprobe: Int = 4,
                       trainIterations: Int = 0,
-                      portableSeeds: Boolean = false): DataFrame = {
+                      portableSeeds: Boolean = false,
+                      trainFraction: Double = 1.0): DataFrame = {
     val cents = ivfCents(corpus, idCol, vecCol, nlist,
-      trainIterations, portableSeeds)
+      trainIterations, portableSeeds, trainFraction)
     val (coarse, groups) = twoLevelModel(cents, ntop)
     def probe(v: Column, n: Int): Column =
       VectorFunctions.twoLevelNearestCentroids(v, coarse, groups, wprobe, n)
@@ -537,9 +566,11 @@ object Similarity {
                        k: Int, nlist: Int = 16, nprobe: Int = 4,
                        shortlist: Int = 0,
                        trainIterations: Int = 0,
-                       portableSeeds: Boolean = false): DataFrame = {
+                       portableSeeds: Boolean = false,
+                       trainFraction: Double = 1.0): DataFrame = {
     val cents =
-      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      if (trainIterations > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations, trainFraction)
       else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")
@@ -588,16 +619,18 @@ object Similarity {
     * the bit-reproducible differential-oracle path. */
   def pqModelTrained(corpus: DataFrame, idCol: String, vecCol: String,
                      m: Int, ksub: Int,
-                     iterations: Int = 2): graft.functions.PqModel = {
+                     iterations: Int = 2,
+                     trainFraction: Double = 1.0): graft.functions.PqModel = {
     import org.apache.spark.sql.GraftSqlShim
-    var model = pqModelPortable(corpus, idCol, vecCol, m, ksub)
+    val trainSet = trainingSet(corpus, idCol, trainFraction)
+    var model = pqModelPortable(trainSet, idCol, vecCol, m, ksub)
     for (_ <- 0 until iterations) {
       val mm = model
       // codes let-bound in their own projection: element_at inside the
       // explode lambda must read an attribute, not re-run the encoder
       // per subspace (HOF lambdas evaluate their captured trees per
       // element — the Quantize.int8 lesson)
-      val enc = Tables.spread(corpus, idCol)
+      val enc = Tables.spread(trainSet, idCol)
         .select(col(vecCol).as("__v"),
           GraftSqlShim.column(graft.functions.PqEncodeCodes(
             GraftSqlShim.expression(col(vecCol)), mm)).as("__c"))
@@ -641,9 +674,11 @@ object Similarity {
              queries: DataFrame, qidCol: String, qvecCol: String,
              k: Int, m: Int = 4, ksub: Int = 16,
              shortlist: Int = 0,
-             trainIterations: Int = 0): DataFrame = {
+             trainIterations: Int = 0,
+             trainFraction: Double = 1.0): DataFrame = {
     val model =
-      if (trainIterations > 0) pqModelTrained(corpus, idCol, vecCol, m, ksub, trainIterations)
+      if (trainIterations > 0)
+        pqModelTrained(corpus, idCol, vecCol, m, ksub, trainIterations, trainFraction)
       else pqModelPortable(corpus, idCol, vecCol, m, ksub)
     pqShortlistRerank(
       pqIndexFrame(Tables.spread(corpus, idCol), idCol, vecCol, model), model,
@@ -878,9 +913,11 @@ object Similarity {
     * table — nlist × dim floats). */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     tableName: String, nlist: Int = 16, numBuckets: Int = 16,
-                    trainIterations: Int = 0): Array[(Long, Array[Float])] = {
+                    trainIterations: Int = 0,
+                    trainFraction: Double = 1.0): Array[(Long, Array[Float])] = {
     val cents =
-      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      if (trainIterations > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations, trainFraction)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")
     writeIvfIndexWith(corpus, idCol, vecCol, tableName, cents, numBuckets)
@@ -1046,9 +1083,11 @@ object Similarity {
                              nlist: Int = 16, nprobe: Int = 4,
                              shortlist: Int = 0,
                              trainIterations: Int = 0,
-                             portableSeeds: Boolean = false): DataFrame = {
+                             portableSeeds: Boolean = false,
+                             trainFraction: Double = 1.0): DataFrame = {
     val cents =
-      if (trainIterations > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations)
+      if (trainIterations > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nlist, trainIterations, trainFraction)
       else if (portableSeeds) portableSeedCentroids(corpus, idCol, vecCol, nlist)
       else seedCentroids(corpus, idCol, vecCol, nlist)
     require(cents.nonEmpty, "IVF needs a non-empty corpus")

@@ -384,6 +384,10 @@ object ScalingCurve {
     // the recall lever: shortlist size for the exact re-rank
     // (SPARK_GRAFT_PQ_SL, default the catalog's 64)
     val pqSl = sys.env.getOrElse("SPARK_GRAFT_PQ_SL", "64").toInt
+    // the sampled-training dial (round 10): comma list of Lloyd
+    // train fractions — 1.0 = the full-corpus baseline rows
+    val pqFracs = sys.env.getOrElse("SPARK_GRAFT_PQ_TRAINFRAC", "1.0")
+      .split(",").map(_.trim.toDouble).toSeq
     if (pqRun) {
       // JIT/codegen warmup at the smallest size (not recorded) — the
       // headliner warmup above is skipped under a restricted
@@ -409,24 +413,27 @@ object ScalingCurve {
         df.select(col("qid").cast("long"), col("vec_id").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val t0 = System.nanoTime()
-      val pq = sets(graft.ops.Similarity.pqTopK(emb, "vec_id", "embedding",
-        annQ, "qid", "qvec", k = 10, m = 16, ksub = 16, shortlist = pqSl,
-        trainIterations = 2))
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
       val tB0 = System.nanoTime()
       val exact = sets(graft.ops.Similarity.bruteForceTopK(
         emb, "vec_id", "embedding", annQ, "qid", "qvec", k = 10))
       val dtB = (System.nanoTime() - tB0) / 1e9
       spark.catalog.clearCache()
-      val recall = exact.map { case (q, ns) =>
-        (ns intersect pq.getOrElse(q, Set.empty)).size.toDouble / ns.size
-      }.sum / exact.size
-      println(f"[scale] x$f%-4d $pqLabel%s(sl=$pqSl%d) train+search ${dt}%.2f s" +
-        f"  brute ${dtB}%.2f s  recall@10 ${recall}%.3f")
-      Seq((pqLabel, f, dt), (pqLabel + "_recall@10", f, recall),
-        ("q37_brute_reference", f, dtB))
+      val perFrac = pqFracs.flatMap { frac =>
+        val t0 = System.nanoTime()
+        val pq = sets(graft.ops.Similarity.pqTopK(emb, "vec_id", "embedding",
+          annQ, "qid", "qvec", k = 10, m = 16, ksub = 16, shortlist = pqSl,
+          trainIterations = 2, trainFraction = frac))
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val recall = exact.map { case (q, ns) =>
+          (ns intersect pq.getOrElse(q, Set.empty)).size.toDouble / ns.size
+        }.sum / exact.size
+        val tag = if (frac >= 1.0) "" else f"_tf$frac%.2f"
+        println(f"[scale] x$f%-4d $pqLabel%s$tag%s(sl=$pqSl%d) train+search " +
+          f"${dt}%.2f s  brute ${dtB}%.2f s  recall@10 ${recall}%.3f")
+        Seq((pqLabel + tag, f, dt), (pqLabel + tag + "_recall@10", f, recall))
+      }
+      perFrac ++ Seq(("q37_brute_reference", f, dtB))
     }).flatten
 
     println("| query | " + factors.map(f => s"x$f (s)").mkString(" | ") + " |")

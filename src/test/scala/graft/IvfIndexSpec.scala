@@ -260,4 +260,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1),
       s"results must draw from both index generations: $ids")
   }
+
+  test("sampled Lloyd training: train-on-sample recall tracks full-corpus training") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("qid").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10))
+    def recall(tf: Double): Double = {
+      val got = sets(Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, m = 16, ksub = 16, shortlist = 64,
+        trainIterations = 2, trainFraction = tf))
+      exact.map { case (q, ns) =>
+        (ns intersect got.getOrElse(q, Set.empty)).size.toDouble / ns.size
+      }.sum / exact.size
+    }
+    val full = recall(1.0)
+    val sampled = recall(0.25)
+    assert(sampled >= full - 0.15,
+      s"25% sampled training recall $sampled too far below full $full")
+    // the trainer really trains on the sample: centroids move off the
+    // sample's own seed pick (iterations=0 over the SAME deterministic
+    // sample yields the untouched seeds), model covers nlist cells
+    val seeds = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iterations = 0, trainFraction = 0.25)
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iterations = 2, trainFraction = 0.25)
+    assert(trained.length == 16 && seeds.length == 16)
+    assert(trained.map(_._1).toSet == seeds.map(_._1).toSet,
+      "deterministic sample must reproduce the same seed ids")
+    assert(trained.exists { case (cid, v) =>
+      seeds.toMap.get(cid).exists(sv => !java.util.Arrays.equals(sv, v))
+    }, "sampled training left every centroid at its seed — dead training")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nlist = 16, iterations = 1, trainFraction = 0.0)
+    }
+    ()
+  }
 }
