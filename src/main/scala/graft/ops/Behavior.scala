@@ -297,6 +297,57 @@ object Behavior {
     perDay.withColumn("cum_users", sum(col("new_users")).over(w))
   }
 
+  /** [[activeUsersDaily]] + the MERGEABLE companion curve: per-day
+    * portable-HLL distinct-user estimates from the same register
+    * discipline q158 maintains as persisted state. The analyst gets
+    * both readings from one operator — exact (first-day attribution,
+    * the right default) and sketch (the register table is the
+    * state a multi-source deployment can merge WITHOUT re-reading any
+    * corpus: per-day (bucket, r) rows, max-merge monoid). Returns
+    * (day, dau, new_users, cum_users, dau_hll).
+    *
+    * Scale: the exact side is [[activeUsersDaily]]'s shape; the
+    * sketch side is one map-side-combined (day, bucket) exchange to a
+    * calendar × 256-register table. */
+  def activeUsersDailyWithSketch(events: DataFrame, userCol: String,
+                                 ts: Column): DataFrame = {
+    import graft.functions.PortableSketches._
+    val exact = activeUsersDaily(events, userCol, ts)
+    val regs = events
+      .select(date_trunc("day", ts).as("day"),
+        hllDigest(col(userCol)).as("__d"))
+      .groupBy(col("day"), hllBucket(col("__d")).as("bucket"))
+      .agg(max(hllRho(col("__d"))).as("r"))
+    val approx = regs.groupBy("day")
+      .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
+        count(lit(1)).as("present"))
+      .select(col("day"), hllEstimate(col("zsum"), col("present")).as("dau_hll"))
+    exact.join(approx, Seq("day"))
+  }
+
+  /** Mirror of [[activeUsersDailyWithSketch]] for the DuckDB oracle.
+    * `eventsSql` must select `u` and `ts`. */
+  def activeUsersDailyWithSketchSql(eventsSql: String): String = {
+    import graft.functions.PortableSketches._
+    s"""WITH exact AS (${activeUsersDailySql(eventsSql)}),
+       |__sregs AS (
+       |  SELECT day, ${hllBucketSql("d")} AS bucket,
+       |         max(${hllRhoSql("d")}) AS r
+       |  FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |               ${hllDigestSql("u")} AS d
+       |        FROM ($eventsSql))
+       |  GROUP BY 1, 2
+       |), __sz AS (
+       |  SELECT day, sum($hllRegisterTermSql) AS zsum, count(*) AS present
+       |  FROM __sregs GROUP BY day
+       |), approx AS (
+       |  SELECT day, ${hllEstimateSql("zsum", "present")} AS dau_hll
+       |  FROM __sz
+       |)
+       |SELECT exact.day AS day, dau, new_users, cum_users, dau_hll
+       |FROM exact JOIN approx ON approx.day = exact.day""".stripMargin
+  }
+
   /** Mirror of [[activeUsersDaily]] for the DuckDB oracle. `eventsSql`
     * must select `u` and `ts`. */
   def activeUsersDailySql(eventsSql: String): String =

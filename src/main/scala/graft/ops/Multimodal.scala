@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north-star extension): image/audio/video
@@ -98,6 +98,128 @@ object Multimodal {
       Some((le16(bytes, 6), le16(bytes, 8), 3))
     } else None
   }
+
+  private def le32L(bytes: Array[Byte], i: Int): Long =
+    u8(bytes(i)).toLong | (u8(bytes(i + 1)).toLong << 8) |
+      (u8(bytes(i + 2)).toLong << 16) | (u8(bytes(i + 3)).toLong << 24)
+  private def be32L(bytes: Array[Byte], i: Int): Long =
+    (u8(bytes(i)).toLong << 24) | (u8(bytes(i + 1)).toLong << 16) |
+      (u8(bytes(i + 2)).toLong << 8) | u8(bytes(i + 3)).toLong
+
+  /** (channels, sample_rate, bits_per_sample, data_bytes) from a RIFF/
+    * WAVE container header — a real subchunk walk (public spec: RIFF
+    * size + WAVE tag, then word-aligned `fmt `/`data` subchunks; the
+    * PCM `fmt ` payload carries channels LE16 @+2, rate LE32 @+4, bits
+    * LE16 @+14). The declared `data` size is reported even when the
+    * payload is truncated after the header (header-only metadata, the
+    * same posture as [[parseImageHeader]]). None when not a WAV. */
+  private[graft] def parseWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataLen = -1L
+      while (i + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+        val id = new String(bytes, i, 4, "US-ASCII")
+        val size = le32L(bytes, i + 4)
+        if (id == "fmt " && i + 24 <= bytes.length)
+          fmt = Some((le16(bytes, i + 10), le32L(bytes, i + 12).toInt,
+            le16(bytes, i + 22)))
+        else if (id == "data") dataLen = size
+        i += 8 + size.toInt + (size.toInt & 1) // subchunks are word-aligned
+      }
+      fmt.flatMap { case (ch, rate, bits) =>
+        if (dataLen >= 0) Some((ch, rate, bits, dataLen)) else None
+      }
+    } else None
+  }
+
+  /** (major_brand, timescale, duration) from an ISO BMFF (MP4)
+    * container — a real box walk (public spec: length-prefixed
+    * big-endian boxes; `ftyp` carries the brand, `moov`/`mvhd` v0
+    * carries timescale BE32 @+12 and duration BE32 @+16 after the
+    * version/flags word). mvhd version 1 (64-bit times) returns None —
+    * out of scope for the header gate, documented. None when not BMFF. */
+  private[graft] def parseMp4Header(bytes: Array[Byte]): Option[(String, Long, Long)] = {
+    var i = 0
+    var brand: String = null
+    var ts = -1L
+    var dur = -1L
+    while (i + 8 <= bytes.length && (brand == null || ts < 0)) {
+      val size = be32L(bytes, i)
+      if (size < 8) return None
+      val typ = new String(bytes, i + 4, 4, "US-ASCII")
+      if (typ == "ftyp" && i + 12 <= bytes.length)
+        brand = new String(bytes, i + 8, 4, "US-ASCII")
+      else if (typ == "moov") {
+        var j = i + 8
+        val end = math.min(i + size, bytes.length.toLong).toInt
+        while (j + 8 <= end && ts < 0) {
+          val csize = be32L(bytes, j)
+          if (csize < 8) return None
+          val ctyp = new String(bytes, j + 4, 4, "US-ASCII")
+          if (ctyp == "mvhd" && j + 28 <= bytes.length) {
+            if (u8(bytes(j + 8)) != 0) return None // v1: 64-bit times
+            ts = be32L(bytes, j + 20)
+            dur = be32L(bytes, j + 24)
+          }
+          j += csize.toInt
+        }
+      }
+      i += size.toInt
+    }
+    if (brand != null && ts > 0) Some((brand, ts, dur)) else None
+  }
+
+  case class AvMeta(media_id: Long, container: String,
+                    channels: Option[Int], sample_rate: Option[Int],
+                    bits: Option[Int], n_data: Option[Long],
+                    brand: Option[String], timescale: Option[Long],
+                    duration: Option[Long])
+
+  /** Audio/video container metadata: the [[decode]] shape for WAV and
+    * MP4 payloads — partition-local typed map running the real header
+    * parses; unrecognized payloads report container "unknown" with all
+    * fields null (a production pipeline quarantines them). */
+  def decodeAv(spark: SparkSession, media: DataFrame): Dataset[AvMeta] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseWavHeader(bytes) match {
+            case Some((ch, rate, bits, dataLen)) =>
+              AvMeta(id, "wav", Some(ch), Some(rate), Some(bits),
+                Some(dataLen), None, None, None)
+            case None => parseMp4Header(bytes) match {
+              case Some((brand, ts, dur)) =>
+                AvMeta(id, "mp4", None, None, None, None,
+                  Some(brand), Some(ts), Some(dur))
+              case None =>
+                AvMeta(id, "unknown", None, None, None, None, None, None, None)
+            }
+          }
+        }
+      }
+  }
+
+  /** Little/big-endian hex builders for CONSTRUCTING container headers
+    * as columns (`unhex` of the concatenation) — the deterministic
+    * payload factory the q197 gate uses: both engines know the field
+    * values arithmetically; only Spark runs the byte-level parse, and
+    * the oracle's arithmetic ground truth checks it recovered every
+    * field. */
+  def le16Hex(v: Column): Column =
+    concat(lpad(hex(v.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(lit(255))), 2, "0"))
+
+  def le32Hex(v: Column): Column =
+    concat(lpad(hex(v.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(v, 16).bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(v, 24).bitwiseAND(lit(255))), 2, "0"))
+
+  def be32Hex(v: Column): Column = lpad(hex(v), 8, "0")
 
   /** Decode stage: partition-local typed map — the shape a real decoder
     * runs in (one codec context per partition, streamed batches, no

@@ -256,6 +256,77 @@ object CatalogML6 {
          |WHERE rn = 1
          |GROUP BY 1
          |ORDER BY 1""".stripMargin
-    })
+    }),
+
+    // Daily activity with BOTH curves from one operator: q173's exact
+    // DAU/new/cumulative (first-day attribution) joined with the
+    // per-day portable-HLL estimate — the q158 register discipline as
+    // a report column, i.e. the mergeable state a multi-source
+    // deployment maintains without rescans, next to the exact answer
+    // the analyst trusts. Estimates replay bit-exactly (md5 lanes,
+    // integer harmonic sum, portable-ln linear counting).
+    ("q196_dau_exact_and_sketch", (s: SparkSession, d: String) => {
+      graft.ops.Behavior.activeUsersDailyWithSketch(
+          table(s, d, "events"), "user_id", col("ts"))
+        .orderBy("day")
+    }, Some(
+      graft.ops.Behavior.activeUsersDailyWithSketchSql(
+        "SELECT user_id AS u, ts FROM events") +
+        "\nORDER BY day")),
+
+    // Audio/video CONTAINER header parse (WAV subchunk walk, ISO-BMFF
+    // box walk — the q44 posture for the next multimodal column a
+    // training pipeline meets). Payloads are REAL headers constructed
+    // deterministically from per-row arithmetic (hex-built, unhex'd);
+    // only Spark runs the byte-level parse, and the oracle states the
+    // field values arithmetically — matching hashes prove the parser
+    // recovered every field (endianness, subchunk offsets, box sizes)
+    // from the bytes. Pixel/sample decode stays out of scope (no codec
+    // libraries in this container), exactly as documented for images.
+    ("q197_multimodal_av_headers", (s: SparkSession, d: String) => {
+      import graft.ops.Multimodal
+      import graft.ops.Multimodal.{be32Hex, le16Hex, le32Hex}
+      val id = col("media_id")
+      val base = spread(table(s, d, "events"), "event_id")
+        .select(col("event_id").as("media_id"))
+      val ch = (id % 3 + 1).cast("int")
+      val rate = ((id % 5 + 1) * 8000).cast("int")
+      val bits = ((id % 3 + 1) * 8).cast("int")
+      val dlen = (id % 9000 + 1000).cast("int")
+      val byteRate = (rate * ch * bits / lit(8)).cast("int")
+      val block = (ch * bits / lit(8)).cast("int")
+      val wavHex = concat(lit("52494646"), le32Hex(lit(36) + dlen),
+        lit("57415645"), lit("666d7420"), le32Hex(lit(16)),
+        le16Hex(lit(1)), le16Hex(ch), le32Hex(rate), le32Hex(byteRate),
+        le16Hex(block), le16Hex(bits), lit("64617461"), le32Hex(dlen))
+      val tsc = ((id % 4 + 1) * 600).cast("long")
+      val dur = (id % 100000 + 1000).cast("long")
+      val mp4Hex = concat(
+        lit("00000014"), lit("66747970"), lit("69736f6d"),
+        lit("00000000"), lit("6d703432"),
+        lit("00000024"), lit("6d6f6f76"),
+        lit("0000001c"), lit("6d766864"), lit("00000000"),
+        lit("00000000"), lit("00000000"), be32Hex(tsc), be32Hex(dur))
+      val payload = unhex(when(id % 2 === 0, wavHex).otherwise(mp4Hex))
+      Multimodal.decodeAv(s, base.select(id, payload.as("bytes")))
+        .toDF().orderBy("media_id")
+    }, Some(
+      """SELECT event_id AS media_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+        |  CASE WHEN event_id % 2 = 0
+        |       THEN CAST(event_id % 3 + 1 AS INT) END AS channels,
+        |  CASE WHEN event_id % 2 = 0
+        |       THEN CAST((event_id % 5 + 1) * 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN event_id % 2 = 0
+        |       THEN CAST((event_id % 3 + 1) * 8 AS INT) END AS bits,
+        |  CASE WHEN event_id % 2 = 0
+        |       THEN CAST(event_id % 9000 + 1000 AS BIGINT) END AS n_data,
+        |  CASE WHEN event_id % 2 = 1 THEN 'isom' END AS brand,
+        |  CASE WHEN event_id % 2 = 1
+        |       THEN CAST((event_id % 4 + 1) * 600 AS BIGINT) END AS timescale,
+        |  CASE WHEN event_id % 2 = 1
+        |       THEN CAST(event_id % 100000 + 1000 AS BIGINT) END AS duration
+        |FROM events
+        |ORDER BY media_id""".stripMargin))
   )
 }

@@ -112,4 +112,70 @@ class MultimodalSpec extends SparkSpec {
     assert("alpha beta gamma delta".startsWith(joined.take(20)))
     assert(frames.forall(_._2.length == 5)) // 22 bytes / 4 → frames of 5
   }
+
+  test("parseWavHeader walks real RIFF subchunks, any order, word-aligned") {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val fmt = le16(1) ++ le16(2) ++ le32(44100L) ++ le32(44100L * 2 * 2) ++
+      le16(4) ++ le16(16)
+    // a LIST chunk BEFORE fmt exercises the walk (odd payload → pad byte)
+    val body = chunk("LIST", Array[Byte](1, 2, 3)) ++ chunk("fmt ", fmt) ++
+      chunk("data", Array.fill[Byte](10)(7))
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    assert(Multimodal.parseWavHeader(wav).contains((2, 44100, 16, 10L)))
+    // header-only (data chunk declared but truncated): size still read
+    val headerOnly = "RIFF".getBytes("US-ASCII") ++ le32(100L) ++
+      "WAVE".getBytes("US-ASCII") ++ chunk("fmt ", fmt) ++
+      "data".getBytes("US-ASCII") ++ le32(99999L)
+    assert(Multimodal.parseWavHeader(headerOnly).contains((2, 44100, 16, 99999L)))
+    assert(Multimodal.parseWavHeader("RIFX1234WAVE".getBytes).isEmpty)
+    assert(Multimodal.parseWavHeader(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("parseMp4Header walks real BMFF boxes; skips unknown boxes; rejects v1") {
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def mvhd(ver: Int, ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", Array[Byte](ver.toByte, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(ts) ++ be32(dur))
+    val mp4 = box("ftyp", "mp42".getBytes ++ be32(0) ++ "isom".getBytes) ++
+      box("free", Array.fill[Byte](5)(0)) ++ // unknown box skipped
+      box("moov", box("iods", Array[Byte](9)) ++ mvhd(0, 90000L, 4500000L))
+    assert(Multimodal.parseMp4Header(mp4).contains(("mp42", 90000L, 4500000L)))
+    // version-1 mvhd (64-bit times) is documented out of scope
+    val v1 = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", mvhd(1, 90000L, 1L))
+    assert(Multimodal.parseMp4Header(v1).isEmpty)
+    // a zero-size box must terminate, not loop
+    assert(Multimodal.parseMp4Header(be32(0L) ++ "ftyp".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Header("notabmff".getBytes).isEmpty)
+  }
+
+  test("decodeAv routes wav/mp4/unknown per row in one partition-local pass") {
+    val wavHex = "52494646" + "24000000" + "57415645" +
+      "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+      "803e0000" + "0200" + "1000" + "64617461" + "00000000"
+    val media = Seq(
+      (1L, wavHex),
+      (2L, "0000001466747970" + "69736f6d" + "00000000" + "6d703432" +
+        "000000246d6f6f76" + "0000001c6d766864" + "00000000" +
+        "00000000" + "00000000" + "00000258" + "00010000"),
+      (3L, "deadbeef"))
+      .toDF("media_id", "hx")
+      .select(col("media_id"), unhex(col("hx")).as("bytes"))
+    val got = Multimodal.decodeAv(spark, media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).container == "wav" &&
+      got(1L).sample_rate.contains(8000) && got(1L).channels.contains(1))
+    assert(got(2L).container == "mp4" && got(2L).brand.contains("isom") &&
+      got(2L).timescale.contains(600L) && got(2L).duration.contains(65536L))
+    assert(got(3L).container == "unknown" && got(3L).channels.isEmpty)
+  }
 }
