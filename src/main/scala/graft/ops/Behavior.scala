@@ -368,6 +368,104 @@ object Behavior {
        |         AS BIGINT) AS cum_users
        |FROM pd""".stripMargin
 
+  /** Kaplan–Meier survival (churn) curve over user lifetimes — the
+    * product-limit estimator product teams read as "what fraction of
+    * users are still active t days after their first touch":
+    *
+    *   S(t_i) = Π_{j ≤ i} (n_j − d_j) / n_j
+    *
+    * with right-censoring: a user still active within `horizonHours` of
+    * the corpus's last instant has not churned — their lifetime is
+    * only known to be ≥ observation span, so they leave the risk set
+    * without a churn event (dropping censoring would bias S down —
+    * every active user would look like a churn at their last event).
+    * Churn duration = days from first to last event; censor duration =
+    * days from first event to observation end. All in exact integer
+    * microsecond/day arithmetic.
+    *
+    * Portability of the cumulative PRODUCT (the operator's one
+    * subtlety): each factor is a single IEEE division of exact longs,
+    * and the running product folds LEFT in ascending-t order via the
+    * array fold both engines evaluate identically (Spark
+    * `aggregate(list, 1.0, *)` ≡ DuckDB `list_reduce(1.0 ++ list, *)`
+    * — the q25 list-fold discipline applied to products), so the whole
+    * curve hashes cross-engine.
+    *
+    * Scale: one user-keyed exchange (lifetimes), then everything is
+    * DAY-COUNT-sized — the risk-set window, the factor table, and the
+    * per-step fold (O(T²) on a calendar-sized T) run over the tiny
+    * curve frame (single-partition windows documented free at that
+    * size). Returns (t_days, n_risk, d_churn, surv) at churn steps. */
+  def survivalCurve(events: DataFrame, userCol: String, ts: Column,
+                    horizonHours: Int): DataFrame = {
+    require(horizonHours >= 0, s"horizon must be >= 0, got $horizonHours")
+    val u = col(userCol)
+    val e = unix_micros(ts)
+    val mx = events.agg(max(e).as("__mx"))
+    val hUs = horizonHours.toLong * 3600000000L
+    val lab = events.groupBy(u).agg(min(e).as("__f"), max(e).as("__l"))
+      .crossJoin(mx)
+      .select(
+        when(col("__mx") - col("__l") > hUs,
+          expr("(__l - __f) div 86400000000"))
+          .otherwise(expr("(__mx - __f) div 86400000000")).as("__t"),
+        (col("__mx") - col("__l") > hUs).cast("long").as("__ev"))
+    val grp = lab.groupBy(col("__t"))
+      .agg(sum(col("__ev")).as("d"), count(lit(1)).as("__c"))
+    // day-count-sized frames from here down: the unpartitioned windows
+    // run over the curve, not the corpus
+    val wDesc = Window.orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp
+      .withColumn("n", sum(col("__c")).over(wDesc))
+      .where(col("d") > 0)
+      .withColumn("factor",
+        (col("n") - col("d")).cast("double") / col("n").cast("double"))
+      .withColumn("__fs", collect_list(col("factor")).over(wAsc))
+      .select(col("__t").as("t_days"), col("n").as("n_risk"),
+        col("d").as("d_churn"),
+        aggregate(col("__fs"), lit(1.0), (a, x) => a * x).as("surv"))
+  }
+
+  /** Mirror of [[survivalCurve]] for the DuckDB oracle. `eventsSql`
+    * must select `u` and `ts`. */
+  def survivalCurveSql(eventsSql: String, horizonHours: Int): String = {
+    val hUs = horizonHours.toLong * 3600000000L
+    s"""WITH ev AS ($eventsSql),
+       |p AS (SELECT max(epoch_us(ts)) AS mx FROM ev),
+       |u AS (
+       |  SELECT u, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+       |  FROM ev GROUP BY 1
+       |), lab AS (
+       |  SELECT CASE WHEN p.mx - l > $hUs THEN (l - f) // 86400000000
+       |              ELSE (p.mx - f) // 86400000000 END AS t,
+       |         CAST(p.mx - l > $hUs AS BIGINT) AS evt
+       |  FROM u CROSS JOIN p
+       |), grp AS (
+       |  SELECT t, CAST(sum(evt) AS BIGINT) AS d,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM lab GROUP BY 1
+       |), r AS (
+       |  SELECT t, d,
+       |         CAST(sum(c) OVER (ORDER BY t DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS n
+       |  FROM grp
+       |), f AS (
+       |  SELECT t, d, n,
+       |         CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS factor
+       |  FROM r WHERE d > 0
+       |)
+       |SELECT t AS t_days, n AS n_risk, d AS d_churn,
+       |       list_reduce(list_prepend(1.0,
+       |         list(factor) OVER (ORDER BY t
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |         (a, b) -> a * b) AS surv
+       |FROM f""".stripMargin
+  }
+
   /** Market-basket association pairs: for every unordered item pair
     * co-occurring in at least `minSupport` baskets — `(item_a, item_b,
     * n_ab, support, confidence, lift)`, top-`k` by lift. All three

@@ -327,6 +327,101 @@ object CatalogML6 {
         |  CASE WHEN event_id % 2 = 1
         |       THEN CAST(event_id % 100000 + 1000 AS BIGINT) END AS duration
         |FROM events
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // Continuous-column profile: the describe() a double column never
+    // had at corpus scale — exact n/min/max (IEEE comparisons, no
+    // arithmetic) joined with the HDR-sketch percentiles, one report
+    // row per group. The composition q190's registers exist for: the
+    // counting CDF's (group, value) table would be corpus-sized here.
+    ("q198_profile_continuous", (s: SparkSession, d: String) => {
+      val li = spread(table(s, d, "lineitem"), "l_orderkey")
+      val base = li.groupBy(col("l_returnflag"))
+        .agg(count(revenue).as("n_rows"), min(revenue).as("vmin"),
+          max(revenue).as("vmax"))
+      val qs = QuantileSketch.quantilesOf(li, "l_returnflag", revenue,
+          Seq(50, 95), S)
+        .groupBy("l_returnflag").agg(
+          min(when(col("pct") === 50, col("value"))).as("p50_sketch"),
+          min(when(col("pct") === 95, col("value"))).as("p95_sketch"))
+      base.join(qs, Seq("l_returnflag")).orderBy("l_returnflag")
+    }, Some(
+      s"""WITH base AS (
+         |  SELECT l_returnflag,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         min(l_extendedprice * (1.0 - l_discount)) AS vmin,
+         |         max(l_extendedprice * (1.0 - l_discount)) AS vmax
+         |  FROM lineitem GROUP BY 1
+         |), qs AS (
+         |  SELECT l_returnflag,
+         |         min(CASE WHEN pct = 50 THEN value END) AS p50_sketch,
+         |         min(CASE WHEN pct = 95 THEN value END) AS p95_sketch
+         |  FROM (${QuantileSketch.quantilesSql(
+                     QuantileSketch.sketchSql(RevenueSql, S),
+                     Seq(50, 95), S, gAs = "l_returnflag")})
+         |  GROUP BY 1
+         |)
+         |SELECT base.l_returnflag, n_rows, vmin, vmax, p50_sketch, p95_sketch
+         |FROM base JOIN qs ON qs.l_returnflag = base.l_returnflag
+         |ORDER BY base.l_returnflag""".stripMargin)),
+
+    // Kaplan–Meier churn curve over user lifetimes with right-censoring
+    // (horizon 12 hours — sized so every fixture scale has real churn
+    // AND real censoring; an empty curve is a dead gate): exact
+    // integer risk-set/event counts, one IEEE
+    // factor per step, and the cumulative product folded left in
+    // ascending-t order by the identical array fold on both engines —
+    // a fully-oracled survival estimator.
+    ("q199_survival_churn", (s: SparkSession, d: String) => {
+      graft.ops.Behavior.survivalCurve(
+          table(s, d, "events"), "user_id",
+          col("ts").cast("timestamp"), horizonHours = 12)
+        .orderBy("t_days")
+    }, Some(
+      graft.ops.Behavior.survivalCurveSql(
+        "SELECT user_id AS u, ts FROM events", horizonHours = 12) +
+        "\nORDER BY t_days")),
+
+    // STREAMING maintenance of the HDR percentile state — the q160
+    // monoid-advance loop with the q190 registers as the state: three
+    // arrival waves fold into a persisted (group, bucket, cnt) table
+    // via foreachBatch (one stage-and-swap per microbatch; sum-merge
+    // is commutative so wave order is free), and the report answers
+    // quantiles FROM THE STATE. Oracle: the from-scratch whole-corpus
+    // sketch — merge-equals-whole, streamed.
+    ("q200_stream_quantile_state", (s: SparkSession, d: String) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q200_state_$tag"
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
+      val events = table(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dir = CatalogStream.stageEventStateWaves(s, d)
+      QuantileSketch.sketch(events.where(lit(false)), "event_type",
+          col("value"), S)
+        .write.saveAsTable(st)
+      val src = s.readStream.format("parquet").schema(events.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-qstate-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Incremental.advanceStateTableBy(s, st,
+              QuantileSketch.sketch(b, "event_type", col("value"), S),
+              Seq("event_type", "bucket"), QuantileSketch.mergeAggs)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally graft.ops.LocalFiles.deleteRecursively(ckpt)
+      QuantileSketch.quantiles(s.table(st), "event_type", Seq(50, 90, 99), S)
+        .orderBy("event_type", "pct")
+    }, Some(
+      QuantileSketch.quantilesSql(
+        QuantileSketch.sketchSql(
+          "SELECT event_type AS g, value AS v FROM events", S),
+        Seq(50, 90, 99), S, gAs = "event_type") +
+        "\nORDER BY event_type, pct"))
   )
 }

@@ -159,6 +159,19 @@ object CatalogStream {
     }
   }
 
+  /** The (event_id, event_type, value) three-wave mod-split staging
+    * the state-maintenance loops replay (q160, q200 — monoid merges,
+    * so wave order is free and a mod split is valid). Shared through
+    * the process cache: one staging serves every consumer. */
+  private[queries] def stageEventStateWaves(s: SparkSession, d: String): String = {
+    val events = table(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    stageWavesCached(d, "events-state")(Seq(
+      events.where(col("event_id") % 3 === 0),
+      events.where(col("event_id") % 3 === 1),
+      events.where(col("event_id") % 3 === 2)))
+  }
+
   /** events projected to the streaming payload. The fixture's ts reads
     * as TIMESTAMP_NTZ, which `withWatermark` rejects — convert to
     * TIMESTAMP up front (the UTC-pinned session makes the instant
@@ -603,10 +616,7 @@ object CatalogStream {
       graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
       val events = table(s, d, "events")
         .select(col("event_id"), col("event_type"), col("value"))
-      val dir = stageWavesCached(d, "events-state")(Seq(
-        events.where(col("event_id") % 3 === 0),
-        events.where(col("event_id") % 3 === 1),
-        events.where(col("event_id") % 3 === 2)))
+      val dir = stageEventStateWaves(s, d)
       Incremental.aggState(events.where(lit(false)),
           Seq("event_type"), "value", scale = 6)
         .write.saveAsTable(st)

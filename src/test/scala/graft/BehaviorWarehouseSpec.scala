@@ -444,4 +444,36 @@ class BehaviorWarehouseSpec extends SparkSpec {
     // U+FFFD is never invented back
     assert(got(2).getString(2) === "lost�byte�")
   }
+
+  test("survivalCurve: hand-computed Kaplan-Meier with right-censoring") {
+    val day = 86400L
+    // observation ends at u5's last event (day 30). Lifetimes:
+    // u1,u2: churn at T=10; u3: churn at T=10 (offset start); u6:
+    // churn at T=20; u4: active 6h before end -> CENSORED at T=30;
+    // u5: active at the end -> CENSORED at T=10 (leaves the risk set
+    // before the T=20 step — the censoring semantics under test)
+    val ev = Seq(
+      ("u1", 0L), ("u1", 10 * day),
+      ("u2", 0L), ("u2", 10 * day),
+      ("u3", 5 * day), ("u3", 15 * day),
+      ("u4", 0L), ("u4", 30 * day - 6 * 3600L),
+      ("u5", 20 * day), ("u5", 30 * day),
+      ("u6", 0L), ("u6", 20 * day)
+    ).toDF("u", "sec").select(col("u"), timestamp_seconds(col("sec")).as("ts"))
+    val got = graft.ops.Behavior
+      .survivalCurve(ev, "u", col("ts"), horizonHours = 12)
+      .orderBy("t_days")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // T=10: at risk 6 (everyone has T>=10), churns 3 -> S = 3/6 = 0.5
+    // T=20: at risk 2 (u4 T=30, u6 T=20; u5 censored at 10 is GONE),
+    //       churns 1 -> S = 0.5 * 1/2 = 0.25
+    assert(got == Seq((10L, 6L, 3L, 0.5), (20L, 2L, 1L, 0.25)))
+    // dropping censoring would be a different (wrong) curve: every
+    // censored user would count as a churn — guard the distinction
+    val noCensor = graft.ops.Behavior
+      .survivalCurve(ev, "u", col("ts"), horizonHours = 0)
+      .orderBy("t_days")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(noCensor != got)
+  }
 }
