@@ -249,4 +249,56 @@ object Warehouse {
         "left")
       .drop("__dk", "valid_to")
   }
+
+  /** BITEMPORAL as-of: the dual-axis point-in-time lookup over an
+    * assertion log carrying both VALID time (when the state held in
+    * reality) and TRANSACTION time (when the warehouse recorded it).
+    * "What did we KNOW at tx time T about the state valid at time V" —
+    * the question audits and reproducible-training-snapshot builds ask
+    * when corrections arrive late: a record asserting an old valid
+    * instant lands with a newer transaction stamp, and a query pinned
+    * to an earlier T must NOT see it (that is precisely how a training
+    * run stays reproducible against a warehouse that keeps learning).
+    *
+    * Per key: among assertions with `tt ≤ asOfTt` AND `vt ≤ asOfVt`,
+    * the winner under the (vt, seq) total order — seq (the per-key
+    * delivery sequence, the reference's ordering contract) breaks
+    * same-instant ties deterministically. Keys with no qualifying
+    * assertion emit no row.
+    *
+    * Scale: the filters cut BEFORE the one key-partitioned window;
+    * everything is key-cardinality-sized after it. Returns
+    * (keyCol, vt, tt, stateCols…). */
+  def bitemporalAsOf(changes: DataFrame, keyCol: String, vt: Column,
+                     tt: Column, seq: Column, stateCols: Seq[String],
+                     asOfVt: Column, asOfTt: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__vt").desc, col("__seq").desc)
+    changes
+      .select(col(keyCol) +: vt.as("__vt") +: tt.as("__tt") +:
+        seq.as("__seq") +: stateCols.map(col): _*)
+      .where(col("__tt") <= asOfTt && col("__vt") <= asOfVt)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(keyCol) +: col("__vt").as("vt") +: col("__tt").as("tt") +:
+        stateCols.map(col): _*)
+  }
+
+  /** Mirror of [[bitemporalAsOf]] for the DuckDB oracle. `changesSql`
+    * must select `k`, `vt`, `tt`, `seq` and the state columns. */
+  def bitemporalAsOfSql(changesSql: String, stateCols: Seq[String],
+                        asOfVtSql: String, asOfTtSql: String,
+                        keyAs: String = "k"): String = {
+    val states = stateCols.mkString(", ")
+    s"""WITH ch AS ($changesSql),
+       |q AS (
+       |  SELECT k, vt, tt, seq, $states,
+       |         row_number() OVER (PARTITION BY k
+       |           ORDER BY vt DESC, seq DESC) AS rn
+       |  FROM ch
+       |  WHERE tt <= ($asOfTtSql) AND vt <= ($asOfVtSql)
+       |)
+       |SELECT k AS $keyAs, vt, tt, $states FROM q WHERE rn = 1""".stripMargin
+  }
 }

@@ -422,6 +422,66 @@ object CatalogML6 {
         QuantileSketch.sketchSql(
           "SELECT event_type AS g, value AS v FROM events", S),
         Seq(50, 90, 99), S, gAs = "event_type") +
-        "\nORDER BY event_type, pct"))
+        "\nORDER BY event_type, pct")),
+
+    // BITEMPORAL as-of: valid time = the event instant, transaction
+    // time = valid + a deterministic recording lag (event_id % 48 h —
+    // late corrections). The dual-axis lookup answers "what did we
+    // KNOW at tx time T about the state valid at V" next to the
+    // valid-only latest answer, with a `revised` flag marking keys
+    // whose winner was recorded AFTER T — the reproducible-snapshot
+    // property. The tx cutoff sits 1% of the span past the valid
+    // cutoff, well inside the 48 h lag ceiling, so the flag provably
+    // fires on every fixture scale.
+    ("q201_bitemporal_asof", (s: SparkSession, d: String) => {
+      import graft.ops.Warehouse
+      val ch = table(s, d, "events").select(col("user_id").as("k"),
+        unix_micros(col("ts").cast("timestamp")).as("vt"),
+        (unix_micros(col("ts").cast("timestamp")) +
+          (col("event_id") % 48) * 3600000000L).as("tt"),
+        col("event_id").as("seq"), col("event_type").as("state"))
+      val mm = ch.agg(min("vt"), max("vt")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val asVt = mn + (mx - mn) * 70 / 100
+      val asTt = mn + (mx - mn) * 71 / 100
+      val bt = Warehouse.bitemporalAsOf(ch, "k", col("vt"), col("tt"),
+        col("seq"), Seq("state"), lit(asVt), lit(asTt))
+      val latest = Warehouse.bitemporalAsOf(ch, "k", col("vt"), col("tt"),
+        col("seq"), Seq("state"), lit(asVt), lit(Long.MaxValue))
+      bt.join(latest.select(col("k"), col("state").as("state_latest"),
+          col("vt").as("__vtl")), Seq("k"))
+        .select(col("k").as("user_id"), col("vt"), col("tt"), col("state"),
+          col("state_latest"), (col("vt") =!= col("__vtl")).as("revised"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH ch AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS vt,
+        |         epoch_us(ts) + (event_id % 48) * 3600000000 AS tt,
+        |         event_id AS seq, event_type AS state
+        |  FROM events
+        |), p AS (SELECT min(vt) AS mn, max(vt) AS mx FROM ch),
+        |a AS (
+        |  SELECT mn + (mx - mn) * 70 // 100 AS avt,
+        |         mn + (mx - mn) * 71 // 100 AS att
+        |  FROM p
+        |), bt AS (
+        |  SELECT k, vt, tt, state FROM (
+        |    SELECT ch.*,
+        |           row_number() OVER (PARTITION BY k
+        |             ORDER BY vt DESC, seq DESC) AS rn
+        |    FROM ch CROSS JOIN a WHERE tt <= a.att AND vt <= a.avt)
+        |  WHERE rn = 1
+        |), nv AS (
+        |  SELECT k, vt AS vtl, state AS state_latest FROM (
+        |    SELECT ch.*,
+        |           row_number() OVER (PARTITION BY k
+        |             ORDER BY vt DESC, seq DESC) AS rn
+        |    FROM ch CROSS JOIN a WHERE vt <= a.avt)
+        |  WHERE rn = 1
+        |)
+        |SELECT bt.k AS user_id, bt.vt, bt.tt, bt.state, nv.state_latest,
+        |       bt.vt <> nv.vtl AS revised
+        |FROM bt JOIN nv ON nv.k = bt.k
+        |ORDER BY user_id""".stripMargin))
   )
 }

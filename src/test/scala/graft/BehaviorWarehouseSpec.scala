@@ -476,4 +476,32 @@ class BehaviorWarehouseSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(noCensor != got)
   }
+
+  test("bitemporalAsOf: late-recorded assertions are invisible before their tx time") {
+    // key k1: state A valid@10 recorded@10; CORRECTION state B
+    // valid@12 recorded@50 (late). k2: plain history. k3: two
+    // assertions at the SAME valid instant — seq breaks the tie.
+    val ch = Seq(
+      ("k1", 10L, 10L, 1L, "A"), ("k1", 12L, 50L, 2L, "B"),
+      ("k2", 5L, 5L, 3L, "X"), ("k2", 20L, 21L, 4L, "Y"),
+      ("k3", 15L, 16L, 5L, "old"), ("k3", 15L, 17L, 6L, "new")
+    ).toDF("k", "vt", "tt", "seq", "state")
+    def asOf(vt: Long, tt: Long): Map[String, (Long, String)] =
+      graft.ops.Warehouse.bitemporalAsOf(ch, "k", col("vt"), col("tt"),
+          col("seq"), Seq("state"), lit(vt), lit(tt))
+        .select("k", "vt", "state").as[(String, Long, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // at tx=30: k1's correction (recorded@50) must be INVISIBLE
+    val early = asOf(vt = 25L, tt = 30L)
+    assert(early("k1") == (10L, "A"))
+    assert(early("k2") == (20L, "Y"))
+    assert(early("k3") == (15L, "new"), "seq must break the same-vt tie")
+    // at tx=60: the correction is known — same valid cutoff, new answer
+    val late = asOf(vt = 25L, tt = 60L)
+    assert(late("k1") == (12L, "B"))
+    // valid cutoff below every assertion: no row for that key
+    assert(!asOf(vt = 4L, tt = 100L).contains("k2") ||
+      asOf(vt = 4L, tt = 100L).isEmpty)
+    assert(!asOf(vt = 4L, tt = 100L).contains("k1"))
+  }
 }
