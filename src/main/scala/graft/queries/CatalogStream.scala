@@ -823,6 +823,91 @@ object CatalogStream {
         |)
         |SELECT a_id, b_id FROM m
         |UNION ALL SELECT a_id, b_id FROM nullrows
-        |ORDER BY a_id, b_id""".stripMargin))
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // STREAMING SESSION FUNNEL — per-user gap sessions as ARBITRARY
+    // state with EVENT-TIME TIMEOUT eviction (the timer-driven closure
+    // shape the q124/q128/q130 stateful family never exercises), each
+    // closed session reporting its within-session ordered-funnel
+    // progress. A session emits on data-driven closure (a later event
+    // past the gap — any session that is not the user's last) or when
+    // the watermark passes last+gap (timer closure, millisecond
+    // granularity — the API's state-timestamp unit, which the oracle
+    // replays in the SAME ms arithmetic the engine uses:
+    // wm_ms = max_us div 1000 − delay_ms, fire on timeout_ms < wm_ms);
+    // a last session the watermark has not passed stays in state,
+    // NEVER emitted — the q193 eviction-not-flush contract for
+    // sessions.
+    ("q202_stream_session_funnel", (s: SparkSession, d: String) => {
+      val events = ev(s, d)
+      val e = epochSec(col("ts"))
+      val (mn, mx) = minMaxEpoch(events, d, "all")
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020")(Seq(
+        events.where(e <= split), events.where(e > split)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
+        StreamOps.sessionFunnel(s, df, "ts", "user_id", "event_id",
+          "event_type", Seq("signup", "view", "click", "purchase"),
+          gapSeconds = 1800, watermark = "3600 seconds").toDF()
+      }
+        .orderBy("user_id", "session_start_us")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS e, event_id AS seq,
+        |         event_type AS typ
+        |  FROM events
+        |), f AS (
+        |  SELECT u, e, seq, typ,
+        |         CAST(e - lag(e) OVER (PARTITION BY u ORDER BY e, seq)
+        |              > 1800000000
+        |           OR lag(e) OVER (PARTITION BY u ORDER BY e, seq) IS NULL
+        |           AS BIGINT) AS nw
+        |  FROM ev
+        |), g AS (
+        |  SELECT u, e, seq, typ,
+        |         CAST(sum(nw) OVER (PARTITION BY u ORDER BY e, seq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS sid
+        |  FROM f
+        |), sess AS (
+        |  SELECT u, sid, min(e) AS s_start, max(e) AS s_end,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY 1, 2
+        |), s0 AS (
+        |  SELECT u, sid, min(e) AS t0 FROM g
+        |  WHERE typ = 'signup' GROUP BY 1, 2
+        |), s1 AS (
+        |  SELECT g.u, g.sid, min(e) AS t1
+        |  FROM g JOIN s0 USING (u, sid)
+        |  WHERE typ = 'view' AND e > t0 GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT g.u, g.sid, min(e) AS t2
+        |  FROM g JOIN s1 USING (u, sid)
+        |  WHERE typ = 'click' AND e > t1 GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT g.u, g.sid, min(e) AS t3
+        |  FROM g JOIN s2 USING (u, sid)
+        |  WHERE typ = 'purchase' AND e > t2 GROUP BY 1, 2
+        |), wm AS (SELECT (max(e) // 1000) - 3600000 AS wm_ms FROM ev),
+        |lastS AS (SELECT u, max(sid) AS lsid FROM g GROUP BY 1),
+        |emit AS (
+        |  SELECT sess.* FROM sess
+        |  JOIN lastS USING (u) CROSS JOIN wm
+        |  WHERE sess.sid < lastS.lsid
+        |     OR (sess.s_end + 1800000000 + 999) // 1000 < wm.wm_ms
+        |)
+        |SELECT emit.u AS user_id, s_start AS session_start_us,
+        |       s_end AS session_end_us, n AS n_events,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 4
+        |                 WHEN t2 IS NOT NULL THEN 3
+        |                 WHEN t1 IS NOT NULL THEN 2
+        |                 WHEN t0 IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INT) AS furthest_step
+        |FROM emit
+        |LEFT JOIN s0 USING (u, sid)
+        |LEFT JOIN s1 USING (u, sid)
+        |LEFT JOIN s2 USING (u, sid)
+        |LEFT JOIN s3 USING (u, sid)
+        |ORDER BY user_id, session_start_us""".stripMargin))
   )
 }

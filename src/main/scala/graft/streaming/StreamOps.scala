@@ -212,4 +212,88 @@ object StreamOps {
           alerts.iterator
       }
   }
+
+  case class SessionFunnelState(sessionStart: Long, lastE: Long,
+                                nEvents: Long, stepTimes: Seq[Long])
+  case class SessionFunnelOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long,
+                              furthest_step: Int)
+
+  /** STREAMING session funnel — per-user gap sessions tracked as
+    * arbitrary state with EVENT-TIME TIMEOUT eviction (the one
+    * stateful shape the q124/q128/q130 family does not exercise:
+    * timer-driven state closure). A session closes and emits either
+    * when a later event of the same user exceeds the gap (data-driven
+    * closure — deterministic regardless of watermark) or when the
+    * watermark passes `last + gap` (timeout closure); a session the
+    * watermark has not yet passed at stream end stays in state and is
+    * NEVER emitted — the q193 eviction-not-flush contract for
+    * sessions. Within each closed session the ordered min-ts funnel
+    * cascade runs exactly like [[graft.ops.Behavior.funnel]], scoped
+    * to the session; `furthest_step` = completed prefix length.
+    *
+    * Input rows are (user, epochMicros, seq, type); each microbatch's
+    * group is folded in (ts, seq) order (seq = the per-key delivery
+    * sequence, the reference's ordering contract), and cross-batch
+    * order holds because the replay waves are time-split. */
+  def sessionFunnel(spark: SparkSession, events: DataFrame,
+                    tsCol: String, userCol: String, seqCol: String,
+                    typeCol: String, steps: Seq[String], gapSeconds: Long,
+                    watermark: String): Dataset[SessionFunnelOut] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    def fold(st: SessionFunnelState, e: Long,
+             typ: String): SessionFunnelState = {
+      val times = st.stepTimes.toArray
+      val i = times.indexWhere(_ == Long.MaxValue)
+      val upd =
+        if (i >= 0 && typ == steps(i) &&
+            (i == 0 || e > times(i - 1))) { times(i) = e; times.toSeq }
+        else st.stepTimes
+      SessionFunnelState(st.sessionStart, e, st.nEvents + 1, upd)
+    }
+    def out(user: Long, st: SessionFunnelState): SessionFunnelOut =
+      SessionFunnelOut(user, st.sessionStart, st.lastE, st.nEvents,
+        st.stepTimes.count(_ != Long.MaxValue))
+    events
+      .withWatermark(tsCol, watermark)
+      // the watermarked COLUMN must survive into the grouped child —
+      // the analyzer rejects event-time timeout otherwise — so the
+      // timestamp rides along beside its micros rendering
+      .select(col(userCol), col(tsCol),
+        unix_micros(col(tsCol)).as("__e"), col(seqCol), col(typeCol))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: GroupState[SessionFunnelState]) =>
+          val outs = scala.collection.mutable.ListBuffer[SessionFunnelOut]()
+          if (state.hasTimedOut) {
+            state.getOption.foreach(st => outs += out(user, st))
+            state.remove()
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+            var cur = state.getOption
+            sorted.foreach { case (_, _, e, _, typ) =>
+              cur match {
+                case Some(st) if e - st.lastE > gapUs =>
+                  outs += out(user, st) // data-driven closure
+                  cur = Some(fold(SessionFunnelState(e, e, 0L,
+                    Seq.fill(steps.size)(Long.MaxValue)), e, typ))
+                case Some(st) => cur = Some(fold(st, e, typ))
+                case None => cur = Some(fold(SessionFunnelState(e, e, 0L,
+                  Seq.fill(steps.size)(Long.MaxValue)), e, typ))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // eviction timer: the ms ceiling of last + gap (state
+              // timestamps are millisecond-granular in this API)
+              state.setTimeoutTimestamp((st.lastE + gapUs + 999L) / 1000L)
+            }
+          }
+          outs.iterator
+      }
+  }
 }

@@ -153,4 +153,33 @@ class StreamGateSpec extends SparkSpec {
       "no engineered unmatched row was null-emitted")
     got.unpersist()
   }
+
+  test("q202 session funnel: timer eviction emits; open sessions withheld; cascade live") {
+    val got = q("q202_stream_session_funnel").cache()
+    // batch session count (flag/cumsum replica of the oracle)
+    val ev = graft.ops.Tables.table(spark, sf, "events")
+      .select(col("user_id").as("u"),
+        col("ts").cast("timestamp").cast("double").as("e"),
+        col("event_id").as("seq"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u").orderBy("e", "seq")
+    val run = Window.partitionBy("u").orderBy("e", "seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nSessions = ev
+      .withColumn("nw", (col("e") - lag(col("e"), 1).over(w) > 1800.0)
+        .or(lag(col("e"), 1).over(w).isNull).cast("long"))
+      .withColumn("sid", sum("nw").over(run))
+      .select("u", "sid").distinct().count()
+    val nEmitted = got.count()
+    assert(nEmitted > 0 && nEmitted < nSessions,
+      s"withheld class must be nonempty: emitted $nEmitted of $nSessions — " +
+        "either the timer eviction or the eviction-not-flush half is dead")
+    // the within-session cascade genuinely advances past step 1 somewhere
+    assert(got.where(col("furthest_step") >= 2).count() > 0,
+      "no session advanced past step 1 — the cascade is dead")
+    // session grain: (user, start) unique
+    assert(got.groupBy("user_id", "session_start_us").count()
+      .where(col("count") > 1).isEmpty)
+    got.unpersist()
+  }
 }
