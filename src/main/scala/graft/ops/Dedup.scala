@@ -850,6 +850,47 @@ object Dedup {
     labels.select("id", "cluster")
   }
 
+  /** Advance a persisted connected-components LABEL TABLE with a batch
+    * of NEW pairs — the cluster-state analog of the q138 signature
+    * index sync: a daily dedup crawl must not re-run CC over the
+    * historical edge set to absorb today's mined pairs. Correctness
+    * rests on the min-id labeling being CANONICAL: contracting each
+    * existing cluster to a star around its label (which IS a member —
+    * the cluster's min id) preserves both connectivity and the min,
+    * so re-running CC over {new pairs} ∪ {member→label stars of the
+    * TOUCHED clusters only} yields exactly the labels a from-scratch
+    * CC over all edges ever mined would — untouched clusters keep
+    * their rows verbatim (the q203 oracle checks the equality to the
+    * hash).
+    *
+    * Scale: the delta's node set is batch-sized; the touched-members
+    * semi-join shuffles the state table once (id-keyed); the CC rerun
+    * sees touched-clusters + delta edges only. The advance goes
+    * through [[Incremental.transformStateTable]]'s crash-safe
+    * stage-and-swap. */
+  def advanceCCStateTable(spark: org.apache.spark.sql.SparkSession,
+                          stateTable: String, newPairs: DataFrame,
+                          idA: String = "id_a", idB: String = "id_b",
+                          maxIter: Int = 50): Unit = {
+    // the delta is read twice (touched set + subgraph edges) and its
+    // lineage may be a full mining pipeline — materialize once
+    val delta = Checkpointing.truncate(
+      newPairs.select(col(idA).as("id_a"), col(idB).as("id_b")))
+    Incremental.transformStateTable(spark, stateTable) { state =>
+      val touched = delta.select(col("id_a").as("id"))
+        .union(delta.select(col("id_b").as("id"))).distinct()
+      val touchedLabels = state.join(touched, Seq("id"))
+        .select("cluster").distinct()
+      val members = state.join(
+        touchedLabels.withColumnRenamed("cluster", "cluster"), Seq("cluster"))
+      val subEdges = delta.unionByName(
+        members.select(col("id").as("id_a"), col("cluster").as("id_b")))
+      val relabeled = connectedComponents(subEdges, maxIter = maxIter)
+      state.join(members.select("id"), Seq("id"), "left_anti")
+        .unionByName(relabeled)
+    }
+  }
+
   /** Materialize a near-dup-deduplicated corpus: keep exactly one
     * representative (the min id, via [[connectedComponents]]) per mined
     * duplicate cluster, plus every unpaired document. The drop set is

@@ -482,6 +482,31 @@ object CatalogML6 {
         |SELECT bt.k AS user_id, bt.vt, bt.tt, bt.state, nv.state_latest,
         |       bt.vt <> nv.vtl AS revised
         |FROM bt JOIN nv ON nv.k = bt.k
-        |ORDER BY user_id""".stripMargin))
+        |ORDER BY user_id""".stripMargin)),
+
+    // INCREMENTAL connected-components maintenance — the cluster-state
+    // analog of the q138 index sync: the q71 near-dup labeling built
+    // from HALF the mined pairs, then ADVANCED with the other half
+    // (touched clusters contract to member→label stars; CC reruns over
+    // stars + delta only — never the historical edge set). The oracle
+    // is q71's from-scratch recursive-CTE closure over ALL pairs:
+    // equality to the hash IS the incremental-equals-full law.
+    ("q203_dedup_cc_incremental", (s: SparkSession, d: String) => {
+      import graft.ops.Dedup
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q203_cc_$tag"
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
+      val pairs = Dedup.minhashJaccardPairs(
+        table(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      val firstHalf = col("id_a") % 2 === 0
+      Dedup.connectedComponents(pairs.where(firstHalf))
+        .write.saveAsTable(st)
+      Dedup.advanceCCStateTable(s, st, pairs.where(!firstHalf))
+      s.table(st).orderBy("id")
+    }, Some(
+      s"""WITH RECURSIVE ${CatalogML.clusterCteSql()}
+         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin))
   )
 }

@@ -161,6 +161,28 @@ class OpsSpec extends SparkSpec {
       s"expected all dup-sized joins hint-free above the limit:\n$sh")
   }
 
+  test("advanceCCStateTable: incremental labels equal the from-scratch CC") {
+    val st = "ccadv_spec_state"
+    graft.ops.Tables.dropTablesAndDirs(spark, st, s"${st}__next", s"${st}__old")
+    // batch 1: {1,2}, {5,6}, {10,11} ; batch 2 MERGES {1,2}+{5,6} via
+    // (2,5), extends {1,..} with a new node 3, adds a brand-new
+    // cluster {20,21}; {10,11} stays untouched
+    val b1 = Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("id_a", "id_b")
+    val b2 = Seq((2L, 5L), (1L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(b1).write.saveAsTable(st)
+    Dedup.advanceCCStateTable(spark, st, b2)
+    val got = spark.table(st).as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(b1.unionAll(b2))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, s"incremental $got must equal from-scratch $full")
+    // and concretely: the merged component took the global min label,
+    // the untouched cluster kept its rows, the new cluster appeared
+    assert(got(6L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(21L) == 20L)
+    graft.ops.Tables.dropTablesAndDirs(spark, st)
+  }
+
   test("embeddingCosinePairs: cross-join broadcast gated by the conf limit") {
     // evens share one axis (cos = 1 pairs), odds another — nonempty output
     val corpus = (1L to 12L).map { i =>
