@@ -187,6 +187,7 @@ object Bench {
     val family17 = "^q17[0-9]".r
     val family18 = "^q18[0-9]".r
     val family19 = "^q19[0-9]".r
+    val family20 = "^q20[0-9]".r
     val rollupFamily = only.isEmpty // a restricted dev run keeps per-entry keys
     val keyed = results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
     val (fam, rest0) =
@@ -199,15 +200,18 @@ object Bench {
       rest2.partition { case (k, _) => rollupFamily && family17.findFirstIn(k).isDefined }
     val (fam18, rest4) =
       rest3.partition { case (k, _) => rollupFamily && family18.findFirstIn(k).isDefined }
-    val (fam19, rest) =
+    val (fam19, rest5) =
       rest4.partition { case (k, _) => rollupFamily && family19.findFirstIn(k).isDefined }
+    val (fam20, rest) =
+      rest5.partition { case (k, _) => rollupFamily && family20.findFirstIn(k).isDefined }
     val entries = rest ++
       (if (fam.nonEmpty) Seq(("q12x", fam.map(_._2).sum)) else Nil) ++
       (if (fam15.nonEmpty) Seq(("q15x", fam15.map(_._2).sum)) else Nil) ++
       (if (fam16.nonEmpty) Seq(("q16x", fam16.map(_._2).sum)) else Nil) ++
       (if (fam17.nonEmpty) Seq(("q17x", fam17.map(_._2).sum)) else Nil) ++
       (if (fam18.nonEmpty) Seq(("q18x", fam18.map(_._2).sum)) else Nil) ++
-      (if (fam19.nonEmpty) Seq(("q19x", fam19.map(_._2).sum)) else Nil)
+      (if (fam19.nonEmpty) Seq(("q19x", fam19.map(_._2).sum)) else Nil) ++
+      (if (fam20.nonEmpty) Seq(("q20x", fam20.map(_._2).sum)) else Nil)
     val qs = entries.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + sec2(v) }
       .mkString("{", ",", "}")
