@@ -396,10 +396,18 @@ object Relevance {
     val spark = labeled.sparkSession
     val base = labeled.select(col(labelCol).as("label"),
       col(textCol).as("__t"))
+    // collapse to per-(label, DISTINCT gram) counts BEFORE hashing:
+    // char-gram streams are massively repetitive (natural-language
+    // trigram vocabularies are bounded far below the corpus), so the
+    // md5 runs per distinct gram instead of per occurrence — measured
+    // the dominant cost of the q194 x100 leg. Bucket counts, and
+    // therefore the model, are bit-identical.
     val cnt = base
       .select(col("label"), explode(charGramsOf("__t", n)).as("__g"))
-      .select(col("label"), tokenBucket(col("__g"), buckets).as("bucket"))
-      .groupBy("label", "bucket").agg(count(lit(1)).as("__c"))
+      .groupBy("label", "__g").agg(count(lit(1)).as("__gc"))
+      .select(col("label"), tokenBucket(col("__g"), buckets).as("bucket"),
+        col("__gc"))
+      .groupBy("label", "bucket").agg(sum(col("__gc")).as("__c"))
     val tot = cnt.groupBy("label").agg(sum(col("__c")).as("__ct"))
     val ndoc = base.groupBy("label").agg(count(lit(1)).as("__nd"))
     require(ndoc.count() >= 2,
@@ -423,9 +431,16 @@ object Relevance {
     * `ORDER BY score DESC, label DESC` twin). Docs with fewer than n
     * characters emit no row (no grams — the [[dsirWeights]] contract).
     *
-    * Scale: the model is C·B rows — broadcast; the gram stream joins
-    * it (C rows per gram), partial-aggregates to (doc, class), then
-    * (doc) — both keyed on the doc. Returns (idCol, pred, score). */
+    * Scale: the gram stream first collapses to the per-doc BUCKET
+    * HISTOGRAM (≤ min(grams, B) rows per doc — one map-side-combined
+    * keyed exchange), and only the histogram joins the broadcast
+    * C·B-row model; the per-class sum is `Σ cnt · w` in exact DECIMAL
+    * (decimal × integer — bit-identical to summing w cnt times, so
+    * the scores are unchanged from the per-gram formulation the
+    * oracle replays). Without the pre-aggregation the model join
+    * multiplied the raw gram stream by C before any reduction —
+    * measured 1.5× on the q194 x100 leg. Returns (idCol, pred,
+    * score). */
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,
                  model: DataFrame, n: Int = 3,
                  buckets: Int = 1024): DataFrame = {
@@ -433,10 +448,23 @@ object Relevance {
     Tables.spread(docs, idCol)
       .select(col(idCol), col(textCol).as("__t"))
       .select(col(idCol), explode(charGramsOf("__t", n)).as("__g"))
-      .select(col(idCol), tokenBucket(col("__g"), buckets).as("bucket"))
+      // distinct-gram collapse BEFORE the hash (the trainer's md5
+      // economy applied per doc), then the bucket histogram
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__gc"))
+      .select(col(idCol), tokenBucket(col("__g"), buckets).as("bucket"),
+        col("__gc"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__gc")).as("__cnt"))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col(idCol), col("label"))
-      .agg(sum(col("w").cast(DecimalType(38, 12))).as("__sw"),
+      // DECIMAL(30,12) × DECIMAL(7,0) → DECIMAL(38,12) with NO scale
+      // reduction (38,12 × int would overflow precision and round):
+      // the product is exactly cnt repeated additions of the
+      // 12-dec-rounded w, so scores equal the per-gram sum bit for
+      // bit. cnt < 10^7 (a ≥10 M-gram single doc would overflow —
+      // far past any real document).
+      .agg(sum(col("w").cast(DecimalType(30, 12)) *
+          col("__cnt").cast(DecimalType(7, 0))).as("__sw"),
         min(col("prior")).as("__p"))
       .select(col(idCol), col("label"),
         (col("__sw").cast("double") + col("__p")).as("score"))

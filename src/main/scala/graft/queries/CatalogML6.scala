@@ -153,10 +153,13 @@ object CatalogML6 {
          |  LEFT JOIN cnt c ON c.label = g.label AND c.bucket = g.bucket
          |  JOIN tot t2 ON t2.label = g.label
          |  JOIN nd ON nd.label = g.label
-         |), te AS (SELECT * FROM gb WHERE doc_id % 5 = 0),
-         |sc AS (
+         |), te AS (
+         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM gb WHERE doc_id % 5 = 0 GROUP BY 1, 2
+         |), sc AS (
          |  SELECT te.doc_id, m.label,
-         |         CAST(sum(CAST(m.w AS DECIMAL(38,12))) AS DOUBLE)
+         |         CAST(sum(CAST(m.w AS DECIMAL(30,12)) *
+         |                  CAST(te.cnt AS DECIMAL(7,0))) AS DOUBLE)
          |           + min(m.prior) AS score
          |  FROM te JOIN model m ON m.bucket = te.bucket
          |  GROUP BY 1, 2
@@ -235,11 +238,15 @@ object CatalogML6 {
          |  LEFT JOIN cnt c ON c.label = g.label AND c.bucket = g.bucket
          |  JOIN tot t2 ON t2.label = g.label
          |  JOIN nd ON nd.label = g.label
+         |), hist AS (
+         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM gb GROUP BY 1, 2
          |), sc AS (
-         |  SELECT gb.doc_id, m.label,
-         |         CAST(sum(CAST(m.w AS DECIMAL(38,12))) AS DOUBLE)
+         |  SELECT hist.doc_id, m.label,
+         |         CAST(sum(CAST(m.w AS DECIMAL(30,12)) *
+         |                  CAST(hist.cnt AS DECIMAL(7,0))) AS DOUBLE)
          |           + min(m.prior) AS score
-         |  FROM gb JOIN model m ON m.bucket = gb.bucket
+         |  FROM hist JOIN model m ON m.bucket = hist.bucket
          |  GROUP BY 1, 2
          |), best AS (
          |  SELECT doc_id, label AS pred,

@@ -141,7 +141,12 @@ object ScalingCurve {
       // compiled bucket node per row + one map-side-combined
       // (group, bucket) exchange to a register table — the quantile
       // walk is register-sized, so the curve should be the scan slope
-      "q192")
+      "q192",
+      // trained multiclass langid: train = one char-trigram explode
+      // into a (label, bucket) partial-agg shuffle (C·B-row model),
+      // score = a second explode × C broadcast-join rows — the two
+      // gram explodes are the linear part, the model is corpus-free
+      "q194")
       // q150/q152/q153/q154/q155/q158/q159 are NOT here: they read
       // the part/orders/events/lineitem fixtures, which this harness
       // does not expand (only documents/embeddings have the bijective
