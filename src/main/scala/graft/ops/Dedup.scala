@@ -881,8 +881,7 @@ object Dedup {
         .union(delta.select(col("id_b").as("id"))).distinct()
       val touchedLabels = state.join(touched, Seq("id"))
         .select("cluster").distinct()
-      val members = state.join(
-        touchedLabels.withColumnRenamed("cluster", "cluster"), Seq("cluster"))
+      val members = state.join(touchedLabels, Seq("cluster"))
       val subEdges = delta.unionByName(
         members.select(col("id").as("id_a"), col("cluster").as("id_b")))
       val relabeled = connectedComponents(subEdges, maxIter = maxIter)

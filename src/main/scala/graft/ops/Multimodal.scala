@@ -120,16 +120,26 @@ object Multimodal {
       var i = 12
       var fmt: Option[(Int, Int, Int)] = None
       var dataLen = -1L
-      while (i + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      var corrupt = false
+      while (!corrupt && i + 8 <= bytes.length &&
+          (fmt.isEmpty || dataLen < 0)) {
         val id = new String(bytes, i, 4, "US-ASCII")
         val size = le32L(bytes, i + 4)
         if (id == "fmt " && i + 24 <= bytes.length)
           fmt = Some((le16(bytes, i + 10), le32L(bytes, i + 12).toInt,
             le16(bytes, i + 22)))
         else if (id == "data") dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1) // subchunks are word-aligned
+        // a declared size near 2^32 would truncate negative through
+        // .toInt and stall or rewind the walk — corrupt payloads must
+        // land in "unknown", never hang a task (contract above). The
+        // word-aligned advance is computed in Long and bounds-checked.
+        val step = 8L + size + (size & 1L)
+        if (size < 0L || step <= 0L || i.toLong + step > Int.MaxValue)
+          corrupt = true
+        else i = (i.toLong + step).toInt
       }
-      fmt.flatMap { case (ch, rate, bits) =>
+      if (corrupt) None
+      else fmt.flatMap { case (ch, rate, bits) =>
         if (dataLen >= 0) Some((ch, rate, bits, dataLen)) else None
       }
     } else None
@@ -148,7 +158,11 @@ object Multimodal {
     var dur = -1L
     while (i + 8 <= bytes.length && (brand == null || ts < 0)) {
       val size = be32L(bytes, i)
-      if (size < 8) return None
+      // sizes advance the walk in Long with bounds checks — a size in
+      // [2^31, 2^32) would truncate negative through .toInt and rewind
+      // into an ArrayIndexOutOfBounds; corrupt payloads must land in
+      // "unknown", never kill the job (contract above)
+      if (size < 8L || i.toLong + size > Int.MaxValue) return None
       val typ = new String(bytes, i + 4, 4, "US-ASCII")
       if (typ == "ftyp" && i + 12 <= bytes.length)
         brand = new String(bytes, i + 8, 4, "US-ASCII")
@@ -157,17 +171,17 @@ object Multimodal {
         val end = math.min(i + size, bytes.length.toLong).toInt
         while (j + 8 <= end && ts < 0) {
           val csize = be32L(bytes, j)
-          if (csize < 8) return None
+          if (csize < 8L || j.toLong + csize > Int.MaxValue) return None
           val ctyp = new String(bytes, j + 4, 4, "US-ASCII")
           if (ctyp == "mvhd" && j + 28 <= bytes.length) {
             if (u8(bytes(j + 8)) != 0) return None // v1: 64-bit times
             ts = be32L(bytes, j + 20)
             dur = be32L(bytes, j + 24)
           }
-          j += csize.toInt
+          j = (j.toLong + csize).toInt
         }
       }
-      i += size.toInt
+      i = (i.toLong + size).toInt
     }
     if (brand != null && ts > 0) Some((brand, ts, dur)) else None
   }

@@ -409,7 +409,11 @@ object Relevance {
         col("__gc"))
       .groupBy("label", "bucket").agg(sum(col("__gc")).as("__c"))
     val tot = cnt.groupBy("label").agg(sum(col("__c")).as("__ct"))
-    val ndoc = base.groupBy("label").agg(count(lit(1)).as("__nd"))
+    // truncated so the label-count guard reads materialized blocks and
+    // the model join below does NOT re-run the corpus aggregate (the
+    // eager-probe-recompute trap); the frame is class-cardinality-sized
+    val ndoc = Checkpointing.truncate(
+      base.groupBy("label").agg(count(lit(1)).as("__nd")))
     require(ndoc.count() >= 2,
       "multiclass training needs at least two labels")
     val grid = tot.select("label")
@@ -472,6 +476,65 @@ object Relevance {
       .agg(max(struct(col("score"), col("label"))).as("__b"))
       .select(col(idCol), col("__b").getField("label").as("pred"),
         col("__b").getField("score").as("score"))
+  }
+
+  /** DuckDB twin of [[nbMulticlassModel]] + [[nbClassify]] as one
+    * reusable CTE chain (the q190 `sketchSql` convention — a single
+    * parameterized builder so the q194/q195 oracles cannot drift from
+    * each other or from the Spark arithmetic). `srcCte` must provide
+    * `(doc_id, lang, t)`; `trainWhere`/`scoreWhere` are predicates
+    * over `doc_id`. Emits CTEs ending in `best(doc_id, pred, rn)` —
+    * consume with `WHERE rn = 1`. */
+  def nbTrainScoreSql(srcCte: String, trainWhere: String,
+                      scoreWhere: String, n: Int = 3,
+                      buckets: Int = 1024): String = {
+    import graft.functions.PortableSketches.lnOfIntSql
+    val scoreFilter = if (scoreWhere.isEmpty) "" else s"WHERE $scoreWhere"
+    s"""gb AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5(g), 1, 8))::BIGINT % $buckets AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang, substr(t, i, $n) AS g
+       |    FROM (SELECT doc_id, lang, t,
+       |                 unnest(generate_series(1,
+       |                   greatest(len(t) - ${n - 1}, 0))) AS i
+       |          FROM $srcCte))
+       |), tr AS (SELECT * FROM gb WHERE $trainWhere),
+       |cnt AS (
+       |  SELECT lang AS label, bucket, CAST(count(*) AS BIGINT) AS c
+       |  FROM tr GROUP BY 1, 2
+       |), tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+       |nd AS (
+       |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS ndoc
+       |  FROM $srcCte WHERE $trainWhere GROUP BY 1
+       |), grid AS (
+       |  SELECT label, i AS bucket
+       |  FROM tot, (SELECT unnest(generate_series(0, ${buckets - 1})) AS i)
+       |), model AS (
+       |  SELECT g.label, g.bucket,
+       |         ${lnOfIntSql("(COALESCE(c.c, 0) + 1)")}
+       |           - ${lnOfIntSql(s"(t2.ct + $buckets)")} AS w,
+       |         ${lnOfIntSql("(nd.ndoc + 1)")} AS prior
+       |  FROM grid g
+       |  LEFT JOIN cnt c ON c.label = g.label AND c.bucket = g.bucket
+       |  JOIN tot t2 ON t2.label = g.label
+       |  JOIN nd ON nd.label = g.label
+       |), hist AS (
+       |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM gb $scoreFilter GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT hist.doc_id, m.label,
+       |         CAST(sum(CAST(m.w AS DECIMAL(30,12)) *
+       |                  CAST(hist.cnt AS DECIMAL(7,0))) AS DOUBLE)
+       |           + min(m.prior) AS score
+       |  FROM hist JOIN model m ON m.bucket = hist.bucket
+       |  GROUP BY 1, 2
+       |), best AS (
+       |  SELECT doc_id, label AS pred,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, label DESC) AS rn
+       |  FROM sc
+       |)""".stripMargin
   }
 
   /** Positional postings — the inverted-index row stream (term, id,

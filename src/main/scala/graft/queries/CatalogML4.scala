@@ -126,7 +126,7 @@ object CatalogML4 {
     ("q152_incr_agg_state", (s: SparkSession, d: String) => {
       val tag = Integer.toHexString(d.hashCode)
       val st = s"q152_state_$tag"
-      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
       val orders = table(s, d, "orders")
       val cut = "TIMESTAMP '1997-01-01'"
       Incremental.aggState(orders.where(expr(s"o_orderdate < $cut")),
@@ -349,7 +349,7 @@ object CatalogML4 {
       import graft.functions.PortableSketches._
       val tag = Integer.toHexString(d.hashCode)
       val st = s"q158_hll_$tag"
-      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
       val events = table(s, d, "events")
       def regs(df: DataFrame): DataFrame = df
         .select(col("event_type"), hllDigest(col("user_id")).as("__d"))

@@ -120,55 +120,11 @@ object CatalogML6 {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "pred")
     }, Some {
-      import graft.functions.PortableSketches.lnOfIntSql
       val inject = graft.ops.TextOps.orthoInjectSql("lang", "text")
       s"""WITH base AS (
          |  SELECT doc_id, lang, $inject AS t FROM documents
-         |), gb AS (
-         |  SELECT doc_id, lang,
-         |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bucket
-         |  FROM (
-         |    SELECT doc_id, lang, substr(t, i, 3) AS g
-         |    FROM (SELECT doc_id, lang, t,
-         |                 unnest(generate_series(1, greatest(len(t) - 2, 0)))
-         |                   AS i
-         |          FROM base))
-         |), tr AS (SELECT * FROM gb WHERE doc_id % 5 <> 0),
-         |cnt AS (
-         |  SELECT lang AS label, bucket, CAST(count(*) AS BIGINT) AS c
-         |  FROM tr GROUP BY 1, 2
-         |), tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
-         |nd AS (
-         |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS ndoc
-         |  FROM base WHERE doc_id % 5 <> 0 GROUP BY 1
-         |), grid AS (
-         |  SELECT label, i AS bucket
-         |  FROM tot, (SELECT unnest(generate_series(0, 1023)) AS i)
-         |), model AS (
-         |  SELECT g.label, g.bucket,
-         |         ${lnOfIntSql("(COALESCE(c.c, 0) + 1)")}
-         |           - ${lnOfIntSql("(t2.ct + 1024)")} AS w,
-         |         ${lnOfIntSql("(nd.ndoc + 1)")} AS prior
-         |  FROM grid g
-         |  LEFT JOIN cnt c ON c.label = g.label AND c.bucket = g.bucket
-         |  JOIN tot t2 ON t2.label = g.label
-         |  JOIN nd ON nd.label = g.label
-         |), te AS (
-         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM gb WHERE doc_id % 5 = 0 GROUP BY 1, 2
-         |), sc AS (
-         |  SELECT te.doc_id, m.label,
-         |         CAST(sum(CAST(m.w AS DECIMAL(30,12)) *
-         |                  CAST(te.cnt AS DECIMAL(7,0))) AS DOUBLE)
-         |           + min(m.prior) AS score
-         |  FROM te JOIN model m ON m.bucket = te.bucket
-         |  GROUP BY 1, 2
-         |), best AS (
-         |  SELECT doc_id, label AS pred,
-         |         row_number() OVER (PARTITION BY doc_id
-         |           ORDER BY score DESC, label DESC) AS rn
-         |  FROM sc
-         |)
+         |), ${graft.ops.Relevance.nbTrainScoreSql("base",
+             trainWhere = "doc_id % 5 <> 0", scoreWhere = "doc_id % 5 = 0")}
          |SELECT b.lang, best.pred, CAST(count(*) AS BIGINT) AS n_docs
          |FROM best JOIN (SELECT DISTINCT doc_id, lang FROM base) b
          |  USING (doc_id)
@@ -200,7 +156,6 @@ object CatalogML6 {
           sum(length(col("__t")).cast("long")).as("total_chars"))
         .orderBy("pred")
     }, Some {
-      import graft.functions.PortableSketches.lnOfIntSql
       val inject = graft.ops.TextOps.orthoInjectSql("lang", "text")
       s"""WITH base AS (
          |  SELECT doc_id, lang, $inject AS t FROM documents
@@ -209,51 +164,8 @@ object CatalogML6 {
          |    SELECT b.*, min(doc_id) OVER (PARTITION BY md5(t)) AS kid
          |    FROM base b)
          |  WHERE doc_id = kid
-         |), gb AS (
-         |  SELECT doc_id, lang,
-         |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bucket
-         |  FROM (
-         |    SELECT doc_id, lang, substr(t, i, 3) AS g
-         |    FROM (SELECT doc_id, lang, t,
-         |                 unnest(generate_series(1, greatest(len(t) - 2, 0)))
-         |                   AS i
-         |          FROM kept))
-         |), tr AS (SELECT * FROM gb WHERE doc_id % 5 <> 0),
-         |cnt AS (
-         |  SELECT lang AS label, bucket, CAST(count(*) AS BIGINT) AS c
-         |  FROM tr GROUP BY 1, 2
-         |), tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
-         |nd AS (
-         |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS ndoc
-         |  FROM kept WHERE doc_id % 5 <> 0 GROUP BY 1
-         |), grid AS (
-         |  SELECT label, i AS bucket
-         |  FROM tot, (SELECT unnest(generate_series(0, 1023)) AS i)
-         |), model AS (
-         |  SELECT g.label, g.bucket,
-         |         ${lnOfIntSql("(COALESCE(c.c, 0) + 1)")}
-         |           - ${lnOfIntSql("(t2.ct + 1024)")} AS w,
-         |         ${lnOfIntSql("(nd.ndoc + 1)")} AS prior
-         |  FROM grid g
-         |  LEFT JOIN cnt c ON c.label = g.label AND c.bucket = g.bucket
-         |  JOIN tot t2 ON t2.label = g.label
-         |  JOIN nd ON nd.label = g.label
-         |), hist AS (
-         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM gb GROUP BY 1, 2
-         |), sc AS (
-         |  SELECT hist.doc_id, m.label,
-         |         CAST(sum(CAST(m.w AS DECIMAL(30,12)) *
-         |                  CAST(hist.cnt AS DECIMAL(7,0))) AS DOUBLE)
-         |           + min(m.prior) AS score
-         |  FROM hist JOIN model m ON m.bucket = hist.bucket
-         |  GROUP BY 1, 2
-         |), best AS (
-         |  SELECT doc_id, label AS pred,
-         |         row_number() OVER (PARTITION BY doc_id
-         |           ORDER BY score DESC, label DESC) AS rn
-         |  FROM sc
-         |)
+         |), ${graft.ops.Relevance.nbTrainScoreSql("kept",
+             trainWhere = "doc_id % 5 <> 0", scoreWhere = "")}
          |SELECT best.pred,
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(CAST(k.lang = best.pred AS BIGINT)) AS BIGINT)

@@ -613,7 +613,7 @@ object CatalogStream {
       import graft.ops.Incremental
       val tag = Integer.toHexString(d.hashCode)
       val st = s"q160_state_$tag"
-      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
       val events = table(s, d, "events")
         .select(col("event_id"), col("event_type"), col("value"))
       val dir = stageEventStateWaves(s, d)
@@ -663,7 +663,7 @@ object CatalogStream {
       import graft.ops.{Incremental, Warehouse}
       val tag = Integer.toHexString(d.hashCode)
       val st = s"q177_state_$tag"
-      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
       val base = table(s, d, "customer").select(
         col("c_custkey").as("k"), col("c_name").as("name"),
         floor(col("c_acctbal") * 100).as("cents"))
@@ -722,7 +722,7 @@ object CatalogStream {
       import graft.ops.{Incremental, Warehouse}
       val tag = Integer.toHexString(d.hashCode)
       val st = s"q188_state_$tag"
-      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next")
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
       val ch = table(s, d, "events").select(col("user_id"),
         col("ts").cast("timestamp").as("ts"), col("event_id"),
         col("event_type").as("state"))
@@ -801,7 +801,7 @@ object CatalogStream {
         .orderBy("a_id", "b_id")
     }, Some(
       """WITH e0 AS (
-        |  SELECT event_id, epoch(ts) AS e, user_id FROM events
+        |  SELECT event_id, epoch_us(ts) AS e, user_id FROM events
         |  WHERE user_id % 3 = 0
         |), a AS (
         |  SELECT event_id AS a_id, user_id AS a_user, e AS a_e
@@ -810,16 +810,24 @@ object CatalogStream {
         |  SELECT event_id AS b_id, user_id AS b_user, e AS b_e
         |  FROM e0 WHERE event_id % 2 = 1 AND user_id % 9 <> 0
         |), wm AS (
-        |  SELECT LEAST((SELECT max(a_e) FROM a),
-        |               (SELECT max(b_e) FROM b)) - 3600.0 AS w
+        |  -- the engine's watermark is MILLISECOND-floored (max event
+        |  -- time in ms minus the delay in ms); the eviction compare
+        |  -- replays that granularity in integer microseconds. (The
+        |  -- engine's interval analysis may add a further ±1 ms state-
+        |  -- watermark adjustment; no fixture row sits within 1 ms of
+        |  -- the boundary at any scale, so the gate pins the formula
+        |  -- to this precision.)
+        |  SELECT (LEAST((SELECT max(a_e) FROM a),
+        |                (SELECT max(b_e) FROM b)) // 1000 - 3600000)
+        |           * 1000 AS w_us
         |), m AS (
         |  SELECT a.a_id, b.b_id FROM a JOIN b ON b.b_user = a.a_user
-        |   AND b.b_e BETWEEN a.a_e - 600 AND a.a_e + 600
+        |   AND b.b_e BETWEEN a.a_e - 600000000 AND a.a_e + 600000000
         |), nullrows AS (
         |  SELECT a.a_id, CAST(NULL AS BIGINT) AS b_id
         |  FROM a CROSS JOIN wm
         |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.a_id)
-        |    AND a.a_e + 600.0 < wm.w
+        |    AND a.a_e + 600000000 < wm.w_us
         |)
         |SELECT a_id, b_id FROM m
         |UNION ALL SELECT a_id, b_id FROM nullrows

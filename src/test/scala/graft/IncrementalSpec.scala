@@ -35,7 +35,7 @@ class IncrementalSpec extends SparkSpec {
 
   test("advanceStateTable folds deltas in-place; result tracks from-scratch") {
     val st = "q152spec_state"
-    scrub(st, s"${st}__next")
+    scrub(st, s"${st}__next", s"${st}__old")
     val orders = Tables.table(spark, sf, "orders")
     Incremental.aggState(orders.where(expr("o_orderkey % 4 = 0")),
         group, "o_totalprice")
@@ -83,7 +83,7 @@ class IncrementalSpec extends SparkSpec {
     import graft.functions.PortableSketches._
     import graft.ops.Tables
     val st = "q158spec_state"
-    scrub(st, s"${st}__next")
+    scrub(st, s"${st}__next", s"${st}__old")
     val events = Tables.table(spark, sf, "events")
     def regs(df: org.apache.spark.sql.DataFrame) = df
       .select(col("event_type"), hllDigest(col("user_id")).as("__d"))

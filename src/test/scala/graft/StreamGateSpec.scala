@@ -127,7 +127,8 @@ class StreamGateSpec extends SparkSpec {
         col("e").as("b_e"))
     val maxA = a.agg(max("a_e")).head().getDouble(0)
     val maxB = b.agg(max("b_e")).head().getDouble(0)
-    val wm = math.min(maxA, maxB) - 3600.0
+    // ms-floored like the engine's watermark (the oracle's formula)
+    val wm = (math.min(maxA, maxB) * 1000.0).toLong / 1000.0 - 3600.0
     val matched = a.join(b, col("b_user") === col("a_user") &&
         col("b_e").between(col("a_e") - 600, col("a_e") + 600))
       .select(col("a_id"), col("b_id"))
