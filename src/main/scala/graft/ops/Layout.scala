@@ -183,4 +183,46 @@ object Layout {
     val (nAfter, bytesAfter) = stats(destFs, dest)
     (nBefore, bytesBefore, nAfter, bytesAfter)
   }
+
+  /** Content manifest of a sharded corpus snapshot: per shard —
+    * row count and an ORDER-FREE exact content digest (the sum of a
+    * 60-bit md5 lane per row, exact in DECIMAL — commutative, so the
+    * digest is invariant under partitioning/order and replayable in
+    * any engine; a cryptographic accumulator it is not, an integrity
+    * check against row loss/duplication/corruption it is). `repr`
+    * must render the row canonically (concat the columns with a
+    * separator that cannot appear in the data). */
+  def snapshotManifest(df: DataFrame, shard: Column,
+                       repr: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.groupBy(shard.cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+          .cast(DecimalType(20, 0))).as("__d"))
+      .select(col("shard"), col("n_rows"),
+        col("__d").cast("string").as("digest"))
+  }
+
+  /** SQL twin of [[snapshotManifest]]'s digest aggregate (DuckDB sums
+    * BIGINT into HUGEINT; both engines render the exact integer). */
+  def snapshotDigestSql(repr: String): String =
+    s"CAST(CAST(sum(('0x' || substr(md5($repr), 1, 15))::BIGINT) " +
+      s"AS HUGEINT) AS VARCHAR)"
+
+  /** Export a corpus snapshot as shard-partitioned parquet and return
+    * the manifest computed from the WRITTEN data (read back — the
+    * manifest certifies what landed on storage, not what was meant
+    * to): the reproducible-release shape. A consumer re-derives the
+    * digests from its copy and compares strings; any lost, duplicated
+    * or bit-flipped row changes a shard digest. One corpus write + one
+    * read; the manifest aggregate is one map-side-combined exchange to
+    * a shard-count table. */
+  def writeSnapshotWithManifest(df: DataFrame, shard: Column,
+                                reprOf: DataFrame => Column,
+                                outDir: String): DataFrame = {
+    df.withColumn("__shard", shard.cast("int"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(outDir)
+    val back = df.sparkSession.read.parquet(outDir)
+    snapshotManifest(back, col("__shard"), reprOf(back))
+  }
 }

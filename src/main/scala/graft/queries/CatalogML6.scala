@@ -426,6 +426,36 @@ object CatalogML6 {
     }, Some(
       s"""WITH RECURSIVE ${CatalogML.clusterCteSql()}
          |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
-         |ORDER BY id""".stripMargin))
+         |ORDER BY id""".stripMargin)),
+
+    // Snapshot export with a content manifest — the reproducible-
+    // release integrity operator: the corpus lands as shard-
+    // partitioned parquet and the manifest (per shard: row count + an
+    // ORDER-FREE exact md5-lane-sum digest) is computed from the
+    // READ-BACK data, certifying what reached storage. The oracle
+    // derives the same digests from the SOURCE table: equal hashes
+    // prove the write+read round-trip was faithful row-for-row AND
+    // that the digest arithmetic is engine-portable (commutative
+    // DECIMAL sums — partitioning/order cannot move it).
+    ("q204_snapshot_manifest", (s: SparkSession, d: String) => {
+      import graft.ops.Layout
+      val out = new java.io.File(
+        graft.ops.LocalFiles.processScratchDir("snapshot"),
+        "q204-" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      Layout.writeSnapshotWithManifest(
+          table(s, d, "documents"), col("doc_id") % 8,
+          b => concat_ws("\u0001", b("doc_id"), b("lang"), b("source"),
+            b("n_chars"), b("text")),
+          out)
+        .orderBy("shard")
+    }, Some(
+      s"""SELECT CAST(doc_id % 8 AS INT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${graft.ops.Layout.snapshotDigestSql(
+                   "concat_ws(chr(1), doc_id, lang, source, n_chars, text)")}
+         |         AS digest
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin))
   )
 }

@@ -161,6 +161,36 @@ class OpsSpec extends SparkSpec {
       s"expected all dup-sized joins hint-free above the limit:\n$sh")
   }
 
+  test("snapshotManifest: order-free, and any row loss/dup/corruption moves a digest") {
+    import graft.ops.Layout
+    val docs = (1L to 40L).map(i => (i, s"payload number $i"))
+      .toDF("id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, String)] =
+      Layout.snapshotManifest(df, col("id") % 4,
+          concat_ws("\u0001", col("id"), col("text")))
+        .as[(Int, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val base = manifest(docs)
+    // order/partitioning invariance: the commutative digest is the point
+    assert(manifest(docs.repartition(7, col("text"))) == base)
+    assert(manifest(docs.orderBy(col("id").desc)) == base)
+    // a lost row, a duplicated row, and a bit-flip each move the digest
+    val lost = manifest(docs.where(col("id") =!= 8L))
+    assert(lost(0) != base(0) && lost(1) == base(1))
+    val dup = manifest(docs.unionAll(docs.where(col("id") === 8L)))
+    assert(dup(0)._1 == base(0)._1 + 1 && dup(0)._2 != base(0)._2)
+    val corrupt = manifest(docs.withColumn("text",
+      when(col("id") === 9L, lit("payload number 9!")).otherwise(col("text"))))
+    assert(corrupt(1) != base(1) && corrupt(0) == base(0))
+    // the write path certifies what landed: manifest-from-disk == direct
+    val out = java.nio.file.Files.createTempDirectory("snapman").toString
+    val written = Layout.writeSnapshotWithManifest(docs, col("id") % 4,
+        b => concat_ws("\u0001", b("id"), b("text")), out)
+      .as[(Int, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(written == base)
+    graft.ops.LocalFiles.deleteRecursively(out)
+  }
+
   test("advanceCCStateTable: incremental labels equal the from-scratch CC") {
     val st = "ccadv_spec_state"
     graft.ops.Tables.dropTablesAndDirs(spark, st, s"${st}__next", s"${st}__old")
