@@ -285,6 +285,81 @@ object Warehouse {
         stateCols.map(col): _*)
   }
 
+  /** MATERIALIZED bitemporal table — the full two-axis history behind
+    * [[bitemporalAsOf]]'s point lookup: one rectangle per (key,
+    * transaction interval, valid interval), where the valid-time
+    * history inside tx interval [tᵢ, tᵢ₊₁) is the SCD2 build over
+    * exactly the assertions RECORDED by tᵢ. Every as-of question
+    * becomes a rectangle containment test, and an audit can diff what
+    * the warehouse believed across any two transaction instants.
+    *
+    * Construction: per key, the tx change points are the distinct
+    * recording stamps; each assertion joins every point at-or-after
+    * its recording (the PREFIX explosion — per-key cost
+    * O(assertions × tx points), the honest envelope of materializing
+    * n valid-histories; per-key change counts are small in real
+    * dimensions, and the [[bitemporalAsOf]] lookup needs none of
+    * this), then per (key, point): tick-final dedup on (vt, seq) and
+    * the lead-window valid intervals — the q168 build scoped to the
+    * prefix. All windows are keyed by (key) or (key, point); nothing
+    * is ever single-partition.
+    *
+    * Returns (keyCol, stateCols…, valid_from, valid_to, tx_from,
+    * tx_to, version) — valid_to/tx_to null on the open edge.
+    * Adjacent tx intervals with identical valid-histories are NOT
+    * coalesced (each tx point opens a rectangle row even when nothing
+    * changed for some valid range) — the uncoalesced form is what
+    * makes the construction, the oracle, and the containment lookup
+    * all window-local. */
+  def bitemporalTable(changes: DataFrame, keyCol: String, vt: Column,
+                      tt: Column, seq: Column,
+                      stateCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = changes.select(col(keyCol) +: vt.as("__vt") +: tt.as("__tt") +:
+      seq.as("__seq") +: stateCols.map(col): _*)
+    val txw = Window.partitionBy(col(keyCol)).orderBy(col("__ti"))
+    val pts = ch.select(col(keyCol), col("__tt").as("__ti")).distinct()
+      .withColumn("__txTo", lead(col("__ti"), 1).over(txw))
+    val pfx = ch.join(pts, Seq(keyCol)).where(col("__tt") <= col("__ti"))
+    val tickW = Window.partitionBy(col(keyCol), col("__ti"), col("__vt"))
+      .orderBy(col("__seq").desc)
+    val vw = Window.partitionBy(col(keyCol), col("__ti")).orderBy(col("__vt"))
+    pfx
+      .withColumn("__rn", row_number().over(tickW))
+      .where(col("__rn") === 1)
+      .select(col(keyCol) +: stateCols.map(col) ++: Seq(
+        col("__vt").as("valid_from"),
+        lead(col("__vt"), 1).over(vw).as("valid_to"),
+        col("__ti").as("tx_from"),
+        col("__txTo").as("tx_to"),
+        row_number().over(vw).as("version")): _*)
+  }
+
+  /** Mirror of [[bitemporalTable]] for the DuckDB oracle. `changesSql`
+    * must select `k`, `vt`, `tt`, `seq` and the state columns. */
+  def bitemporalTableSql(changesSql: String, stateCols: Seq[String],
+                         keyAs: String = "k"): String = {
+    val states = stateCols.mkString(", ")
+    s"""WITH ch AS ($changesSql),
+       |pts AS (
+       |  SELECT k, ti,
+       |         lead(ti) OVER (PARTITION BY k ORDER BY ti) AS tx_to
+       |  FROM (SELECT DISTINCT k, tt AS ti FROM ch)
+       |), pfx AS (
+       |  SELECT ch.k, ch.vt, ch.seq, $states, pts.ti, pts.tx_to,
+       |         row_number() OVER (PARTITION BY ch.k, pts.ti, ch.vt
+       |           ORDER BY ch.seq DESC) AS rn
+       |  FROM ch JOIN pts ON pts.k = ch.k AND ch.tt <= pts.ti
+       |)
+       |SELECT k AS $keyAs, $states,
+       |       vt AS valid_from,
+       |       lead(vt) OVER (PARTITION BY k, ti ORDER BY vt) AS valid_to,
+       |       ti AS tx_from, tx_to,
+       |       CAST(row_number() OVER (PARTITION BY k, ti ORDER BY vt)
+       |         AS INT) AS version
+       |FROM pfx WHERE rn = 1""".stripMargin
+  }
+
   /** Mirror of [[bitemporalAsOf]] for the DuckDB oracle. `changesSql`
     * must select `k`, `vt`, `tt`, `seq` and the state columns. */
   def bitemporalAsOfSql(changesSql: String, stateCols: Seq[String],

@@ -456,6 +456,38 @@ object CatalogML6 {
          |         AS digest
          |FROM documents
          |GROUP BY 1
-         |ORDER BY 1""".stripMargin))
+         |ORDER BY 1""".stripMargin)),
+
+    // The MATERIALIZED bitemporal table behind q201's point lookup:
+    // one rectangle per (key, tx interval, valid interval), the
+    // valid-history inside each tx interval rebuilt from exactly the
+    // assertions recorded by then (the prefix explosion — per-key
+    // O(assertions x tx points), the honest cost of materializing
+    // every history the warehouse ever believed; the user subset
+    // bounds the fixture-side blowup). The oracle replays the same
+    // prefix join + tick-final + lead windows; a rectangle
+    // containment lookup in this table answers any q201 as-of
+    // (BehaviorWarehouseSpec proves the equivalence on probes).
+    ("q205_bitemporal_table", (s: SparkSession, d: String) => {
+      import graft.ops.Warehouse
+      val ch = table(s, d, "events").where(col("user_id") % 7 === 0)
+        .select(col("user_id").as("k"),
+          unix_micros(col("ts").cast("timestamp")).as("vt"),
+          (unix_micros(col("ts").cast("timestamp")) +
+            (col("event_id") % 48) * 3600000000L).as("tt"),
+          col("event_id").as("seq"), col("event_type").as("state"))
+      Warehouse.bitemporalTable(ch, "k", col("vt"), col("tt"),
+          col("seq"), Seq("state"))
+        .select(col("k").as("user_id"), col("state"), col("valid_from"),
+          col("valid_to"), col("tx_from"), col("tx_to"), col("version"))
+        .orderBy("user_id", "tx_from", "version")
+    }, Some(
+      graft.ops.Warehouse.bitemporalTableSql(
+        """SELECT user_id AS k, epoch_us(ts) AS vt,
+          |       epoch_us(ts) + (event_id % 48) * 3600000000 AS tt,
+          |       event_id AS seq, event_type AS state
+          |FROM events WHERE user_id % 7 = 0""".stripMargin,
+        Seq("state"), keyAs = "user_id") +
+        "\nORDER BY user_id, tx_from, version"))
   )
 }

@@ -504,4 +504,41 @@ class BehaviorWarehouseSpec extends SparkSpec {
       asOf(vt = 4L, tt = 100L).isEmpty)
     assert(!asOf(vt = 4L, tt = 100L).contains("k1"))
   }
+
+  test("bitemporalTable: rectangle containment answers every as-of; hand rectangles") {
+    val ch = Seq(
+      ("k1", 10L, 10L, 1L, "A"), ("k1", 12L, 50L, 2L, "B"),
+      ("k2", 5L, 5L, 3L, "X"), ("k2", 20L, 21L, 4L, "Y"),
+      ("k3", 15L, 16L, 5L, "old"), ("k3", 15L, 17L, 6L, "new")
+    ).toDF("k", "vt", "tt", "seq", "state")
+    val rects = graft.ops.Warehouse.bitemporalTable(ch, "k", col("vt"),
+      col("tt"), col("seq"), Seq("state")).cache()
+    // the k1 story materialized: before the correction the warehouse
+    // believed A-open from vt=10 (tx [10, 50)); after, A is clipped
+    // at 12 and B is current (tx [50, open))
+    val k1 = rects.where(col("k") === "k1")
+      .select("state", "valid_from", "valid_to", "tx_from", "tx_to")
+      .as[(String, Long, Option[Long], Long, Option[Long])]
+      .collect().toSet
+    assert(k1 == Set(
+      ("A", 10L, None, 10L, Some(50L)),
+      ("A", 10L, Some(12L), 50L, None),
+      ("B", 12L, None, 50L, None)))
+    // containment in the rectangles == the point as-of, on a probe grid
+    for (vtQ <- Seq(4L, 11L, 13L, 25L); ttQ <- Seq(9L, 16L, 30L, 60L)) {
+      val viaAsOf = graft.ops.Warehouse.bitemporalAsOf(ch, "k", col("vt"),
+          col("tt"), col("seq"), Seq("state"), lit(vtQ), lit(ttQ))
+        .select("k", "state").as[(String, String)].collect().toSet
+      val viaRect = rects.where(
+          col("tx_from") <= ttQ &&
+            (col("tx_to").isNull || lit(ttQ) < col("tx_to")) &&
+          col("valid_from") <= vtQ &&
+            (col("valid_to").isNull || lit(vtQ) < col("valid_to")))
+        .select("k", "state").as[(String, String)].collect().toSet
+      assert(viaRect == viaAsOf,
+        s"rectangles and as-of disagree at (vt=$vtQ, tt=$ttQ)")
+    }
+    rects.unpersist()
+    ()
+  }
 }
