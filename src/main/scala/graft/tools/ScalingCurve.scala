@@ -146,7 +146,10 @@ object ScalingCurve {
       // into a (label, bucket) partial-agg shuffle (C·B-row model),
       // score = a second explode × C broadcast-join rows — the two
       // gram explodes are the linear part, the model is corpus-free
-      "q194")
+      "q194",
+      // snapshot manifest: one corpus write + one read + a map-side-
+      // combined shard-count digest aggregate — pure I/O volume
+      "q204")
       // q150/q152/q153/q154/q155/q158/q159 are NOT here: they read
       // the part/orders/events/lineitem fixtures, which this harness
       // does not expand (only documents/embeddings have the bijective
