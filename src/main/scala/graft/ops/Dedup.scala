@@ -1010,15 +1010,28 @@ object Dedup {
     * join (still |V|², but no silent driver OOM; at that size the LSH
     * path is the real answer). `expectedCount` skips the sizing count
     * when the caller knows the cardinality (same contract as
-    * [[embeddingCosinePairsLsh]]). */
+    * [[embeddingCosinePairsLsh]]); `dim` likewise skips the width scan
+    * — when NOT supplied, the vector width is DERIVED from the data
+    * (max over the corpus, null-safe), so a caller with wide vectors
+    * cannot silently under-scale the byte gate. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double,
                            expectedCount: Long = -1L,
-                           dim: Int = 64): DataFrame = {
-    val n = if (expectedCount >= 0) expectedCount else df.count()
+                           dim: Int = -1): DataFrame = {
+    // one sizing pass resolves whichever of (count, width) the caller
+    // didn't pin; both pinned → zero extra scans
+    val (n, d) =
+      if (expectedCount >= 0 && dim > 0) (expectedCount, dim.toLong)
+      else {
+        val r = df.agg(count(lit(1)).cast("long").as("__n"),
+          coalesce(max(coalesce(size(col(vecCol)), lit(0))), lit(0)).cast("long").as("__d"))
+          .head()
+        (if (expectedCount >= 0) expectedCount else r.getLong(0),
+          if (dim > 0) dim.toLong else r.getLong(1))
+      }
     // wide-row gate: a dim-float vector row ≈ dim*4 bytes vs the ~40-byte
     // id rows the conf limit is calibrated for (round-8 review rule)
-    val idRowEquiv = n * math.max(1L, dim * 4L / 40L)
+    val idRowEquiv = n * math.max(1L, d * 4L / 40L)
     val a = spreadCompute(df, idCol).select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(maybeBroadcast(b, idRowEquiv))

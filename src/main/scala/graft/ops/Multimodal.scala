@@ -125,7 +125,11 @@ object Multimodal {
           (fmt.isEmpty || dataLen < 0)) {
         val id = new String(bytes, i, 4, "US-ASCII")
         val size = le32L(bytes, i + 4)
-        if (id == "fmt " && i + 24 <= bytes.length)
+        // a PCM fmt payload is ≥ 16 bytes; a malformed header declaring
+        // a shorter fmt chunk would read bytes belonging to the NEXT
+        // subchunk as channels/rate/bits — corrupt, not garbage fields
+        if (id == "fmt " && size < 16L) corrupt = true
+        else if (id == "fmt " && i + 24 <= bytes.length)
           fmt = Some((le16(bytes, i + 10), le32L(bytes, i + 12).toInt,
             le16(bytes, i + 22)))
         else if (id == "data") dataLen = size
@@ -293,6 +297,44 @@ object Multimodal {
     media.select(col("media_id"), col("media_type"),
       length(col("bytes")).as("n_bytes"),
       graft.functions.ByteHistogram.of(col("bytes")).as("features"))
+
+  /** 64-bin hashed byte-4-gram frequency signature — a bag-of-local-
+    * patterns content feature for BINARY near-dup mining (where
+    * [[byteFeatures]]' global nibble histogram is a coarse summary, the
+    * local 4-byte windows discriminate: two payloads share signature
+    * direction only when they share local byte patterns, the property
+    * an image/audio near-dup miner needs). Non-overlapping windows, each
+    * hashed by the portable md5-hex recipe (8 hex chars as an int mod
+    * `bins` — replayable verbatim in any SQL engine), counted into a
+    * dense float vector. Payloads under 4 bytes emit no row.
+    *
+    * Counts are small integers (exactly representable in float), so
+    * downstream double-accumulated cosines are bit-identical to an
+    * oracle computing from the raw counts. Row-local until one
+    * (media_id, bin) partial-agg exchange; the dense vector is a
+    * per-media map lookup, never a corpus-wide pivot. Returns
+    * (media_id, signature: array<float>[bins]). */
+  def byteGramSignature(media: DataFrame, bins: Int = 64): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val grams = media
+      .select(col("media_id"), upper(hex(col("bytes"))).as("__hx"),
+        (length(col("bytes")) / 4).cast("int").as("__nw"))
+      .where(col("__nw") > 0)
+      .select(col("media_id"), explode(transform(
+        sequence(lit(0), col("__nw") - 1),
+        k => col("__hx").substr(k * 8 + 1, lit(8)))).as("__g"))
+    val cnt = grams
+      .select(col("media_id"),
+        (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long")
+          % bins).as("__b"))
+      .groupBy("media_id", "__b").agg(count(lit(1)).as("__c"))
+    cnt.groupBy("media_id")
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"))
+      .select(col("media_id"),
+        transform(sequence(lit(0L), lit(bins - 1L)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("float"))
+          .as("signature"))
+  }
 
   /** Resize stage STUB: keep every `factor`-th byte of the payload —
     * deterministic byte decimation standing in for a real image/audio

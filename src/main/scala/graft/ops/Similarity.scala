@@ -157,11 +157,12 @@ object Similarity {
     * shortlist, then re-ranks ONLY the shortlist with exact float
     * cosine.
     *
-    * Plan shape: queries broadcast (corpus never shuffles) → window
+    * Plan shape: queries broadcast, size-gated through
+    * `Dedup.maybeBroadcast` (corpus never shuffles) → window
     * top-shortlist per query over (qid, id, score) — the float vectors
     * are NOT carried through that shuffle — → the shortlist (|Q|·s rows,
-    * tiny) broadcasts back against the corpus scan to fetch exact
-    * vectors for re-ranking. Two corpus scans, zero corpus shuffles; a
+    * tiny) broadcasts back (gated) against the corpus scan to fetch
+    * exact vectors for re-ranking. Two corpus scans, zero corpus shuffles; a
     * production deployment would persist `quantizeCorpus`'s output as
     * its index table and pay only the byte scan per query batch.
     *
@@ -174,12 +175,29 @@ object Similarity {
     import graft.functions.VectorFunctions.{int8Dot, packInt8}
     val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
     val corpusQ = quantizeCorpus(Tables.spread(corpus, idCol), idCol, vecCol)
-    val queriesQ = queries
+    // Size-gate every query-batch broadcast through the engine-wide
+    // limit (Dedup.maybeBroadcast), exactly like pqShortlistRerank: a
+    // forced broadcast() on a corpus-derived query batch (the
+    // ScalingCurve / anchors-=-corpus shape) is a silent driver-OOM
+    // cliff. Cached so the gate's count and the two query reads
+    // (codes + re-rank vectors) don't re-run a derived batch's
+    // lineage; byte-equivalent units (bytes/40 — the calibration unit
+    // of spark.graft.dedup.maxBroadcastIds) per broadcast payload.
+    val q0 = CachedFrames.cached(queries.select(col(qidCol), col(qvecCol)))
+    val nq = q0.count()
+    val dim =
+      if (nq == 0) 0L
+      else q0.agg(max(coalesce(size(col(qvecCol)), lit(0))).cast("long").as("__d"))
+        .head().getLong(0)
+    // packed int8 codes: dim bytes per row; re-rank vectors: dim floats
+    val nqCodesEff = nq * ((dim + 48) / 40).max(1)
+    val nqVecEff = nq * ((dim * 4 + 48) / 40).max(1)
+    val queriesQ = q0
       .select(col(qidCol), col(qvecCol), Quantize.maxAbs(col(qvecCol)).as("__ma"))
       .select(col(qidCol),
         packInt8(Quantize.int8Codes(col(qvecCol), col("__ma"))).as("qcodes"))
     val approx = corpusQ
-      .crossJoin(broadcast(queriesQ))
+      .crossJoin(Dedup.maybeBroadcast(queriesQ, nqCodesEff))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("qscore",
         when(col("vnorm") === 0.0, lit(0.0)).otherwise(
@@ -188,11 +206,11 @@ object Similarity {
     // topKFromScores)
     val short = topKFromScores(approx, qidCol, idCol, "qscore", sl)
       .select(col(qidCol), col(idCol))
-    // plain broadcast join against the corpus scan — the probe +
+    // gated broadcast join against the corpus scan — the probe +
     // shortlist-only cosine is too light to justify a spread shuffle
     val rerank = corpus
-      .join(broadcast(short), Seq(idCol))
-      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .join(Dedup.maybeBroadcast(short, nq * sl), Seq(idCol))
+      .join(Dedup.maybeBroadcast(q0, nqVecEff), Seq(qidCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
     rerank
@@ -885,8 +903,26 @@ object Similarity {
                                        k: Int, shortlist: Int): DataFrame = {
     import graft.functions.VectorFunctions.int8Dot
     val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
+    // Size-gate all three query-batch broadcasts through the
+    // engine-wide limit (Dedup.maybeBroadcast), like pqShortlistRerank:
+    // a corpus-derived query batch (anchors = corpus) would otherwise
+    // force-broadcast straight into a driver OOM. Both frames cached —
+    // the gate needs counts, and the cell table is read by the
+    // candidate join while the vector frame is read by the re-rank.
+    // Byte-equivalent units (bytes/40, the calibration unit of
+    // spark.graft.dedup.maxBroadcastIds) per broadcast payload.
+    val q0 = CachedFrames.cached(queries.select(col(qidCol), col(qvecCol)))
+    val nq = q0.count()
+    val dim =
+      if (nq == 0) 0L
+      else q0.agg(max(coalesce(size(col(qvecCol)), lit(0))).cast("long").as("__d"))
+        .head().getLong(0)
+    val qc0 = CachedFrames.cached(queryCells)
+    // |Q|·nprobe rows, each carrying dim packed-int8 code bytes
+    val cellsEff = qc0.count() * ((dim + 48) / 40).max(1)
+    val nqVecEff = nq * ((dim * 4 + 48) / 40).max(1)
     val short = topKFromScores(
-      index.join(broadcast(queryCells), Seq("cent_id"))
+      index.join(Dedup.maybeBroadcast(qc0, cellsEff), Seq("cent_id"))
         .where(col(qidCol) =!= col(idCol))
         .withColumn("qscore",
           when(col("vnorm") === 0.0, lit(0.0)).otherwise(
@@ -896,8 +932,8 @@ object Similarity {
 
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
     corpus
-      .join(broadcast(short), Seq(idCol))
-      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .join(Dedup.maybeBroadcast(short, nq * sl), Seq(idCol))
+      .join(Dedup.maybeBroadcast(q0, nqVecEff), Seq(qidCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -771,24 +771,48 @@ object TextOps {
   /** Rewrite documents with corpus-wide boilerplate lines REMOVED (the
     * transform [[interdocBoilerplate]] is the signal for): every
     * non-blank line appearing in ≥ `minDocs` distinct documents is
-    * dropped, remaining lines keep their order. The boilerplate line
-    * set is aggregated once (as md5 digests) and broadcast; each
-    * document then filters its own line array per-row — the corpus is
-    * scanned once for counting and once for rewriting, and never
-    * shuffled as documents. Returns (idCol, clean_text, n_kept). */
+    * dropped, remaining lines keep their order.
+    *
+    * Scale design (the [[Dedup.dedupLinesGlobal]] pattern): the mining
+    * shuffle carries (id, pos, 16-byte md5) triples — never line text,
+    * and never a corpus-wide digest SET in one row (at crawl scale the
+    * ≥2-doc shared-line set is unbounded: hundreds of millions of
+    * digests would materialize as one multi-GB array cell on a single
+    * task). Per-document drop-POSITION arrays come back through an
+    * id-keyed join — size-gated broadcast ([[Dedup.maybeBroadcast]])
+    * below the conf limit so document text never shuffles, plain
+    * shuffle join above it (the corpus shuffles once by id — the price
+    * of a crawl-scale boilerplate rate, instead of a driver OOM). Each
+    * document then filters its own line array row-locally by position:
+    * a probe over the document's OWN drop positions (bounded by its
+    * line count), not an O(|corpus boilerplate set|) scan per line.
+    * Returns (idCol, clean_text, n_kept). */
   def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                              minDocs: Int = 2): DataFrame = {
-    val linesOf = filter(split(col(textCol), "\n"), l => length(trim(l)) > lit(0))
-    val boiler = docs
-      .select(col(idCol), explode(linesOf).as("__line"))
-      .select(col(idCol), md5(col("__line")).as("lh")).distinct()
-      .groupBy("lh").agg(count(lit(1)).as("docs_with"))
-      .where(col("docs_with") >= minDocs)
-      .agg(collect_set(col("lh")).as("__boiler"))
-      .select(coalesce(col("__boiler"), array()).as("__boiler"))
-    docs.crossJoin(broadcast(boiler))
+    val lineArr = split(col(textCol), "\n")
+    val lines = docs
+      .select(col(idCol), posexplode(lineArr).as(Seq("__pos", "__line")))
+      .where(length(trim(col("__line"))) > 0)
+      .select(col(idCol), col("__pos"), md5(col("__line")).as("__lh"))
+    // digest → distinct-doc count, digest-only shuffles; qualifying
+    // digests stay a DATAFRAME (never collapsed into one row)
+    val boilerLh = lines.select(col(idCol), col("__lh")).distinct()
+      .groupBy("__lh").agg(count(lit(1)).as("__dw"))
+      .where(col("__dw") >= minDocs)
+      .select("__lh")
+    // materialized so the gate's count reads the mined blocks, not a
+    // second mining pass (same contract as dedupLinesGlobal)
+    val dropPos = Checkpointing.truncate(lines
+      .join(boilerLh, Seq("__lh"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__drop"), count(lit(1)).as("__nd")))
+    val dropCount = dropPos.agg(coalesce(sum("__nd"), lit(0L))).head().getLong(0)
+    docs
+      .join(Dedup.maybeBroadcast(dropPos.drop("__nd"), dropCount), Seq(idCol), "left")
       .select(col(idCol),
-        filter(linesOf, l => !array_contains(col("__boiler"), md5(l))).as("__kept"))
+        filter(lineArr, (l, i) =>
+          length(trim(l)) > lit(0) &&
+            (col("__drop").isNull || !array_contains(col("__drop"), i))).as("__kept"))
       .select(col(idCol),
         array_join(col("__kept"), "\n").as("clean_text"),
         size(col("__kept")).cast("long").as("n_kept"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -304,6 +304,15 @@ object Warehouse {
     * prefix. All windows are keyed by (key) or (key, point); nothing
     * is ever single-partition.
     *
+    * Hot-key guard: one heavily-corrected entity would make a single
+    * task quadratic SILENTLY, so a key with more than
+    * `maxAssertionsPerKey` assertions fails loudly with an error
+    * NAMING the key (the guard rides the same key-hash exchange the
+    * construction already pays and lives in the value path, so the
+    * optimizer cannot prune it). Callers with a genuinely hot key
+    * raise the cap consciously — or bucket its transaction axis
+    * upstream, the documented beyond path.
+    *
     * Returns (keyCol, stateCols…, valid_from, valid_to, tx_from,
     * tx_to, version) — valid_to/tx_to null on the open edge.
     * Adjacent tx intervals with identical valid-histories are NOT
@@ -313,10 +322,26 @@ object Warehouse {
     * all window-local. */
   def bitemporalTable(changes: DataFrame, keyCol: String, vt: Column,
                       tt: Column, seq: Column,
-                      stateCols: Seq[String]): DataFrame = {
+                      stateCols: Seq[String],
+                      maxAssertionsPerKey: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ch = changes.select(col(keyCol) +: vt.as("__vt") +: tt.as("__tt") +:
+    val ch0 = changes.select(col(keyCol) +: vt.as("__vt") +: tt.as("__tt") +:
       seq.as("__seq") +: stateCols.map(col): _*)
+    // hot-key guard (contract above): exact per-key count over the
+    // key partition, enforced inside __vt's value path
+    val vtType = ch0.schema("__vt").dataType
+    val guardW = Window.partitionBy(col(keyCol))
+    val ch = ch0
+      .withColumn("__na", count(lit(1)).over(guardW))
+      .withColumn("__vt",
+        when(col("__na") <= lit(maxAssertionsPerKey.toLong), col("__vt"))
+          .otherwise(raise_error(concat(
+            lit("bitemporalTable: key "), col(keyCol).cast("string"),
+            lit(" carries "), col("__na").cast("string"),
+            lit(s" assertions > maxAssertionsPerKey=$maxAssertionsPerKey — "
+              + "the prefix materialization would make one task quadratic; "
+              + "raise the cap or bucket the transaction axis"))).cast(vtType)))
+      .drop("__na")
     val txw = Window.partitionBy(col(keyCol)).orderBy(col("__ti"))
     val pts = ch.select(col(keyCol), col("__tt").as("__ti")).distinct()
       .withColumn("__txTo", lead(col("__ti"), 1).over(txw))
@@ -333,6 +358,54 @@ object Warehouse {
         col("__ti").as("tx_from"),
         col("__txTo").as("tx_to"),
         row_number().over(vw).as("version")): _*)
+  }
+
+  /** Normalize an assertion stream to the storable log schema
+    * (keyCol, __vt, __tt, __seq, stateCols…) — what the bitemporal
+    * assertion-log table holds and [[advanceBitemporalTable]] appends. */
+  def normalizeAssertions(changes: DataFrame, keyCol: String, vt: Column,
+                          tt: Column, seq: Column,
+                          stateCols: Seq[String]): DataFrame =
+    changes.select(col(keyCol) +: vt.as("__vt") +: tt.as("__tt") +:
+      seq.as("__seq") +: stateCols.map(col): _*)
+
+  /** INCREMENTAL maintenance of a [[bitemporalTable]] — the q179/q203
+    * advance pattern applied to the two-axis history, completing the
+    * warehouse family's live-maintenance trio (SCD2 q179/q188, CDC
+    * q177, bitemporal here): new assertions are APPENDED to the
+    * assertion-log table (`assertTable`, [[normalizeAssertions]]
+    * schema — the append-only log every bitemporal warehouse already
+    * keeps), only the keys the delta TOUCHES are rebuilt from the log
+    * (other keys' assertions are never read past the key filter), and
+    * the rectangle table swaps crash-safely
+    * ([[Incremental.transformStateTable]]'s stage-then-rename-rename-
+    * drop) to untouched-rows ∪ rebuilt. Incremental ≡ full rebuild by
+    * construction — a key's rectangles depend only on its own
+    * assertions — which is exactly what the differential oracle
+    * checks. Touched-key joins are size-gated
+    * ([[Dedup.maybeBroadcast]]): a wide delta falls back to shuffle
+    * semi/anti joins instead of a forced broadcast. */
+  def advanceBitemporalTable(spark: SparkSession, rectTable: String,
+                             assertTable: String, delta: DataFrame,
+                             keyCol: String, stateCols: Seq[String],
+                             maxAssertionsPerKey: Int = 100000): Unit = {
+    // the delta is read twice (append + touched set) and its lineage
+    // may be a full pipeline — materialize once
+    val d0 = Checkpointing.truncate(delta)
+    d0.write.mode("append").saveAsTable(assertTable)
+    val touched = d0.select(keyCol).distinct()
+    val nTouched = touched.count()
+    val rebuilt = bitemporalTable(
+      spark.table(assertTable)
+        .join(Dedup.maybeBroadcast(touched, nTouched), Seq(keyCol),
+          "left_semi"),
+      keyCol, col("__vt"), col("__tt"), col("__seq"), stateCols,
+      maxAssertionsPerKey)
+    Incremental.transformStateTable(spark, rectTable) { cur =>
+      cur.join(Dedup.maybeBroadcast(touched, nTouched), Seq(keyCol),
+          "left_anti")
+        .unionByName(rebuilt)
+    }
   }
 
   /** Mirror of [[bitemporalTable]] for the DuckDB oracle. `changesSql`

@@ -589,8 +589,9 @@ object CatalogML2 {
 
     // Boilerplate REMOVAL (the transform q91 is the signal for):
     // corpus-wide repeated lines dropped from every document, order
-    // preserved. Boilerplate digests broadcast as one array; each doc
-    // filters its own line array per-row.
+    // preserved. Digest-triple mining + size-gated per-document
+    // drop-position join (the q112 pattern) — the boilerplate set is
+    // never collapsed into one row.
     ("q92_text_boiler_strip", (s: SparkSession, d: String) => {
       graft.ops.TextOps.removeBoilerplateLines(
           spread(table(s, d, "documents"), "doc_id"), "doc_id", "text", minDocs = 2)

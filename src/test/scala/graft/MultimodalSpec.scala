@@ -135,6 +135,13 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavHeader(headerOnly).contains((2, 44100, 16, 99999L)))
     assert(Multimodal.parseWavHeader("RIFX1234WAVE".getBytes).isEmpty)
     assert(Multimodal.parseWavHeader(Array[Byte](1, 2, 3)).isEmpty)
+    // a fmt chunk declaring < 16 payload bytes is corrupt — the walk
+    // must NOT read the next subchunk's bytes as channels/rate/bits
+    val shortFmt = "RIFF".getBytes("US-ASCII") ++ le32(100L) ++
+      "WAVE".getBytes("US-ASCII") ++ chunk("fmt ", fmt.take(8)) ++
+      chunk("data", Array.fill[Byte](10)(7))
+    assert(Multimodal.parseWavHeader(shortFmt).isEmpty,
+      "short fmt subchunk must land in the unknown bucket")
   }
 
   test("parseMp4Header walks real BMFF boxes; skips unknown boxes; rejects v1") {

@@ -599,4 +599,43 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(s - inline(id)._2) < 1e-9, s"doc $id: $s vs ${inline(id)._2}")
     }
   }
+
+  test("quantized ANN paths: every query-batch broadcast obeys the size gate") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def planAndRows(limit: Option[String],
+                    f: () => org.apache.spark.sql.DataFrame): (String, Seq[(Long, Long)]) = {
+      // autoBroadcastJoinThreshold=-1 keeps AQE from re-broadcasting the
+      // tiny test side on its own, so the assertion sees the HINT's effect
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      limit.foreach(spark.conf.set(Dedup.MaxBroadcastIdsKey, _))
+      try {
+        val out = f()
+        val rows = out.select("qid", "vec_id").as[(Long, Long)].collect().sorted.toSeq
+        (out.queryExecution.executedPlan.toString, rows)
+      } finally {
+        spark.conf.unset(Dedup.MaxBroadcastIdsKey)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    // nprobe = nlist so the IVF search is exhaustive → identical results
+    // in both plan modes is a strict requirement, not a recall accident
+    val paths: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("bruteForceTopKQuantized", () =>
+        graft.ops.Similarity.bruteForceTopKQuantized(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", 3)),
+      ("ivfTopKQuantized", () =>
+        graft.ops.Similarity.ivfTopKQuantized(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", 3, nlist = 4, nprobe = 4)))
+    for ((name, q) <- paths) {
+      val (bc, rowsB) = planAndRows(None, q)
+      assert(bc.contains("BroadcastExchange"),
+        s"$name: expected hinted broadcasts below the limit:\n$bc")
+      val (sh, rowsS) = planAndRows(Some("0"), q)
+      assert(!sh.contains("BroadcastExchange"),
+        s"$name: expected zero forced broadcasts above the limit:\n$sh")
+      assert(rowsB == rowsS, s"$name: results must not depend on the plan mode")
+    }
+  }
 }

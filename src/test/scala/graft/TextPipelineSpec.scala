@@ -81,6 +81,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(rowsB == Seq((1L, "x\ny"), (2L, ""), (3L, "")))
   }
 
+  test("removeBoilerplateLines: drops ≥minDocs lines, keeps order; gate falls back to shuffle") {
+    val docs = Seq(
+      (1L, "NAV BAR\nunique alpha\n\nFOOTER\nunique beta"),
+      (2L, "NAV BAR\nonly in two\nFOOTER"),
+      (3L, "totally original\nNAV BAR")
+    ).toDF("id", "text")
+    val expected = Seq(
+      (1L, "unique alpha\nunique beta", 2L),
+      (2L, "only in two", 1L),
+      (3L, "totally original", 1L))
+    def modes(run: => org.apache.spark.sql.DataFrame): (Boolean, Seq[(Long, String, Long)]) = {
+      val df = run
+      val plan = df.queryExecution.executedPlan.toString
+      val hasBroadcast = plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange")
+      (hasBroadcast,
+        df.select("id", "clean_text", "n_kept").as[(Long, String, Long)]
+          .collect().toSeq.sortBy(_._1))
+    }
+    val (bcast, rowsB, shuffled, rowsS) =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (b, rb) = modes(TextOps.removeBoilerplateLines(docs, "id", "text"))
+        spark.conf.set(Dedup.MaxBroadcastIdsKey, "0")
+        val (sh, rs) = modes(TextOps.removeBoilerplateLines(docs, "id", "text"))
+        (b, rb, sh, rs)
+      } finally {
+        spark.conf.unset(Dedup.MaxBroadcastIdsKey)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    assert(bcast, "below the limit the drop-position join should broadcast")
+    assert(!shuffled, "above the limit the forced broadcast hint must be gone")
+    assert(rowsB == rowsS, "join mode must not change results")
+    assert(rowsB == expected)
+  }
+
   test("budgetSelect: greedy prefix per group, overflow row dropped") {
     val rows = Seq(
       // group g1: order by score desc → ids 1(5),2(4),3(3); budget 9 keeps 1,2
