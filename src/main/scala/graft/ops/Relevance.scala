@@ -390,21 +390,60 @@ object Relevance {
   def nbMulticlassModel(labeled: DataFrame, textCol: String,
                         labelCol: String, n: Int = 3,
                         buckets: Int = 1024): DataFrame = {
-    import graft.functions.PortableSketches.lnOfInt
     require(n >= 1, s"gram size must be >= 1, got $n")
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val spark = labeled.sparkSession
-    val base = labeled.select(col(labelCol).as("label"),
-      col(textCol).as("__t"))
     // collapse to per-(label, DISTINCT gram) counts BEFORE hashing:
     // char-gram streams are massively repetitive (natural-language
     // trigram vocabularies are bounded far below the corpus), so the
     // md5 runs per distinct gram instead of per occurrence — measured
     // the dominant cost of the q194 x100 leg. Bucket counts, and
     // therefore the model, are bit-identical.
-    val cnt = base
+    val base = labeled.select(col(labelCol).as("label"),
+      col(textCol).as("__t"))
+    val cnt0 = base
       .select(col("label"), explode(charGramsOf("__t", n)).as("__g"))
       .groupBy("label", "__g").agg(count(lit(1)).as("__gc"))
+    nbModelFromLabelGrams(cnt0, base.select("label"), buckets)
+  }
+
+  /** Per-document distinct-gram counts — the ONE gram explode a
+    * train-then-score pipeline should pay (q194/q195 run the trainer
+    * on one split and the scorer on another of the SAME corpus; built
+    * separately each leg re-explodes its slice). Cache the result
+    * (CachedFrames) and feed the slices to
+    * [[nbMulticlassModelFromGrams]] / [[nbClassifyFromGrams]] — both
+    * are bit-identical to the direct entry points (integer counts
+    * re-aggregate exactly). `extraCols` carries split/label columns
+    * through. Returns (idCol, extraCols…, __g, __gc). */
+  def nbDocGramCounts(docs: DataFrame, idCol: String, extraCols: Seq[String],
+                      textCol: String, n: Int = 3): DataFrame =
+    Tables.spread(docs, idCol)
+      .select(col(idCol) +: extraCols.map(col) :+ col(textCol).as("__t"): _*)
+      .select(col(idCol) +: extraCols.map(col) :+
+        explode(charGramsOf("__t", n)).as("__g"): _*)
+      .groupBy(col(idCol) +: extraCols.map(col) :+ col("__g"): _*)
+      .agg(count(lit(1)).as("__gc"))
+
+  /** [[nbMulticlassModel]] from a [[nbDocGramCounts]] slice. `grams`
+    * must carry (labelCol, __g, __gc); `docsForPrior` supplies ONE row
+    * per training document with `labelCol` (gram-less documents count
+    * toward the prior but emit no gram rows, so the prior cannot be
+    * derived from `grams`). */
+  def nbMulticlassModelFromGrams(grams: DataFrame, labelCol: String,
+                                 docsForPrior: DataFrame,
+                                 buckets: Int = 1024): DataFrame =
+    nbModelFromLabelGrams(
+      grams.select(col(labelCol).as("label"), col("__g"), col("__gc"))
+        .groupBy("label", "__g").agg(sum(col("__gc")).as("__gc")),
+      docsForPrior.select(col(labelCol).as("label")), buckets)
+
+  /** Shared model tail: (label, distinct gram, count) → dense
+    * (label, bucket, w, prior) table. */
+  private def nbModelFromLabelGrams(cnt0: DataFrame, priorRows: DataFrame,
+                                    buckets: Int): DataFrame = {
+    import graft.functions.PortableSketches.lnOfInt
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = cnt0.sparkSession
+    val cnt = cnt0
       .select(col("label"), tokenBucket(col("__g"), buckets).as("bucket"),
         col("__gc"))
       .groupBy("label", "bucket").agg(sum(col("__gc")).as("__c"))
@@ -413,7 +452,7 @@ object Relevance {
     // the model join below does NOT re-run the corpus aggregate (the
     // eager-probe-recompute trap); the frame is class-cardinality-sized
     val ndoc = Checkpointing.truncate(
-      base.groupBy("label").agg(count(lit(1)).as("__nd")))
+      priorRows.groupBy("label").agg(count(lit(1)).as("__nd")))
     require(ndoc.count() >= 2,
       "multiclass training needs at least two labels")
     val grid = tot.select("label")
@@ -445,20 +484,40 @@ object Relevance {
     * multiplied the raw gram stream by C before any reduction —
     * measured 1.5× on the q194 x100 leg. Returns (idCol, pred,
     * score). */
+  /** Loud enforcement of [[nbClassify]]'s DECIMAL(7,0) count envelope:
+    * a pathological document contributing ≥ 10^7 occurrences of one
+    * gram bucket must fail with an error NAMING the document, not
+    * overflow the decimal cast into a null / opaque ANSI error. The
+    * guard lives in the VALUE path (otherwise-branch of the count
+    * itself) so the optimizer cannot prune it. */
+  private[graft] def nbCntGuard(cnt: Column, id: Column): Column =
+    when(cnt < lit(10000000L), cnt)
+      .otherwise(raise_error(concat(
+        lit("nbClassify: a document has >= 10^7 occurrences of one gram "
+          + "bucket (doc id "),
+        id.cast("string"),
+        lit(") — past the DECIMAL(7,0) score envelope"))).cast("long"))
+
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,
                  model: DataFrame, n: Int = 3,
-                 buckets: Int = 1024): DataFrame = {
+                 buckets: Int = 1024): DataFrame =
+    // distinct-gram collapse BEFORE the hash (the trainer's md5
+    // economy applied per doc), then the bucket histogram
+    nbClassifyFromGrams(nbDocGramCounts(docs, idCol, Nil, textCol, n),
+      idCol, model, buckets)
+
+  /** [[nbClassify]] from a [[nbDocGramCounts]] slice — the score leg of
+    * the one-explode pipeline. `grams` must carry (idCol, __g, __gc). */
+  def nbClassifyFromGrams(grams: DataFrame, idCol: String,
+                          model: DataFrame,
+                          buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    Tables.spread(docs, idCol)
-      .select(col(idCol), col(textCol).as("__t"))
-      .select(col(idCol), explode(charGramsOf("__t", n)).as("__g"))
-      // distinct-gram collapse BEFORE the hash (the trainer's md5
-      // economy applied per doc), then the bucket histogram
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__gc"))
+    grams
       .select(col(idCol), tokenBucket(col("__g"), buckets).as("bucket"),
         col("__gc"))
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("__gc")).as("__cnt"))
+      .withColumn("__cnt", nbCntGuard(col("__cnt"), col(idCol)))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col(idCol), col("label"))
       // DECIMAL(30,12) × DECIMAL(7,0) → DECIMAL(38,12) with NO scale

@@ -107,14 +107,20 @@ object CatalogML6 {
     // DECIMAL(38,12) sums, score-then-label argmax) — a fully-oracled
     // trained classifier, the q136 discipline at C classes.
     ("q194_langid_trained", (s: SparkSession, d: String) => {
-      import graft.ops.{Relevance, TextOps}
+      import graft.ops.{CachedFrames, Relevance, TextOps}
       val derived = table(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           TextOps.orthoInject(col("lang"), col("text")).as("__t"))
-      val model = Relevance.nbMulticlassModel(
-        derived.where(col("doc_id") % 5 =!= 0), "__t", "lang")
-      Relevance.nbClassify(derived.where(col("doc_id") % 5 === 0),
-          "doc_id", "__t", model)
+      // ONE gram explode for both legs (train + score read slices of
+      // the same cached per-doc gram counts — bit-identical to the
+      // direct entry points, ~halves the dominant explode+md5 cost)
+      val grams = CachedFrames.cached(
+        Relevance.nbDocGramCounts(derived, "doc_id", Seq("lang"), "__t"))
+      val model = Relevance.nbMulticlassModelFromGrams(
+        grams.where(col("doc_id") % 5 =!= 0), "lang",
+        derived.where(col("doc_id") % 5 =!= 0).select("lang"))
+      Relevance.nbClassifyFromGrams(
+          grams.where(col("doc_id") % 5 === 0), "doc_id", model)
         .join(derived.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n_docs"))
@@ -140,14 +146,20 @@ object CatalogML6 {
     // language report with a correctness column. Checks the stages
     // compose exactly, not just individually.
     ("q195_pipeline_langid_trained", (s: SparkSession, d: String) => {
-      import graft.ops.{Dedup, Relevance, TextOps}
+      import graft.ops.{CachedFrames, Dedup, Relevance, TextOps}
       val derived = table(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           TextOps.orthoInject(col("lang"), col("text")).as("__t"))
-      val kept = Dedup.dropExactDuplicates(derived, "doc_id", "__t")
-      val model = Relevance.nbMulticlassModel(
-        kept.where(col("doc_id") % 5 =!= 0), "__t", "lang")
-      Relevance.nbClassify(kept, "doc_id", "__t", model)
+      // survivors cached: the gram build, the prior rows, and the
+      // final report join all read them (dedup is a corpus shuffle)
+      val kept = CachedFrames.cached(
+        Dedup.dropExactDuplicates(derived, "doc_id", "__t"))
+      val grams = CachedFrames.cached(
+        Relevance.nbDocGramCounts(kept, "doc_id", Seq("lang"), "__t"))
+      val model = Relevance.nbMulticlassModelFromGrams(
+        grams.where(col("doc_id") % 5 =!= 0), "lang",
+        kept.where(col("doc_id") % 5 =!= 0).select("lang"))
+      Relevance.nbClassifyFromGrams(grams, "doc_id", model)
         .join(kept.select(col("doc_id"), col("lang"), col("__t")),
           Seq("doc_id"))
         .groupBy(col("pred"))

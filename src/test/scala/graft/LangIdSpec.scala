@@ -63,6 +63,21 @@ class LangIdSpec extends SparkSpec {
     assert(rows.get(11L).contains("x"))
   }
 
+  test("nbCntGuard: passes below 10^7, raises a named error at the envelope") {
+    val df = Seq((7L, 9999999L), (8L, 123L)).toDF("id", "cnt")
+    val ok = df.select(Relevance.nbCntGuard(col("cnt"), col("id")).as("g"))
+      .as[Long].collect().sorted
+    assert(ok.toSeq == Seq(123L, 9999999L))
+    val bad = Seq((42L, 10000000L)).toDF("id", "cnt")
+    val e = intercept[Exception] {
+      bad.select(Relevance.nbCntGuard(col("cnt"), col("id")).as("g")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("doc id 42") && m.contains("10^7")),
+      s"error must name the document: ${msgs(e)}")
+  }
+
   test("charGramsOf matches a reference JVM derivation incl. unicode") {
     val docs = Seq((1L, "abcde"), (2L, "ab"), (3L, ""),
       (4L, "dätä scän"), (5L, "的是不了"))
