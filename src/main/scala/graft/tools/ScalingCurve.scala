@@ -149,7 +149,20 @@ object ScalingCurve {
       "q194",
       // snapshot manifest: one corpus write + one read + a map-side-
       // combined shard-count digest aggregate — pure I/O volume
-      "q204")
+      "q204",
+      // boilerplate-line removal (round-11 rewrite): digest-triple
+      // mining shuffle + a size-gated per-doc drop-position join —
+      // should now track q112's class (the one-row collect_set it
+      // replaced had no curve row BY DESIGN: it couldn't scale)
+      "q92",
+      // ORC+parquet round trip: q148's class with the ORC codec —
+      // pure I/O volume, linear with a flat per-job floor
+      "q207",
+      // image near-dup: byte-4-gram signature (row-local window hash +
+      // one (id, bin) partial-agg exchange) + q38's LSH bucket shape —
+      // bijective translate preserves within-copy byte-gram equality,
+      // so planted near-dup density per row is constant in copies
+      "q208")
       // q150/q152/q153/q154/q155/q158/q159 are NOT here: they read
       // the part/orders/events/lineitem fixtures, which this harness
       // does not expand (only documents/embeddings have the bijective

@@ -541,4 +541,58 @@ class BehaviorWarehouseSpec extends SparkSpec {
     rects.unpersist()
     ()
   }
+
+  test("advanceBitemporalTable: incremental equals full; untouched keys' rows survive") {
+    import graft.ops.Warehouse
+    val all = Seq(
+      ("k1", 10L, 10L, 1L, "A"), ("k1", 12L, 50L, 2L, "B"),
+      ("k2", 5L, 5L, 3L, "X"), ("k2", 20L, 21L, 4L, "Y"),
+      ("k3", 15L, 16L, 5L, "old"), ("k3", 15L, 17L, 6L, "new")
+    ).toDF("k", "vt", "tt", "seq", "state")
+    val norm = Warehouse.normalizeAssertions(all, "k", col("vt"), col("tt"),
+      col("seq"), Seq("state"))
+    val rt = "spec_bt_rect"; val at = "spec_bt_assert"
+    graft.ops.Tables.dropTablesAndDirs(spark, rt, s"${rt}__next",
+      s"${rt}__old", at)
+    // base = odd seqs (keeps every key present so k2 is genuinely
+    // untouched by the delta below)
+    norm.where(col("__seq") % 2 === 1).write.saveAsTable(at)
+    Warehouse.bitemporalTable(spark.table(at), "k", col("__vt"),
+        col("__tt"), col("__seq"), Seq("state"))
+      .write.saveAsTable(rt)
+    // delta touches k1 and k3 only
+    Warehouse.advanceBitemporalTable(spark, rt, at,
+      norm.where(col("__seq") % 2 === 0), "k", Seq("state"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "state", "valid_from", "valid_to", "tx_from", "tx_to", "version")
+      .as[(String, String, Long, Option[Long], Long, Option[Long], Int)]
+      .collect().toSet
+    val incremental = canon(spark.table(rt))
+    val full = canon(Warehouse.bitemporalTable(all, "k", col("vt"),
+      col("tt"), col("seq"), Seq("state")))
+    assert(incremental == full, "incremental advance must equal the full rebuild")
+    // the assertion log now holds everything
+    assert(spark.table(at).count() == 6)
+    graft.ops.Tables.dropTablesAndDirs(spark, rt, at)
+  }
+
+  test("bitemporalTable: a hot key past the assertion cap fails loudly, named") {
+    // hot: 12 corrections of one entity; cold keys stay under the cap
+    val hot = (1L to 12L).map(i => ("hot", i, i, i, s"s$i"))
+    val cold = Seq(("cold", 1L, 1L, 100L, "c"))
+    val ch = (hot ++ cold).toDF("k", "vt", "tt", "seq", "state")
+    val e = intercept[Exception] {
+      graft.ops.Warehouse.bitemporalTable(ch, "k", col("vt"), col("tt"),
+        col("seq"), Seq("state"), maxAssertionsPerKey = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("key hot") &&
+        m.contains("maxAssertionsPerKey=10")),
+      s"guard must name the hot key: ${msgs(e)}")
+    // under the cap nothing changes: same fixture, cap not hit
+    val ok = graft.ops.Warehouse.bitemporalTable(ch, "k", col("vt"), col("tt"),
+      col("seq"), Seq("state"), maxAssertionsPerKey = 12)
+    assert(ok.count() > 0)
+  }
 }
