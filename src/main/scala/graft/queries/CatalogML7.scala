@@ -190,5 +190,59 @@ object CatalogML7 {
           |FROM events WHERE user_id % 7 = 1""".stripMargin,
         Seq("state"), keyAs = "user_id") +
         "\nORDER BY user_id, tx_from, version"))
+    ,
+
+    // The second deep-join stress shape (TPC-H Q8 — market share):
+    // SEVEN base-table scans / 8-way join (part filter, both customer-
+    // and supplier-side nation lookups against the same dimension,
+    // region filter) with a conditional revenue aggregate per order
+    // year — the one-nation market share inside a region's market.
+    // nation joins broadcast EXPLICITLY twice under different aliases;
+    // the share is a double division of two string-routed DECIMAL sums
+    // (exact IEEE both engines).
+    ("q210_join_market_share", (s: SparkSession, d: String) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val nat = table(s, d, "nation")
+      table(s, d, "lineitem")
+        .join(table(s, d, "part").where(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey"))), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(table(s, d, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0.0)), 6).as("target_rev"),
+          dsum(rev, 6).as("total_rev"),
+          count(lit(1)).as("n_lineitems"))
+        .withColumn("mkt_share", col("target_rev") / col("total_rev"))
+        .orderBy("o_year")
+    }, Some(
+      s"""SELECT o_year, target_rev, total_rev, n_lineitems,
+         |       target_rev / total_rev AS mkt_share
+         |FROM (
+         |  SELECT year(o_orderdate) AS o_year,
+         |         ${dsumSql("CASE WHEN sn.n_name = 'NATION_7' " +
+                   "THEN l_extendedprice * (1.0 - l_discount) " +
+                   "ELSE 0.0 END", 6)} AS target_rev,
+         |         ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)}
+         |           AS total_rev,
+         |         CAST(count(*) AS BIGINT) AS n_lineitems
+         |  FROM lineitem
+         |  JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  GROUP BY 1)
+         |ORDER BY o_year""".stripMargin))
   )
 }

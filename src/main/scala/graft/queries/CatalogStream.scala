@@ -833,6 +833,77 @@ object CatalogStream {
         |UNION ALL SELECT a_id, b_id FROM nullrows
         |ORDER BY a_id, b_id""".stripMargin)),
 
+    // STREAM-STREAM FULL OUTER interval join — q193's eviction
+    // semantics on BOTH sides: unmatched A rows null-pad on the right
+    // when a_ts + 600 s falls below the min-across-sides watermark,
+    // unmatched B rows null-pad on the left when b_ts + 600 s does
+    // (symmetric ±10 min bounds make the horizons symmetric); both
+    // sides withhold rows whose horizon is still open at stream end.
+    // Engineered unmatched classes on BOTH sides: user_id % 9 == 0
+    // users are excluded from B (their A rows can never match) and
+    // user_id % 9 == 1 users from A (their B rows can never match);
+    // all five classes (matched, evicted-null × 2, withheld × 2) are
+    // nonempty at every fixture scale (checked: 4/142/4/106/1 at
+    // sf0.001). ORDER BY coalesces null ids to -1 — Spark sorts nulls
+    // first where DuckDB sorts them last, and the driver compares rows
+    // in order.
+    ("q211_stream_stream_full_outer", (s: SparkSession, d: String) => {
+      val events = ev(s, d).where(col("user_id") % 3 === 0)
+      val e = epochSec(col("ts"))
+      val (mn, mx) = minMaxEpoch(events, d, "u3")
+      val split = mn + 0.8 * (mx - mn)
+      val dir = stageWavesCached(d, "split8020u3")(Seq(
+        events.where(e <= split), events.where(e > split)))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
+        val a = df.where((col("event_id") % 2 === 0) &&
+            (col("user_id") % 9 =!= 1))
+          .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+            col("ts").as("a_ts"))
+        val b = df.where((col("event_id") % 2 === 1) &&
+            (col("user_id") % 9 =!= 0))
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("ts").as("b_ts"))
+        StreamOps.streamStreamJoinFullOuter(a, b, "a_user", "b_user",
+          "a_ts", "b_ts", "3600 seconds", "600 seconds", "600 seconds")
+          .select(col("a_id"), col("b_id"))
+      }
+        .orderBy(coalesce(col("a_id"), lit(-1L)),
+          coalesce(col("b_id"), lit(-1L)))
+    }, Some(
+      """WITH e0 AS (
+        |  SELECT event_id, epoch_us(ts) AS e, user_id FROM events
+        |  WHERE user_id % 3 = 0
+        |), a AS (
+        |  SELECT event_id AS a_id, user_id AS a_user, e AS a_e
+        |  FROM e0 WHERE event_id % 2 = 0 AND user_id % 9 <> 1
+        |), b AS (
+        |  SELECT event_id AS b_id, user_id AS b_user, e AS b_e
+        |  FROM e0 WHERE event_id % 2 = 1 AND user_id % 9 <> 0
+        |), wm AS (
+        |  -- q193's ms-floored min-across-sides watermark model
+        |  SELECT (LEAST((SELECT max(a_e) FROM a),
+        |                (SELECT max(b_e) FROM b)) // 1000 - 3600000)
+        |           * 1000 AS w_us
+        |), m AS (
+        |  SELECT a.a_id, b.b_id FROM a JOIN b ON b.b_user = a.a_user
+        |   AND b.b_e BETWEEN a.a_e - 600000000 AND a.a_e + 600000000
+        |), anull AS (
+        |  SELECT a.a_id, CAST(NULL AS BIGINT) AS b_id
+        |  FROM a CROSS JOIN wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.a_id)
+        |    AND a.a_e + 600000000 < wm.w_us
+        |), bnull AS (
+        |  SELECT CAST(NULL AS BIGINT) AS a_id, b.b_id
+        |  FROM b CROSS JOIN wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.b_id = b.b_id)
+        |    AND b.b_e + 600000000 < wm.w_us
+        |)
+        |SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id FROM m
+        |  UNION ALL SELECT a_id, b_id FROM anull
+        |  UNION ALL SELECT a_id, b_id FROM bnull)
+        |ORDER BY coalesce(a_id, -1), coalesce(b_id, -1)""".stripMargin)),
+
     // STREAMING SESSION FUNNEL — per-user gap sessions as ARBITRARY
     // state with EVENT-TIME TIMEOUT eviction (the timer-driven closure
     // shape the q124/q128/q130 stateful family never exercises), each

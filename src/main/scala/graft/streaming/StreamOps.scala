@@ -81,6 +81,27 @@ object StreamOps {
           s"AND $tsA + INTERVAL $after"),
         "left_outer")
 
+  /** FULL-OUTER stream-stream interval join — both sides get
+    * [[streamStreamJoinLeftOuter]]'s eviction-emission semantics: an
+    * unmatched row from EITHER stream is emitted null-padded only when
+    * the (min-across-sides) watermark proves no future partner can
+    * arrive. With symmetric bounds (`before` = `after` = h) the
+    * horizons are symmetric too: an unmatched A row emits when
+    * a_ts + h falls below the state watermark, an unmatched B row when
+    * b_ts + h does. Unmatched rows whose horizon is still open at
+    * stream end are withheld on both sides (eviction, never a
+    * stream-end flush). */
+  def streamStreamJoinFullOuter(a: DataFrame, b: DataFrame,
+                                keyA: String, keyB: String,
+                                tsA: String, tsB: String,
+                                watermark: String, before: String,
+                                after: String): DataFrame =
+    a.withWatermark(tsA, watermark)
+      .join(b.withWatermark(tsB, watermark),
+        expr(s"$keyA = $keyB AND $tsB BETWEEN $tsA - INTERVAL $before " +
+          s"AND $tsA + INTERVAL $after"),
+        "full_outer")
+
   /** Stream-static enrichment join (dimension broadcast per microbatch). */
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
              dimKey: String): DataFrame =

@@ -155,6 +155,50 @@ class StreamGateSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("q211 full-outer join: both sides null-emit on eviction only; all five classes live") {
+    val got = q("q211_stream_stream_full_outer").cache()
+    // batch replica of the oracle arithmetic (both sides)
+    val e0 = graft.ops.Tables.table(spark, sf, "events")
+      .where(col("user_id") % 3 === 0)
+      .select(col("event_id"), col("ts").cast("timestamp").cast("double").as("e"),
+        col("user_id"))
+    val a = e0.where((col("event_id") % 2 === 0) && (col("user_id") % 9 =!= 1))
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("e").as("a_e"))
+    val b = e0.where((col("event_id") % 2 === 1) && (col("user_id") % 9 =!= 0))
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("e").as("b_e"))
+    val maxA = a.agg(max("a_e")).head().getDouble(0)
+    val maxB = b.agg(max("b_e")).head().getDouble(0)
+    val wm = (math.min(maxA, maxB) * 1000.0).toLong / 1000.0 - 3600.0
+    val matched = a.join(b, col("b_user") === col("a_user") &&
+        col("b_e").between(col("a_e") - 600, col("a_e") + 600))
+      .select(col("a_id"), col("b_id"))
+    val unA = a.join(matched.select("a_id").distinct(), Seq("a_id"), "left_anti")
+    val unB = b.join(matched.select("b_id").distinct(), Seq("b_id"), "left_anti")
+    val evA = unA.where(col("a_e") + 600.0 < wm)
+      .select(col("a_id"), lit(null).cast("long").as("b_id"))
+    val evB = unB.where(col("b_e") + 600.0 < wm)
+      .select(lit(null).cast("long").as("a_id"), col("b_id"))
+    val withheldA = unA.where(col("a_e") + 600.0 >= wm)
+    val withheldB = unB.where(col("b_e") + 600.0 >= wm)
+    val expected = matched.unionAll(evA).unionAll(evB)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "sink must equal matched + both sides' evicted null rows exactly")
+    // every class nonempty — the contract is proven, not vacuous
+    assert(matched.count() > 0 && evA.count() > 0 && evB.count() > 0,
+      "an emission class is empty on this fixture")
+    assert(withheldA.count() > 0 && withheldB.count() > 0,
+      "a withheld class is empty — eviction-not-flush is vacuous")
+    assert(got.where(col("b_id").isNull).join(
+        withheldA.select("a_id"), Seq("a_id")).isEmpty,
+      "a withheld A row leaked before eviction")
+    assert(got.where(col("a_id").isNull).join(
+        withheldB.select("b_id"), Seq("b_id")).isEmpty,
+      "a withheld B row leaked before eviction")
+    got.unpersist()
+  }
+
   test("q202 session funnel: timer eviction emits; open sessions withheld; cascade live") {
     val got = q("q202_stream_session_funnel").cache()
     // batch session count (flag/cumsum replica of the oracle)
