@@ -463,10 +463,14 @@ object Similarity {
     * the probe expressions ONLY, so [[ivfTopK]] (flat probe) and
     * [[ivfTopKTwoLevel]] (coarse-quantizer tree) cannot drift: a fix to
     * the join/filter/tail lands on both by construction, which is what
-    * keeps the wprobe = ntop ≡ ivfTopK spec meaningful. Queries are
-    * small by contract: probing ranks centroid literals per row (no
-    * explode-then-window — it adds no exchange) and the query cells
-    * broadcast. */
+    * keeps the wprobe = ntop ≡ ivfTopK spec meaningful. Probing ranks
+    * centroid literals per row (no explode-then-window — it adds no
+    * exchange) and the query cells broadcast behind the same
+    * byte-equivalent size gate as every other query-batch hint
+    * ([[Dedup.maybeBroadcast]]): a corpus-derived query batch falls
+    * back to a shuffle join instead of a forced-broadcast driver OOM
+    * (the cells carry FULL float vectors — wider rows than even the
+    * int8 paths'). */
   private def ivfTopKWithProbe(corpus: DataFrame, idCol: String, vecCol: String,
                                queries: DataFrame, qidCol: String,
                                qvecCol: String, k: Int, nprobe: Int,
@@ -474,10 +478,20 @@ object Similarity {
                                probe: (Column, Int) => Column): DataFrame = {
     val corpusCells = Tables.spread(corpus, idCol)
       .withColumn("cent_id", assign(col(vecCol)))
-    val queryCells = queries
+    // cached: the gate needs (count, width) and the cell explode reads
+    // the same frame — a derived batch must not re-run its lineage
+    val q0 = CachedFrames.cached(queries.select(col(qidCol), col(qvecCol)))
+    val nq = q0.count()
+    val dim =
+      if (nq == 0) 0L
+      else q0.agg(max(coalesce(size(col(qvecCol)), lit(0))).cast("long").as("__d"))
+        .head().getLong(0)
+    // ≤ nq·nprobe cell rows, each carrying a dim-float vector
+    val cellsEff = nq * nprobe * ((dim * 4 + 48) / 40).max(1)
+    val queryCells = q0
       .select(col(qidCol), col(qvecCol),
         explode(probe(col(qvecCol), nprobe)).as("cent_id"))
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cent_id"))
+    val scored = corpusCells.join(Dedup.maybeBroadcast(queryCells, cellsEff), Seq("cent_id"))
       .where(col(qidCol) =!= col(idCol))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
     topKFromScores(scored, qidCol, idCol, "cos", k)

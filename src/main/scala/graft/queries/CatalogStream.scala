@@ -904,6 +904,69 @@ object CatalogStream {
         |  UNION ALL SELECT a_id, b_id FROM bnull)
         |ORDER BY coalesce(a_id, -1), coalesce(b_id, -1)""".stripMargin)),
 
+    // BOUNDED-STATE retry dedup — dropDuplicatesWithinWatermark, the
+    // Spark-4 primitive q123/q129's exact-key dedup family cannot
+    // express: dedup on the BUSINESS key (event_id) alone, so a retry
+    // RE-STAMPED with a new event time (the producer-retry shape —
+    // plain dropDuplicates on (key, ts) would pass it through) still
+    // collapses, while the watermark bounds each key's state lifetime.
+    // Engine semantics, pinned by decompile + probe on THIS engine:
+    // state expiry = first copy's event time + delay (duplicates do
+    // not extend it), batch k's LATE filter uses batch k−1's watermark
+    // and its state EVICTION batch k's (the q122 two-watermark model),
+    // and — the subtle consequence — a replay carrying its ORIGINAL
+    // timestamp can NEVER re-emit (by the time its state is evicted,
+    // the row itself is below the late watermark), so the visible
+    // bounded-state trade needs a LATE-stamped retry. Three waves:
+    // wave2 retries wave1's %5 ids at +15 min (dropped as dups DESPITE
+    // the new timestamp), wave3 retries %7 at +15 min (dup-dropped or
+    // late-dropped — never re-emitted) and %11 at +15 days (past the
+    // horizon: re-emitted exactly when the original's state was
+    // evicted — the at-least-once-beyond-the-delay contract). All
+    // classes nonempty at every scale (sf0.001: 23/11+2/5/6). Output:
+    // per event_id, how many times it reached the sink.
+    ("q212_stream_dedup_bounded", (s: SparkSession, d: String) => {
+      val events = ev(s, d).where(col("user_id") % 4 === 2)
+      val e = epochSec(col("ts"))
+      val (mn, mx) = minMaxEpoch(events, d, "u4m2")
+      val s1 = mn + (mx - mn) / 3
+      val s2 = mn + 2 * (mx - mn) / 3
+      def retry(m: Int, jitterSecs: Long) =
+        events.where(e <= s1 && col("event_id") % m === 0)
+          .withColumn("ts",
+            col("ts") + expr(s"INTERVAL $jitterSecs SECONDS"))
+      val dir = stageWavesCached(d, "dedupww-u4m2")(Seq(
+        events.where(e <= s1),
+        events.where(e > s1 && e <= s2).unionAll(retry(5, 900L)),
+        events.where(e > s2).unionAll(retry(7, 900L))
+          .unionAll(retry(11, 1296000L))))
+      runWaves(s, dir, events.schema, "append", ownsDir = false) { df =>
+        StreamOps.deduppedWithinWatermark(df, "ts", Seq("event_id"),
+          "216000 seconds")
+          .select("event_id")
+      }
+        .groupBy("event_id").agg(count(lit(1)).as("n_emitted"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH e0 AS (
+        |  SELECT event_id, epoch_us(ts) AS t FROM events
+        |  WHERE user_id % 4 = 2
+        |), mm AS (SELECT min(t) AS mn, max(t) AS mx FROM e0),
+        |s AS (SELECT mn + (mx - mn)/3 AS s1 FROM mm),
+        |-- batch 2's eviction watermark = ms-floored max event time of
+        |-- wave 1 minus the 60 h delay (the engine applied it at the
+        |-- end of batch 1, so batch 2's lookups see those evictions)
+        |wme1 AS (SELECT ((SELECT max(t) FROM e0, s WHERE t <= s1)
+        |                   // 1000 - 216000000) * 1000 AS w)
+        |SELECT event_id,
+        |  CAST(1
+        |    + CASE WHEN event_id % 11 = 0 AND t <= (SELECT s1 FROM s)
+        |                AND t + 216000000000 < (SELECT w FROM wme1)
+        |           THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_emitted
+        |FROM e0
+        |ORDER BY event_id""".stripMargin)),
+
     // STREAMING SESSION FUNNEL — per-user gap sessions as ARBITRARY
     // state with EVENT-TIME TIMEOUT eviction (the timer-driven closure
     // shape the q124/q128/q130 stateful family never exercises), each

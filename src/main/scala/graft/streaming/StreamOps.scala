@@ -46,6 +46,23 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(idCol, tsCol)
 
+  /** Streaming replay dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark`: unlike [[dedupped]] (whose key
+    * set includes the event time, so only exact-timestamp re-delivery
+    * collapses), this dedups on the BUSINESS key alone while the
+    * watermark bounds how long each key's state lives: a re-delivery
+    * arriving while the first occurrence's state is live is dropped; a
+    * re-delivery arriving after the watermark evicted it is emitted
+    * AGAIN. That second emission is the DOCUMENTED trade of bounding
+    * dedup state at 100 TB — the contract is effective-once within the
+    * delay horizon, at-least-once beyond it — and the q212 gate pins
+    * exactly where the engine draws that line (state expiry =
+    * event time + delay against the ms-floored watermark). */
+  def deduppedWithinWatermark(events: DataFrame, tsCol: String,
+                              keyCols: Seq[String], delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-stream interval join: events of stream `a` match events of
     * stream `b` with the same key whose timestamp falls within
     * [a.ts - before, a.ts + after]. Watermarks bound the join state on

@@ -627,6 +627,9 @@ class PipelineOpsSpec extends SparkSpec {
           queries, "qid", "qvec", 3)),
       ("ivfTopKQuantized", () =>
         graft.ops.Similarity.ivfTopKQuantized(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", 3, nlist = 4, nprobe = 4)),
+      ("ivfTopK", () =>
+        graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
           queries, "qid", "qvec", 3, nlist = 4, nprobe = 4)))
     for ((name, q) <- paths) {
       val (bc, rowsB) = planAndRows(None, q)

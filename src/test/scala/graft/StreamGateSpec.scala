@@ -199,6 +199,41 @@ class StreamGateSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("q212 bounded dedup: re-stamped retries collapse; only past-horizon retries re-emit") {
+    val got = q("q212_stream_dedup_bounded").cache()
+    val e0 = graft.ops.Tables.table(spark, sf, "events")
+      .where(col("user_id") % 4 === 2)
+      .select(col("event_id"), col("ts").cast("timestamp").cast("double").as("t"))
+    val mm = e0.agg(min("t"), max("t")).head()
+    val s1 = mm.getDouble(0) + (mm.getDouble(1) - mm.getDouble(0)) / 3
+    val w1 = e0.where(col("t") <= s1).cache()
+    // ms-floored eviction watermark after wave 1, 60 h delay
+    val wm = (w1.agg(max("t")).head().getDouble(0) * 1000.0).toLong / 1000.0 - 216000.0
+    val nEmitted = got.select("event_id", "n_emitted")
+      .as[(Long, Long)].collect().toMap
+    // %5 retries were DELIVERED with a different timestamp yet never
+    // re-emitted — the business-key dedup plain (key, ts) dedup lacks
+    val m5 = w1.where(col("event_id") % 5 === 0).select("event_id").as[Long].collect()
+    assert(m5.nonEmpty && m5.forall(id => nEmitted(id) == 1L),
+      "a +15 min retry leaked through the within-watermark dedup")
+    // %7 retries at wave 3: dup-dropped or late-dropped, NEVER re-emitted
+    val m7 = w1.where(col("event_id") % 7 === 0).select("event_id").as[Long].collect()
+    assert(m7.nonEmpty && m7.forall(id => nEmitted(id) == 1L),
+      "an original-horizon retry re-emitted — the late filter model is wrong")
+    // %11 retries stamped past the horizon: re-emitted EXACTLY when the
+    // original's state was evicted; both classes nonempty
+    val m11 = w1.where(col("event_id") % 11 === 0)
+      .select("event_id", "t").as[(Long, Double)].collect()
+    val (evicted, alive) = m11.partition { case (_, t) => t + 216000.0 < wm }
+    assert(evicted.nonEmpty && alive.nonEmpty, "an eviction class is empty")
+    assert(evicted.forall { case (id, _) => nEmitted(id) == 2L },
+      "an evicted key's past-horizon retry was not re-emitted")
+    assert(alive.forall { case (id, _) => nEmitted(id) == 1L },
+      "a live key's retry re-emitted — bounded state evicted too early")
+    w1.unpersist(); got.unpersist()
+    ()
+  }
+
   test("q202 session funnel: timer eviction emits; open sessions withheld; cascade live") {
     val got = q("q202_stream_session_funnel").cache()
     // batch session count (flag/cumsum replica of the oracle)
