@@ -40,7 +40,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
     }
-    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    // split-sqrt combine CLAMPED into [-1, 1] — the exact arithmetic
+    // DuckDB's list_cosine_similarity performs (pinned empirically in
+    // round 11: an identical-vector pair reads 1.0000000000000002
+    // under unclamped split-sqrt and DuckDB returns exactly 1.0, while
+    // an in-range pair matches the split form to the bit and NOT the
+    // dot/sqrt(nx·ny) product form — so DuckDB = split + clamp). The
+    // clamp is also the mathematically honest move: |cos| ≤ 1, and the
+    // overshoot is pure floating error. Caught by the round-11 sf0.1
+    // sweep on q208's exact-dup byte signatures.
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else math.max(-1.0, math.min(1.0, dot / (math.sqrt(nx) * math.sqrt(ny))))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,7 +71,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  ? 0.0
+         |  : java.lang.Math.max(-1.0d, java.lang.Math.min(1.0d,
+         |      $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny))));
        """.stripMargin
     })
 
@@ -392,7 +404,8 @@ private[functions] object CentroidScoring {
         dot += xv * yv; nxx += xv * xv; nyy += yv * yv; j += 1
       }
       if (nxx == 0.0 || nyy == 0.0) 0.0
-      else dot / (math.sqrt(nxx) * math.sqrt(nyy))
+      else math.max(-1.0, math.min(1.0, // CosineSimilarity's combine form
+        dot / (math.sqrt(nxx) * math.sqrt(nyy))))
     }
   }
 }

@@ -96,6 +96,205 @@ object QuantileSketch {
                   percents: Seq[Int], s: Int = DefaultS): DataFrame =
     quantiles(sketch(df, groupCol, value, s), groupCol, percents, s)
 
+  // ───────────── bounded-register (resolution-collapse) variant ─────────────
+  //
+  // The plain HDR state is corpus-INDEPENDENT per octave (≤ 2^s buckets
+  // each) but grows with the DYNAMIC RANGE of the data — the one stated
+  // trade of the round-10 design. The bounded variant pins a hard
+  // per-group register budget instead: when a group's register count
+  // exceeds `maxRegisters`, its resolution collapses one level
+  // (s → s−1) by merging adjacent mantissa buckets, repeating until it
+  // fits. The collapse is pure id arithmetic — for |id| ≥ 2,
+  // id@(s−k) = sign·(((|id| − 2) >> k) + 2): the (e+62)·2^s + sub + 2
+  // layout shifts exponent field and mantissa sub-bucket TOGETHER, and
+  // the overflow id (124·2^s + 2) lands exactly on overflowId(s−k) —
+  // so coarsening is deterministic, engine-portable, and needs no
+  // decode/re-encode. Specials (0, ±1 tiny) are resolution-free and
+  // pass through. The k chosen per group is itself deterministic
+  // (smallest k whose DISTINCT coarsened-id count fits the budget), so
+  // the whole state — including the per-group effective resolution —
+  // replays in SQL and carries the full differential oracle.
+  //
+  // Merge law: two bounded states merge by coarsening both to the
+  // coarser side's resolution (same shift) then sum(cnt) — min(s_eff)
+  // is canonical, so the merge is associative/commutative like the
+  // plain state. Guaranteed relative error < 2^-(s0 − k) per group,
+  // reported via the s_eff column.
+
+  /** Collapse a register-id column by `k` resolution levels (`k` may
+    * be a per-row column). */
+  private def coarsenId(bucket: Column, k: Column): Column = {
+    val a = abs(bucket)
+    val c = toCol(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      toExpr(a - lit(2L)), toExpr(k))) + lit(2L)
+    when(a <= 1L, bucket).otherwise(when(bucket >= 0L, c).otherwise(-c))
+  }
+
+  /** Bounded-register state `(groupCol, s_eff, bucket, cnt)`: the
+    * [[sketch]] state collapsed per group to at most `maxRegisters`
+    * registers (resolution floor at `s − maxLevels`; a group that
+    * still exceeds the budget there keeps the floor — with s0=7 and
+    * maxLevels=7 that floor is one bucket per octave, ≤ 126 registers
+    * over the full double range). */
+  def sketchBounded(df: DataFrame, groupCol: String, value: Column,
+                    s: Int = DefaultS, maxRegisters: Int = 256,
+                    maxLevels: Int = DefaultS): DataFrame = {
+    require(maxRegisters >= 1, s"maxRegisters must be >= 1: $maxRegisters")
+    require(maxLevels >= 0 && maxLevels <= s,
+      s"maxLevels must be in [0, s=$s]: $maxLevels")
+    val base = sketch(df, groupCol, value, s)
+    // register count at every candidate level in ONE aggregate pass
+    // (level-fanout over the register table, never the corpus)
+    val nr = base
+      .select(col(groupCol),
+        explode(sequence(lit(0), lit(maxLevels))).as("__k"), col("bucket"))
+      .groupBy(col(groupCol), col("__k"))
+      .agg(countDistinct(coarsenId(col("bucket"), col("__k"))).as("__nr"))
+    val keff = nr.where(col("__nr") <= maxRegisters)
+      .groupBy(col(groupCol)).agg(min("__k").as("__k"))
+    // groups over budget even at the floor keep the floor level
+    val keffAll = nr.select(col(groupCol)).distinct()
+      .join(keff, Seq(groupCol), "left")
+      .select(col(groupCol), coalesce(col("__k"), lit(maxLevels)).as("__k"))
+    base.join(keffAll, Seq(groupCol))
+      .groupBy(col(groupCol), col("__k"),
+        coarsenId(col("bucket"), col("__k")).as("bucket"))
+      .agg(sum("cnt").as("cnt"))
+      .select(col(groupCol), (lit(s) - col("__k")).cast("int").as("s_eff"),
+        col("bucket"), col("cnt"))
+  }
+
+  /** Lower-edge decode with a PER-ROW resolution column — the
+    * arithmetic of [[hdrDecodeLower]] expressed in exact column ops
+    * (powers of two, masks, and a (1 + sub/2^s) sum with ≤ s mantissa
+    * bits — every step rounding-free IEEE, so bit-identical across
+    * engines). */
+  private def decodeLowerCol(id: Column, sEff: Column): Column = {
+    def shr(x: Column, n: Column): Column =
+      toCol(org.apache.spark.sql.catalyst.expressions.ShiftRight(toExpr(x), toExpr(n)))
+    def shl(x: Column, n: Column): Column =
+      toCol(org.apache.spark.sql.catalyst.expressions.ShiftLeft(toExpr(x), toExpr(n)))
+    val m = abs(id)
+    val eRaw = shr(m - 2L, sEff)
+    val e = (eRaw - 62L).cast("int")
+    val sub = (m - 2L) - shl(eRaw, sEff)
+    val pow2s = shl(lit(1L), sEff).cast("double")
+    val loE = when(e >= 0, shl(lit(1L), e).cast("double"))
+      .otherwise(lit(1.0) / shl(lit(1L), -e).cast("double"))
+    val ovf = shl(lit(124L), sEff) + lit(2L)
+    val maxNorm = lit(java.lang.Math.scalb(1.0, graft.functions.HdrQuantile.MaxExp))
+    val mag = when(m <= 1L, lit(0.0))
+      .otherwise(when(m >= ovf, maxNorm)
+        .otherwise(loE * (lit(1.0) + sub.cast("double") / pow2s)))
+    when(id >= 0L, mag).otherwise(-mag)
+  }
+
+  /** Quantiles from a BOUNDED state `(groupCol, s_eff, bucket, cnt)`:
+    * same walk as [[quantiles]], decode at each group's own effective
+    * resolution. Returns (groupCol, pct, value, n_values, s_eff). */
+  def quantilesBounded(state: DataFrame, groupCol: String,
+                       percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty, "at least one percent")
+    val cum = state
+      .withColumn("__cum",
+        sum("cnt").over(Window.partitionBy(groupCol).orderBy(col("bucket"))))
+      .withColumn("__n", sum("cnt").over(Window.partitionBy(groupCol)))
+    cum
+      .select(col(groupCol), col("s_eff"), col("bucket"), col("__cum"),
+        col("__n"), explode(array(percents.map(p => lit(p)): _*)).as("pct"))
+      .where(col("__cum") >= expr("(__n * pct + 99) div 100"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min("bucket").as("__b"), min("__n").as("n_values"),
+        min("s_eff").as("s_eff"))
+      .select(col(groupCol), col("pct"),
+        decodeLowerCol(col("__b"), col("s_eff").cast("int")).as("value"),
+        col("n_values"), col("s_eff"))
+  }
+
+  /** Monoid-style merge of BOUNDED states: per group, every side
+    * coarsens to the minimum effective resolution present (pure id
+    * shifts — the same collapse arithmetic), then counts sum. min is
+    * associative/commutative, so N states land in any order;
+    * re-coarsening a collapsed register is exact (shifts compose), so
+    * the merge equals the from-scratch sketch coarsened to the same
+    * resolution BIT-EXACTLY (spec-proven). */
+  def mergeBounded(states: Seq[DataFrame], groupCol: String): DataFrame = {
+    val all = states.reduce(_.unionByName(_))
+    val target = all.groupBy(groupCol).agg(min("s_eff").as("__se"))
+    all.join(target, Seq(groupCol))
+      .groupBy(col(groupCol), col("__se"),
+        coarsenId(col("bucket"),
+          (col("s_eff") - col("__se")).cast("int")).as("bucket"))
+      .agg(sum("cnt").as("cnt"))
+      .select(col(groupCol), col("__se").cast("int").as("s_eff"),
+        col("bucket"), col("cnt"))
+  }
+
+  /** DuckDB twin of [[sketchBounded]]: `rawSql` selects `(g, v)`;
+    * produces `(g, s_eff, bucket, cnt)`. */
+  def sketchBoundedSql(rawSql: String, s: Int, maxRegisters: Int,
+                       maxLevels: Int): String = {
+    s"""__qb AS (${sketchSql(rawSql, s)}),
+       |__qlvl AS (
+       |  SELECT g, __k, count(DISTINCT cb) AS __nr FROM (
+       |    SELECT b.g, CAST(t.__k AS INT) AS __k,
+       |           CASE WHEN abs(b.bucket) <= 1 THEN b.bucket ELSE
+       |             (CASE WHEN b.bucket >= 0 THEN 1 ELSE -1 END) *
+       |             (((abs(b.bucket) - 2) >> CAST(t.__k AS INT)) + 2)
+       |           END AS cb
+       |    FROM __qb b, range(0, ${maxLevels + 1}) t(__k))
+       |  GROUP BY 1, 2),
+       |__qk AS (
+       |  SELECT g, coalesce(min(__k) FILTER (__nr <= $maxRegisters),
+       |                     $maxLevels) AS __k
+       |  FROM __qlvl GROUP BY g),
+       |__qbs AS (
+       |  SELECT b.g, CAST($s - k.__k AS INT) AS s_eff,
+       |         CASE WHEN abs(b.bucket) <= 1 THEN b.bucket ELSE
+       |           (CASE WHEN b.bucket >= 0 THEN 1 ELSE -1 END) *
+       |           (((abs(b.bucket) - 2) >> k.__k) + 2) END AS bucket,
+       |         CAST(sum(b.cnt) AS BIGINT) AS cnt
+       |  FROM __qb b JOIN __qk k USING (g)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** Per-row-resolution lower-edge decode for the SQL twin (`id`,
+    * `se` = s_eff expressions). */
+  private def decodeLowerSqlDyn(id: String, se: String): String = {
+    val m = s"abs($id)"
+    val eRaw = s"(($m - 2) >> ($se))"
+    val e = s"(CAST($eRaw AS INT) - 62)"
+    val sub = s"(($m - 2) - ($eRaw << ($se)))"
+    val pow2s = s"CAST((1::BIGINT << ($se)) AS DOUBLE)"
+    val loE = s"(CASE WHEN ($e) >= 0 THEN CAST((1::BIGINT << ($e)) AS DOUBLE) " +
+      s"ELSE 1.0 / CAST((1::BIGINT << (-($e))) AS DOUBLE) END)"
+    val ovf = s"((124::BIGINT << ($se)) + 2)"
+    val mag = s"(CASE WHEN $m <= 1 THEN 0.0 WHEN $m >= $ovf THEN $maxNormSql " +
+      s"ELSE $loE * (1.0 + CAST($sub AS DOUBLE) / $pow2s) END)"
+    s"(CASE WHEN ($id) >= 0 THEN $mag ELSE -$mag END)"
+  }
+
+  /** DuckDB twin of [[quantilesBounded]] over [[sketchBoundedSql]]'s
+    * `__qbs` CTE (compose: `"WITH " + sketchBoundedSql(...) + "," +`
+    * this). Emits `(gAs, pct, value, n_values, s_eff)`. */
+  def quantilesBoundedSql(percents: Seq[Int], gAs: String = "g"): String =
+    s"""__qcum AS (
+       |  SELECT g, s_eff, bucket, cnt,
+       |         SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+       |         SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM __qbs
+       |), __qpct AS (SELECT unnest([${percents.mkString(", ")}]) AS pct),
+       |__qhit AS (
+       |  SELECT g, pct, MIN(bucket) AS b, MIN(n) AS nn, MIN(s_eff) AS se
+       |  FROM __qcum, __qpct
+       |  WHERE cum >= (n * pct + 99) // 100
+       |  GROUP BY 1, 2)
+       |SELECT g AS $gAs, CAST(pct AS INT) AS pct,
+       |       ${decodeLowerSqlDyn("b", "se")} AS value,
+       |       CAST(nn AS BIGINT) AS n_values,
+       |       CAST(se AS INT) AS s_eff
+       |FROM __qhit""".stripMargin
+
   // ───────────────────────── DuckDB twins ─────────────────────────
   //
   // The SQL side cannot read IEEE bits, so it derives the SAME exact

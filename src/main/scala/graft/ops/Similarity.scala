@@ -34,7 +34,8 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
     val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
     val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (sqrt(na) * sqrt(nb)))
+    when(na === 0.0 || nb === 0.0, 0.0)
+      .otherwise(greatest(lit(-1.0), least(lit(1.0), dot / (sqrt(na) * sqrt(nb)))))
   }
 
   /** Codegen cosine (preferred). */
@@ -536,7 +537,8 @@ object Similarity {
         val x = a(j).toDouble; val y = b(j).toDouble
         dot += x * y; na += x * x; nb += y * y; j += 1
       }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (na == 0.0 || nb == 0.0) 0.0
+      else math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
     }
     val groups = Array.fill(coarse.length)(
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])

@@ -244,5 +244,41 @@ object CatalogML7 {
          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
          |  GROUP BY 1)
          |ORDER BY o_year""".stripMargin))
+    ,
+
+    // BOUNDED-REGISTER quantile sketch — the resolution-collapse
+    // variant closing the q190 family's one stated trade (HDR register
+    // count grows with the data's dynamic range): each group's
+    // registers collapse one resolution level at a time (pure id
+    // shifts — exponent field and mantissa sub-bucket move together)
+    // until they fit the budget, the chosen level is itself
+    // deterministic, and the whole state INCLUDING the per-group
+    // effective resolution replays in SQL. Domain: per-lang revenue-
+    // like quotient over documents (q192's continuous double); budget
+    // 24 registers forces real collapsing. rel err < 2^-s_eff,
+    // reported per group.
+    ("q213_quantile_sketch_bounded", (s: SparkSession, d: String) => {
+      import graft.ops.QuantileSketch
+      val nTokens = size(split(trim(col("text")), "\\s+"))
+      val v = length(regexp_replace(col("text"), " ", "")).cast("double") /
+        nTokens.cast("double")
+      QuantileSketch.quantilesBounded(
+        QuantileSketch.sketchBounded(
+          spread(table(s, d, "documents"), "doc_id")
+            .select(col("lang"), v.as("__v")),
+          "lang", col("__v"), maxRegisters = 24),
+        "lang", Seq(10, 50, 90))
+        .orderBy("lang", "pct")
+    }, Some {
+      import graft.ops.QuantileSketch
+      "WITH " + QuantileSketch.sketchBoundedSql(
+        "SELECT lang AS g, CAST(length(replace(text, ' ', '')) AS DOUBLE)" +
+          " / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)" +
+          " AS v FROM documents",
+        QuantileSketch.DefaultS, maxRegisters = 24,
+        maxLevels = QuantileSketch.DefaultS) + ",\n" +
+        QuantileSketch.quantilesBoundedSql(Seq(10, 50, 90), gAs = "lang") +
+        "\nORDER BY lang, pct"
+    })
   )
 }

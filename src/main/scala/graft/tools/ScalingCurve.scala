@@ -162,7 +162,10 @@ object ScalingCurve {
       // one (id, bin) partial-agg exchange) + q38's LSH bucket shape —
       // bijective translate preserves within-copy byte-gram equality,
       // so planted near-dup density per row is constant in copies
-      "q208")
+      "q208",
+      // bounded quantile sketch: q192's register exchange + a
+      // register-table-sized level fanout — near-flat like q192
+      "q213")
       // q150/q152/q153/q154/q155/q158/q159 are NOT here: they read
       // the part/orders/events/lineitem fixtures, which this harness
       // does not expand (only documents/embeddings have the bijective

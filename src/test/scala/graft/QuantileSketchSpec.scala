@@ -166,4 +166,84 @@ class QuantileSketchSpec extends SparkSpec {
     // register table is tiny: few groups x few occupied octaves
     assert(state.count() < 2000)
   }
+
+  test("bounded sketch: budget enforced, counts preserved, huge budget = plain sketch") {
+    val li = Tables.table(spark, sf, "lineitem")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val src = li.select(col("l_returnflag"), rev.as("__v"))
+    val plain = QuantileSketch.sketch(src, "l_returnflag", col("__v"), S)
+    // a budget no group exceeds → k = 0 everywhere, registers identical
+    val loose = QuantileSketch.sketchBounded(src, "l_returnflag", col("__v"),
+      S, maxRegisters = 1000000)
+    assert(loose.select("s_eff").distinct().as[Int].collect().toSeq == Seq(S))
+    assert(loose.select("l_returnflag", "bucket", "cnt")
+      .exceptAll(plain).isEmpty &&
+      plain.exceptAll(loose.select("l_returnflag", "bucket", "cnt")).isEmpty)
+    // a tight budget collapses; per-group register count obeys it and
+    // the total count per group is untouched (no rows lost in merging)
+    val tight = QuantileSketch.sketchBounded(src, "l_returnflag", col("__v"),
+      S, maxRegisters = 16).cache()
+    val regCounts = tight.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("nr"), min("s_eff").as("se"))
+      .as[(String, Long, Int)].collect()
+    assert(regCounts.forall { case (_, nr, se) => nr <= 16 && se < S },
+      s"budget not enforced: ${regCounts.toSeq}")
+    val totTight = tight.groupBy("l_returnflag").agg(sum("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val totPlain = plain.groupBy("l_returnflag").agg(sum("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(totTight == totPlain, "collapse must preserve counts exactly")
+    tight.unpersist()
+    ()
+  }
+
+  test("bounded sketch: error bound 2^-s_eff holds; merge equals from-scratch, any order") {
+    val li = Tables.table(spark, sf, "lineitem")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val src = li.select(col("l_returnflag"), rev.as("__v"))
+    val state = QuantileSketch.sketchBounded(src, "l_returnflag", col("__v"),
+      S, maxRegisters = 16).cache()
+    val percents = Seq(1, 25, 50, 90, 100)
+    val est = QuantileSketch.quantilesBounded(state, "l_returnflag", percents)
+      .select("l_returnflag", "pct", "value", "s_eff")
+      .as[(String, Int, Double, Int)].collect()
+      .map { case (g, p, v, se) => (g, p) -> ((v, se)) }.toMap
+    val byGroup = src.as[(String, Double)].collect().groupBy(_._1)
+    for ((g, rows) <- byGroup; p <- percents) {
+      val sorted = rows.map(_._2).sorted
+      val rank = ((sorted.length.toLong * p + 99) / 100).toInt
+      val exact = sorted(rank - 1)
+      val (e, se) = est((g, p))
+      assert(e <= exact, s"lower edge above exact at ($g, p$p): $e > $exact")
+      assert((exact - e) / exact <= math.pow(2, -se) + 1e-15,
+        s"2^-s_eff bound broken at ($g, p$p, s_eff=$se): est=$e exact=$exact")
+    }
+    // merge law: epoch bounded states re-merge to the from-scratch
+    // sketch coarsened to the same resolution, in any order
+    val epochs = (0 to 2).map(m =>
+      QuantileSketch.sketchBounded(
+        src.where(expr(s"pmod(hash(__v), 3) = $m")),
+        "l_returnflag", col("__v"), S, maxRegisters = 16))
+    // the merge law, order-free: merging the epoch states with a
+    // ZERO-count copy of the from-scratch state (and vice versa)
+    // coarsens both sides to the same minimum resolution without
+    // changing either side's counts — at that aligned resolution the
+    // register tables must be IDENTICAL (same support, same counts)
+    def zeroed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_returnflag"), col("s_eff"), col("bucket"),
+        (col("cnt") * 0).as("cnt"))
+    for (perm <- Seq(epochs, epochs.reverse,
+        Seq(epochs(2), epochs(0), epochs(1)))) {
+      val merged = QuantileSketch.mergeBounded(perm, "l_returnflag")
+      val mAligned = QuantileSketch.mergeBounded(
+        Seq(merged, zeroed(state)), "l_returnflag")
+      val wAligned = QuantileSketch.mergeBounded(
+        Seq(state, zeroed(merged)), "l_returnflag")
+      assert(mAligned.exceptAll(wAligned).isEmpty &&
+        wAligned.exceptAll(mAligned).isEmpty,
+        "merged epochs must equal the from-scratch state at aligned resolution")
+    }
+    state.unpersist()
+    ()
+  }
 }
