@@ -231,30 +231,50 @@ object QuantileSketch {
   }
 
   /** DuckDB twin of [[sketchBounded]]: `rawSql` selects `(g, v)`;
-    * produces `(g, s_eff, bucket, cnt)`. */
+    * produces a `${prefix}bs` CTE with `(g, s_eff, bucket, cnt)`
+    * (prefix the names when composing several bounded sketches — the
+    * q214 epoch replay — in one statement; [[sketchSql]]'s inner names
+    * are subquery-scoped and never collide). */
   def sketchBoundedSql(rawSql: String, s: Int, maxRegisters: Int,
-                       maxLevels: Int): String = {
-    s"""__qb AS (${sketchSql(rawSql, s)}),
-       |__qlvl AS (
+                       maxLevels: Int, prefix: String = "__q"): String = {
+    s"""${prefix}b AS (${sketchSql(rawSql, s)}),
+       |${prefix}lvl AS (
        |  SELECT g, __k, count(DISTINCT cb) AS __nr FROM (
        |    SELECT b.g, CAST(t.__k AS INT) AS __k,
        |           CASE WHEN abs(b.bucket) <= 1 THEN b.bucket ELSE
        |             (CASE WHEN b.bucket >= 0 THEN 1 ELSE -1 END) *
        |             (((abs(b.bucket) - 2) >> CAST(t.__k AS INT)) + 2)
        |           END AS cb
-       |    FROM __qb b, range(0, ${maxLevels + 1}) t(__k))
+       |    FROM ${prefix}b b, range(0, ${maxLevels + 1}) t(__k))
        |  GROUP BY 1, 2),
-       |__qk AS (
+       |${prefix}k AS (
        |  SELECT g, coalesce(min(__k) FILTER (__nr <= $maxRegisters),
        |                     $maxLevels) AS __k
-       |  FROM __qlvl GROUP BY g),
-       |__qbs AS (
+       |  FROM ${prefix}lvl GROUP BY g),
+       |${prefix}bs AS (
        |  SELECT b.g, CAST($s - k.__k AS INT) AS s_eff,
        |         CASE WHEN abs(b.bucket) <= 1 THEN b.bucket ELSE
        |           (CASE WHEN b.bucket >= 0 THEN 1 ELSE -1 END) *
        |           (((abs(b.bucket) - 2) >> k.__k) + 2) END AS bucket,
        |         CAST(sum(b.cnt) AS BIGINT) AS cnt
-       |  FROM __qb b JOIN __qk k USING (g)
+       |  FROM ${prefix}b b JOIN ${prefix}k k USING (g)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** Coarsen-to-min merge of several `(g, s_eff, bucket, cnt)` CTEs —
+    * the [[mergeBounded]] twin; produces `__qbs` for
+    * [[quantilesBoundedSql]]. */
+  def mergeBoundedSql(stateCtes: Seq[String]): String = {
+    val union = stateCtes.map(c => s"SELECT * FROM $c").mkString("\n  UNION ALL ")
+    s"""__qall AS ($union),
+       |__qtgt AS (SELECT g, min(s_eff) AS se FROM __qall GROUP BY g),
+       |__qbs AS (
+       |  SELECT a.g, t.se AS s_eff,
+       |         CASE WHEN abs(a.bucket) <= 1 THEN a.bucket ELSE
+       |           (CASE WHEN a.bucket >= 0 THEN 1 ELSE -1 END) *
+       |           (((abs(a.bucket) - 2) >> (a.s_eff - t.se)) + 2) END AS bucket,
+       |         CAST(sum(a.cnt) AS BIGINT) AS cnt
+       |  FROM __qall a JOIN __qtgt t USING (g)
        |  GROUP BY 1, 2, 3)""".stripMargin
   }
 

@@ -279,6 +279,49 @@ object CatalogML7 {
         maxLevels = QuantileSketch.DefaultS) + ",\n" +
         QuantileSketch.quantilesBoundedSql(Seq(10, 50, 90), gAs = "lang") +
         "\nORDER BY lang, pct"
+    }),
+
+    // The bounded sketch MAINTAINED as persisted state — the q191
+    // pattern with the non-monoid-aggregate wrinkle the bounded
+    // variant adds: epoch states may sit at DIFFERENT resolutions, so
+    // the advance is a coarsen-to-min mergeBounded under the generic
+    // transformStateTable swap (not a keyed sum). Shift composition
+    // makes pairwise advances ≡ the all-at-once merge, which is what
+    // the oracle replays (three epoch chains + one merge + the walk).
+    ("q214_quantile_bounded_state", (s: SparkSession, d: String) => {
+      import graft.ops.{Incremental, QuantileSketch}
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q214_state_$tag"
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
+      val nTokens = size(split(trim(col("text")), "\\s+"))
+      val v = length(regexp_replace(col("text"), " ", "")).cast("double") /
+        nTokens.cast("double")
+      val src = spread(table(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("lang"), v.as("__v"))
+      def epoch(m: Int) = QuantileSketch.sketchBounded(
+        src.where(col("doc_id") % 3 === m), "lang", col("__v"),
+        maxRegisters = 24)
+      epoch(0).write.saveAsTable(st)
+      for (m <- 1 to 2)
+        Incremental.transformStateTable(s, st)(cur =>
+          QuantileSketch.mergeBounded(Seq(cur, epoch(m)), "lang"))
+      QuantileSketch.quantilesBounded(s.table(st), "lang", Seq(10, 50, 90))
+        .orderBy("lang", "pct")
+    }, Some {
+      import graft.ops.QuantileSketch
+      def raw(m: Int) =
+        "SELECT lang AS g, CAST(length(replace(text, ' ', '')) AS DOUBLE)" +
+          " / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)" +
+          s" AS v FROM documents WHERE doc_id % 3 = $m"
+      val chains = (0 to 2).map(m =>
+        QuantileSketch.sketchBoundedSql(raw(m), QuantileSketch.DefaultS,
+          maxRegisters = 24, maxLevels = QuantileSketch.DefaultS,
+          prefix = s"__e${m}")).mkString(",\n")
+      "WITH " + chains + ",\n" +
+        QuantileSketch.mergeBoundedSql(Seq("__e0bs", "__e1bs", "__e2bs")) +
+        ",\n" +
+        QuantileSketch.quantilesBoundedSql(Seq(10, 50, 90), gAs = "lang") +
+        "\nORDER BY lang, pct"
     })
   )
 }
