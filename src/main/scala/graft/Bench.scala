@@ -152,54 +152,36 @@ object Bench {
     // remain available via SPARK_GRAFT_ONLY=q122,...,q130. Batch
     // queries stay per-key. Budget at 138 queries: 130 keys ≈ 1.7 KB.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query values carry ONE decimal (round-11 verdict's line-budget
+    // policy, implemented before overflow: 100 ms resolution is still an
+    // order of magnitude under this box's ±8% run-to-run spread, and the
+    // char saved per key buys 2+ future families of headroom)
+    def sec1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def buildLine(results: Seq[(String, Double)]): String = {
     // q147 (the composed ingest pipeline) deliberately keeps its OWN
     // key rather than riding q12x: the rollup's cross-round
     // comparability depends on its member set staying fixed at the
     // nine round-8 entries
-    val streamFamily = "^q12[2-9]|^q130".r
-    // the round-9-closing additions (q150+: edit join, phrase search,
-    // incremental state, robust outliers, key skew, pagerank, …)
-    // report as ONE q15x key — the line-length budget rule: new
-    // families roll up, established per-query keys stay comparable.
-    // Per-entry numbers via SPARK_GRAFT_ONLY=q150,…
-    val newFamily = "^q15[0-9]".r
-    val family16 = "^q16[0-9]".r
-    val family17 = "^q17[0-9]".r
-    val family18 = "^q18[0-9]".r
-    val family19 = "^q19[0-9]".r
-    val family20 = "^q20[0-9]".r
-    val family21 = "^q21[0-9]".r
+    val streamFamily = "^q12[2-9]$|^q130$".r
+    // q150+ roll up ONE KEY PER DECADE (q15x, q16x, … q21x, q22x, …) —
+    // the line-length budget rule: new families roll up, established
+    // per-query keys (q01–q149) stay comparable. The decade rule is
+    // computed, not hand-listed, so every future family folds in
+    // without touching this file. Per-entry numbers remain available
+    // via SPARK_GRAFT_ONLY=q150,…
+    val decadeFamily = "^q(1[5-9]|[2-9][0-9])[0-9]$".r
     val rollupFamily = only.isEmpty // a restricted dev run keeps per-entry keys
     val keyed = results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
     val (fam, rest0) =
       keyed.partition { case (k, _) => rollupFamily && streamFamily.findFirstIn(k).isDefined }
-    val (fam15, rest1) =
-      rest0.partition { case (k, _) => rollupFamily && newFamily.findFirstIn(k).isDefined }
-    val (fam16, rest2) =
-      rest1.partition { case (k, _) => rollupFamily && family16.findFirstIn(k).isDefined }
-    val (fam17, rest3) =
-      rest2.partition { case (k, _) => rollupFamily && family17.findFirstIn(k).isDefined }
-    val (fam18, rest4) =
-      rest3.partition { case (k, _) => rollupFamily && family18.findFirstIn(k).isDefined }
-    val (fam19, rest5) =
-      rest4.partition { case (k, _) => rollupFamily && family19.findFirstIn(k).isDefined }
-    val (fam20, rest6) =
-      rest5.partition { case (k, _) => rollupFamily && family20.findFirstIn(k).isDefined }
-    val (fam21, rest) =
-      rest6.partition { case (k, _) => rollupFamily && family21.findFirstIn(k).isDefined }
+    val (dec, rest) =
+      rest0.partition { case (k, _) => rollupFamily && decadeFamily.findFirstIn(k).isDefined }
     val entries = rest ++
       (if (fam.nonEmpty) Seq(("q12x", fam.map(_._2).sum)) else Nil) ++
-      (if (fam15.nonEmpty) Seq(("q15x", fam15.map(_._2).sum)) else Nil) ++
-      (if (fam16.nonEmpty) Seq(("q16x", fam16.map(_._2).sum)) else Nil) ++
-      (if (fam17.nonEmpty) Seq(("q17x", fam17.map(_._2).sum)) else Nil) ++
-      (if (fam18.nonEmpty) Seq(("q18x", fam18.map(_._2).sum)) else Nil) ++
-      (if (fam19.nonEmpty) Seq(("q19x", fam19.map(_._2).sum)) else Nil) ++
-      (if (fam20.nonEmpty) Seq(("q20x", fam20.map(_._2).sum)) else Nil) ++
-      (if (fam21.nonEmpty) Seq(("q21x", fam21.map(_._2).sum)) else Nil)
+      dec.groupBy(_._1.take(3) + "x").toSeq
+        .map { case (k, vs) => (k, vs.map(_._2).sum) }
     val qs = entries.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + sec2(v) }
+      .map { case (k, v) => "\"" + k + "\":" + sec1(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val relayJson =
@@ -209,11 +191,12 @@ object Bench {
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$relayJson}"""
     // the consumer keeps only the LAST 2000 chars of stdout; the line
     // survives as long as line + trailing sbt epilogue (~150 chars)
-    // fits. 119 queries ≈ 1540 chars — warn at 1800 so a future
-    // catalog growth spurt trims decimals BEFORE a round's bench line
-    // gets silently beheaded.
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING: result line ${line.length} chars — approaching the 2000-char consumer tail; drop to 2-decimal values")
+    // fits. At 1 decimal + decade rollups, 212 queries ≈ 1.65 KB and
+    // each future decade family adds ~12 chars — warn at 1750 so any
+    // unforeseen growth is trimmed BEFORE a round's bench line gets
+    // silently beheaded.
+    if (line.length > 1750)
+      System.err.println(s"[bench] WARNING: result line ${line.length} chars — approaching the 2000-char consumer tail; fold q13x/q14x into decade rollups next")
     line
     }
     // per-query MIN over SPARK_GRAFT_RUNS full passes (default 3):

@@ -107,7 +107,16 @@ object Dedup {
         .agg(count(lit(1)).as("__bucket_n"))
         .where(col("__bucket_n") > maxBucket)
         .select(keyCols.map(col): _*)
-      buckets.join(broadcast(oversized), keyCols, "left_anti")
+      // The "at most n/maxBucket buckets qualify" bound is structural
+      // but n is unknown here, so the broadcast hint is gated on the
+      // MEASURED oversized-key count (one extra partial-agg pass over
+      // `buckets` — cheap at every call site: the write paths re-scan a
+      // bucketed table, the probe path reads persisted signatures) and
+      // routed through the engine-wide maybeBroadcast limit. Under
+      // adversarial degenerate data (every key oversized) the hint is
+      // dropped and the anti-join shuffles instead of OOMing the driver.
+      buckets.join(maybeBroadcast(oversized, oversized.count()),
+        keyCols, "left_anti")
     }
 
   /** Within-bucket candidate pairs (id_a < id_b, distinct) from one
@@ -1276,8 +1285,10 @@ object Dedup {
     * 1-based inclusive bigints. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       spanLen: Int, minOcc: Int = 2,
-                      materialize: Boolean = false): DataFrame = {
+                      materialize: Boolean = false,
+                      sampleMod: Int = 1): DataFrame = {
     require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
     // hash every gram ROW-LOCALLY inside one compiled expression
     // ([[graft.functions.GramAnchors]], window = 0) and explode only the
     // slim (pos, h1, h2) structs. Two measured traps this avoids: an
@@ -1285,8 +1296,34 @@ object Dedup {
     // once PER GRAM through the Generate (~300 bytes × n_grams vs 24),
     // and the earlier `transform(sequence, md5(substr))` HOF paid the
     // interpreted CodegenFallback lambda walk per gram.
-    spansFromGrams(gramRows(docs, idCol, textCol, spanLen, 0),
-      idCol, spanLen, minOcc, materialize)
+    //
+    // `sampleMod` = p is the CONTENT-DEFINED sampling dial for corpora
+    // where even the slim stride-1 stream is too large: only grams
+    // whose h1 ≡ 0 (mod p) survive into the shuffle, cutting the
+    // exchanged bytes ~p×. Content-defined (a pure function of the
+    // gram hash, NOT of position) is the load-bearing choice: every
+    // copy of a duplicated gram makes the SAME keep/drop decision, so
+    // detection stays alignment-robust — the failure mode of
+    // fixed-stride sampling (copies at offsets differing mod p sample
+    // disjoint positions and never match) cannot occur. Recall
+    // contract: a duplicated region with g = L − spanLen + 1 grams is
+    // missed iff ALL its grams hash out — probability (1 − 1/p)^g
+    // under the 64-bit digest's uniformity, i.e. regions of length ≥
+    // spanLen + p·ln(1/ε) are detected with probability ≥ 1 − ε
+    // (p = 16, ε = 1e-4: +148 chars). Reported intervals are also
+    // SPARSER: kept duplicate positions ~p·(original gap) apart may
+    // split one true region into several sub-intervals (each still
+    // inside the true region — mark positions are a subset, so every
+    // reported interval is contained in a stride-1 interval). p = 1
+    // (the default, and the q99 oracle) is byte-exact ExactSubstr;
+    // the OTHER beyond-path, [[duplicatedSpansWinnowed]], keeps a
+    // DETERMINISTIC detection floor instead of a probabilistic one
+    // and remains the recommendation when boundaries matter.
+    val grams0 = gramRows(docs, idCol, textCol, spanLen, 0)
+    val grams =
+      if (sampleMod == 1) grams0
+      else grams0.where(pmod(col("h1"), lit(sampleMod.toLong)) === 0L)
+    spansFromGrams(grams, idCol, spanLen, minOcc, materialize)
   }
 
   /** Duplicated-span detection for corpora where the stride-1 gram

@@ -273,6 +273,165 @@ object Graph {
     labels
   }
 
+  /** Community detection — the Louvain local-move phase (Blondel et
+    * al. 2008, "Fast unfolding of communities in large networks")
+    * made DETERMINISTIC and engine-portable, the corpus-clustering
+    * companion to [[labelPropagation]] (LPA maximizes neighbor
+    * agreement; this maximizes MODULARITY, the standard
+    * topic/domain-grouping objective for mixture design).
+    *
+    * Determinism (the known Louvain blocker is sweep-order
+    * sensitivity) is solved the way the catalog always solves it —
+    * canonical schedule + exact arithmetic:
+    *
+    *  - SYNCHRONOUS parity rounds: in round t only nodes with
+    *    `node % 2 == t % 2` may move, all deciding simultaneously
+    *    against the round-(t−1) assignment. No sweep order exists at
+    *    all; alternating parities breaks the two-cycle oscillation
+    *    synchronous label moves are known for.
+    *  - EXACT integer gain comparison: moving node i (degree k_i)
+    *    from community a to b improves modularity iff
+    *    `k_{i→b} − k_i·Σtot(b)/2m  >  k_{i→a\i} − k_i·(Σtot(a)−k_i)/2m`.
+    *    Multiplied through by 2m this is a pure-integer comparison
+    *    `2m·k_{i→c} − k_i·Σtot'(c)` — computed in DECIMAL(38,0)
+    *    (HUGEINT in the oracle), so there is no float in the
+    *    decision path and the argmax is bit-identical on any engine
+    *    and any partitioning.
+    *  - Tie-breaks: highest gain, then SMALLEST candidate community
+    *    id; strict improvement only (gain equal to staying ⇒ stay).
+    *
+    * One round costs one |E| shuffle (edge ⋈ assignment, partial-agg
+    * to (node, neighbor-community) weights) plus community-table-
+    * sized joins — the q203 lineage discipline (truncate + release)
+    * keeps the T-round plan linear. Input edges must be SYMMETRIZED
+    * (both directions present) with no self-loops; weights are edge
+    * multiplicities (pass pre-aggregated multi-edges as repeated
+    * rows or symmetrize upstream).
+    *
+    * Returns (node, community) after `iters` rounds from singleton
+    * start. Communities are labeled by one member's node id (not
+    * canonicalized to min-member — callers wanting canonical labels
+    * re-label with a min-over-community, as the catalog query does). */
+  def louvain(edges: DataFrame, srcCol: String, dstCol: String,
+              iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dec = DecimalType(38, 0)
+    val e = Checkpointing.truncate(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src") =!= col("dst")))
+    // weighted degree k_i and the 2m scalar (total directed weight)
+    val deg = Checkpointing.truncate(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("k")))
+    val m2Row = deg.agg(sum(col("k")).cast(dec).as("__m2"))
+    var comm = Checkpointing.truncate(
+      deg.select(col("node"), col("node").as("c")))
+    for (t <- 1 to iters) {
+      // k_{i→c}: weight from each node to each neighboring community
+      val kic = e
+        .join(comm.select(col("node").as("dst"), col("c")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(count(lit(1)).as("kic"))
+      // Σtot(c): total degree inside each community
+      val stot = comm.join(deg, Seq("node"))
+        .groupBy("c").agg(sum("k").as("stot"))
+      // candidates = neighboring communities ∪ the stay option (kic 0
+      // when i has no same-parity-round neighbor in its own community)
+      val cand = kic
+        .unionByName(comm.select(col("node"), col("c"), lit(0L).as("kic")))
+        .groupBy("node", "c").agg(sum("kic").as("kic"))
+      val scored = cand
+        .join(comm.withColumnRenamed("c", "__own"), Seq("node"))
+        .join(deg, Seq("node"))
+        .join(stot, Seq("c"))
+        .crossJoin(broadcast(m2Row))
+        .withColumn("__stotx",
+          when(col("c") === col("__own"), col("stot") - col("k"))
+            .otherwise(col("stot")))
+        .withColumn("__gain",
+          col("__m2") * col("kic").cast(dec) -
+            col("k").cast(dec) * col("__stotx").cast(dec))
+      val own = scored.where(col("c") === col("__own"))
+        .select(col("node"), col("__gain").as("__gown"))
+      val best = scored.where(col("c") =!= col("__own"))
+        .groupBy("node")
+        .agg(min(struct((-col("__gain")).as("ng"), col("c").as("bc")))
+          .as("__b"))
+        .select(col("node"), (-col("__b.ng")).as("__gbest"),
+          col("__b.bc").as("__cbest"))
+      val prev = comm
+      comm = Checkpointing.truncate(comm
+        .join(own, Seq("node"))
+        .join(best, Seq("node"), "left")
+        .select(col("node"),
+          when(col("node") % 2 === t % 2 &&
+              col("__gbest") > col("__gown"),
+            col("__cbest")).otherwise(col("c")).as("c")))
+      Checkpointing.release(prev)
+    }
+    comm.select(col("node"), col("c").as("community"))
+  }
+
+  /** Mirror of [[louvain]] for the DuckDB oracle: T parity rounds
+    * unrolled as CTEs, the gain comparison in HUGEINT (the exact
+    * integers Spark computes in DECIMAL(38,0)), argmax as row_number
+    * over (gain desc, community asc). `edgesCte` must define
+    * `e(src, dst)` — symmetrized, self-loop-free. The final
+    * assignment is exposed as CTE `lv(node, community)`; `tail` is
+    * the closing SELECT over it (default: dump the assignment). */
+  def louvainSql(edgesCte: String, iters: Int,
+                 tail: String = "SELECT node, community FROM lv"): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""kic$t AS MATERIALIZED (
+         |  SELECT e.src AS node, c.c AS c, CAST(count(*) AS BIGINT) AS kic
+         |  FROM e JOIN cm${t - 1} c ON c.node = e.dst
+         |  GROUP BY 1, 2
+         |), st$t AS MATERIALIZED (
+         |  SELECT c.c, CAST(sum(d.k) AS BIGINT) AS stot
+         |  FROM cm${t - 1} c JOIN deg d ON d.node = c.node
+         |  GROUP BY 1
+         |), cand$t AS (
+         |  SELECT node, c, CAST(sum(kic) AS BIGINT) AS kic FROM (
+         |    SELECT node, c, kic FROM kic$t
+         |    UNION ALL SELECT node, c, 0 FROM cm${t - 1})
+         |  GROUP BY 1, 2
+         |), sc$t AS MATERIALIZED (
+         |  SELECT cand.node, cand.c, cm.c AS own, d.k,
+         |         CAST(m.m2 AS HUGEINT) * cand.kic -
+         |           CAST(d.k AS HUGEINT) *
+         |           (CASE WHEN cand.c = cm.c THEN st.stot - d.k
+         |                 ELSE st.stot END) AS gain
+         |  FROM cand$t cand
+         |  JOIN cm${t - 1} cm ON cm.node = cand.node
+         |  JOIN deg d ON d.node = cand.node
+         |  JOIN st$t st ON st.c = cand.c
+         |  CROSS JOIN m2 m
+         |), bst$t AS (
+         |  SELECT node, c AS cbest, gain AS gbest FROM (
+         |    SELECT node, c, gain, row_number() OVER
+         |      (PARTITION BY node ORDER BY gain DESC, c ASC) AS rn
+         |    FROM sc$t WHERE c <> own)
+         |  WHERE rn = 1
+         |), cm$t AS MATERIALIZED (
+         |  SELECT cm.node,
+         |         CASE WHEN cm.node % 2 = ${t % 2} AND b.gbest > o.gain
+         |              THEN b.cbest ELSE cm.c END AS c
+         |  FROM cm${t - 1} cm
+         |  JOIN (SELECT node, gain FROM sc$t WHERE c = own) o
+         |    ON o.node = cm.node
+         |  LEFT JOIN bst$t b ON b.node = cm.node
+         |)""".stripMargin
+    }
+    s"""WITH $edgesCte,
+       |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+       |        FROM e WHERE src <> dst GROUP BY 1),
+       |m2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM deg),
+       |cm0 AS MATERIALIZED (SELECT node, node AS c FROM deg),
+       |${rounds.mkString(",\n")},
+       |lv AS (SELECT node, c AS community FROM cm$iters)
+       |$tail""".stripMargin
+  }
+
   /** Mirror of [[labelPropagation]] for the DuckDB oracle: the same T
     * rounds unrolled as CTEs, the argmax as row_number over
     * (count desc, label asc) — the identical total order. `edgesCte`

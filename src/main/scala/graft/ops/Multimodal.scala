@@ -221,6 +221,90 @@ object Multimodal {
       }
   }
 
+  case class PcmStats(media_id: Long, n_samples: Long, peak: Int,
+                      sum_sq: Long, rms: Double,
+                      clip_frac: Double, silence_frac: Double)
+
+  /** Sample-level PCM statistics over a WAV payload's `data` subchunk
+    * — what [[parseWavHeader]]'s header walk started, finished at the
+    * sample level (round-11 verdict #6): peak amplitude, RMS,
+    * clipping fraction, silence ratio, the standard audio-quality
+    * gates of a training pipeline (drop silent/clipped clips, bucket
+    * by loudness). 16-bit PCM only (the dominant WAV encoding; other
+    * bit depths emit no row, same quarantine posture as [[decodeAv]]).
+    *
+    * Contracts:
+    *  - the walk is [[parseWavHeader]]'s (word-aligned subchunks,
+    *    corrupt-size guards); payloads that are not a 16-bit WAV with
+    *    a located `data` subchunk are dropped, never mis-parsed;
+    *  - TRUNCATED payloads (declared data size > bytes present) are
+    *    measured over the bytes actually present, an odd trailing
+    *    byte dropped — header-only fixtures yield n_samples = 0;
+    *  - arithmetic is engine-portable: peak/sum_sq/counts are exact
+    *    integers (LE16 sign decode, |−32768| = 32768); rms is ONE
+    *    long→double cast (IEEE round-to-nearest, same as an oracle's
+    *    BIGINT→DOUBLE), one division, one correctly-rounded sqrt;
+    *    the fractions are single divisions — so the whole row
+    *    replays bit-exactly from the sample-generation arithmetic.
+    *
+    * Row-local (partition-local typed map, zero shuffle); `silence`
+    * = |sample| <= silenceThreshold (default ~1% of full scale). */
+  def pcmStats(spark: SparkSession, media: DataFrame,
+               silenceThreshold: Int = 327): Dataset[PcmStats] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        pcmStatsOf(id, bytes, silenceThreshold)
+      })
+  }
+
+  private[graft] def pcmStatsOf(id: Long, bytes: Array[Byte],
+                                silenceThreshold: Int): Option[PcmStats] = {
+    if (!(bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var i = 12
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    var corrupt = false
+    while (!corrupt && i + 8 <= bytes.length && (bits < 0 || dataOff < 0)) {
+      val chunkId = new String(bytes, i, 4, "US-ASCII")
+      val size = le32L(bytes, i + 4)
+      if (chunkId == "fmt " && size < 16L) corrupt = true
+      else if (chunkId == "fmt " && i + 24 <= bytes.length)
+        bits = le16(bytes, i + 22)
+      else if (chunkId == "data") { dataOff = i + 8; dataLen = size }
+      val step = 8L + size + (size & 1L)
+      if (size < 0L || step <= 0L || i.toLong + step > Int.MaxValue)
+        corrupt = true
+      else i = (i.toLong + step).toInt
+    }
+    if (corrupt || bits != 16 || dataOff < 0 || dataLen < 0) return None
+    val avail = math.max(0L, math.min(dataLen, (bytes.length - dataOff).toLong))
+    val n = (avail / 2L).toInt // odd trailing byte dropped
+    var peak = 0
+    var sumSq = 0L
+    var clip = 0L
+    var silent = 0L
+    var j = 0
+    while (j < n) {
+      val s = (bytes(dataOff + 2 * j + 1) << 8) |
+        (bytes(dataOff + 2 * j) & 0xFF) // sign rides the high byte
+      val a = if (s < 0) -s else s
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      if (s == 32767 || s == -32768) clip += 1
+      if (a <= silenceThreshold) silent += 1
+      j += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+    Some(PcmStats(id, n.toLong, peak, sumSq, rms,
+      if (n == 0) 0.0 else clip.toDouble / n,
+      if (n == 0) 0.0 else silent.toDouble / n))
+  }
+
   /** Little/big-endian hex builders for CONSTRUCTING container headers
     * as columns (`unhex` of the concatenation) — the deterministic
     * payload factory the q197 gate uses: both engines know the field
@@ -303,37 +387,32 @@ object Multimodal {
     * [[byteFeatures]]' global nibble histogram is a coarse summary, the
     * local 4-byte windows discriminate: two payloads share signature
     * direction only when they share local byte patterns, the property
-    * an image/audio near-dup miner needs). Non-overlapping windows, each
-    * hashed by the portable md5-hex recipe (8 hex chars as an int mod
-    * `bins` — replayable verbatim in any SQL engine), counted into a
-    * dense float vector. Payloads under 4 bytes emit no row.
+    * an image/audio near-dup miner needs). Non-overlapping windows,
+    * each binned by a Knuth multiplicative hash over the window's
+    * 32-bit big-endian value — `bin = ((v·2654435761 mod 2^32)·bins)
+    * >> 32`, the HIGH bits, where an odd multiplier actually mixes —
+    * pure integer arithmetic, replayable verbatim in any SQL engine
+    * (the oracle splits v 16/16 so every product fits a BIGINT:
+    * `v·2654435761 mod 2^32` = `(lo·2654435761 + hi·2041643008) mod
+    * 2^32`). Payloads under 4 bytes emit no row.
     *
-    * Counts are small integers (exactly representable in float), so
-    * downstream double-accumulated cosines are bit-identical to an
-    * oracle computing from the raw counts. Row-local until one
-    * (media_id, bin) partial-agg exchange; the dense vector is a
-    * per-media map lookup, never a corpus-wide pivot. Returns
-    * (media_id, signature: array<float>[bins]). */
+    * Scale shape: the ENTIRE accumulation is one compiled loop per
+    * row ([[graft.functions.ByteGramSignature]]) — zero shuffle, zero
+    * per-window allocation. Round-12 history: the original
+    * hex→md5-per-window→explode→groupBy pipeline cost 63 s on the
+    * x100 corpus; swapping md5 for this integer hash INSIDE that
+    * pipeline moved nothing (65 s — the interpreted HOF lambda, the
+    * 2× hex string, the per-window substring and the (media_id, bin)
+    * exchange were the real tax, not the digest); compiling the loop
+    * is what cut it. Counts are small integers (exactly representable
+    * in float), so downstream double-accumulated cosines are
+    * bit-identical to an oracle computing from the raw counts.
+    * Returns (media_id, signature: array<float>[bins]). */
   def byteGramSignature(media: DataFrame, bins: Int = 64): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
-    val grams = media
-      .select(col("media_id"), upper(hex(col("bytes"))).as("__hx"),
-        (length(col("bytes")) / 4).cast("int").as("__nw"))
-      .where(col("__nw") > 0)
-      .select(col("media_id"), explode(transform(
-        sequence(lit(0), col("__nw") - 1),
-        k => col("__hx").substr(k * 8 + 1, lit(8)))).as("__g"))
-    val cnt = grams
+    media.where(length(col("bytes")) >= 4)
       .select(col("media_id"),
-        (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long")
-          % bins).as("__b"))
-      .groupBy("media_id", "__b").agg(count(lit(1)).as("__c"))
-    cnt.groupBy("media_id")
-      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"))
-      .select(col("media_id"),
-        transform(sequence(lit(0L), lit(bins - 1L)),
-          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("float"))
-          .as("signature"))
+        graft.functions.ByteGramSignature.of(col("bytes"), bins).as("signature"))
   }
 
   /** Resize stage STUB: keep every `factor`-th byte of the payload —

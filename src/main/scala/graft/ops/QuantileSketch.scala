@@ -26,7 +26,15 @@ import graft.functions.{HdrBucket, HdrDecodeLower, HdrQuantile}
   * `ceil(n·pct/100)` shared with [[Profile.exactQuantilesBy]], the
   * answer decoded to the bucket's lower edge. Guaranteed relative
   * error < 2^-s on the VALUE (not a probabilistic rank bound — the
-  * bucket CDF is exact); the estimate itself is bit-portable, so the
+  * bucket CDF is exact). Sidedness: "lower edge" means lower
+  * MAGNITUDE edge — for a negative bucket the decoded value is the
+  * bucket's UPPER value edge, so on mixed/negative domains the
+  * estimate can sit on either side of the exact quantile; the
+  * one-sided estimate ≤ exact contract holds for non-negative
+  * domains only, while the relative-error MAGNITUDE bound
+  * |est − exact| < 2^-s · |exact| holds on both signs (both engines
+  * share the convention — the SQL twins replay it sign-exactly).
+  * The estimate itself is bit-portable, so the
   * whole operator carries the full differential oracle
   * ([[sketchSql]]/[[quantilesSql]] replay the register arithmetic in
   * DuckDB from the raw rows).
@@ -118,7 +126,9 @@ object QuantileSketch {
   // Merge law: two bounded states merge by coarsening both to the
   // coarser side's resolution (same shift) then sum(cnt) — min(s_eff)
   // is canonical, so the merge is associative/commutative like the
-  // plain state. Guaranteed relative error < 2^-(s0 − k) per group,
+  // plain state. Guaranteed relative error < 2^-(s0 − k) per group
+  // (magnitude bound — the same negative-domain sidedness caveat as
+  // the header: a negative bucket decodes to its upper VALUE edge),
   // reported via the s_eff column.
 
   /** Collapse a register-id column by `k` resolution levels (`k` may

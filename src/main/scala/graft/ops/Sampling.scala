@@ -135,16 +135,25 @@ object Sampling {
     * that makes the output mixture match [[temperatureWeights]] at
     * `targetTotal` rows overall (rates above 1 are capped — this
     * operator only downsamples). Membership stays a pure per-row hash:
-    * the only shuffle is the tiny per-group count. */
+    * the only shuffle is the tiny per-group count.
+    *
+    * `expectedGroups` is the caller's bound on `groupCol`'s cardinality
+    * — it gates the rate-table broadcast HINT through the engine-wide
+    * [[Dedup.maybeBroadcast]] limit (never correctness): the default
+    * covers the documented source/language-style grouping; a caller
+    * grouping by a high-cardinality key passes its own bound and above
+    * the conf limit the hint is dropped (Spark plans a shuffle join;
+    * AQE still broadcasts at runtime if the table turns out small). */
   def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
                         targetTotal: Long,
-                        temperature: Double = 2.0): DataFrame = {
+                        temperature: Double = 2.0,
+                        expectedGroups: Long = 100000L): DataFrame = {
     val rates = temperatureWeights(df, groupCol, temperature)
       .select(col(groupCol),
         least(lit(1.0),
           col("target_frac") * targetTotal / col("n_docs").cast("double"))
           .as("__rate"))
-    df.join(broadcast(rates), groupCol)
+    df.join(Dedup.maybeBroadcast(rates, expectedGroups), groupCol)
       .where(hashFraction(col(idCol)) < col("__rate"))
       .drop("__rate")
   }

@@ -384,7 +384,21 @@ object Warehouse {
     * assertions — which is exactly what the differential oracle
     * checks. Touched-key joins are size-gated
     * ([[Dedup.maybeBroadcast]]): a wide delta falls back to shuffle
-    * semi/anti joins instead of a forced broadcast. */
+    * semi/anti joins instead of a forced broadcast.
+    *
+    * RETRY safety: the whole advance is idempotent, not just the
+    * rectangle swap. A crash between the log append and the swap
+    * leaves the log already holding (part of) this delta; a naive
+    * re-append would duplicate those assertions and the duplicates
+    * would shift version numbering in every later rebuild of the
+    * touched keys. The append therefore anti-joins the delta against
+    * the existing log on (key, __seq) — assertion sequence numbers
+    * are unique per key by the bitemporal contract (they ORDER the
+    * assertions; a duplicate (key, seq) is ambiguous input) — so a
+    * replayed advance appends only the rows the crashed run missed
+    * and then redoes the (idempotent) touched-key rebuild + swap.
+    * The dedup scan is touched-key-restricted: the log is read past
+    * the key filter only for keys the rebuild reads anyway. */
   def advanceBitemporalTable(spark: SparkSession, rectTable: String,
                              assertTable: String, delta: DataFrame,
                              keyCol: String, stateCols: Seq[String],
@@ -392,7 +406,17 @@ object Warehouse {
     // the delta is read twice (append + touched set) and its lineage
     // may be a full pipeline — materialize once
     val d0 = Checkpointing.truncate(delta)
-    d0.write.mode("append").saveAsTable(assertTable)
+    val touched0 = d0.select(keyCol).distinct()
+    val nTouched0 = touched0.count()
+    val alreadyLogged = spark.table(assertTable)
+      .join(Dedup.maybeBroadcast(touched0, nTouched0), Seq(keyCol),
+        "left_semi")
+      .select(col(keyCol), col("__seq"))
+    // truncate again so the append plan no longer reads assertTable
+    // (materialized before the write ever opens the table for append)
+    val fresh = Checkpointing.truncate(
+      d0.join(alreadyLogged, Seq(keyCol, "__seq"), "left_anti"))
+    fresh.write.mode("append").saveAsTable(assertTable)
     val touched = d0.select(keyCol).distinct()
     val nTouched = touched.count()
     val rebuilt = bitemporalTable(

@@ -125,9 +125,13 @@ object CatalogML7 {
         |), g AS (
         |  SELECT media_id,
         |         unnest(list_transform(generate_series(0, n // 4 - 1),
-        |           k -> ('0x' || substring(md5(substring(hx,
-        |                    CAST(k AS INTEGER) * 8 + 1, 8)), 1, 8))::BIGINT
-        |                % 64)) AS b
+        |           k -> ((((('0x' || substring(hx,
+        |                      CAST(k AS INTEGER) * 8 + 1, 8))::BIGINT
+        |                    & 65535) * 2654435761 +
+        |                   (('0x' || substring(hx,
+        |                      CAST(k AS INTEGER) * 8 + 1, 8))::BIGINT
+        |                    >> 16) * 2041643008) % 4294967296
+        |                  * 64) >> 32))) AS b
         |  FROM m
         |), cnt AS (
         |  SELECT media_id, b, CAST(count(*) AS DOUBLE) AS c

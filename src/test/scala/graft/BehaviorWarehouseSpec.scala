@@ -573,6 +573,15 @@ class BehaviorWarehouseSpec extends SparkSpec {
     assert(incremental == full, "incremental advance must equal the full rebuild")
     // the assertion log now holds everything
     assert(spark.table(at).count() == 6)
+    // RETRY safety: replaying the SAME advance (the crash-recovery
+    // re-run) must be a no-op — the (key, __seq) anti-join keeps the
+    // log duplicate-free, so version numbering cannot shift
+    Warehouse.advanceBitemporalTable(spark, rt, at,
+      norm.where(col("__seq") % 2 === 0), "k", Seq("state"))
+    assert(spark.table(at).count() == 6,
+      "replayed advance must not double-append the delta")
+    assert(canon(spark.table(rt)) == full,
+      "replayed advance must leave the rectangle table unchanged")
     graft.ops.Tables.dropTablesAndDirs(spark, rt, at)
   }
 

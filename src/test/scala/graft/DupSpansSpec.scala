@@ -75,6 +75,42 @@ class DupSpansSpec extends SparkSpec {
     }
   }
 
+  test("sampled spans (sampleMod dial): intervals nest in stride-1 spans; long planted dup found at any alignment") {
+    val rnd = new scala.util.Random(13)
+    def txt(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val spanLen = 30
+    // planted region long enough that a mod-4 miss is ~(3/4)^171 — the
+    // probabilistic recall contract is deterministic on a fixed seed
+    val shared = txt(200)
+    val docs = (0L until 10L).map { i =>
+      val body = txt(250)
+      val off = 15 + 13 * i.toInt // different alignment per doc
+      i -> (body.take(off) + shared + body.drop(off))
+    }
+    val full = collect(Dedup.duplicatedSpans(df(docs), "doc_id", "text", spanLen))
+    for (p <- Seq(4, 16)) {
+      val sampled = collect(
+        Dedup.duplicatedSpans(df(docs), "doc_id", "text", spanLen,
+          sampleMod = p))
+      // mark positions are a subset ⇒ every sampled interval nests
+      // inside some stride-1 interval of the same doc
+      sampled.foreach { case (id, s, e, _) =>
+        assert(full.exists(f => f._1 == id && f._2 <= s && e <= f._3),
+          s"p=$p: sampled [$s,$e] of doc $id not inside any exact span")
+      }
+      // alignment robustness: the planted region is found in EVERY doc
+      // (content-defined keep decisions are shared by all copies; a
+      // fixed-stride dial would miss docs whose offset differs mod p)
+      val byDoc = sampled.groupBy(_._1)
+      docs.foreach { case (id, t) =>
+        val s = t.indexOf(shared) + 1L
+        val e = s + shared.length - 1
+        assert(byDoc.get(id).exists(_.exists(sp => sp._2 <= e && sp._3 >= s)),
+          s"p=$p doc $id: planted region [$s,$e] missed: ${byDoc.get(id)}")
+      }
+    }
+  }
+
   test("winnowed spans detect every duplicated region >= window+spanLen-1") {
     val rnd = new scala.util.Random(7)
     def txt(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString

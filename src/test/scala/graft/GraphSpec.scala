@@ -123,4 +123,45 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 3L, 11L -> 3L, 12L -> 3L, 50L -> 50L, 51L -> 50L))
   }
+
+  test("louvain: planted communities recovered; deterministic under repartitioning; modularity improves") {
+    import org.apache.spark.sql.functions.col
+    // two K5 cliques bridged by ONE edge — the canonical planted
+    // partition; modularity-optimal split is the two cliques
+    val cliqueA = for (i <- 0L to 4L; j <- 0L to 4L if i != j) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- 10L to 14L if i != j) yield (i, j)
+    val bridge = Seq((4L, 10L), (10L, 4L))
+    val edges = (cliqueA ++ cliqueB ++ bridge).toDF("src", "dst")
+    val got = Graph.louvain(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val commA = (0L to 4L).map(got).toSet
+    val commB = (10L to 14L).map(got).toSet
+    assert(commA.size == 1, s"clique A must land in one community: $commA")
+    assert(commB.size == 1, s"clique B must land in one community: $commB")
+    assert(commA != commB, "the two cliques must stay separate communities")
+
+    // determinism: a different input partitioning yields the SAME map
+    val again = Graph.louvain(edges.repartition(7), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got, "louvain must be partitioning-independent")
+
+    // modularity(assignment) > modularity(singletons): exact integer
+    // comparison — Q·(2m)² = Σ_c (2m·e_in(c) − Σtot(c)²)
+    val es = edges.as[(Long, Long)].collect()
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m2 = es.length.toLong
+    def q2m2(assign: Map[Long, Long]): BigInt = {
+      val comms = assign.values.toSet
+      comms.toSeq.map { c =>
+        val members = assign.collect { case (n, cc) if cc == c => n }.toSet
+        val ein = es.count { case (s, t) => members(s) && members(t) }.toLong
+        val stot = members.toSeq.map(deg).sum
+        BigInt(m2) * ein - BigInt(stot) * stot
+      }.sum
+    }
+    val singleton = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> n).toMap
+    assert(q2m2(got) > q2m2(singleton),
+      "final assignment must beat singleton modularity")
+  }
 }

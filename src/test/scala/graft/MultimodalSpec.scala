@@ -185,4 +185,87 @@ class MultimodalSpec extends SparkSpec {
       got(2L).timescale.contains(600L) && got(2L).duration.contains(65536L))
     assert(got(3L).container == "unknown" && got(3L).channels.isEmpty)
   }
+
+  test("pcmStats: sample decode exact; truncated/odd/8-bit/non-wav payloads handled") {
+    import graft.ops.Multimodal
+    def hx(parts: String*): Array[Byte] =
+      parts.mkString.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    def le16(v: Int): String = {
+      val u = v & 0xFFFF
+      f"${u & 0xFF}%02x${(u >> 8) & 0xFF}%02x"
+    }
+    def wav(bits: Int, declaredLen: Int, samples: Seq[Int]): Array[Byte] =
+      hx("52494646", "24000000", "57415645",
+        "666d7420", "10000000", "0100", "0100", "401f0000", "803e0000",
+        "0200", le16(bits).take(4),
+        "64617461",
+        f"${declaredLen & 0xFF}%02x${(declaredLen >> 8) & 0xFF}%02x0000",
+        samples.map(le16).mkString)
+    // exact stats: 0 (silent), 1000, -32768 (clip), 32767 (clip), 300 (silent)
+    val s1 = Seq(0, 1000, -32768, 32767, 300)
+    val got = Multimodal.pcmStatsOf(1L, wav(16, 10, s1), 327).get
+    assert(got.n_samples == 5 && got.peak == 32768)
+    assert(got.sum_sq == s1.map(v => v.toLong * v).sum)
+    assert(got.rms == math.sqrt(got.sum_sq.toDouble / 5))
+    assert(got.clip_frac == 2.0 / 5 && got.silence_frac == 2.0 / 5)
+    // truncated: declared 100 bytes, only 3 samples present → stats
+    // over what's there
+    val t = Multimodal.pcmStatsOf(2L, wav(16, 100, Seq(5, -5, 7)), 327).get
+    assert(t.n_samples == 3 && t.peak == 7)
+    // odd byte count available: trailing byte dropped
+    val oddBytes = wav(16, 5, Seq(1, 2, 3)).dropRight(1)
+    val o = Multimodal.pcmStatsOf(3L, oddBytes, 327).get
+    assert(o.n_samples == 2)
+    // header-only (declared data, zero payload) → zero samples, zero stats
+    val h = Multimodal.pcmStatsOf(4L, wav(16, 8, Seq.empty), 327).get
+    assert(h.n_samples == 0 && h.rms == 0.0 && h.clip_frac == 0.0)
+    // 8-bit PCM and non-WAV payloads are quarantined, not mis-parsed
+    assert(Multimodal.pcmStatsOf(5L, wav(8, 4, Seq(1, 2)), 327).isEmpty)
+    assert(Multimodal.pcmStatsOf(6L, "not a wav at all".getBytes, 327).isEmpty)
+  }
+
+  test("byteGramSignature: Knuth bin arithmetic matches reference; dup=1.0, distinct near-orthogonal") {
+    // reference implementation of the bin recipe, plain JVM integers
+    def binOf(v: Long, bins: Int): Long = {
+      val h = ((v & 0xFFFFL) * 2654435761L + (v >> 16) * 2041643008L) %
+        4294967296L
+      (h * bins) >> 32
+    }
+    // differential: the column arithmetic equals the JVM arithmetic on
+    // adversarial 32-bit corners (0, 1, 2^16±1, 2^31, 2^32−1, …)
+    val corners = Seq(0L, 1L, 255L, 65535L, 65536L, 65537L,
+      0x7FFFFFFFL, 0x80000000L, 0xDEADBEEFL, 0xFFFFFFFFL)
+    val payloads = corners.zipWithIndex.map { case (v, i) =>
+      val b = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+      (i.toLong, "raw", b)
+    }.toDF("media_id", "media_type", "bytes")
+    val got = Multimodal.byteGramSignature(payloads, bins = 64)
+      .select(col("media_id"), col("signature"))
+      .as[(Long, Array[Float])].collect().toMap
+    corners.zipWithIndex.foreach { case (v, i) =>
+      val sig = got(i.toLong)
+      val want = binOf(v, 64).toInt
+      assert(sig(want) == 1.0f && sig.sum == 1.0f,
+        s"corner $v: expected single count in bin $want")
+    }
+    // quality on real text payloads: identical payloads → cosine 1
+    // exactly; distinct payloads → median pairwise cosine stays low
+    // (the property the md5 recipe had and the nibble histogram
+    // famously lacked — 0.998 median, SCALING.md round-11)
+    val docs = Tables.table(spark, sf, "documents").limit(40)
+    val m = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    val sig = Multimodal.byteGramSignature(m)
+      .as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val pair = for (x <- sig; y <- sig if x._1 < y._1) yield cos(x._2, y._2)
+    val med = pair.sorted.apply(pair.length / 2)
+    assert(med < 0.75, f"distinct payloads must stay discriminable: median pairwise cosine $med%.3f")
+    val self = sig.head
+    assert(math.abs(cos(self._2, self._2) - 1.0) < 1e-12)
+  }
 }

@@ -246,4 +246,41 @@ class QuantileSketchSpec extends SparkSpec {
     state.unpersist()
     ()
   }
+
+  test("negative/mixed domain: magnitude bound holds both signs; negative decode is the upper value edge") {
+    // signed values: profit-and-loss shape, both signs per group, plus
+    // exact zeros (the resolution-free special register)
+    val li = Tables.table(spark, sf, "lineitem")
+    val pnl = col("l_extendedprice") * (col("l_discount") - lit(0.05))
+    val src = li.select(col("l_returnflag"), pnl.as("__v"))
+    val percents = Seq(1, 10, 50, 90, 100)
+    val est = QuantileSketch.quantilesOf(src, "l_returnflag", col("__v"),
+        percents, S)
+      .select("l_returnflag", "pct", "value")
+      .as[(String, Int, Double)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    val byGroup = src.as[(String, Double)].collect().groupBy(_._1)
+    var sawAbove = false
+    for ((g, rows) <- byGroup; p <- percents) {
+      val sorted = rows.map(_._2).sorted
+      val rank = ((sorted.length.toLong * p + 99) / 100).toInt
+      val exact = sorted(rank - 1)
+      val e = est((g, p))
+      // sidedness: the decode is the lower MAGNITUDE edge, so for a
+      // negative exact quantile the estimate may sit ABOVE it — the
+      // one-sided e <= exact contract is non-negative-domain only
+      if (e > exact) sawAbove = true
+      if (exact != 0.0)
+        assert(math.abs(exact - e) / math.abs(exact) <=
+            math.pow(2, -S) + 1e-15,
+          s"magnitude bound broken at ($g, p$p): est=$e exact=$exact")
+      else assert(e == 0.0, s"zero register must decode to 0, got $e")
+      // signs never flip: the register id carries the value's sign
+      assert(e == 0.0 || exact == 0.0 || (e > 0) == (exact > 0),
+        s"sign flipped at ($g, p$p): est=$e exact=$exact")
+    }
+    assert(sawAbove,
+      "fixture must exercise a negative quantile (estimate above exact) " +
+        "or the sidedness caveat is untested")
+  }
 }
