@@ -165,6 +165,65 @@ object CatalogML8 {
         """SELECT lv.node, cn.clabel AS community
           |FROM lv JOIN (SELECT community, min(node) AS clabel
           |              FROM lv GROUP BY community) cn USING (community)
-          |ORDER BY lv.node""".stripMargin)))
+          |ORDER BY lv.node""".stripMargin))),
+
+    // STREAMING maintenance of the BOUNDED quantile sketch — q200's
+    // live foreachBatch loop with q214's NON-monoid advance as the
+    // per-microbatch step: each arrival wave folds into the persisted
+    // (group, s_eff, bucket, cnt) table via coarsen-to-min
+    // mergeBounded under the crash-safe stage-and-swap. The wave
+    // split (event_id % 3, one file per trigger) is deterministic and
+    // the coarsen-to-min merge is associative/commutative (shifts
+    // compose, sums exact), so the pairwise streamed chain equals the
+    // all-at-once merge the oracle replays — the q214 law, now proven
+    // ON the live gate.
+    ("q218_stream_quantile_bounded_state", (s: SparkSession, d: String) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.ops.{Incremental, QuantileSketch}
+      val S = QuantileSketch.DefaultS
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q218_state_$tag"
+      graft.ops.Tables.dropTablesAndDirs(s, st, s"${st}__next", s"${st}__old")
+      val events = table(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dir = CatalogStream.stageEventStateWaves(s, d)
+      QuantileSketch.sketchBounded(events.where(lit(false)), "event_type",
+          col("value"), S, maxRegisters = 24)
+        .write.saveAsTable(st)
+      val src = s.readStream.format("parquet").schema(events.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-qbstate-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Incremental.transformStateTable(s, st) { cur =>
+              QuantileSketch.mergeBounded(Seq(cur,
+                QuantileSketch.sketchBounded(b, "event_type", col("value"),
+                  S, maxRegisters = 24)), "event_type")
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally graft.ops.LocalFiles.deleteRecursively(ckpt)
+      QuantileSketch.quantilesBounded(s.table(st), "event_type",
+          Seq(50, 90, 99))
+        .orderBy("event_type", "pct")
+    }, Some {
+      import graft.ops.QuantileSketch
+      def raw(m: Int) =
+        s"SELECT event_type AS g, value AS v FROM events WHERE event_id % 3 = $m"
+      val chains = (0 to 2).map(m =>
+        QuantileSketch.sketchBoundedSql(raw(m), QuantileSketch.DefaultS,
+          maxRegisters = 24, maxLevels = QuantileSketch.DefaultS,
+          prefix = s"__w$m")).mkString(",\n")
+      "WITH " + chains + ",\n" +
+        QuantileSketch.mergeBoundedSql(Seq("__w0bs", "__w1bs", "__w2bs")) +
+        ",\n" +
+        QuantileSketch.quantilesBoundedSql(Seq(50, 90, 99),
+          gAs = "event_type") +
+        "\nORDER BY event_type, pct"
+    })
   )
 }
