@@ -284,11 +284,26 @@ object Graph {
     * sensitivity) is solved the way the catalog always solves it —
     * canonical schedule + exact arithmetic:
     *
-    *  - SYNCHRONOUS parity rounds: in round t only nodes with
-    *    `node % 2 == t % 2` may move, all deciding simultaneously
-    *    against the round-(t−1) assignment. No sweep order exists at
-    *    all; alternating parities breaks the two-cycle oscillation
-    *    synchronous label moves are known for.
+    *  - SYNCHRONOUS alternating-direction label rounds: every node
+    *    decides simultaneously against the round-(t−1) assignment —
+    *    no sweep order exists at all — and in round t may only adopt
+    *    a SMALLER community label than its own (odd t) or only a
+    *    LARGER one (even t). Within a round all moves share one
+    *    label direction, so mutual swaps are impossible by
+    *    construction (the symmetry-breaking idea published parallel
+    *    Louvain implementations use); alternating the direction
+    *    across rounds removes the one-directional rule's deadlock
+    *    (a node whose best community happens to carry a larger
+    *    label would otherwise be blocked forever — measured leaving
+    *    a planted K5's bridge vertex stranded).
+    *  - GLOBAL acceptance guard: movers sharing one target can still
+    *    jointly overshoot (each gain is exact in isolation), so a
+    *    round's whole proposal is accepted only if the exact integer
+    *    modularity Q·(2m)² strictly improves — Q is monotonically
+    *    non-decreasing across rounds BY CONSTRUCTION (the
+    *    hill-climbing invariant GraphSpec asserts), and the
+    *    accept/revert is a column CASE over two one-row aggregates,
+    *    replayed verbatim by the oracle.
     *  - EXACT integer gain comparison: moving node i (degree k_i)
     *    from community a to b improves modularity iff
     *    `k_{i→b} − k_i·Σtot(b)/2m  >  k_{i→a\i} − k_i·(Σtot(a)−k_i)/2m`.
@@ -315,23 +330,84 @@ object Graph {
   def louvain(edges: DataFrame, srcCol: String, dstCol: String,
               iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val dec = DecimalType(38, 0)
-    val e = Checkpointing.truncate(
+    louvainLevel(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
-        .where(col("src") =!= col("dst")))
-    // weighted degree k_i and the 2m scalar (total directed weight)
+        .where(col("src") =!= col("dst"))
+        .withColumn("w", lit(1L)),
+      iters, coarse = false)
+  }
+
+  /** The FULL "fast unfolding": [[louvain]]'s local-move phase
+    * alternated with community CONTRACTION (Blondel et al.'s phase 2)
+    * for `levels` levels — each contraction collapses every community
+    * to one super-node (intra-community weight becomes the
+    * super-node's self-loop, inter-community weights sum into
+    * super-edges; 2m and the degree sequence's total are preserved
+    * exactly, so modularity is the SAME objective at every level),
+    * then the local moves rerun on the super-graph, whose merges are
+    * exactly what single-level moves cannot express (a whole
+    * community re-homing at once). The expansion back to base nodes
+    * is a label-composition join per level. Contraction is pure
+    * exact-integer aggregation and the level step is [[louvain]]'s,
+    * so the whole multi-level run stays deterministic and
+    * oracle-replayable. Returns (node, community) over BASE nodes;
+    * `levels = 1` is exactly [[louvain]]. */
+  def louvainMultiLevel(edges: DataFrame, srcCol: String, dstCol: String,
+                        itersPerLevel: Int, levels: Int = 2): DataFrame = {
+    require(itersPerLevel >= 1, s"itersPerLevel must be >= 1: $itersPerLevel")
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    var e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("w", lit(1L))
+    var assign = louvainLevel(e, itersPerLevel, coarse = false) // base node → current label
+    var lastUp = assign // THIS level's node id → current label
+    for (_ <- 2 to levels) {
+      val eC = Checkpointing.truncate(e
+        .join(lastUp.select(col("node").as("src"),
+          col("community").as("__cs")), Seq("src"))
+        .join(lastUp.select(col("node").as("dst"),
+          col("community").as("__cd")), Seq("dst"))
+        .groupBy(col("__cs").as("src"), col("__cd").as("dst"))
+        .agg(sum("w").as("w")))
+      val up = louvainLevel(eC, itersPerLevel, coarse = true)
+      val prev = assign
+      assign = Checkpointing.truncate(assign
+        .select(col("node"), col("community").as("__c"))
+        .join(up.select(col("node").as("__c"), col("community")),
+          Seq("__c"))
+        .select(col("node"), col("community")))
+      Checkpointing.release(prev)
+      lastUp = up
+      e = eC
+    }
+    assign
+  }
+
+  /** One local-move level over a WEIGHTED symmetrized edge frame
+    * (src, dst, w). Self-loop rows — the contracted form's internal
+    * weight — count in degrees and 2m (the standard convention that
+    * keeps modularity the same objective across levels) but never in
+    * k_{i→c}: a node's own internal weight moves WITH it, so it
+    * cancels out of the gain argmax. */
+  private def louvainLevel(edges: DataFrame, iters: Int,
+                           coarse: Boolean): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = Checkpointing.truncate(edges)
+    val eNoSelf = e.where(col("src") =!= col("dst"))
+    // weighted degree k_i (self-loops included) and the 2m scalar
     val deg = Checkpointing.truncate(
-      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("k")))
+      e.groupBy(col("src").as("node")).agg(sum(col("w")).as("k")))
     val m2Row = deg.agg(sum(col("k")).cast(dec).as("__m2"))
     var comm = Checkpointing.truncate(
       deg.select(col("node"), col("node").as("c")))
     for (t <- 1 to iters) {
       // k_{i→c}: weight from each node to each neighboring community
-      val kic = e
+      val kic = eNoSelf
         .join(comm.select(col("node").as("dst"), col("c")), Seq("dst"))
         .groupBy(col("src").as("node"), col("c"))
-        .agg(count(lit(1)).as("kic"))
+        .agg(sum(col("w")).as("kic"))
       // Σtot(c): total degree inside each community
       val stot = comm.join(deg, Seq("node"))
         .groupBy("c").agg(sum("k").as("stot"))
@@ -353,20 +429,70 @@ object Graph {
             col("k").cast(dec) * col("__stotx").cast(dec))
       val own = scored.where(col("c") === col("__own"))
         .select(col("node"), col("__gain").as("__gown"))
-      val best = scored.where(col("c") =!= col("__own"))
+      // FINE levels (base nodes): the node-parity schedule — only
+      // nodes with node%2 == t%2 move, either label direction. At
+      // this granularity simultaneous collisions wash out (measured:
+      // real communities form on the purchase graph where the
+      // guarded whole-round scheme stalls at singletons — 100 movers
+      // piling onto shared targets make every all-or-nothing round
+      // net-negative). COARSE levels (contracted super-nodes): the
+      // alternating-direction label rule — odd rounds move only to
+      // SMALLER labels, even rounds only to larger; within a round
+      // all moves share one direction so swaps are impossible, and
+      // alternation removes the one-directional deadlock.
+      val dirOk =
+        if (!coarse) lit(true)
+        else if (t % 2 == 1) col("c") < col("__own")
+        else col("c") > col("__own")
+      val best = scored.where(col("c") =!= col("__own") && dirOk)
         .groupBy("node")
         .agg(min(struct((-col("__gain")).as("ng"), col("c").as("bc")))
           .as("__b"))
         .select(col("node"), (-col("__b.ng")).as("__gbest"),
           col("__b.bc").as("__cbest"))
-      val prev = comm
-      comm = Checkpointing.truncate(comm
+      val moveOk =
+        if (coarse) lit(true) else col("node") % 2 === t % 2
+      val proposal = comm
         .join(own, Seq("node"))
         .join(best, Seq("node"), "left")
         .select(col("node"),
-          when(col("node") % 2 === t % 2 &&
-              col("__gbest") > col("__gown"),
-            col("__cbest")).otherwise(col("c")).as("c")))
+          when(moveOk && col("__gbest") > col("__gown"), col("__cbest"))
+            .otherwise(col("c")).as("c"))
+      // GLOBAL acceptance guard: each mover's gain is exact but
+      // SIMULTANEOUS moves can collide (two nodes chain-merging
+      // through each other — the known synchronous-Louvain overshoot,
+      // measured making Q WORSE on the clique-ring fixture). The
+      // round's whole proposal is therefore accepted only if the
+      // exact integer modularity Q·(2m)² strictly improves; otherwise
+      // the round reverts and the next parity's proposals differ.
+      // Q is monotonically non-decreasing across rounds BY
+      // CONSTRUCTION — the hill-climbing invariant the spec asserts —
+      // and the accept/revert is a pure column CASE over two one-row
+      // aggregates, so it replays verbatim in the oracle.
+      def qint(cm: DataFrame) = {
+        val ein = e
+          .join(cm.select(col("node").as("src"), col("c").as("__cs")),
+            Seq("src"))
+          .join(cm.select(col("node").as("dst"), col("c").as("__cd")),
+            Seq("dst"))
+          .where(col("__cs") === col("__cd"))
+          .groupBy(col("__cs").as("c")).agg(sum("w").as("ein"))
+        cm.join(deg, Seq("node")).groupBy("c").agg(sum("k").as("stot"))
+          .join(ein, Seq("c"), "left")
+          .crossJoin(broadcast(m2Row))
+          .agg(sum(col("__m2") * coalesce(col("ein"), lit(0L)).cast(dec) -
+            col("stot").cast(dec) * col("stot").cast(dec)).as("q"))
+      }
+      val prev = comm
+      comm = Checkpointing.truncate(
+        if (!coarse) proposal
+        else proposal
+          .crossJoin(broadcast(qint(proposal).select(col("q").as("__qp"))))
+          .crossJoin(broadcast(qint(comm).select(col("q").as("__qc"))))
+          .join(prev.withColumnRenamed("c", "__cprev"), Seq("node"))
+          .select(col("node"),
+            when(col("__qp") > col("__qc"), col("c"))
+              .otherwise(col("__cprev")).as("c")))
       Checkpointing.release(prev)
     }
     comm.select(col("node"), col("c").as("community"))
@@ -376,60 +502,146 @@ object Graph {
     * unrolled as CTEs, the gain comparison in HUGEINT (the exact
     * integers Spark computes in DECIMAL(38,0)), argmax as row_number
     * over (gain desc, community asc). `edgesCte` must define
-    * `e(src, dst)` — symmetrized, self-loop-free. The final
+    * `e(src, dst, w)` — symmetrized weighted edges. The final
     * assignment is exposed as CTE `lv(node, community)`; `tail` is
     * the closing SELECT over it (default: dump the assignment). */
   def louvainSql(edgesCte: String, iters: Int,
-                 tail: String = "SELECT node, community FROM lv"): String = {
+                 tail: String = "SELECT node, community FROM lv"): String =
+    s"""WITH $edgesCte,
+       |${louvainLevelSql("", "e", iters, coarse = false)},
+       |lv AS (SELECT node, c AS community FROM cm$iters)
+       |$tail""".stripMargin
+
+  /** Mirror of [[louvainMultiLevel]]: `levels` level chains, each
+    * contraction a MATERIALIZED sum-aggregate over the previous
+    * level's edges and assignment, the expansion a label-composition
+    * join chain. Same `edgesCte`/`lv`/`tail` contract as
+    * [[louvainSql]]. */
+  def louvainMultiLevelSql(edgesCte: String, itersPerLevel: Int,
+                           levels: Int,
+                           tail: String = "SELECT node, community FROM lv")
+      : String = {
+    val chains = new StringBuilder(
+      louvainLevelSql("l1", "e", itersPerLevel, coarse = false))
+    for (k <- 2 to levels) {
+      val prevE = if (k == 2) "e" else s"l${k - 1}e"
+      chains.append(s""",
+        |l${k}e AS MATERIALIZED (
+        |  SELECT a.c AS src, b.c AS dst, CAST(sum(pe.w) AS BIGINT) AS w
+        |  FROM $prevE pe
+        |  JOIN l${k - 1}cm$itersPerLevel a ON a.node = pe.src
+        |  JOIN l${k - 1}cm$itersPerLevel b ON b.node = pe.dst
+        |  GROUP BY 1, 2
+        |),
+        |""".stripMargin)
+      chains.append(
+        louvainLevelSql(s"l$k", s"l${k}e", itersPerLevel, coarse = true))
+    }
+    val joins = (2 to levels).map(k =>
+      s"JOIN l${k}cm$itersPerLevel c$k ON c$k.node = c${k - 1}.c")
+      .mkString("\n  ")
+    val topC = if (levels == 1) "c1.c" else s"c$levels.c"
+    s"""WITH $edgesCte,
+       |${chains.toString},
+       |lv AS (
+       |  SELECT c1.node, $topC AS community
+       |  FROM l1cm$itersPerLevel c1
+       |  $joins
+       |)
+       |$tail""".stripMargin
+  }
+
+  /** Exact integer modularity Q·(2m)² of assignment table `cmName`
+    * over `$eName` — one scalar row `q`, the acceptance guard's
+    * comparand. */
+  private def qSql(p: String, eName: String, cmName: String): String =
+    s"""
+       |  SELECT CAST(sum(CAST(m.m2 AS HUGEINT) * coalesce(ein.ein, 0) -
+       |           CAST(st.stot AS HUGEINT) * st.stot) AS HUGEINT) AS q
+       |  FROM (SELECT c.c, CAST(sum(d.k) AS BIGINT) AS stot
+       |        FROM $cmName c JOIN ${p}deg d ON d.node = c.node
+       |        GROUP BY 1) st
+       |  LEFT JOIN (SELECT a.c, CAST(sum(e.w) AS BIGINT) AS ein
+       |             FROM $eName e
+       |             JOIN $cmName a ON a.node = e.src
+       |             JOIN $cmName b ON b.node = e.dst
+       |             WHERE a.c = b.c GROUP BY 1) ein ON ein.c = st.c
+       |  CROSS JOIN ${p}m2 m""".stripMargin
+
+  /** One level's CTE chain over the weighted symmetrized edge table
+    * `$eName(src, dst, w)` — self-loop rows count in `${p}deg`/`${p}m2`,
+    * never in k_{i→c}. Emits `${p}cm0..${p}cm$iters`. */
+  private def louvainLevelSql(p: String, eName: String, iters: Int,
+                              coarse: Boolean): String = {
     val rounds = (1 to iters).map { t =>
-      s"""kic$t AS MATERIALIZED (
-         |  SELECT e.src AS node, c.c AS c, CAST(count(*) AS BIGINT) AS kic
-         |  FROM e JOIN cm${t - 1} c ON c.node = e.dst
+      // fine levels: node-parity schedule, both label directions, no
+      // guard; coarse levels: alternating label direction + the
+      // whole-round Q acceptance guard (see louvainLevel)
+      val bstWhere =
+        if (coarse) s"c ${if (t % 2 == 1) "<" else ">"} own"
+        else "c <> own"
+      val moveCond =
+        if (coarse) "b.gbest > o.gain"
+        else s"cm.node % 2 = ${t % 2} AND b.gbest > o.gain"
+      s"""${p}kic$t AS MATERIALIZED (
+         |  SELECT e.src AS node, c.c AS c, CAST(sum(e.w) AS BIGINT) AS kic
+         |  FROM $eName e JOIN ${p}cm${t - 1} c ON c.node = e.dst
+         |  WHERE e.src <> e.dst
          |  GROUP BY 1, 2
-         |), st$t AS MATERIALIZED (
+         |), ${p}st$t AS MATERIALIZED (
          |  SELECT c.c, CAST(sum(d.k) AS BIGINT) AS stot
-         |  FROM cm${t - 1} c JOIN deg d ON d.node = c.node
+         |  FROM ${p}cm${t - 1} c JOIN ${p}deg d ON d.node = c.node
          |  GROUP BY 1
-         |), cand$t AS (
+         |), ${p}cand$t AS (
          |  SELECT node, c, CAST(sum(kic) AS BIGINT) AS kic FROM (
-         |    SELECT node, c, kic FROM kic$t
-         |    UNION ALL SELECT node, c, 0 FROM cm${t - 1})
+         |    SELECT node, c, kic FROM ${p}kic$t
+         |    UNION ALL SELECT node, c, 0 FROM ${p}cm${t - 1})
          |  GROUP BY 1, 2
-         |), sc$t AS MATERIALIZED (
+         |), ${p}sc$t AS MATERIALIZED (
          |  SELECT cand.node, cand.c, cm.c AS own, d.k,
          |         CAST(m.m2 AS HUGEINT) * cand.kic -
          |           CAST(d.k AS HUGEINT) *
          |           (CASE WHEN cand.c = cm.c THEN st.stot - d.k
          |                 ELSE st.stot END) AS gain
-         |  FROM cand$t cand
-         |  JOIN cm${t - 1} cm ON cm.node = cand.node
-         |  JOIN deg d ON d.node = cand.node
-         |  JOIN st$t st ON st.c = cand.c
-         |  CROSS JOIN m2 m
-         |), bst$t AS (
+         |  FROM ${p}cand$t cand
+         |  JOIN ${p}cm${t - 1} cm ON cm.node = cand.node
+         |  JOIN ${p}deg d ON d.node = cand.node
+         |  JOIN ${p}st$t st ON st.c = cand.c
+         |  CROSS JOIN ${p}m2 m
+         |), ${p}bst$t AS (
          |  SELECT node, c AS cbest, gain AS gbest FROM (
          |    SELECT node, c, gain, row_number() OVER
          |      (PARTITION BY node ORDER BY gain DESC, c ASC) AS rn
-         |    FROM sc$t WHERE c <> own)
+         |    FROM ${p}sc$t WHERE $bstWhere)
          |  WHERE rn = 1
-         |), cm$t AS MATERIALIZED (
+         |), ${p}pr$t AS MATERIALIZED (
          |  SELECT cm.node,
-         |         CASE WHEN cm.node % 2 = ${t % 2} AND b.gbest > o.gain
+         |         CASE WHEN $moveCond
          |              THEN b.cbest ELSE cm.c END AS c
-         |  FROM cm${t - 1} cm
-         |  JOIN (SELECT node, gain FROM sc$t WHERE c = own) o
+         |  FROM ${p}cm${t - 1} cm
+         |  JOIN (SELECT node, gain FROM ${p}sc$t WHERE c = own) o
          |    ON o.node = cm.node
-         |  LEFT JOIN bst$t b ON b.node = cm.node
-         |)""".stripMargin
+         |  LEFT JOIN ${p}bst$t b ON b.node = cm.node
+         |)""".stripMargin + (if (!coarse)
+        s""",
+           |${p}cm$t AS MATERIALIZED (SELECT node, c FROM ${p}pr$t)""".stripMargin
+      else
+        s""",
+           |${p}qp$t AS (${qSql(p, eName, s"${p}pr$t")}
+           |), ${p}qc$t AS (${qSql(p, eName, s"${p}cm${t - 1}")}
+           |), ${p}cm$t AS MATERIALIZED (
+           |  SELECT pr.node,
+           |         CASE WHEN qp.q > qc.q THEN pr.c ELSE cm.c END AS c
+           |  FROM ${p}pr$t pr
+           |  JOIN ${p}cm${t - 1} cm ON cm.node = pr.node
+           |  CROSS JOIN ${p}qp$t qp CROSS JOIN ${p}qc$t qc
+           |)""".stripMargin)
     }
-    s"""WITH $edgesCte,
-       |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
-       |        FROM e WHERE src <> dst GROUP BY 1),
-       |m2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM deg),
-       |cm0 AS MATERIALIZED (SELECT node, node AS c FROM deg),
-       |${rounds.mkString(",\n")},
-       |lv AS (SELECT node, c AS community FROM cm$iters)
-       |$tail""".stripMargin
+    s"""${p}deg AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS k
+       |        FROM $eName GROUP BY 1),
+       |${p}m2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM ${p}deg),
+       |${p}cm0 AS MATERIALIZED (SELECT node, node AS c FROM ${p}deg),
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 
   /** Mirror of [[labelPropagation]] for the DuckDB oracle: the same T

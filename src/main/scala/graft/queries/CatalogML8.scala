@@ -158,9 +158,48 @@ object CatalogML8 {
         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS s2
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |),
-        |e AS (SELECT c AS src, s2 AS dst FROM e0
-        |      UNION ALL SELECT s2, c FROM e0)""".stripMargin,
+        |e AS (SELECT c AS src, s2 AS dst, 1 AS w FROM e0
+        |      UNION ALL SELECT s2, c, 1 FROM e0)""".stripMargin,
       iters = 4,
+      tail =
+        """SELECT lv.node, cn.clabel AS community
+          |FROM lv JOIN (SELECT community, min(node) AS clabel
+          |              FROM lv GROUP BY community) cn USING (community)
+          |ORDER BY lv.node""".stripMargin))),
+
+    // The FULL Louvain "fast unfolding": q217's local moves PLUS the
+    // phase-2 contraction (communities collapse to super-nodes —
+    // internal weight becomes self-loops, preserved in degrees and 2m
+    // so modularity is the same objective at every level) and a
+    // second local-move pass on the super-graph, whose merges a
+    // single level cannot express (a whole community re-homing at
+    // once). 3 parity rounds per level × 2 levels; the contraction is
+    // one exact-integer sum-aggregate, so the entire multi-level run
+    // replays verbatim in the oracle. Same purchase graph as q217 —
+    // the two entries together show what phase 2 buys.
+    ("q219_graph_louvain_multilevel", (s: SparkSession, d: String) => {
+      val e0 = table(s, d, "lineitem")
+        .join(table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000000L).as("s2"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("s2").as("dst"))
+        .unionAll(e0.select(col("s2").as("src"), col("c").as("dst")))
+      val res = graft.ops.Graph.louvainMultiLevel(edges, "src", "dst",
+        itersPerLevel = 3, levels = 2)
+      val canon = res.groupBy("community").agg(min("node").as("__cl"))
+      res.join(canon, Seq("community"))
+        .select(col("node"), col("__cl").as("community"))
+        .orderBy("node")
+    }, Some(graft.ops.Graph.louvainMultiLevelSql(
+      """e0 AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS s2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |e AS (SELECT c AS src, s2 AS dst, 1 AS w FROM e0
+        |      UNION ALL SELECT s2, c, 1 FROM e0)""".stripMargin,
+      itersPerLevel = 3, levels = 2,
       tail =
         """SELECT lv.node, cn.clabel AS community
           |FROM lv JOIN (SELECT community, min(node) AS clabel

@@ -164,4 +164,62 @@ class GraphSpec extends SparkSpec {
     assert(q2m2(got) > q2m2(singleton),
       "final assignment must beat singleton modularity")
   }
+
+  test("louvainMultiLevel: phase 2 merges what single-level moves cannot; levels=1 == louvain") {
+    import org.apache.spark.sql.functions.col
+    // ring of 12 tiny cliques (K3) joined by single bridges — the
+    // canonical phase-2 fixture: local moves find the cliques, and at
+    // this size modularity IMPROVES when adjacent cliques merge
+    // (pair-merge gain m2·w − stotA·stotB = 96 − 64 > 0; at 8 cliques
+    // it is exactly 0, the Q-neutral boundary), a move only the
+    // contracted level can make (a whole clique re-homes at once)
+    val k = 12
+    def cid(c: Int, i: Int): Long = (c * 10 + i).toLong
+    val cliques = for {
+      c <- 0 until k; i <- 0 until 3; j <- 0 until 3 if i != j
+    } yield (cid(c, i), cid(c, j))
+    val bridges = (0 until k).flatMap { c =>
+      val a = cid(c, 0); val b = cid((c + 1) % k, 1)
+      Seq((a, b), (b, a))
+    }
+    val edges = (cliques ++ bridges).toDF("src", "dst")
+    val single = Graph.louvain(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = Graph.louvainMultiLevel(edges, "src", "dst",
+        itersPerLevel = 4, levels = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact integer modularity comparison (Q·(2m)² units)
+    val es = edges.as[(Long, Long)].collect()
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m2 = es.length.toLong
+    def q2m2(assign: Map[Long, Long]): BigInt =
+      assign.values.toSet.toSeq.map { (c: Long) =>
+        val members = assign.collect { case (n, cc) if cc == c => n }.toSet
+        val ein = es.count { case (s, t) => members(s) && members(t) }.toLong
+        val stot = members.toSeq.map(deg).sum
+        BigInt(m2) * ein - BigInt(stot) * stot
+      }.foldLeft(BigInt(0))(_ + _)
+    assert(q2m2(multi) > q2m2(single),
+      s"phase 2 must strictly improve modularity on the clique ring: " +
+        s"${q2m2(multi)} vs ${q2m2(single)}")
+    assert(multi.values.toSet.size < single.values.toSet.size,
+      "phase 2 must merge communities on this fixture")
+    // every merged community is a union of level-1 communities (the
+    // contraction can only coarsen, never split)
+    val byL1 = single.groupBy(_._2).values
+    byL1.foreach { grp =>
+      assert(grp.keys.map(multi).toSet.size == 1,
+        "a level-1 community must map into ONE multi-level community")
+    }
+    // levels = 1 is exactly the single-level operator
+    val one = Graph.louvainMultiLevel(edges, "src", "dst",
+        itersPerLevel = 4, levels = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === single)
+    // determinism under repartitioning
+    val again = Graph.louvainMultiLevel(edges.repartition(5), "src", "dst",
+        itersPerLevel = 4, levels = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === multi)
+  }
 }
