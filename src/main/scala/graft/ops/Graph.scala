@@ -244,6 +244,100 @@ object Graph {
     * same per-round lineage truncation + checkpoint rotation as
     * [[pageRank]] (rank_{t+1} references rank_t twice).
     */
+  /** Per-node triangle counts + local clustering coefficient — the
+    * transitivity readout of a co-occurrence graph (how clique-like a
+    * node's neighborhood is: the community-density signal next to
+    * [[louvain]]'s memberships). Input edges may be directed,
+    * duplicated, or self-looped; they canonicalize to simple
+    * undirected (a < b) pairs first.
+    *
+    * Scale design — DEGREE ORIENTATION, the standard trick that makes
+    * distributed triangle counting survive skew: each undirected edge
+    * points at its (degree, id)-larger endpoint, so every wedge is
+    * enumerated at its (degree, id)-SMALLEST corner and per-node
+    * oriented out-degree is O(√m) on any graph — a celebrity node
+    * with a million co-occurrences never enumerates a quadratic
+    * wedge set (the naive smallest-ID orientation does exactly that
+    * when a low-id node is a hub). Each triangle is counted once
+    * (its corners are totally ordered by (degree, id)); the closing
+    * check is one left-semi join of wedges against the oriented edge
+    * set. Two shuffles total beyond the degree count.
+    *
+    * Returns (node, degree, n_triangles, clustering) with
+    * clustering = 2·T / (deg·(deg−1)) (0 for deg < 2) — exact
+    * integers plus one IEEE multiply/divide pair, so the whole
+    * result is engine-portable. */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = Checkpointing.truncate(edges
+      .select(col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("a"),
+        greatest(col("__x"), col("__y")).as("b"))
+      .distinct())
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a→b when (deg_a, a) < (deg_b, b); a < b already, so the
+    // tie case stays a→b
+    val o = Checkpointing.truncate(e
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(
+        when(col("__da") <= col("__db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("__da") <= col("__db"), col("b")).otherwise(col("a")).as("v"),
+        when(col("__da") <= col("__db"), col("__db")).otherwise(col("__da"))
+          .as("dv")))
+    val wedges = o.select(col("u"), col("v").as("v1"), col("dv").as("__d1"))
+      .join(o.select(col("u"), col("v").as("v2"), col("dv").as("__d2")),
+        Seq("u"))
+      .where(col("__d1") < col("__d2") ||
+        (col("__d1") === col("__d2") && col("v1") < col("v2")))
+    val tri = wedges.join(
+      o.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    val corners = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Mirror of [[triangleStats]] for the DuckDB oracle — the oracle
+    * enumerates triangles by the plain a<b<c three-way join (a
+    * different, simpler plan; identical result set is the check).
+    * `edgesCte` must define `e(a, b)` — canonical simple undirected
+    * pairs, a < b. `nodeAs` renames the node column. */
+  def triangleStatsSql(edgesCte: String, nodeAs: String = "node"): String =
+    s"""WITH $edgesCte,
+       |dg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1
+       |), tr AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+       |), cn AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT x AS node FROM tr
+       |    UNION ALL SELECT y FROM tr
+       |    UNION ALL SELECT z FROM tr)
+       |  GROUP BY 1
+       |)
+       |SELECT d.node AS $nodeAs, d.deg AS degree,
+       |       CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_triangles,
+       |       CASE WHEN d.deg >= 2
+       |            THEN 2.0 * coalesce(c.n_tri, 0) / (d.deg * (d.deg - 1))
+       |            ELSE 0.0 END AS clustering
+       |FROM dg d LEFT JOIN cn c ON c.node = d.node""".stripMargin
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

@@ -165,6 +165,46 @@ class GraphSpec extends SparkSpec {
       "final assignment must beat singleton modularity")
   }
 
+  test("triangleStats: K4/path/shared-edge exact; degree-oriented count equals brute force on a random graph") {
+    import org.apache.spark.sql.functions.col
+    // K4: every node in 3 triangles, clustering 1.0; pendant node 9
+    // attached to 0: degree 1, zero triangles, clustering 0
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val g1 = (k4 :+ (0L, 9L)).toDF("src", "dst")
+    val got1 = Graph.triangleStats(g1, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got1(1L) == ((3L, 3L, 1.0)) && got1(2L) == ((3L, 3L, 1.0)))
+    assert(got1(0L) == ((4L, 3L, 0.5))) // 3 of C(4,2)=6 wedges closed
+    assert(got1(9L) == ((1L, 0L, 0.0)))
+    // duplicated/reversed/self-loop inputs canonicalize away
+    val noisy = (k4 ++ k4.map(_.swap) :+ (2L, 2L) :+ (0L, 9L)).toDF("src", "dst")
+    val got1b = Graph.triangleStats(noisy, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got1b === got1.map { case (k, v) => k -> v._2 })
+    // differential vs brute force on a seeded random graph WITH a hub
+    // (node 1000 connected to everyone — the skew case orientation
+    // exists for)
+    val rnd = new scala.util.Random(7)
+    val rand = (for (_ <- 1 to 300) yield
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      (0L until 40L).map(i => (1000L, i))
+    val g2 = rand.toDF("src", "dst")
+    val got2 = Graph.triangleStats(g2, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val simple = rand.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = simple.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq
+    val brute = nodes.map { v =>
+      val nb = adj(v).toSeq
+      v -> (for (i <- nb.indices; j <- i + 1 until nb.size
+        if adj(nb(i)).contains(nb(j))) yield 1).size.toLong
+    }.toMap
+    assert(got2 === brute, "degree-oriented count must equal brute force")
+  }
+
   test("louvainMultiLevel: phase 2 merges what single-level moves cannot; levels=1 == louvain") {
     import org.apache.spark.sql.functions.col
     // ring of 12 tiny cliques (K3) joined by single bridges — the
