@@ -216,12 +216,14 @@ object Bench {
     // what stopped the round-10 driver run at min-of-2 (the degradation
     // the verdict flagged), while the driver itself has completed 652 s
     // runs (round 9) with rc=0 and has never been observed killing one.
-    // 900 fits quiesce + relay + three ~230-280 s passes at the
-    // 211-query catalog. The remaining risk is bounded by the per-pass
-    // printing below: the result line is (re)printed after EVERY pass
-    // with the cumulative min, so even a kill mid-pass leaves the
-    // previous full pass's line as the surviving tail.
-    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "900").toInt
+    // Raised 900→1200 in round 12: the 218-query catalog runs
+    // ~300-320 s per pass hot, and at 900 the third pass started with
+    // only ~310 s of nominal headroom — one bad quiesce away from
+    // min-of-2 (the round-10 failure mode). 1200 fits quiesce + relay
+    // + three passes with margin; the budget only gates STARTING a
+    // pass, and the per-pass line reprint below keeps every pass a
+    // safe commit point regardless.
+    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "1200").toInt
     def elapsed(): Double = (System.nanoTime() - qt0) / 1e9
     val passes = scala.collection.mutable.ArrayBuffer[Seq[(String, Double)]]()
     while (passes.size < runs && (passes.isEmpty || elapsed() < budgetSecs)) {

@@ -8,10 +8,13 @@ import graft.ops.Tables._
 /** Round-12 additions: the TPC-H Q21-shape correlated semi/anti
   * fact-fact self-join (the one relational composition the catalog
   * still lacked), sample-level PCM payload statistics (finishing what
-  * the q197 WAV header walk started), and deterministic Louvain
-  * community detection (the modularity companion to q181's label
-  * propagation). Bench reports them under the q21x rollup key;
-  * per-entry numbers via SPARK_GRAFT_ONLY=q215,…
+  * the q197 WAV header walk started), deterministic Louvain community
+  * detection — single-level (q217) and the full multi-level "fast
+  * unfolding" with contraction + Q-guarded super-graph moves (q219) —
+  * the bounded quantile sketch maintained on the live streaming gate
+  * (q218), and degree-oriented triangle counting (q220). Bench
+  * reports them under the q21x/q22x rollup keys; per-entry numbers
+  * via SPARK_GRAFT_ONLY=q215,…
   */
 object CatalogML8 {
   type Q = (SparkSession, String) => DataFrame
