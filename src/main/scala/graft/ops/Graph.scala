@@ -432,6 +432,22 @@ object Graph {
       iters, coarse = false)
   }
 
+  /** [[louvain]] over WEIGHTED symmetrized edges (`weightCol` must be
+    * a non-negative integral column — co-occurrence counts, contracted
+    * multi-edge multiplicities). Self-loop rows count in degrees and
+    * 2m but never attract moves (their weight travels with the node,
+    * so it cancels out of the gain argmax) — the same convention the
+    * contracted levels of [[louvainMultiLevel]] rely on. */
+  def louvainWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                      weightCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    louvainLevel(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w")),
+      iters, coarse = false)
+  }
+
   /** The FULL "fast unfolding": [[louvain]]'s local-move phase
     * alternated with community CONTRACTION (Blondel et al.'s phase 2)
     * for `levels` levels — each contraction collapses every community

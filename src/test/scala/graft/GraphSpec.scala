@@ -205,6 +205,31 @@ class GraphSpec extends SparkSpec {
     assert(got2 === brute, "degree-oriented count must equal brute force")
   }
 
+  test("louvainWeighted: weight-w edges behave exactly like w parallel unit edges") {
+    import org.apache.spark.sql.functions.col
+    // two triangles bridged by one edge; intra-triangle edges weight 3
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L))
+    val bridge = Seq((3L, 10L))
+    val wEdges = (und.map(e => (e._1, e._2, 3L)) ++
+      und.map(e => (e._2, e._1, 3L)) ++
+      bridge.flatMap(e => Seq((e._1, e._2, 1L), (e._2, e._1, 1L))))
+      .toDF("src", "dst", "w")
+    val unit = (und.flatMap(e => Seq.fill(3)(Seq(e, e.swap)).flatten) ++
+      bridge.flatMap(e => Seq(e, e.swap))).toDF("src", "dst")
+    val a = Graph.louvainWeighted(wEdges, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the unit-edge multigraph through the weighted API with w = 1
+    // per parallel row must agree (weights are multiplicities)
+    val b = Graph.louvainWeighted(unit.withColumn("w",
+        org.apache.spark.sql.functions.lit(1L)), "src", "dst", "w", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "weight-3 edges must equal 3 parallel unit edges")
+    assert(Set(1L, 2L, 3L).map(a).size == 1 &&
+      Set(10L, 11L, 12L).map(a).size == 1 &&
+      a(1L) != a(10L), s"triangles must separate: $a")
+  }
+
   test("louvainMultiLevel: phase 2 merges what single-level moves cannot; levels=1 == louvain") {
     import org.apache.spark.sql.functions.col
     // ring of 12 tiny cliques (K3) joined by single bridges — the
