@@ -42,7 +42,10 @@ object GraftExtensions {
       intLit(es(1), "graft_minhash_chars n"), intLit(es(2), "graft_minhash_chars numHashes"))),
     "graft_pack_int8" -> (es => graft.functions.PackInt8(es(0))),
     "graft_int8_dot" -> (es => graft.functions.Int8DotProduct(es(0), es(1))),
-    "graft_sig_matches" -> (es => graft.functions.SigMatchCount(es(0), es(1)))
+    "graft_sig_matches" -> (es => graft.functions.SigMatchCount(es(0), es(1))),
+    "graft_byte_histogram" -> (es => graft.functions.ByteHistogram(es(0))),
+    "graft_byte_gram_signature" -> (es => graft.functions.ByteGramSignature(
+      es(0), intLit(es(1), "graft_byte_gram_signature bins")))
   )
 
   private def intLit(e: Expression, what: String): Int = e match {

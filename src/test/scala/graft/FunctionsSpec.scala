@@ -96,6 +96,28 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == Seq(2, 2, 0))
   }
 
+  test("SQL surface: graft_byte_histogram / graft_byte_gram_signature match the column API") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "zz"))
+      .toDF("id", "t")
+      .select(col("id"), col("t").cast("binary").as("bytes"))
+    graft.functions.VectorFunctions.register(spark)
+    df.createOrReplaceTempView("bgs_in")
+    val viaSql = spark.sql(
+      """SELECT id, graft_byte_histogram(bytes) AS h,
+        |       graft_byte_gram_signature(bytes, 64) AS s
+        |FROM bgs_in""".stripMargin)
+      .as[(Long, Array[Int], Array[Float])].collect().sortBy(_._1)
+    val viaCol = df.select(col("id"),
+        graft.functions.ByteHistogram.of(col("bytes")).as("h"),
+        graft.functions.ByteGramSignature.of(col("bytes"), 64).as("s"))
+      .as[(Long, Array[Int], Array[Float])].collect().sortBy(_._1)
+    assert(viaSql.map(_._2.toSeq).toSeq == viaCol.map(_._2.toSeq).toSeq)
+    assert(viaSql.map(_._3.toSeq).toSeq == viaCol.map(_._3.toSeq).toSeq)
+    // a 2-byte payload has no 4-byte window: all-zero signature
+    assert(viaSql(1)._3.forall(_ == 0.0f))
+  }
+
   test("packed-byte signature match count preserves lane agreement and only over-counts") {
     import org.apache.spark.sql.functions._
     // random-ish signatures with planted agreement patterns
