@@ -237,6 +237,48 @@ object CatalogML8 {
         |   AND a.l_partkey < b.l_partkey)""".stripMargin,
       nodeAs = "part_id") + "\nORDER BY part_id")),
 
+    // WEIGHTED Louvain — the q217 machinery over real edge weights
+    // (co-order multiplicities: how many orders pair the two parts),
+    // driver-visible proof that the weighted path (sum(w) degrees,
+    // weighted k_{i→c}, weighted gains) replays exactly like the
+    // unit-weight one. Same purchase-part domain as q220 so the two
+    // entries share one projection story.
+    ("q221_graph_louvain_weighted", (s: SparkSession, d: String) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li
+        .join(li.select(col("l_orderkey"),
+          col("l_partkey").as("__p2")), Seq("l_orderkey"))
+        .where(col("l_partkey") < col("__p2"))
+        .groupBy(col("l_partkey").as("a"), col("__p2").as("b"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"),
+          col("w")))
+      val res = graft.ops.Graph.louvainWeighted(edges, "src", "dst", "w",
+        iters = 3)
+      val canon = res.groupBy("community").agg(min("node").as("__cl"))
+      res.join(canon, Seq("community"))
+        .select(col("node").as("part_id"), col("__cl").as("community"))
+        .orderBy("part_id")
+    }, Some(graft.ops.Graph.louvainSql(
+      """p AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |),
+        |e AS (SELECT a AS src, b AS dst, w FROM p
+        |      UNION ALL SELECT b, a, w FROM p)""".stripMargin,
+      iters = 3,
+      tail =
+        """SELECT lv.node AS part_id, cn.clabel AS community
+          |FROM lv JOIN (SELECT community, min(node) AS clabel
+          |              FROM lv GROUP BY community) cn USING (community)
+          |ORDER BY part_id""".stripMargin))),
+
     // STREAMING maintenance of the BOUNDED quantile sketch — q200's
     // live foreachBatch loop with q214's NON-monoid advance as the
     // per-microbatch step: each arrival wave folds into the persisted
