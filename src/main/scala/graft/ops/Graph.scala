@@ -378,26 +378,30 @@ object Graph {
     * sensitivity) is solved the way the catalog always solves it —
     * canonical schedule + exact arithmetic:
     *
-    *  - SYNCHRONOUS alternating-direction label rounds: every node
-    *    decides simultaneously against the round-(t−1) assignment —
-    *    no sweep order exists at all — and in round t may only adopt
-    *    a SMALLER community label than its own (odd t) or only a
-    *    LARGER one (even t). Within a round all moves share one
-    *    label direction, so mutual swaps are impossible by
-    *    construction (the symmetry-breaking idea published parallel
-    *    Louvain implementations use); alternating the direction
-    *    across rounds removes the one-directional rule's deadlock
-    *    (a node whose best community happens to carry a larger
-    *    label would otherwise be blocked forever — measured leaving
-    *    a planted K5's bridge vertex stranded).
-    *  - GLOBAL acceptance guard: movers sharing one target can still
-    *    jointly overshoot (each gain is exact in isolation), so a
-    *    round's whole proposal is accepted only if the exact integer
-    *    modularity Q·(2m)² strictly improves — Q is monotonically
-    *    non-decreasing across rounds BY CONSTRUCTION (the
-    *    hill-climbing invariant GraphSpec asserts), and the
-    *    accept/revert is a column CASE over two one-row aggregates,
-    *    replayed verbatim by the oracle.
+    *  - SYNCHRONOUS rounds, two regimes, both sweep-order-free
+    *    (every node decides simultaneously against the round-(t−1)
+    *    assignment):
+    *    THIS operator and [[louvainWeighted]] run the FINE regime —
+    *    in round t only nodes with `node % 2 == t % 2` may move,
+    *    either label direction, no global guard: at base-node
+    *    granularity simultaneous collisions wash out (measured: the
+    *    guarded whole-round scheme stalls the bipartite purchase
+    *    graph at singletons — one round's 100 movers piling onto
+    *    shared targets make every all-or-nothing round net-negative,
+    *    while unguarded fine rounds find the same 22 communities
+    *    the operator has produced since it shipped).
+    *    [[louvainMultiLevel]]'s CONTRACTED levels run the COARSE
+    *    regime — alternating-direction label rounds (odd t: only
+    *    smaller labels; even t: only larger — swaps impossible
+    *    within a round, and alternation removes the one-directional
+    *    deadlock a planted K5's bridge vertex measured) PLUS a
+    *    whole-round acceptance guard: the proposal is kept only if
+    *    the exact integer modularity Q·(2m)² strictly improves, so
+    *    at coarse levels Q is non-decreasing BY CONSTRUCTION (the
+    *    hill-climbing invariant GraphSpec asserts — synchronous
+    *    super-node chain-merges measurably overshot without it).
+    *    The accept/revert is a column CASE over two one-row
+    *    aggregates, replayed verbatim by the oracle.
     *  - EXACT integer gain comparison: moving node i (degree k_i)
     *    from community a to b improves modularity iff
     *    `k_{i→b} − k_i·Σtot(b)/2m  >  k_{i→a\i} − k_i·(Σtot(a)−k_i)/2m`.
@@ -608,8 +612,8 @@ object Graph {
     comm.select(col("node"), col("c").as("community"))
   }
 
-  /** Mirror of [[louvain]] for the DuckDB oracle: T parity rounds
-    * unrolled as CTEs, the gain comparison in HUGEINT (the exact
+  /** Mirror of [[louvain]] for the DuckDB oracle: T fine-regime
+    * rounds unrolled as CTEs, the gain comparison in HUGEINT (the exact
     * integers Spark computes in DECIMAL(38,0)), argmax as row_number
     * over (gain desc, community asc). `edgesCte` must define
     * `e(src, dst, w)` — symmetrized weighted edges. The final
