@@ -516,6 +516,25 @@ object Graph {
     val m2Row = deg.agg(sum(col("k")).cast(dec).as("__m2"))
     var comm = Checkpointing.truncate(
       deg.select(col("node"), col("node").as("c")))
+    // exact integer modularity Q·(2m)² of an assignment — one row
+    def qint(cm: DataFrame) = {
+      val ein = e
+        .join(cm.select(col("node").as("src"), col("c").as("__cs")),
+          Seq("src"))
+        .join(cm.select(col("node").as("dst"), col("c").as("__cd")),
+          Seq("dst"))
+        .where(col("__cs") === col("__cd"))
+        .groupBy(col("__cs").as("c")).agg(sum("w").as("ein"))
+      cm.join(deg, Seq("node")).groupBy("c").agg(sum("k").as("stot"))
+        .join(ein, Seq("c"), "left")
+        .crossJoin(broadcast(m2Row))
+        .agg(sum(col("__m2") * coalesce(col("ein"), lit(0L)).cast(dec) -
+          col("stot").cast(dec) * col("stot").cast(dec)).as("q"))
+    }
+    def qOf(df: DataFrame): java.math.BigDecimal =
+      Option(df.head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var qCur: java.math.BigDecimal =
+      if (coarse) qOf(qint(comm)) else java.math.BigDecimal.ZERO
     for (t <- 1 to iters) {
       // k_{i→c}: weight from each node to each neighboring community
       val kic = eNoSelf
@@ -572,42 +591,35 @@ object Graph {
         .select(col("node"),
           when(moveOk && col("__gbest") > col("__gown"), col("__cbest"))
             .otherwise(col("c")).as("c"))
-      // GLOBAL acceptance guard: each mover's gain is exact but
-      // SIMULTANEOUS moves can collide (two nodes chain-merging
-      // through each other — the known synchronous-Louvain overshoot,
-      // measured making Q WORSE on the clique-ring fixture). The
-      // round's whole proposal is therefore accepted only if the
-      // exact integer modularity Q·(2m)² strictly improves; otherwise
-      // the round reverts and the next parity's proposals differ.
-      // Q is monotonically non-decreasing across rounds BY
-      // CONSTRUCTION — the hill-climbing invariant the spec asserts —
-      // and the accept/revert is a pure column CASE over two one-row
-      // aggregates, so it replays verbatim in the oracle.
-      def qint(cm: DataFrame) = {
-        val ein = e
-          .join(cm.select(col("node").as("src"), col("c").as("__cs")),
-            Seq("src"))
-          .join(cm.select(col("node").as("dst"), col("c").as("__cd")),
-            Seq("dst"))
-          .where(col("__cs") === col("__cd"))
-          .groupBy(col("__cs").as("c")).agg(sum("w").as("ein"))
-        cm.join(deg, Seq("node")).groupBy("c").agg(sum("k").as("stot"))
-          .join(ein, Seq("c"), "left")
-          .crossJoin(broadcast(m2Row))
-          .agg(sum(col("__m2") * coalesce(col("ein"), lit(0L)).cast(dec) -
-            col("stot").cast(dec) * col("stot").cast(dec)).as("q"))
+      // GLOBAL acceptance guard (coarse levels only): each mover's
+      // gain is exact but SIMULTANEOUS moves can collide (two nodes
+      // chain-merging through each other — the known synchronous-
+      // Louvain overshoot, measured making Q WORSE on the clique-ring
+      // fixture). The round's whole proposal is therefore accepted
+      // only if the exact integer modularity Q·(2m)² strictly
+      // improves; otherwise the round reverts and the next round's
+      // direction flips. Q is monotonically non-decreasing across
+      // rounds BY CONSTRUCTION — the hill-climbing invariant the spec
+      // asserts. The comparison happens DRIVER-side on two one-row
+      // exact integers (a 1-row collect per round, the touched-key-
+      // count class): a reverted round keeps the PREVIOUS materialized
+      // frame, skipping both the second modularity aggregate (the
+      // accepted Q carries forward) and a useless re-materialization —
+      // same arithmetic, same results as the in-plan CASE the oracle
+      // replays.
+      if (!coarse) {
+        val prev = comm
+        comm = Checkpointing.truncate(proposal)
+        Checkpointing.release(prev)
+      } else {
+        val qp = qOf(qint(proposal))
+        if (qp.compareTo(qCur) > 0) {
+          val prev = comm
+          comm = Checkpointing.truncate(proposal)
+          Checkpointing.release(prev)
+          qCur = qp
+        }
       }
-      val prev = comm
-      comm = Checkpointing.truncate(
-        if (!coarse) proposal
-        else proposal
-          .crossJoin(broadcast(qint(proposal).select(col("q").as("__qp"))))
-          .crossJoin(broadcast(qint(comm).select(col("q").as("__qc"))))
-          .join(prev.withColumnRenamed("c", "__cprev"), Seq("node"))
-          .select(col("node"),
-            when(col("__qp") > col("__qc"), col("c"))
-              .otherwise(col("__cprev")).as("c")))
-      Checkpointing.release(prev)
     }
     comm.select(col("node"), col("c").as("community"))
   }
