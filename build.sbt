@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 G1 GCLocker starvation (JDK-8192647 class): with 32
+  // executor threads and JNI-critical compression (lz4/snappy), G1's
+  // default 2 post-GCLocker retry attempts can throw OOM on
+  // allocations as small as 3 WORDS while gigabytes are reclaimable
+  // ("Retried waiting for GCLocker too often" — reproduced by the
+  // GraphScaleSweep x16 triangles leg). G1 removed the GCLocker in
+  // JDK 22; on 17 the fix is retrying past the contention window.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 )

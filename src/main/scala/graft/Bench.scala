@@ -65,8 +65,8 @@ object Bench {
     // run; exactly-once asserted by delivered count. Measured BEFORE
     // the query passes (also warms the streaming path) and guarded so
     // a failure can never cost the result line.
-    val relay: (Long, Double) =
-      if (only.exists(!_.exists(p => "relay".startsWith(p)))) (0L, -1.0)
+    val relay: (Long, Seq[Double]) =
+      if (only.exists(!_.exists(p => "relay".startsWith(p)))) (0L, Nil)
       else try {
         import org.apache.spark.sql.DataFrame
         import org.apache.spark.sql.functions._
@@ -118,11 +118,16 @@ object Bench {
             s"relay lost records: ${TopicSink.CountingSender.records.get()} of $n")
           dt
         }
-        (n, n / dts.min)
+        (n, dts)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] relay failed: ${e.getMessage}")
-        (0L, -1.0)
+        (0L, Nil)
       }
+    // per-pass relay rps (pass order preserved): the single-number
+    // relay was the suite's noisiest cross-round signal (54k vs 80k
+    // same-night, round 12) — min/median over the three passes plus
+    // the per-pass values themselves go to the members artifact below
+    val relayRps: Seq[Double] = relay._2.map(dt => relay._1 / dt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     def once(): Seq[(String, Double)] = selected.map { case (name, fn) =>
@@ -185,7 +190,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val relayJson =
-      if (relay._2 > 0) s""","relay_rps":${relay._2.toLong},"relay_rows":${relay._1}"""
+      if (relayRps.nonEmpty)
+        s""","relay_rps":${relayRps.max.toLong},"relay_rows":${relay._1}"""
       else ""
     val line =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$relayJson}"""
@@ -226,9 +232,48 @@ object Bench {
     val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "1200").toInt
     def elapsed(): Double = (System.nanoTime() - qt0) / 1e9
     val passes = scala.collection.mutable.ArrayBuffer[Seq[(String, Double)]]()
+    // Per-member artifact (round-12 verdict ask #2): the stdout line
+    // rolls q150+ into decade families and quantizes to 1 decimal —
+    // correct for the bounded consumer tail, but it destroyed the
+    // cross-round per-key signal (a rollup changing member composition
+    // reads as a regression; 0.23→"0.3" reads as 1.3×). The FULL
+    // per-member timings (every pass + the running min, 3 decimals)
+    // therefore go to a committed JSON artifact, rewritten after each
+    // pass so a mid-run kill still leaves a complete file. Relay
+    // per-pass rps ride along (verdict ask #6 — min/median from data,
+    // not one noisy number). Full runs only: a SPARK_GRAFT_ONLY dev
+    // run would overwrite the committed artifact with a partial map.
+    val membersPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEMBERS",
+      if (only.isEmpty) "BENCH_MEMBERS.json" else "")
+    def jnum(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def writeMembers(): Unit = if (membersPath.nonEmpty) try {
+      val names = passes.head.map(_._1.takeWhile(_ != '_'))
+      val byPass = passes.map(p =>
+        names.zip(p.map(_._2)).map { case (k, v) => s""""$k":${jnum(v)}""" }
+          .mkString("{", ",", "}"))
+      val mins = passes.map(_.map(_._2))
+        .reduce((a, b) => a.zip(b).map { case (x, y) => math.min(x, y) })
+      val minJson = names.zip(mins)
+        .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
+      val relayJsonA =
+        if (relayRps.isEmpty) "null"
+        else {
+          val sortedR = relayRps.sorted
+          val med = sortedR(sortedR.size / 2)
+          s"""{"rows":${relay._1},"rps_passes":[${relayRps.map(r => jnum(r)).mkString(",")}],"rps_max":${jnum(relayRps.max)},"rps_median":${jnum(med)}}"""
+        }
+      val out =
+        s"""{"sf":"$sfDir","runs":${passes.size},"relay":$relayJsonA,"passes":[${byPass.mkString(",")}],"min":$minJson}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(membersPath),
+        out.getBytes("UTF-8"))
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] members artifact failed: ${e.getMessage}")
+    }
     while (passes.size < runs && (passes.isEmpty || elapsed() < budgetSecs)) {
       passes += once()
       System.err.println(f"[bench] ${passes.size}%d of $runs%d passes in ${elapsed()}%.0f s")
+      writeMembers()
       // the consumer keeps only a bounded stdout tail, so the LAST
       // complete line printed is the one that survives — printing the
       // cumulative min after each pass makes every pass a safe commit

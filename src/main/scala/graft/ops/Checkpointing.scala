@@ -31,6 +31,19 @@ object Checkpointing {
     * else → `localCheckpoint()`. */
   val ReliableKey = "spark.graft.checkpoint.reliable"
 
+  /** Session-conf storage level for LOCAL truncation blocks
+    * (`StorageLevel.fromString` names: MEMORY_AND_DISK,
+    * MEMORY_AND_DISK_SER, DISK_ONLY, …). Default MEMORY_AND_DISK —
+    * Spark's own `localCheckpoint()` default. Serialized levels cut
+    * the block footprint ~3-4× (UnsafeRow bytes, no per-row object
+    * headers) at a small decode cost per re-read — the right trade
+    * when an iterative operator's state tables approach the heap
+    * (the graph family's edge/orientation tables; see
+    * [[Graph.triangleStats]], which requests it directly for its
+    * large intermediates rather than relying on this session-wide
+    * knob). */
+  val StorageKey = "spark.graft.checkpoint.storageLevel"
+
   /** Switch the session to reliable checkpointing into `dir` (must be
     * on storage that survives executor loss — HDFS/S3 on a cluster). */
   def enableReliable(spark: SparkSession, dir: String): Unit = {
@@ -49,7 +62,22 @@ object Checkpointing {
     * configured strategy. */
   def truncate(df: DataFrame): DataFrame =
     if (isReliable(df.sparkSession)) df.checkpoint()
-    else df.localCheckpoint()
+    else df.sparkSession.conf.getOption(StorageKey) match {
+      case Some(name) =>
+        df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.fromString(name))
+      case None => df.localCheckpoint()
+    }
+
+  /** [[truncate]], but local blocks are stored SERIALIZED
+    * (MEMORY_AND_DISK_SER) regardless of [[StorageKey]] — for
+    * corpus-sized iterative state where deserialized row objects
+    * would dominate the heap. Reliable mode is unaffected (a
+    * `checkpoint()` is already an on-disk byte image). */
+  def truncateSer(df: DataFrame): DataFrame =
+    if (isReliable(df.sparkSession)) df.checkpoint()
+    else df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Delete the stable-storage files behind a frame a previous
     * [[truncate]] produced, once a successor has superseded it.

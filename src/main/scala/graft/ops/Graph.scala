@@ -268,7 +268,7 @@ object Graph {
     * integers plus one IEEE multiply/divide pair, so the whole
     * result is engine-portable. */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = Checkpointing.truncate(edges
+    val e = Checkpointing.truncateSer(edges
       .select(col(srcCol).cast("long").as("__x"),
         col(dstCol).cast("long").as("__y"))
       .where(col("__x") =!= col("__y"))
@@ -280,7 +280,7 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient a→b when (deg_a, a) < (deg_b, b); a < b already, so the
     // tie case stays a→b
-    val o = Checkpointing.truncate(e
+    val o = Checkpointing.truncateSer(e
       .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
       .select(
@@ -583,8 +583,11 @@ object Graph {
           .as("__b"))
         .select(col("node"), (-col("__b.ng")).as("__gbest"),
           col("__b.bc").as("__cbest"))
+      // pmod, not %: signed remainder would leave negative odd ids at
+      // -1 forever (never matching either parity class → frozen
+      // singletons); pmod keeps the schedule total over all ids
       val moveOk =
-        if (coarse) lit(true) else col("node") % 2 === t % 2
+        if (coarse) lit(true) else pmod(col("node"), lit(2L)) === t % 2
       val proposal = comm
         .join(own, Seq("node"))
         .join(best, Seq("node"), "left")
@@ -706,9 +709,10 @@ object Graph {
       val bstWhere =
         if (coarse) s"c ${if (t % 2 == 1) "<" else ">"} own"
         else "c <> own"
+      // ((x % 2) + 2) % 2 = Spark's pmod(x, 2) under DuckDB's signed %
       val moveCond =
         if (coarse) "b.gbest > o.gain"
-        else s"cm.node % 2 = ${t % 2} AND b.gbest > o.gain"
+        else s"((cm.node % 2) + 2) % 2 = ${t % 2} AND b.gbest > o.gain"
       s"""${p}kic$t AS MATERIALIZED (
          |  SELECT e.src AS node, c.c AS c, CAST(sum(e.w) AS BIGINT) AS kic
          |  FROM $eName e JOIN ${p}cm${t - 1} c ON c.node = e.dst
@@ -796,5 +800,249 @@ object Graph {
        |l0 AS (SELECT node, node AS lbl FROM n),
        |${rounds.mkString(",\n")}
        |SELECT node, lbl FROM l$iters""".stripMargin
+  }
+
+  /** k-core decomposition by synchronous peel — the standard graph
+    * pruning companion to [[louvain]]/[[triangleStats]] (spam/quality
+    * filtering keeps the dense k-core of a link or co-occurrence
+    * graph and drops the peripheral fluff). Round t simultaneously
+    * removes EVERY node whose degree in the round-(t−1) surviving
+    * subgraph is < k; the removals are synchronous, so the result is
+    * schedule-free by construction (no tie-breaking needed — the
+    * fixed point is the unique maximal k-core, and each prefix of
+    * rounds is deterministic too, which is what the fixed-`iters`
+    * differential oracle replays). `iters` bounds the peel; on any
+    * graph the peel stabilizes once no node falls below k, after
+    * which further rounds are no-ops — callers wanting the exact
+    * fixed point pick iters ≥ the peel depth (≤ |V| always, tiny in
+    * practice: each round must delete ≥1 node to matter).
+    *
+    * Input edges may be directed/duplicated/self-looped; they
+    * canonicalize to simple undirected pairs, symmetrized internally.
+    * Returns surviving (node, deg) — degree WITHIN the surviving
+    * subgraph.
+    *
+    * Scale per round: one map-side-combined |E| degree count + two
+    * |E| semi-joins keyed src/dst (the same keys every round — on a
+    * cluster the edge table's partitioning is reused). Per-round
+    * lineage truncation with checkpoint rotation ([[pageRank]]'s
+    * discipline); serialized blocks ([[Checkpointing.truncateSer]])
+    * because the state IS the edge set. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val canon = edges
+      .select(col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("a"),
+        greatest(col("__x"), col("__y")).as("b"))
+      .distinct()
+    var e = Checkpointing.truncateSer(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(canon.select(col("b").as("src"), col("a").as("dst"))))
+    for (_ <- 1 to iters) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k)
+        .select(col("src").as("node"))
+      val prev = e
+      e = Checkpointing.truncateSer(
+        e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+      Checkpointing.release(prev)
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** DuckDB twin of [[kCore]]: the same `iters` synchronous peel
+    * rounds unrolled as a CTE chain. `edgesCte` must define
+    * `e0(src, dst)` — the SYMMETRIZED simple edge set (both
+    * directions, no self-loops, distinct). */
+  def kCoreSql(edgesCte: String, k: Int, iters: Int,
+               nodeAs: String = "node"): String = {
+    require(k >= 1 && iters >= 1)
+    val rounds = (1 to iters).map { t =>
+      s"""kp$t AS MATERIALIZED (
+         |  SELECT src FROM ke${t - 1} GROUP BY src
+         |  HAVING count(*) >= $k
+         |), ke$t AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM ke${t - 1} e
+         |  WHERE e.src IN (SELECT src FROM kp$t)
+         |    AND e.dst IN (SELECT src FROM kp$t)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |ke0 AS (SELECT src, dst FROM e0),
+       |$rounds
+       |SELECT src AS $nodeAs, CAST(count(*) AS BIGINT) AS deg
+       |FROM ke$iters GROUP BY 1""".stripMargin
+  }
+
+  /** Incremental triangle maintenance: advance [[triangleStats]]'
+    * output with an EDGE DELTA without re-counting the corpus
+    * (round-12 verdict #5 — the graph grows per crawl; only
+    * triangles USING a new edge are new). `prevStats` must be the
+    * [[triangleStats]] result over `prevEdges` (canonical column
+    * names node/degree/n_triangles/clustering); `delta` holds the
+    * new edges in any orientation. Returns the stats table equal (to
+    * the bit — counts are integers, clustering the same one
+    * multiply/divide) to a full re-count over prevEdges ∪ delta,
+    * which is exactly what the differential oracle checks.
+    *
+    * Shape: the fresh delta D canonicalizes and drops edges already
+    * present (anti-join). Every NEW triangle contains ≥1 D edge, so
+    * enumerating common neighbors of each D edge's endpoints over
+    * the NEW adjacency finds them all; DISTINCT over the sorted
+    * corner triple collapses the multi-counting when a triangle has
+    * 2 or 3 delta edges. Per-corner increments then merge into the
+    * old table with a node-keyed outer join: untouched nodes pass
+    * through byte-identical, new nodes enter with coalesce(old, 0).
+    *
+    * Scale: the candidate join is |D|-bounded (each D edge probes
+    * the adjacency of its two endpoints — never the corpus pair
+    * set); the merge is one node-keyed outer join where only
+    * touched keys carry increments. The delta-sized frames go
+    * through [[Dedup.maybeBroadcast]] so a crawl-sized delta falls
+    * back to shuffle joins instead of a forced broadcast. */
+  def advanceTriangleStats(prevStats: DataFrame, prevEdges: DataFrame,
+                           srcCol: String, dstCol: String,
+                           delta: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("a"),
+        greatest(col("__x"), col("__y")).as("b"))
+      .distinct()
+    val oldE = canon(prevEdges)
+    val d0 = canon(delta).join(oldE, Seq("a", "b"), "left_anti")
+    val dCnt = d0.count()
+    val d = Dedup.maybeBroadcast(Checkpointing.truncate(d0), dCnt)
+    val newE = Checkpointing.truncateSer(oldE.unionAll(d))
+    val sym = newE.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(newE.select(col("b").as("u"), col("a").as("v")))
+    // common neighbors of each delta edge's endpoints over the new
+    // adjacency: (a,b) + w with a~w (expand) and b~w (semi-probe)
+    // → triangle {a,b,w}
+    val cand = d
+      .join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+      .join(sym.select(col("u").as("b"), col("v").as("w")),
+        Seq("b", "w"), "left_semi")
+    // sorted corner triple; middle = sum − min − max (exact longs)
+    val newTris = cand.select(
+        least(col("a"), col("b"), col("w")).as("x"),
+        (col("a") + col("b") + col("w") -
+          least(col("a"), col("b"), col("w")) -
+          greatest(col("a"), col("b"), col("w"))).as("y"),
+        greatest(col("a"), col("b"), col("w")).as("z"))
+      .distinct()
+    val triInc = newTris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__ti"))
+    val degInc = d.select(col("a").as("node"))
+      .unionAll(d.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__di"))
+    prevStats
+      .join(triInc, Seq("node"), "full_outer")
+      .join(degInc, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("__di"), lit(0L)))
+          .as("degree"),
+        (coalesce(col("n_triangles"), lit(0L)) + coalesce(col("__ti"), lit(0L)))
+          .as("n_triangles"))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * col("n_triangles") / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** WEIGHTED PageRank: each node's rank splits over its out-edges
+    * proportionally to edge WEIGHT (contribution = rank · w / wdeg
+    * instead of rank / out_deg) — centrality over the co-order
+    * multiplicity graph where [[louvainWeighted]] already clusters
+    * (round-12 verdict stretch #9). Weight-≡-parallel-edges law: an
+    * integer-weighted edge behaves exactly like w parallel unit
+    * edges (the spec asserts it), so the operator is the natural
+    * multigraph reading of [[pageRank]]. Same per-term 10⁻¹²
+    * quantization + DECIMAL(38,0) exact sum, so the full unrolled
+    * oracle exists; same per-round lineage discipline. Weights must
+    * be non-negative; wdeg-0 nodes are dangling (leaky, as in
+    * [[pageRank]]). Returns (node, w_deg, rank). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = Checkpointing.truncate(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w")))
+    val wDeg = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("w_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .join(wDeg, Seq("node"), "left")
+      .withColumn("w_deg", coalesce(col("w_deg"), lit(0L)))
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    var ranks = Checkpointing.truncate(nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), col("w_deg"),
+        (lit(1.0) / col("__n")).as("rank"), col("__n")))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.where(col("w_deg") > 0)
+          .select(col("node").as("src"),
+            (col("rank") / col("w_deg")).as("__r1")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((sum(floor(col("__r1") * col("w") * lit(1.0e12)).cast("long")
+            .cast(DecimalType(38, 0)))
+          .cast("string").cast("double") / lit(1.0e12)).as("__s"))
+      val prev = ranks
+      ranks = Checkpointing.truncate(ranks
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("w_deg"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"),
+          col("__n")))
+      Checkpointing.release(prev)
+    }
+    ranks.select(col("node"), col("w_deg"), col("rank"))
+  }
+
+  /** DuckDB twin of [[pageRankWeighted]] (`edgesCte` must define
+    * e(src, dst, w)). The per-term quantization floors rank/wdeg·w —
+    * the SAME association order as the Spark expression
+    * (divide-then-multiply), which is what makes the IEEE product
+    * bit-identical before the floor. */
+  def pageRankWeightedSql(edgesCte: String, iters: Int,
+                          damping: Double = 0.85): String = {
+    require(iters >= 1)
+    val dsum = "CAST(CAST(SUM(CAST(CAST(floor(r.rank / r.w_deg * e.w * " +
+      "1000000000000.0) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) " +
+      "AS DOUBLE) / 1000000000000.0"
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (
+         |  SELECT e.dst AS node, $dsum AS s
+         |  FROM e JOIN r${t - 1} r ON e.src = r.node AND r.w_deg > 0
+         |  GROUP BY 1
+         |), r$t AS (
+         |  SELECT n.node, n.w_deg,
+         |         ${1.0 - damping} / (SELECT n FROM nn) +
+         |           $damping * COALESCE(a.s, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN a$t a ON a.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wd
+       |        FROM e GROUP BY 1),
+       |nodes AS (
+       |  SELECT v.node, COALESCE(d.wd, 0) AS w_deg
+       |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) v
+       |  LEFT JOIN deg d ON d.node = v.node
+       |),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, w_deg, 1.0 / (SELECT n FROM nn) AS rank
+       |       FROM nodes),
+       |$rounds
+       |SELECT node, w_deg, rank FROM r$iters""".stripMargin
   }
 }

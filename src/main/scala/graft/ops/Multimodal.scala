@@ -260,6 +260,7 @@ object Multimodal {
 
   private[graft] def pcmStatsOf(id: Long, bytes: Array[Byte],
                                 silenceThreshold: Int): Option[PcmStats] = {
+    if (bytes == null) return None
     if (!(bytes.length >= 12 &&
         bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
@@ -305,6 +306,229 @@ object Multimodal {
       if (n == 0) 0.0 else silent.toDouble / n))
   }
 
+  private def be64L(bytes: Array[Byte], i: Int): Long =
+    (be32L(bytes, i) << 32) | be32L(bytes, i + 4)
+
+  case class Mp4Sample(media_id: Long, track_id: Long, handler: String,
+                       timescale: Long, sample_n: Int, dts: Long,
+                       size: Long, chunk_n: Int, offset: Long,
+                       keyframe: Boolean)
+
+  /** Per-sample table walk of an ISO BMFF (MP4) container — what
+    * [[parseMp4Header]]'s box gate started, finished at the sample
+    * level the way [[pcmStats]] finished WAV (round-12 verdict #3):
+    * for every `trak` under `moov`, decode the `stbl` sample tables
+    * (pure box arithmetic from the public spec, no codec) into one
+    * row per sample carrying its decoding timestamp, byte size, chunk
+    * assignment, absolute file offset, and keyframe flag — the index
+    * a video pipeline needs to frame-sample ("every k-th keyframe"),
+    * clip by time range, or locate payload bytes, all WITHOUT
+    * touching `mdat`.
+    *
+    * Tables decoded (ISO/IEC 14496-12):
+    *  - `stts` decoding deltas, run-length (sample_count, delta)
+    *    entries → dts = prefix sum;
+    *  - `stsz` sizes — both the fixed-size form (sample_size > 0) and
+    *    the per-sample table;
+    *  - `stsc` sample→chunk runs (first_chunk, samples_per_chunk):
+    *    each chunk's capacity comes from the latest run at or before
+    *    it; samples assign sequentially;
+    *  - `stco`/`co64` 32/64-bit chunk offsets; a sample's offset =
+    *    its chunk's offset + sizes of the chunk's earlier samples
+    *    (declared offsets, [[parseWavHeader]]'s header-only posture —
+    *    `mdat` is never read);
+    *  - `stss` sync samples; an ABSENT stss means every sample is a
+    *    keyframe (the spec's default, the q-missing-stss edge);
+    *  - `tkhd`(v0/v1) track id, `mdhd`(v0/v1 — 64-bit times) track
+    *    timescale, `hdlr` handler fourcc; `size==1` largesize box
+    *    headers are followed.
+    *
+    * Quarantine contract (the [[decodeAv]]/[[pcmStats]] convention):
+    * a payload that is not BMFF, a trak whose declared table entry
+    * counts overrun the bytes present (truncated tables), or
+    * inconsistent stts/stsz/stsc totals emit NO rows for that trak —
+    * dropped, never mis-parsed. Row-local flatMap, zero shuffle. */
+  def mp4SampleTable(spark: SparkSession, media: DataFrame): Dataset[Mp4Sample] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseMp4Samples(id, bytes)
+      })
+  }
+
+  /** One box header at `i` within [start, end): (type, payloadStart,
+    * boxEnd) — handles size==1 (64-bit largesize) and size==0 (to the
+    * end of the enclosing container). None = corrupt/overrun. */
+  private def boxAt(bytes: Array[Byte], i: Int, end: Int): Option[(String, Int, Int)] = {
+    if (i + 8 > end) return None
+    val size0 = be32L(bytes, i)
+    val typ = new String(bytes, i + 4, 4, "US-ASCII")
+    if (size0 == 1L) {
+      if (i + 16 > end) return None
+      val size = be64L(bytes, i + 8)
+      if (size < 16L || i.toLong + size > end) None
+      else Some((typ, i + 16, (i.toLong + size).toInt))
+    } else if (size0 == 0L) Some((typ, i + 8, end))
+    else if (size0 < 8L || i.toLong + size0 > end) None
+    else Some((typ, i + 8, (i.toLong + size0).toInt))
+  }
+
+  /** Children of a container box [from, end): (type, payloadStart,
+    * boxEnd) triples in order; None if any header is corrupt. */
+  private def boxChildren(bytes: Array[Byte], from: Int, end: Int): Option[List[(String, Int, Int)]] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    var i = from
+    while (i < end) {
+      boxAt(bytes, i, end) match {
+        case Some(t @ (_, _, boxEnd)) =>
+          if (boxEnd <= i) return None // zero-progress guard
+          out += t; i = boxEnd
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  private[graft] def parseMp4Samples(id: Long, bytes: Array[Byte]): Seq[Mp4Sample] = {
+    if (bytes == null || bytes.length < 8) return Nil
+    val top = boxChildren(bytes, 0, bytes.length).getOrElse(return Nil)
+    if (!top.exists(_._1 == "ftyp")) return Nil
+    val out = Seq.newBuilder[Mp4Sample]
+    for ((typ, p, e) <- top if typ == "moov";
+         tracks <- boxChildren(bytes, p, e).toSeq;
+         (ttyp, tp, te) <- tracks if ttyp == "trak")
+      out ++= parseTrak(id, bytes, tp, te).getOrElse(Nil)
+    out.result()
+  }
+
+  /** One trak's samples; None = this trak is corrupt (dropped). */
+  private def parseTrak(id: Long, bytes: Array[Byte], from: Int,
+                        end: Int): Option[Seq[Mp4Sample]] = {
+    val kids = boxChildren(bytes, from, end).getOrElse(return None)
+    var trackId = -1L
+    var timescale = -1L
+    var handler = "????"
+    var stts: Array[Long] = null // flattened (count, delta) pairs
+    var stszFixed = -1L
+    var stszSizes: Array[Long] = null
+    var stsc: Array[Long] = null // flattened (firstChunk, spc) pairs
+    var chunkOff: Array[Long] = null
+    var stss: Array[Long] = null // sync sample numbers, 1-based
+    def u32s(at: Int, n: Int, stride: Int, fields: Int): Option[Array[Long]] = {
+      // n groups of `fields` BE32s read at `at` with `stride` bytes
+      // per group — bounds-checked ONCE against the declared count
+      // (the truncated-tables guard)
+      if (at.toLong + n.toLong * stride > bytes.length) return None
+      val a = new Array[Long](n * fields)
+      var g = 0
+      while (g < n) {
+        var f = 0
+        while (f < fields) {
+          a(g * fields + f) = be32L(bytes, at + g * stride + f * 4); f += 1
+        }
+        g += 1
+      }
+      Some(a)
+    }
+    for ((k, p, e) <- kids) k match {
+      case "tkhd" =>
+        if (p + 4 > e) return None
+        val v = u8(bytes(p))
+        val at = if (v == 1) p + 20 else p + 12 // v1: 64-bit times
+        if (at + 4 > e) return None
+        trackId = be32L(bytes, at)
+      case "mdia" =>
+        val mk = boxChildren(bytes, p, e).getOrElse(return None)
+        for ((mt, mp, me) <- mk) mt match {
+          case "mdhd" =>
+            if (mp + 4 > me) return None
+            val v = u8(bytes(mp))
+            val at = if (v == 1) mp + 20 else mp + 12
+            if (at + 4 > me) return None
+            timescale = be32L(bytes, at)
+          case "hdlr" =>
+            if (mp + 12 > me) return None
+            handler = new String(bytes, mp + 8, 4, "US-ASCII")
+          case "minf" =>
+            val nk = boxChildren(bytes, mp, me).getOrElse(return None)
+            for ((nt, np, ne) <- nk if nt == "stbl") {
+              val sk = boxChildren(bytes, np, ne).getOrElse(return None)
+              for ((st, sp, se) <- sk) st match {
+                case "stts" =>
+                  if (sp + 8 > se) return None
+                  val n = be32L(bytes, sp + 4).toInt
+                  stts = u32s(sp + 8, n, 8, 2).getOrElse(return None)
+                case "stsz" =>
+                  if (sp + 12 > se) return None
+                  stszFixed = be32L(bytes, sp + 4)
+                  val n = be32L(bytes, sp + 8).toInt
+                  if (stszFixed == 0L)
+                    stszSizes = u32s(sp + 12, n, 4, 1).getOrElse(return None)
+                  else stszSizes = Array.fill(n)(stszFixed)
+                case "stsc" =>
+                  if (sp + 8 > se) return None
+                  val n = be32L(bytes, sp + 4).toInt
+                  val raw = u32s(sp + 8, n, 12, 2).getOrElse(return None)
+                  if (sp.toLong + 8 + n.toLong * 12 > se) return None
+                  stsc = raw
+                case "stco" =>
+                  if (sp + 8 > se) return None
+                  val n = be32L(bytes, sp + 4).toInt
+                  chunkOff = u32s(sp + 8, n, 4, 1).getOrElse(return None)
+                case "co64" =>
+                  if (sp + 8 > se) return None
+                  val n = be32L(bytes, sp + 4).toInt
+                  if (sp.toLong + 8 + n.toLong * 8 > bytes.length) return None
+                  chunkOff = Array.tabulate(n)(c => be64L(bytes, sp + 8 + c * 8))
+                case "stss" =>
+                  if (sp + 8 > se) return None
+                  val n = be32L(bytes, sp + 4).toInt
+                  stss = u32s(sp + 8, n, 4, 1).getOrElse(return None)
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (trackId < 0 || timescale < 0 || stts == null || stszSizes == null ||
+        stsc == null || chunkOff == null) return None
+    val n = stszSizes.length
+    if (stts.indices.by(2).map(stts(_)).sum != n.toLong) return None
+    val sync = if (stss == null) null else stss.toSet
+    val samples = Vector.newBuilder[Mp4Sample]
+    // walk chunks in order, pulling each chunk's samples-per-chunk
+    // from the last stsc run at or before it
+    var s = 0        // 0-based sample index
+    var run = 0      // index into stsc pairs
+    var dts = 0L
+    var sttsRun = 0  // index into stts pairs
+    var sttsLeft = if (stts.length >= 2) stts(0) else 0L
+    var c = 0        // 0-based chunk index
+    while (s < n && c < chunkOff.length) {
+      while (run + 2 < stsc.length && stsc(run + 2) <= c + 1) run += 2
+      val spc = stsc(run + 1)
+      var inChunk = 0L
+      var intra = 0L
+      while (s < n && inChunk < spc) {
+        while (sttsLeft == 0L && sttsRun + 2 < stts.length) {
+          sttsRun += 2; sttsLeft = stts(sttsRun)
+        }
+        if (sttsLeft == 0L) return None // stts exhausted early
+        val kf = if (sync == null) true else sync.contains((s + 1).toLong)
+        samples += Mp4Sample(id, trackId, handler, timescale, s + 1, dts,
+          stszSizes(s), c + 1, chunkOff(c) + intra, kf)
+        dts += stts(sttsRun + 1)
+        sttsLeft -= 1
+        intra += stszSizes(s)
+        s += 1; inChunk += 1
+      }
+      c += 1
+    }
+    if (s < n) return None // chunks ran out before all samples placed
+    Some(samples.result())
+  }
+
   /** Little/big-endian hex builders for CONSTRUCTING container headers
     * as columns (`unhex` of the concatenation) — the deterministic
     * payload factory the q197 gate uses: both engines know the field
@@ -322,6 +546,8 @@ object Multimodal {
       lpad(hex(shiftright(v, 24).bitwiseAND(lit(255))), 2, "0"))
 
   def be32Hex(v: Column): Column = lpad(hex(v), 8, "0")
+
+  def be64Hex(v: Column): Column = lpad(hex(v), 16, "0")
 
   /** Decode stage: partition-local typed map — the shape a real decoder
     * runs in (one codec context per partition, streamed batches, no

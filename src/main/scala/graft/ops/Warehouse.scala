@@ -406,17 +406,24 @@ object Warehouse {
     // the delta is read twice (append + touched set) and its lineage
     // may be a full pipeline — materialize once
     val d0 = Checkpointing.truncate(delta)
-    val touched0 = d0.select(keyCol).distinct()
-    val nTouched0 = touched0.count()
-    val alreadyLogged = spark.table(assertTable)
-      .join(Dedup.maybeBroadcast(touched0, nTouched0), Seq(keyCol),
-        "left_semi")
-      .select(col(keyCol), col("__seq"))
-    // truncate again so the append plan no longer reads assertTable
-    // (materialized before the write ever opens the table for append)
-    val fresh = Checkpointing.truncate(
-      d0.join(alreadyLogged, Seq(keyCol, "__seq"), "left_anti"))
-    fresh.write.mode("append").saveAsTable(assertTable)
+    // bootstrap: a first advance against a not-yet-created assertion
+    // log has nothing to dedup against — append the whole delta and
+    // let saveAsTable create the table (the pre-r12 contract)
+    if (!spark.catalog.tableExists(assertTable)) {
+      d0.write.mode("append").saveAsTable(assertTable)
+    } else {
+      val touched0 = d0.select(keyCol).distinct()
+      val nTouched0 = touched0.count()
+      val alreadyLogged = spark.table(assertTable)
+        .join(Dedup.maybeBroadcast(touched0, nTouched0), Seq(keyCol),
+          "left_semi")
+        .select(col(keyCol), col("__seq"))
+      // truncate again so the append plan no longer reads assertTable
+      // (materialized before the write ever opens the table for append)
+      val fresh = Checkpointing.truncate(
+        d0.join(alreadyLogged, Seq(keyCol, "__seq"), "left_anti"))
+      fresh.write.mode("append").saveAsTable(assertTable)
+    }
     val touched = d0.select(keyCol).distinct()
     val nTouched = touched.count()
     val rebuilt = bitemporalTable(

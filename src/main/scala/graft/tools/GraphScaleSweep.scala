@@ -22,9 +22,9 @@ import graft.ops.Graph
   * behavior is pinned, not discovered.
   *
   * Run: `runMain graft.tools.GraphScaleSweep` (env SPARK_GRAFT_SF_DIR,
-  * default sf0.1; SPARK_GRAFT_GRAPH_COPIES, default "1,4,8" — the x16
-  * leg needs SPARK_DRIVER_MEM beyond the 8g default: ~90M triangles'
-  * wedge intermediates exhaust it).
+  * default sf0.1; SPARK_GRAFT_GRAPH_COPIES, default "1,4,8";
+  * SPARK_GRAFT_GRAPH_OPS, comma list of
+  * triangles|louvain|multilevel|kcore, default all four).
   */
 object GraphScaleSweep {
   def main(args: Array[String]): Unit = {
@@ -47,6 +47,8 @@ object GraphScaleSweep {
     println("| op | copies | edges-in | wall (s) | check |")
     val copiesList = sys.env.getOrElse("SPARK_GRAFT_GRAPH_COPIES", "1,4,8")
       .split(",").map(_.trim.toInt).toSeq
+    val opsRun = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS",
+      "triangles,louvain,multilevel,kcore").split(",").map(_.trim).toSet
     for (copies <- copiesList) {
       val edges = (0 until copies).map(i =>
           b.select((col("src") + i * 1000000000L).as("src"),
@@ -58,24 +60,37 @@ object GraphScaleSweep {
         val r = f
         ((System.nanoTime() - t0) / 1e9, r)
       }
-      val (tTri, tri) = time {
-        Graph.triangleStats(edges, "src", "dst")
-          .agg(sum("n_triangles")).head().getLong(0)
+      if (opsRun("triangles")) {
+        val (tTri, tri) = time {
+          Graph.triangleStats(edges, "src", "dst")
+            .agg(sum("n_triangles")).head().getLong(0)
+        }
+        println(f"| triangles | $copies | $n | $tTri%.2f | tri3=$tri |")
       }
-      println(f"| triangles | $copies | $n | $tTri%.2f | tri3=$tri |")
       val sym = edges.unionAll(edges.select(col("dst").as("src"),
         col("src").as("dst")))
-      val (tLv, nc) = time {
-        Graph.louvain(sym, "src", "dst", iters = 4)
-          .agg(countDistinct("community")).head().getLong(0)
+      if (opsRun("louvain")) {
+        val (tLv, nc) = time {
+          Graph.louvain(sym, "src", "dst", iters = 4)
+            .agg(countDistinct("community")).head().getLong(0)
+        }
+        println(f"| louvain i4 | $copies | $n | $tLv%.2f | comms=$nc |")
       }
-      println(f"| louvain i4 | $copies | $n | $tLv%.2f | comms=$nc |")
-      val (tMl, nc2) = time {
-        Graph.louvainMultiLevel(sym, "src", "dst", itersPerLevel = 3,
-            levels = 2)
-          .agg(countDistinct("community")).head().getLong(0)
+      if (opsRun("multilevel")) {
+        val (tMl, nc2) = time {
+          Graph.louvainMultiLevel(sym, "src", "dst", itersPerLevel = 3,
+              levels = 2)
+            .agg(countDistinct("community")).head().getLong(0)
+        }
+        println(f"| louvain 2-level | $copies | $n | $tMl%.2f | comms=$nc2 |")
       }
-      println(f"| louvain 2-level | $copies | $n | $tMl%.2f | comms=$nc2 |")
+      if (opsRun("kcore")) {
+        // structure replicates per copy, so survivors scale ×N exactly
+        val (tKc, kc) = time {
+          Graph.kCore(edges, "src", "dst", k = 70, iters = 5).count()
+        }
+        println(f"| kcore k70 i5 | $copies | $n | $tKc%.2f | survivors=$kc |")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

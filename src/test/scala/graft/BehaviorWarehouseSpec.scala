@@ -585,6 +585,35 @@ class BehaviorWarehouseSpec extends SparkSpec {
     graft.ops.Tables.dropTablesAndDirs(spark, rt, at)
   }
 
+  test("advanceBitemporalTable: bootstraps a missing assertion log (ADVICE r12)") {
+    import graft.ops.Warehouse
+    val all = Seq(("k1", 10L, 10L, 1L, "A"), ("k2", 5L, 6L, 2L, "X"))
+      .toDF("k", "vt", "tt", "seq", "state")
+    val norm = Warehouse.normalizeAssertions(all, "k", col("vt"), col("tt"),
+      col("seq"), Seq("state"))
+    val rt = "spec_bt_boot_rect"; val at = "spec_bt_boot_assert"
+    graft.ops.Tables.dropTablesAndDirs(spark, rt, s"${rt}__next",
+      s"${rt}__old", at)
+    // rectangle table pre-exists empty; the assertion log does NOT —
+    // a first advance must create it instead of throwing
+    Warehouse.bitemporalTable(norm.limit(0), "k", col("__vt"),
+        col("__tt"), col("__seq"), Seq("state"))
+      .write.saveAsTable(rt)
+    Warehouse.advanceBitemporalTable(spark, rt, at, norm, "k", Seq("state"))
+    assert(spark.table(at).count() == 2, "bootstrap must create + fill the log")
+    val full = Warehouse.bitemporalTable(all, "k", col("vt"), col("tt"),
+        col("seq"), Seq("state"))
+      .select("k", "state", "version")
+      .as[(String, String, Int)].collect().toSet
+    val got = spark.table(rt).select("k", "state", "version")
+      .as[(String, String, Int)].collect().toSet
+    assert(got == full)
+    // a replay right after bootstrap must still be idempotent
+    Warehouse.advanceBitemporalTable(spark, rt, at, norm, "k", Seq("state"))
+    assert(spark.table(at).count() == 2)
+    graft.ops.Tables.dropTablesAndDirs(spark, rt, at)
+  }
+
   test("bitemporalTable: a hot key past the assertion cap fails loudly, named") {
     // hot: 12 corrections of one entity; cold keys stay under the cap
     val hot = (1L to 12L).map(i => ("hot", i, i, i, s"s$i"))

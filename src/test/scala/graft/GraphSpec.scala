@@ -287,4 +287,111 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === multi)
   }
+
+  test("louvain: negative node ids move on the parity schedule (pmod, not %)") {
+    // two disjoint triangles entirely on negative ids, odd AND even;
+    // with signed % the odd-negative nodes (-1, -3, -5) would never be
+    // move-eligible (-1 matches neither parity class) and stay frozen
+    // as singletons
+    val tri = Seq((-1L, -2L), (-2L, -3L), (-3L, -1L),
+      (-4L, -5L), (-5L, -6L), (-6L, -4L))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val got = Graph.louvain(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cA = Set(-1L, -2L, -3L).map(got)
+    val cB = Set(-4L, -5L, -6L).map(got)
+    assert(cA.size == 1, s"triangle A must merge: $got")
+    assert(cB.size == 1, s"triangle B must merge: $got")
+    assert(cA != cB)
+  }
+
+  test("kCore: hand-peeled K5+tail; synchronous rounds peel one tail node each") {
+    // K5 on 1..5 plus the path 5-6-7-8: at k=2 the peel removes 8
+    // (deg 1), then 7, then 6 — one per synchronous round
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L), (7L, 8L))).toDF("src", "dst")
+    def survivors(iters: Int): Map[Long, Long] =
+      Graph.kCore(edges, "src", "dst", k = 2, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(survivors(1).keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(survivors(2).keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val s3 = survivors(3)
+    assert(s3.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(s3.values.toSeq.forall(_ == 4L),
+      s"K5 degrees must be 4 after the tail peels: $s3")
+    // stability: extra rounds past the fixed point are no-ops
+    assert(survivors(6) == s3)
+  }
+
+  test("kCore: planted dense core survives a sparse periphery; input noise canonicalizes") {
+    val core = for (a <- 10L to 15L; b <- (a + 1) to 15L) yield (a, b) // K6
+    val periphery = (0L to 9L).flatMap(p =>
+      Seq((p, 10L + p % 6), (11L + (p + 2) % 5, p)))
+    // directed dupes + self-loops must canonicalize away
+    val noisy = core ++ core.map(_.swap) ++ periphery :+ (12L, 12L)
+    val got = Graph.kCore(noisy.toDF("src", "dst"), "src", "dst",
+        k = 5, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (10L to 15L).toSet,
+      s"k=5 must keep exactly the K6 core: $got")
+    assert(got.values.toSeq.forall(_ == 5L))
+  }
+
+  test("advanceTriangleStats: incremental equals full re-count (cross-partition delta, new nodes, dup/known edges)") {
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Graph.triangleStats(df, "src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val base = (0 until 150).map(i =>
+      ((i * 7919L) % 50, (i * 104729L) % 50)).filter(e => e._1 != e._2)
+    // delta: more edges on the same nodes + brand-new nodes 60..63 +
+    // a duplicate of a base edge + an internal dup
+    val delta = (150 until 210).map(i =>
+      ((i * 7919L) % 50, (i * 104729L) % 50)).filter(e => e._1 != e._2) ++
+      Seq((60L, 61L), (61L, 62L), (62L, 60L), (62L, 63L), base.head,
+        (60L, 61L))
+    val full = stats((base ++ delta).toDF("src", "dst"))
+    val prev = Graph.triangleStats(base.toDF("src", "dst"), "src", "dst")
+    val inc = Graph.advanceTriangleStats(prev, base.toDF("src", "dst"),
+        "src", "dst", delta.toDF("src", "dst").repartition(7))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(inc == full,
+      s"incremental must equal the full re-count bit-for-bit")
+    // the planted new-node triangle 60-61-62 must be found
+    assert(inc.find(_._1 == 60L).get._3 == 1L)
+    assert(inc.find(_._1 == 63L).get._3 == 0L)
+  }
+
+  test("pageRankWeighted: integer weights behave as parallel unit edges; w_deg exact") {
+    val weighted = Seq((1L, 2L, 3L), (2L, 3L, 2L), (3L, 1L, 1L),
+      (1L, 3L, 2L), (3L, 2L, 1L))
+    val expanded = weighted.flatMap { case (s, d, w) =>
+      Seq.fill(w.toInt)((s, d)) }
+    val got = Graph.pageRankWeighted(weighted.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val want = Graph.pageRank(expanded.toDF("src", "dst"), "src", "dst",
+        iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+    assert(got.map(_._2).toSeq == want.map(_._2).toSeq,
+      "weighted degree must equal the parallel-edge out-degree")
+    got.zip(want).foreach { case ((n, _, rw), (_, _, ru)) =>
+      // the per-term 1e-12 floor quantizes w·floor(x) vs floor(w·x)
+      // differently — identical to w·1e-12 per round, far below
+      // ranking resolution
+      assert(math.abs(rw - ru) < 1e-9, s"node $n: $rw vs $ru")
+    }
+    // determinism under repartitioning
+    val again = Graph.pageRankWeighted(
+        weighted.toDF("src", "dst", "w").repartition(5),
+        "src", "dst", "w", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
 }

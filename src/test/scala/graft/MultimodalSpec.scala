@@ -268,4 +268,159 @@ class MultimodalSpec extends SparkSpec {
     val self = sig.head
     assert(math.abs(cos(self._2, self._2) - 1.0) < 1e-12)
   }
+
+  // ── MP4 sample tables (round-13): box builders to the public spec ──
+  private def beI(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array
+  private def beL(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array
+  private def bx(typ: String, body: Array[Byte]*): Array[Byte] = {
+    val b = body.flatten.toArray
+    beI(b.length + 8) ++ typ.getBytes("US-ASCII") ++ b
+  }
+  private def stblBytes(stts: Seq[(Int, Int)],
+                        stsz: Either[(Int, Int), Seq[Int]],
+                        stsc: Seq[(Int, Int)], stco: Seq[Long],
+                        co64: Boolean, stss: Option[Seq[Int]]): Array[Byte] = {
+    val sttsB = bx("stts", beI(0), beI(stts.size),
+      stts.flatMap { case (c, d) => beI(c) ++ beI(d) }.toArray)
+    val stszB = stsz match {
+      case Left((fixed, n)) => bx("stsz", beI(0), beI(fixed), beI(n))
+      case Right(sizes) => bx("stsz", beI(0), beI(0), beI(sizes.size),
+        sizes.flatMap(beI).toArray)
+    }
+    val stscB = bx("stsc", beI(0), beI(stsc.size),
+      stsc.flatMap { case (f, s) => beI(f) ++ beI(s) ++ beI(1) }.toArray)
+    val coB =
+      if (co64) bx("co64", beI(0), beI(stco.size), stco.flatMap(beL).toArray)
+      else bx("stco", beI(0), beI(stco.size),
+        stco.flatMap(o => beI(o.toInt)).toArray)
+    val stssB = stss.map(ns => bx("stss", beI(0), beI(ns.size),
+      ns.flatMap(beI).toArray)).getOrElse(Array.empty[Byte])
+    bx("stbl", sttsB, stszB, stscB, coB, stssB)
+  }
+  private def trakBytes(trackId: Int, v1: Boolean, handler: String,
+                        timescale: Int, stbl: Array[Byte]): Array[Byte] = {
+    val tkhd =
+      if (v1) bx("tkhd", Array[Byte](1, 0, 0, 7), new Array[Byte](16),
+        beI(trackId))
+      else bx("tkhd", Array[Byte](0, 0, 0, 7), new Array[Byte](8),
+        beI(trackId))
+    val mdhd =
+      if (v1) bx("mdhd", Array[Byte](1, 0, 0, 0), new Array[Byte](16),
+        beI(timescale), beL(0))
+      else bx("mdhd", Array[Byte](0, 0, 0, 0), new Array[Byte](8),
+        beI(timescale), beI(0))
+    val hdlr = bx("hdlr", beI(0), beI(0),
+      handler.getBytes("US-ASCII"), new Array[Byte](12), Array[Byte](0))
+    bx("trak", tkhd, bx("mdia", mdhd, hdlr, bx("minf", stbl)))
+  }
+  private val ftypB = bx("ftyp", "isom".getBytes, beI(0), "isom".getBytes)
+
+  test("mp4SampleTable: two tracks, every field hand-computed (dts runs, both stsz forms, chunk walk, co64, stss)") {
+    // track 7 (vide, v0): 5 samples, stts runs (2×10, 3×20), sizes
+    // table, 2 samples/chunk over stco [1000, 2000, 3000], sync {1,4}
+    val t1 = trakBytes(7, v1 = false, "vide", 600, stblBytes(
+      Seq((2, 10), (3, 20)), Right(Seq(100, 200, 50, 25, 75)),
+      Seq((1, 2)), Seq(1000L, 2000L, 3000L), co64 = false,
+      Some(Seq(1, 4))))
+    // track 9 (soun, v1 boxes): 3 fixed-128 samples, one chunk whose
+    // stsc capacity (10) exceeds n, co64 offset past 2^32, no stss
+    val big = (1L << 32) + 5L
+    val t2 = trakBytes(9, v1 = true, "soun", 44100, stblBytes(
+      Seq((3, 5)), Left((128, 3)), Seq((1, 10)), Seq(big), co64 = true,
+      None))
+    val mp4 = ftypB ++ bx("moov", t1, t2)
+    val got = Multimodal.parseMp4Samples(42L, mp4)
+    val v = got.filter(_.track_id == 7L)
+    assert(v.map(_.dts) == Seq(0L, 10L, 20L, 40L, 60L))
+    assert(v.map(_.size) == Seq(100L, 200L, 50L, 25L, 75L))
+    assert(v.map(_.chunk_n) == Seq(1, 1, 2, 2, 3))
+    assert(v.map(_.offset) == Seq(1000L, 1100L, 2000L, 2050L, 3000L))
+    assert(v.map(_.keyframe) == Seq(true, false, false, true, false))
+    assert(v.forall(s => s.handler == "vide" && s.timescale == 600L))
+    val a = got.filter(_.track_id == 9L)
+    assert(a.map(_.dts) == Seq(0L, 5L, 10L))
+    assert(a.map(_.size) == Seq(128L, 128L, 128L))
+    assert(a.map(_.offset) == Seq(big, big + 128, big + 256))
+    assert(a.forall(_.keyframe), "absent stss must mean all keyframes")
+    assert(a.forall(s => s.handler == "soun" && s.timescale == 44100L))
+    assert(got.map(_.sample_n).toSet == Set(1, 2, 3, 4, 5))
+  }
+
+  test("mp4SampleTable: multi-entry stsc runs switch samples-per-chunk mid-walk") {
+    // chunks 1-2 carry 3 samples, chunks 3+ carry 1 → 8 samples land
+    // as [3, 3, 1, 1]
+    val t = trakBytes(1, v1 = false, "vide", 90000, stblBytes(
+      Seq((8, 10)), Left((10, 8)), Seq((1, 3), (3, 1)),
+      Seq(100L, 200L, 300L, 400L), co64 = false, None))
+    val got = Multimodal.parseMp4Samples(1L, ftypB ++ bx("moov", t))
+    assert(got.map(_.chunk_n) == Seq(1, 1, 1, 2, 2, 2, 3, 4))
+    assert(got.map(_.offset) ==
+      Seq(100L, 110L, 120L, 200L, 210L, 220L, 300L, 400L))
+  }
+
+  test("mp4SampleTable: size==1 largesize box headers are followed") {
+    val t = trakBytes(3, v1 = true, "vide", 1000, stblBytes(
+      Seq((2, 7)), Right(Seq(11, 13)), Seq((1, 2)), Seq(500L),
+      co64 = false, None))
+    val moovBody = t
+    // moov with a 64-bit largesize header: size field = 1, then the
+    // true size (16 + body) as BE64
+    val moov = beI(1) ++ "moov".getBytes("US-ASCII") ++
+      beL(16L + moovBody.length) ++ moovBody
+    val got = Multimodal.parseMp4Samples(3L, ftypB ++ moov)
+    assert(got.map(_.dts) == Seq(0L, 7L))
+    assert(got.map(_.size) == Seq(11L, 13L))
+  }
+
+  test("mp4SampleTable: truncated tables quarantine the trak; sibling traks survive") {
+    // stsz declares 1000 sizes but carries 2 — the whole trak drops
+    val bad = trakBytes(1, v1 = false, "vide", 600,
+      bx("stbl",
+        bx("stts", beI(0), beI(1), beI(2), beI(5)),
+        bx("stsz", beI(0), beI(0), beI(1000), beI(7), beI(8)),
+        bx("stsc", beI(0), beI(1), beI(1), beI(2), beI(1)),
+        bx("stco", beI(0), beI(1), beI(64))))
+    val good = trakBytes(2, v1 = false, "soun", 8000, stblBytes(
+      Seq((1, 3)), Right(Seq(9)), Seq((1, 1)), Seq(77L), co64 = false,
+      None))
+    val got = Multimodal.parseMp4Samples(5L, ftypB ++ bx("moov", bad, good))
+    assert(got.map(_.track_id).distinct == Seq(2L),
+      "truncated trak must drop; sibling must survive")
+    assert(got.map(_.offset) == Seq(77L))
+    // inconsistent stts total (2 ≠ stsz count 1) also quarantines
+    val bad2 = trakBytes(1, v1 = false, "vide", 600, stblBytes(
+      Seq((2, 5)), Right(Seq(9)), Seq((1, 1)), Seq(77L), co64 = false,
+      None))
+    assert(Multimodal.parseMp4Samples(6L, ftypB ++ bx("moov", bad2)).isEmpty)
+  }
+
+  test("mp4SampleTable: non-BMFF / null / headerless payloads emit nothing") {
+    assert(Multimodal.parseMp4Samples(1L, "RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Samples(1L, null).isEmpty)
+    assert(Multimodal.parseMp4Samples(1L, Array[Byte](0, 0, 0, 3)).isEmpty)
+    // moov without ftyp is not a recognized file
+    val t = trakBytes(1, v1 = false, "vide", 600, stblBytes(
+      Seq((1, 3)), Right(Seq(9)), Seq((1, 1)), Seq(77L), co64 = false, None))
+    assert(Multimodal.parseMp4Samples(1L, bx("moov", t)).isEmpty)
+  }
+
+  test("mp4SampleTable dataset is partition-independent; pcmStats drops null payloads") {
+    val t = trakBytes(4, v1 = false, "vide", 600, stblBytes(
+      Seq((3, 10)), Right(Seq(5, 6, 7)), Seq((1, 2)), Seq(10L, 20L),
+      co64 = false, Some(Seq(1))))
+    val mp4 = ftypB ++ bx("moov", t)
+    val df = Seq((1L, mp4), (2L, mp4), (3L, null)).toDF("media_id", "bytes")
+    val a = Multimodal.mp4SampleTable(spark, df).collect()
+      .sortBy(s => (s.media_id, s.sample_n))
+    val b = Multimodal.mp4SampleTable(spark, df.repartition(3)).collect()
+      .sortBy(s => (s.media_id, s.sample_n))
+    assert(a.toSeq == b.toSeq)
+    assert(a.count(_.media_id == 1L) == 3 && a.count(_.media_id == 3L) == 0)
+    // ADVICE r12: a null bytes payload must drop, not NPE
+    val pcm = Multimodal.pcmStats(spark,
+      Seq((1L, null: Array[Byte])).toDF("media_id", "bytes")).collect()
+    assert(pcm.isEmpty)
+  }
 }
