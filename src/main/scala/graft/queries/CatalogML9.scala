@@ -234,5 +234,77 @@ object CatalogML9 {
         |      UNION ALL SELECT b, a, w FROM p)""".stripMargin,
       iters = 3).replace("SELECT node, w_deg, rank FROM r3",
       "SELECT node AS part_id, w_deg, rank FROM r3 ORDER BY part_id"))),
+
+    // Unigram-LM (SentencePiece-family) tokenizer TRAINING — the
+    // round-12 stretch #8, the other production tokenizer family
+    // beside q114/q116's BPE: substring seed vocabulary → 2
+    // deterministic Viterbi-EM rounds (hard EM) → pruned piece table
+    // with portable-ln log-prob scores. The ENTIRE iterative trainer
+    // replays in the oracle (unrolled per-position DP + per-step
+    // backtrack CTEs under bit-identical scores — the louvainSql
+    // discipline applied to a dynamic program). Corpus = documents
+    // text ∪ part names; the corpus is touched once (word count),
+    // EM rounds run over the vocabulary-sized distinct-word table.
+    ("q226_unigram_lm_train", (s: SparkSession, d: String) => {
+      val corpus = table(s, d, "documents").select(col("text"))
+        .unionAll(table(s, d, "part").select(col("p_name").as("text")))
+      val vocab = graft.ops.Unigram.learn(corpus, "text",
+        maxPieceLen = 3, maxWordLen = 10, vocabMulti = 40, emRounds = 2)
+      import s.implicits._
+      vocab.pieces.toDF("piece", "cnt", "score")
+        .orderBy(col("cnt").desc, col("piece"))
+    }, Some(graft.ops.Unigram.unigramSql(
+      unigramWordsCte, maxPieceLen = 3, maxWordLen = 10, vocabMulti = 40,
+      emRounds = 2,
+      tail = "SELECT piece, cnt, score FROM uvocab ORDER BY cnt DESC, piece"))),
+
+    // ... and the trained tokenizer APPLIED: per-document piece counts
+    // under the q226 vocabulary via the compiled Viterbi expression
+    // (one reference-object node in the scan's codegen stage — the
+    // BpeEncodeMerges shape). The oracle segments the distinct word
+    // table with the same final-score DP and joins counts back to the
+    // documents — train + segment, both replayed.
+    ("q227_unigram_lm_segment", (s: SparkSession, d: String) => {
+      val corpus = table(s, d, "documents").select(col("text"))
+        .unionAll(table(s, d, "part").select(col("p_name").as("text")))
+      val vocab = graft.ops.Unigram.learn(corpus, "text",
+        maxPieceLen = 3, maxWordLen = 10, vocabMulti = 40, emRounds = 2)
+      graft.ops.Unigram.tokenCounts(table(s, d, "documents"), "doc_id",
+          "text", vocab)
+        .orderBy("doc_id")
+    }, Some(graft.ops.Unigram.unigramSql(
+      unigramWordsCte, maxPieceLen = 3, maxWordLen = 10, vocabMulti = 40,
+      emRounds = 2,
+      tail = """,
+        |docw AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |                               x -> lower(x))) AS word
+        |  FROM documents
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(SUM(t.toks), 0) AS BIGINT) AS n_pieces
+        |FROM documents d
+        |LEFT JOIN docw w ON w.doc_id = d.doc_id
+        |LEFT JOIN utok t ON t.word = w.word
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin))),
   )
+
+  /** The q226/q227 oracle word table: distinct lowercased words of the
+    * union corpus, capped at the training domain's 10 chars. */
+  private val unigramWordsCte: String =
+    """wraw AS (
+      |  SELECT unnest(list_transform(string_split_regex(trim(text), '\s+'),
+      |                               x -> lower(x))) AS word
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT unnest(list_transform(string_split_regex(trim(p_name), '\s+'),
+      |                               x -> lower(x))) AS word
+      |  FROM part
+      |),
+      |words AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wraw
+      |  WHERE len(word) BETWEEN 1 AND 10 GROUP BY 1
+      |)""".stripMargin
 }
