@@ -879,6 +879,116 @@ object Graph {
        |FROM ke$iters GROUP BY 1""".stripMargin
   }
 
+  /** Distinct triangles of a CANONICAL simple edge table `e(a, b)`
+    * (a < b), emitted as id-sorted corner triples (x < y < z) — the
+    * degree-oriented enumeration [[triangleStats]] runs (every wedge
+    * at its (degree, id)-smallest corner, oriented out-degree O(√m)
+    * under any skew), reused per peel round by [[kTruss]]. */
+  private def triangleTriples(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val o = e
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(
+        when(col("__da") <= col("__db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("__da") <= col("__db"), col("b")).otherwise(col("a")).as("v"),
+        when(col("__da") <= col("__db"), col("__db")).otherwise(col("__da"))
+          .as("dv"))
+    val wedges = o.select(col("u"), col("v").as("v1"), col("dv").as("__d1"))
+      .join(o.select(col("u"), col("v").as("v2"), col("dv").as("__d2")),
+        Seq("u"))
+      .where(col("__d1") < col("__d2") ||
+        (col("__d1") === col("__d2") && col("v1") < col("v2")))
+    wedges.join(
+        o.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .select(least(col("u"), col("v1"), col("v2")).as("x"),
+        (col("u") + col("v1") + col("v2") -
+          least(col("u"), col("v1"), col("v2")) -
+          greatest(col("u"), col("v1"), col("v2"))).as("y"),
+        greatest(col("u"), col("v1"), col("v2")).as("z"))
+  }
+
+  /** k-truss decomposition — the EDGE-level pruning companion to
+    * [[kCore]] (an edge survives only while it closes ≥ k−2
+    * triangles in the surviving subgraph): iterative synchronous
+    * edge peel, each round one triangle enumeration
+    * ([[triangleTriples]] — degree-oriented, skew-proof) + one
+    * corner-pair count + one edge filter. Synchronous removal is
+    * schedule-free, so the fixed-`iters` prefix is deterministic and
+    * the unrolled-CTE oracle replays it verbatim — with the oracle
+    * counting each round's triangles by the independent plain a<b<c
+    * three-way join (the q220 two-algorithms posture, here applied
+    * per round). The k-truss is the standard stronger-than-k-core
+    * community-core filter: k-core keeps nodes with many neighbors,
+    * k-truss keeps edges embedded in dense triangle mesh (every
+    * k-truss edge is in the (k−1)-core, never vice versa).
+    *
+    * Returns surviving canonical edges (a, b, support) — support =
+    * the edge's triangle count in the LAST round's subgraph (the
+    * count that justified keeping it). `iters` bounds the peel;
+    * rounds after the fixed point are no-ops. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, iters: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var e = Checkpointing.truncateSer(edges
+      .select(col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("a"),
+        greatest(col("__x"), col("__y")).as("b"))
+      .distinct())
+    var last: DataFrame = e.limit(0).withColumn("support", lit(0L))
+    for (_ <- 1 to iters) {
+      val tri = triangleTriples(e)
+      val sup = tri.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
+        .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      val prev = e
+      val kept = e.join(sup, Seq("a", "b"))
+        .where(col("support") >= k - 2)
+      last = Checkpointing.truncateSer(kept)
+      e = last.select(col("a"), col("b"))
+      Checkpointing.release(prev)
+    }
+    last
+  }
+
+  /** DuckDB twin of [[kTruss]]: the same `iters` peel rounds, each
+    * round's triangles counted by the plain a<b<c three-way join (an
+    * INDEPENDENT algorithm from Spark's degree-oriented wedge
+    * enumeration — same result set is the check). `edgesCte` must
+    * define `e0(a, b)` — canonical simple pairs, a < b. */
+  def kTrussSql(edgesCte: String, k: Int, iters: Int): String = {
+    require(k >= 3 && iters >= 1)
+    val rounds = (1 to iters).map { t =>
+      s"""tr$t AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM te${t - 1} e1
+         |  JOIN te${t - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN te${t - 1} e3 ON e3.a = e1.b AND e3.b = e2.b
+         |), sup$t AS MATERIALIZED (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+         |    SELECT x AS a, y AS b FROM tr$t
+         |    UNION ALL SELECT x, z FROM tr$t
+         |    UNION ALL SELECT y, z FROM tr$t)
+         |  GROUP BY 1, 2
+         |), te$t AS MATERIALIZED (
+         |  SELECT e.a, e.b, s.support
+         |  FROM te${t - 1} e JOIN sup$t s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.support >= ${k - 2}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |te0 AS (SELECT a, b, CAST(0 AS BIGINT) AS support FROM e0),
+       |$rounds
+       |SELECT a, b, support FROM te$iters""".stripMargin
+  }
+
   /** Incremental triangle maintenance: advance [[triangleStats]]'
     * output with an EDGE DELTA without re-counting the corpus
     * (round-12 verdict #5 — the graph grows per crawl; only

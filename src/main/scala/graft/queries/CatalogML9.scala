@@ -235,6 +235,43 @@ object CatalogML9 {
       iters = 3).replace("SELECT node, w_deg, rank FROM r3",
       "SELECT node AS part_id, w_deg, rank FROM r3 ORDER BY part_id"))),
 
+    // k-TRUSS decomposition — the edge-level pruning companion to
+    // q223's k-core (an edge survives only while it closes >= k-2
+    // triangles in the surviving subgraph; every k-truss edge is in
+    // the (k-1)-core, never vice versa — the stronger community-core
+    // filter). 4 synchronous edge-peel rounds at k=7 over a sparser
+    // co-order slice (partkey % 3 = 0 — support is order-bounded, so
+    // the slice peels dramatically: 13,322 → 4,281 → 571 → 170 → 168
+    // edges at sf0.01). Spark enumerates each round's triangles by
+    // the degree-oriented wedge join; the oracle counts the SAME
+    // triangles per round by the plain a<b<c three-way join — the
+    // q220 two-independent-algorithms posture applied inside an
+    // iterative peel.
+    ("q228_graph_ktruss", (s: SparkSession, d: String) => {
+      val li = table(s, d, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li
+        .join(li.select(col("l_orderkey"),
+          col("l_partkey").as("__p2")), Seq("l_orderkey"))
+        .where(col("l_partkey") < col("__p2"))
+        .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+      graft.ops.Graph.kTruss(pairs, "src", "dst", k = 7, iters = 4)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("support"))
+        .orderBy("part_a", "part_b")
+    }, Some(graft.ops.Graph.kTrussSql(
+      """p AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        |e0 AS (SELECT a, b FROM p)""".stripMargin,
+      k = 7, iters = 4).replace("SELECT a, b, support FROM te4",
+      "SELECT a AS part_a, b AS part_b, support FROM te4 " +
+        "ORDER BY part_a, part_b"))),
+
     // Unigram-LM (SentencePiece-family) tokenizer TRAINING — the
     // round-12 stretch #8, the other production tokenizer family
     // beside q114/q116's BPE: substring seed vocabulary → 2

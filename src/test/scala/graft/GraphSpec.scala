@@ -364,6 +364,41 @@ class GraphSpec extends SparkSpec {
     assert(inc.find(_._1 == 63L).get._3 == 0L)
   }
 
+  test("kTruss: hand-computed supports; peel strictness over k; cascade prefix per round") {
+    // K5 on 1..5 (every edge closes 3 triangles) + triangle {5,6,7}
+    // (each edge closes 1) + pendant 7-8 (closes 0)
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val fix = k5 ++ Seq((5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L))
+    def truss(edges: Seq[(Long, Long)], k: Int, iters: Int) =
+      Graph.kTruss(edges.toDF("src", "dst"), "src", "dst", k, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    // k=3: only the pendant peels; supports exact
+    val t3 = truss(fix, 3, 2)
+    assert(t3.keySet == (k5 ++ Seq((5L, 6L), (6L, 7L), (5L, 7L))).toSet)
+    assert(t3((1L, 2L)) == 3L && t3((5L, 6L)) == 1L)
+    // k=4: the hanging triangle peels too — exactly K5 remains
+    val t4 = truss(fix, 4, 2)
+    assert(t4.keySet == k5.toSet)
+    assert(t4.values.toSeq.forall(_ == 3L))
+    // cascade: triangle chain (1,2,3),(2,3,4),(3,4,5) at k=4 —
+    // round 1 keeps only the two support-2 spine edges, round 2
+    // finds no triangles among them and empties
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L))
+    assert(truss(chain, 4, 1).keySet == Set((2L, 3L), (3L, 4L)))
+    assert(truss(chain, 4, 2).isEmpty)
+    // noisy input (directed dupes, self-loop) canonicalizes; result
+    // is partition-independent
+    val noisy = (fix ++ fix.map(_.swap) :+ (3L, 3L)).toDF("src", "dst")
+    val a = Graph.kTruss(noisy, "src", "dst", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = Graph.kTruss(noisy.repartition(7), "src", "dst", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+    assert(a.map(t => (t._1, t._2)).toSet == k5.toSet)
+  }
+
   test("pageRankWeighted: integer weights behave as parallel unit edges; w_deg exact") {
     val weighted = Seq((1L, 2L, 3L), (2L, 3L, 2L), (3L, 1L, 1L),
       (1L, 3L, 2L), (3L, 2L, 1L))
