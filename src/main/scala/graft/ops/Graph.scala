@@ -1015,6 +1015,33 @@ object Graph {
     * touched keys carry increments. The delta-sized frames go
     * through [[Dedup.maybeBroadcast]] so a crawl-sized delta falls
     * back to shuffle joins instead of a forced broadcast. */
+  /** Per-corner counts of the DISTINCT triangles of canonical
+    * adjacency `adj(a, b)` that contain at least one `d(a, b)` edge:
+    * common neighbors of each d edge's endpoints (expand on a,
+    * semi-probe on (b, w)), sorted corner triples deduped (a triangle
+    * with 2-3 d edges enumerates from each but counts once), exploded
+    * to (node, __ti). |D|-bounded — never the corpus pair set. Shared
+    * by [[advanceTriangleStats]] (adj = new graph, increments) and
+    * [[retractTriangleStats]] (adj = OLD graph, decrements). */
+  private def deltaTriangleCorners(adj: DataFrame, d: DataFrame): DataFrame = {
+    val sym = adj.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(adj.select(col("b").as("u"), col("a").as("v")))
+    val cand = d
+      .join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+      .join(sym.select(col("u").as("b"), col("v").as("w")),
+        Seq("b", "w"), "left_semi")
+    // sorted corner triple; middle = sum − min − max (exact longs)
+    cand.select(
+        least(col("a"), col("b"), col("w")).as("x"),
+        (col("a") + col("b") + col("w") -
+          least(col("a"), col("b"), col("w")) -
+          greatest(col("a"), col("b"), col("w"))).as("y"),
+        greatest(col("a"), col("b"), col("w")).as("z"))
+      .distinct()
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__ti"))
+  }
+
   def advanceTriangleStats(prevStats: DataFrame, prevEdges: DataFrame,
                            srcCol: String, dstCol: String,
                            delta: DataFrame): DataFrame = {
@@ -1030,26 +1057,7 @@ object Graph {
     val dCnt = d0.count()
     val d = Dedup.maybeBroadcast(Checkpointing.truncate(d0), dCnt)
     val newE = Checkpointing.truncateSer(oldE.unionAll(d))
-    val sym = newE.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(newE.select(col("b").as("u"), col("a").as("v")))
-    // common neighbors of each delta edge's endpoints over the new
-    // adjacency: (a,b) + w with a~w (expand) and b~w (semi-probe)
-    // → triangle {a,b,w}
-    val cand = d
-      .join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
-      .join(sym.select(col("u").as("b"), col("v").as("w")),
-        Seq("b", "w"), "left_semi")
-    // sorted corner triple; middle = sum − min − max (exact longs)
-    val newTris = cand.select(
-        least(col("a"), col("b"), col("w")).as("x"),
-        (col("a") + col("b") + col("w") -
-          least(col("a"), col("b"), col("w")) -
-          greatest(col("a"), col("b"), col("w"))).as("y"),
-        greatest(col("a"), col("b"), col("w")).as("z"))
-      .distinct()
-    val triInc = newTris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("__ti"))
+    val triInc = deltaTriangleCorners(newE, d)
     val degInc = d.select(col("a").as("node"))
       .unionAll(d.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("__di"))
@@ -1061,6 +1069,50 @@ object Graph {
           .as("degree"),
         (coalesce(col("n_triangles"), lit(0L)) + coalesce(col("__ti"), lit(0L)))
           .as("n_triangles"))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * col("n_triangles") / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** The DELETION side of [[advanceTriangleStats]] — retract an edge
+    * set (crawl takedowns, robots revocations) from the stats table
+    * without a full re-count. Same |D|-bounded shape, mirrored:
+    * destroyed triangles are the OLD graph's triangles containing a
+    * removed edge (enumerated over the pre-removal adjacency —
+    * including the removed edges themselves), corner counts
+    * decrement, degrees drop by removed-edge incidence, and nodes
+    * isolated by the removal leave the table (matching a full
+    * re-count, which never emits degree-0 nodes). Removed edges not
+    * actually present are ignored (semi-join), duplicates collapse.
+    * Retract(advance(S, D), D) ≡ S by construction; the differential
+    * oracle checks retract ≡ full re-count on the remaining edges. */
+  def retractTriangleStats(prevStats: DataFrame, prevEdges: DataFrame,
+                           srcCol: String, dstCol: String,
+                           removed: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("a"),
+        greatest(col("__x"), col("__y")).as("b"))
+      .distinct()
+    val oldE = Checkpointing.truncateSer(canon(prevEdges))
+    val d0 = canon(removed).join(oldE, Seq("a", "b"), "left_semi")
+    val dCnt = d0.count()
+    val d = Dedup.maybeBroadcast(Checkpointing.truncate(d0), dCnt)
+    val triDec = deltaTriangleCorners(oldE, d)
+    val degDec = d.select(col("a").as("node"))
+      .unionAll(d.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__dd"))
+    prevStats
+      .join(triDec, Seq("node"), "left")
+      .join(degDec, Seq("node"), "left")
+      .select(col("node"),
+        (col("degree") - coalesce(col("__dd"), lit(0L))).as("degree"),
+        (col("n_triangles") - coalesce(col("__ti"), lit(0L)))
+          .as("n_triangles"))
+      .where(col("degree") > 0)
       .select(col("node"), col("degree"), col("n_triangles"),
         when(col("degree") >= 2,
           lit(2.0) * col("n_triangles") / (col("degree") * (col("degree") - 1)))

@@ -311,7 +311,7 @@ object Multimodal {
 
   case class Mp4Sample(media_id: Long, track_id: Long, handler: String,
                        timescale: Long, sample_n: Int, dts: Long,
-                       size: Long, chunk_n: Int, offset: Long,
+                       pts: Long, size: Long, chunk_n: Int, offset: Long,
                        keyframe: Boolean)
 
   /** Per-sample table walk of an ISO BMFF (MP4) container — what
@@ -414,6 +414,7 @@ object Multimodal {
     var stsc: Array[Long] = null // flattened (firstChunk, spc) pairs
     var chunkOff: Array[Long] = null
     var stss: Array[Long] = null // sync sample numbers, 1-based
+    var ctts: Array[Long] = null // flattened (count, offset) pairs
     def u32s(at: Int, n: Int, stride: Int, fields: Int): Option[Array[Long]] = {
       // n groups of `fields` BE32s read at `at` with `stride` bytes
       // per group — bounds-checked ONCE against the declared count
@@ -484,6 +485,19 @@ object Multimodal {
                   if (sp + 8 > se) return None
                   val n = be32L(bytes, sp + 4).toInt
                   stss = u32s(sp + 8, n, 4, 1).getOrElse(return None)
+                case "ctts" =>
+                  // composition offsets: pts = dts + offset. v0
+                  // offsets are unsigned; v1 (the B-frame form) are
+                  // SIGNED 32-bit — sign-extend them
+                  if (sp + 8 > se) return None
+                  val v = u8(bytes(sp))
+                  val n = be32L(bytes, sp + 4).toInt
+                  val raw = u32s(sp + 8, n, 8, 2).getOrElse(return None)
+                  if (v == 1) {
+                    var g = 1
+                    while (g < raw.length) { raw(g) = raw(g).toInt.toLong; g += 2 }
+                  }
+                  ctts = raw
                 case _ => ()
               }
             }
@@ -495,6 +509,8 @@ object Multimodal {
         stsc == null || chunkOff == null) return None
     val n = stszSizes.length
     if (stts.indices.by(2).map(stts(_)).sum != n.toLong) return None
+    if (ctts != null &&
+        ctts.indices.by(2).map(ctts(_)).sum != n.toLong) return None
     val sync = if (stss == null) null else stss.toSet
     val samples = Vector.newBuilder[Mp4Sample]
     // walk chunks in order, pulling each chunk's samples-per-chunk
@@ -504,6 +520,8 @@ object Multimodal {
     var dts = 0L
     var sttsRun = 0  // index into stts pairs
     var sttsLeft = if (stts.length >= 2) stts(0) else 0L
+    var cttsRun = 0  // index into ctts pairs (when present)
+    var cttsLeft = if (ctts != null && ctts.length >= 2) ctts(0) else 0L
     var c = 0        // 0-based chunk index
     while (s < n && c < chunkOff.length) {
       while (run + 2 < stsc.length && stsc(run + 2) <= c + 1) run += 2
@@ -515,9 +533,18 @@ object Multimodal {
           sttsRun += 2; sttsLeft = stts(sttsRun)
         }
         if (sttsLeft == 0L) return None // stts exhausted early
+        var ctOff = 0L
+        if (ctts != null) {
+          while (cttsLeft == 0L && cttsRun + 2 < ctts.length) {
+            cttsRun += 2; cttsLeft = ctts(cttsRun)
+          }
+          if (cttsLeft == 0L) return None // ctts exhausted early
+          ctOff = ctts(cttsRun + 1)
+          cttsLeft -= 1
+        }
         val kf = if (sync == null) true else sync.contains((s + 1).toLong)
         samples += Mp4Sample(id, trackId, handler, timescale, s + 1, dts,
-          stszSizes(s), c + 1, chunkOff(c) + intra, kf)
+          dts + ctOff, stszSizes(s), c + 1, chunkOff(c) + intra, kf)
         dts += stts(sttsRun + 1)
         sttsLeft -= 1
         intra += stszSizes(s)

@@ -36,7 +36,9 @@ object CatalogML9 {
     // arithmetic: id%2 picks v0/v1 box versions + handler, id%3 the
     // fixed-vs-table stsz form, id%5 stco-vs-co64 (co64 offsets pushed
     // past 2^32 so the 64-bit path is load-bearing), id%4==1 omits
-    // stss (spec default: every sample a keyframe).
+    // stss (spec default: every sample a keyframe), id%6==0 carries a
+    // run-length ctts (pts = dts + composition offset; absent ctts →
+    // pts = dts).
     ("q222_mp4_sample_table", (s: SparkSession, d: String) => {
       import graft.ops.Multimodal
       import graft.ops.Multimodal.{be32Hex, be64Hex}
@@ -76,8 +78,18 @@ object CatalogML9 {
         .otherwise(boxH("stss", concat(lit("00000000"), be32Hex(nSync),
           array_join(transform(sequence(lit(0), nSync - 1), k =>
             be32Hex(k * 5 + 1)), ""))))
+      // composition offsets (pts = dts + offset) for id%6==0 media:
+      // v0 ctts, runs of 2 samples, offset = ((id + r*3) % 5) * 10
+      val nCtts = ((n + 1) / lit(2)).cast("int")
+      val cttsBox = when(id % 6 =!= 0, lit(""))
+        .otherwise(boxH("ctts", concat(lit("00000000"), be32Hex(nCtts),
+          array_join(transform(sequence(lit(0), nCtts - 1), r => concat(
+            be32Hex(least(lit(2), n - r * 2)),
+            be32Hex((pmod(id + r.cast("long") * 3, lit(5L)) * 10)
+              .cast("int")))), ""))))
       val stbl = boxH("stbl", concat(boxH("stts", sttsBody),
-        boxH("stsz", szBody), boxH("stsc", stscBody), coBox, stssBox))
+        boxH("stsz", szBody), boxH("stsc", stscBody), coBox, stssBox,
+        cttsBox))
       val mdhd = when(v1,
         concat(lit("01000000"), lit("0" * 32), be32Hex(ts),
           lit("0" * 16)))
@@ -128,6 +140,9 @@ object CatalogML9 {
         |       CAST(media_id % 100 + 600 AS BIGINT) AS timescale,
         |       CAST(j + 1 AS INT) AS sample_n,
         |       CAST(dts AS BIGINT) AS dts,
+        |       CAST(dts + CASE WHEN media_id % 6 = 0
+        |                       THEN ((media_id + (j // 2) * 3) % 5) * 10
+        |                       ELSE 0 END AS BIGINT) AS pts,
         |       CAST(sz AS BIGINT) AS size,
         |       CAST(c0 + 1 AS INT) AS chunk_n,
         |       CAST(media_id * 1000 + c0 * 997 +
@@ -234,6 +249,47 @@ object CatalogML9 {
         |      UNION ALL SELECT b, a, w FROM p)""".stripMargin,
       iters = 3).replace("SELECT node, w_deg, rank FROM r3",
       "SELECT node AS part_id, w_deg, rank FROM r3 ORDER BY part_id"))),
+
+    // Triangle-stats RETRACTION — the deletion side of q224 (crawl
+    // takedowns): co-order pairs whose supporting order slice is
+    // revoked (l_orderkey % 7 = 0) retract from the stats table with
+    // |D|-bounded wedge work over the PRE-removal adjacency; nodes
+    // isolated by the removal leave the table. The oracle is the
+    // full re-count over the remaining edge set (pall EXCEPT prem) —
+    // retraction ≡ full, to the hash. Same mod-3 part slice as q228
+    // so the base build stays cheap.
+    ("q229_graph_triangles_retract", (s: SparkSession, d: String) => {
+      def pairsOf(pred: Column => Column) = {
+        val li = table(s, d, "lineitem")
+          .where(col("l_partkey") % 3 === 0 && pred(col("l_orderkey")))
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.join(li.select(col("l_orderkey"),
+            col("l_partkey").as("__p2")), Seq("l_orderkey"))
+          .where(col("l_partkey") < col("__p2"))
+          .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+      }
+      val all = pairsOf(_ => lit(true))
+      val removed = pairsOf(ok => ok % 7 === 0)
+      val prev = graft.ops.Graph.triangleStats(all, "src", "dst")
+      graft.ops.Graph.retractTriangleStats(prev, all, "src", "dst", removed)
+        .withColumnRenamed("node", "part_id")
+        .orderBy("part_id")
+    }, Some(graft.ops.Graph.triangleStatsSql(
+      """pall AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        |prem AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0
+        |    AND a.l_orderkey % 7 = 0),
+        |e AS (SELECT a, b FROM pall EXCEPT SELECT a, b FROM prem)""".stripMargin,
+      nodeAs = "part_id") + "\nORDER BY part_id")),
 
     // k-TRUSS decomposition — the edge-level pruning companion to
     // q223's k-core (an edge survives only while it closes >= k-2

@@ -399,6 +399,48 @@ class GraphSpec extends SparkSpec {
     assert(a.map(t => (t._1, t._2)).toSet == k5.toSet)
   }
 
+  test("retractTriangleStats: retraction equals full re-count; retract∘advance is identity; isolated nodes leave") {
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Graph.triangleStats(df, "src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val keep = (0 until 120).map(i =>
+      ((i * 7919L) % 40, (i * 104729L) % 40)).filter(e => e._1 != e._2)
+    // removed set: more same-domain edges + an edge isolating node 99
+    // + a not-present edge (ignored) + a duplicate
+    val rem = (120 until 160).map(i =>
+      ((i * 7919L) % 40, (i * 104729L) % 40)).filter(e => e._1 != e._2) ++
+      Seq((98L, 99L), (500L, 501L), (98L, 99L))
+    val all = keep ++ Seq((98L, 99L)) ++ rem.filter(e => e._1 < 400)
+    val prev = Graph.triangleStats(all.toDF("src", "dst"), "src", "dst")
+    val got = Graph.retractTriangleStats(prev, all.toDF("src", "dst"),
+        "src", "dst", rem.toDF("src", "dst").repartition(5))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // ground truth: full re-count on the canonical remaining edge set
+    def cn(e: (Long, Long)) = (math.min(e._1, e._2), math.max(e._1, e._2))
+    val remain = all.map(cn).distinct.filterNot(rem.map(cn).toSet)
+    assert(got == stats(remain.toDF("src", "dst")),
+      "retraction must equal the full re-count bit-for-bit")
+    assert(!got.exists(_._1 == 99L), "isolated node must leave the table")
+    // retract(advance(S, D), D) ≡ S for a canonically-disjoint D
+    val keepC = keep.map(cn).distinct
+    val dDisj = rem.map(cn).distinct.filterNot(keepC.toSet)
+      .filter(_._1 < 400L)
+    val s0 = Graph.triangleStats(keep.toDF("src", "dst"), "src", "dst")
+    val adv = Graph.advanceTriangleStats(s0, keep.toDF("src", "dst"),
+      "src", "dst", dDisj.toDF("src", "dst"))
+    val allEdges = (keepC ++ dDisj).toDF("src", "dst")
+    val back = Graph.retractTriangleStats(adv, allEdges, "src", "dst",
+        dDisj.toDF("src", "dst"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(back == stats(keep.toDF("src", "dst")),
+      "retract after advance must restore the base stats")
+  }
+
   test("pageRankWeighted: integer weights behave as parallel unit edges; w_deg exact") {
     val weighted = Seq((1L, 2L, 3L), (2L, 3L, 2L), (3L, 1L, 1L),
       (1L, 3L, 2L), (3L, 2L, 1L))

@@ -281,7 +281,9 @@ class MultimodalSpec extends SparkSpec {
   private def stblBytes(stts: Seq[(Int, Int)],
                         stsz: Either[(Int, Int), Seq[Int]],
                         stsc: Seq[(Int, Int)], stco: Seq[Long],
-                        co64: Boolean, stss: Option[Seq[Int]]): Array[Byte] = {
+                        co64: Boolean, stss: Option[Seq[Int]],
+                        ctts: Seq[(Int, Int)] = Nil,
+                        cttsV1: Boolean = false): Array[Byte] = {
     val sttsB = bx("stts", beI(0), beI(stts.size),
       stts.flatMap { case (c, d) => beI(c) ++ beI(d) }.toArray)
     val stszB = stsz match {
@@ -297,7 +299,12 @@ class MultimodalSpec extends SparkSpec {
         stco.flatMap(o => beI(o.toInt)).toArray)
     val stssB = stss.map(ns => bx("stss", beI(0), beI(ns.size),
       ns.flatMap(beI).toArray)).getOrElse(Array.empty[Byte])
-    bx("stbl", sttsB, stszB, stscB, coB, stssB)
+    val cttsB =
+      if (ctts.isEmpty) Array.empty[Byte]
+      else bx("ctts", Array[Byte](if (cttsV1) 1 else 0, 0, 0, 0),
+        beI(ctts.size),
+        ctts.flatMap { case (c, o) => beI(c) ++ beI(o) }.toArray)
+    bx("stbl", sttsB, stszB, stscB, coB, stssB, cttsB)
   }
   private def trakBytes(trackId: Int, v1: Boolean, handler: String,
                         timescale: Int, stbl: Array[Byte]): Array[Byte] = {
@@ -394,6 +401,33 @@ class MultimodalSpec extends SparkSpec {
       Seq((2, 5)), Right(Seq(9)), Seq((1, 1)), Seq(77L), co64 = false,
       None))
     assert(Multimodal.parseMp4Samples(6L, ftypB ++ bx("moov", bad2)).isEmpty)
+  }
+
+  test("mp4SampleTable: ctts composition offsets — v0 runs, v1 signed (B-frame) offsets, absent ctts means pts=dts") {
+    // v0, runs: samples 1-2 get +30, sample 3 gets +0
+    val t1 = trakBytes(1, v1 = false, "vide", 600, stblBytes(
+      Seq((3, 10)), Left((8, 3)), Seq((1, 3)), Seq(100L), co64 = false,
+      None, ctts = Seq((2, 30), (1, 0))))
+    val g1 = Multimodal.parseMp4Samples(1L, ftypB ++ bx("moov", t1))
+    assert(g1.map(_.dts) == Seq(0L, 10L, 20L))
+    assert(g1.map(_.pts) == Seq(30L, 40L, 20L))
+    // v1: signed negative offset must sign-extend, not wrap
+    val t2 = trakBytes(2, v1 = true, "vide", 600, stblBytes(
+      Seq((2, 10)), Left((8, 2)), Seq((1, 2)), Seq(100L), co64 = false,
+      None, ctts = Seq((1, 5), (1, -5)), cttsV1 = true))
+    val g2 = Multimodal.parseMp4Samples(2L, ftypB ++ bx("moov", t2))
+    assert(g2.map(_.pts) == Seq(5L, 5L), s"v1 signed: ${g2.map(_.pts)}")
+    // absent ctts → pts = dts
+    val t3 = trakBytes(3, v1 = false, "soun", 600, stblBytes(
+      Seq((2, 7)), Left((8, 2)), Seq((1, 2)), Seq(100L), co64 = false,
+      None))
+    val g3 = Multimodal.parseMp4Samples(3L, ftypB ++ bx("moov", t3))
+    assert(g3.map(s => s.pts == s.dts) == Seq(true, true))
+    // ctts total (1) inconsistent with sample count (2) → quarantined
+    val bad = trakBytes(4, v1 = false, "vide", 600, stblBytes(
+      Seq((2, 7)), Left((8, 2)), Seq((1, 2)), Seq(100L), co64 = false,
+      None, ctts = Seq((1, 5))))
+    assert(Multimodal.parseMp4Samples(4L, ftypB ++ bx("moov", bad)).isEmpty)
   }
 
   test("mp4SampleTable: non-BMFF / null / headerless payloads emit nothing") {
