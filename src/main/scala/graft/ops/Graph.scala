@@ -275,6 +275,15 @@ object Graph {
       .select(least(col("__x"), col("__y")).as("a"),
         greatest(col("__x"), col("__y")).as("b"))
       .distinct())
+    // |E|-scaled wedge-join parallelism (round-13): at the session
+    // default (cluster-sized, 32 on local[32]) the x32 sweep leg's
+    // per-task sort/spill-merge working sets genuinely exhausted the
+    // 8g heap (read-ahead buffers during the merge of many spill
+    // files) where 128 partitions ran green — so the wedge-stage
+    // inputs repartition to max(base, |E|/150k), capped at 1024. The
+    // count is one cheap job over the just-checkpointed edge frame;
+    // at fixture scale p == base and the plan is byte-identical.
+    val p = wedgeParts(e.sparkSession, e.count())
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -288,13 +297,18 @@ object Graph {
         when(col("__da") <= col("__db"), col("b")).otherwise(col("a")).as("v"),
         when(col("__da") <= col("__db"), col("__db")).otherwise(col("__da"))
           .as("dv")))
-    val wedges = o.select(col("u"), col("v").as("v1"), col("dv").as("__d1"))
-      .join(o.select(col("u"), col("v").as("v2"), col("dv").as("__d2")),
-        Seq("u"))
+    def scaled(df: DataFrame, keys: Seq[String]): DataFrame =
+      if (p > sessionParts(df.sparkSession)) df.repartition(p, keys.map(col): _*)
+      else df
+    val wedges = scaled(o.select(col("u"), col("v").as("v1"),
+        col("dv").as("__d1")), Seq("u"))
+      .join(scaled(o.select(col("u"), col("v").as("v2"),
+        col("dv").as("__d2")), Seq("u")), Seq("u"))
       .where(col("__d1") < col("__d2") ||
         (col("__d1") === col("__d2") && col("v1") < col("v2")))
-    val tri = wedges.join(
-      o.select(col("u").as("v1"), col("v").as("v2")),
+    val tri = scaled(wedges, Seq("v1", "v2")).join(
+      scaled(o.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2")),
       Seq("v1", "v2"), "left_semi")
     val corners = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
@@ -307,6 +321,16 @@ object Graph {
             (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  private def sessionParts(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Wedge-stage partition count: the session default (cluster-sized)
+    * until |E|/150k exceeds it, capped at 1024 — the measured green
+    * line for the x32 sweep leg at the default heap. */
+  private def wedgeParts(spark: org.apache.spark.sql.SparkSession,
+                         m: Long): Int =
+    math.min(1024L, math.max(sessionParts(spark).toLong, m / 150000L)).toInt
 
   /** Mirror of [[triangleStats]] for the DuckDB oracle — the oracle
     * enumerates triangles by the plain a<b<c three-way join (a

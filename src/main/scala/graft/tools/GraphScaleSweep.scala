@@ -30,8 +30,9 @@ object GraphScaleSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = graft.engine.GraftEngine
-      .sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
+      .sessionBuilder(s"local[$cpus]", parts.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val li = graft.ops.Tables.table(spark, sfDir, "lineitem")
