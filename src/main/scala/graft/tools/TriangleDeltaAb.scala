@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Checkpointing, Graph}
+
+/** Interleaved A/B: full triangle re-count vs the incremental
+  * advance, on the sf co-order part graph with a 1%-of-orders edge
+  * delta — the crawl-growth scenario q224 models. The base stats
+  * table is materialized UNTIMED (it exists already in the
+  * incremental-maintenance scenario); timed legs are (A) a full
+  * [[Graph.triangleStats]] over base ∪ delta vs (B)
+  * [[Graph.advanceTriangleStats]] from the existing table. Both
+  * results are aggregated to the same (Σtri, nodes) checksum so the
+  * A/B also re-asserts equivalence. 3 legs each, interleaved,
+  * min reported.
+  *
+  * Run: `runMain graft.tools.TriangleDeltaAb` (env SPARK_GRAFT_SF_DIR,
+  * default sf0.1; SPARK_GRAFT_DELTA_MOD, default 100 — delta =
+  * orders with l_orderkey % mod == 0).
+  */
+object TriangleDeltaAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mod = sys.env.getOrElse("SPARK_GRAFT_DELTA_MOD", "100").toInt
+    val spark = graft.engine.GraftEngine.sessionBuilder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pairs(pred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+      val li = graft.ops.Tables.table(spark, sfDir, "lineitem")
+        .where(pred)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.join(li.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+          Seq("l_orderkey"))
+        .where(col("l_partkey") < col("__p2"))
+        .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+    }
+    // id-offset replicas (the GraphScaleSweep expansion) — the win
+    // only shows where wedge enumeration dominates, i.e. big |E|
+    val copies = sys.env.getOrElse("SPARK_GRAFT_GRAPH_COPIES", "1").toInt
+    def expand(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      (0 until copies).map(i =>
+        df.select((col("src") + i * 1000000000L).as("src"),
+          (col("dst") + i * 1000000000L).as("dst")))
+        .reduce(_.unionAll(_))
+    val base = Checkpointing.truncateSer(
+      expand(pairs(col("l_orderkey") % mod =!= 0)))
+    val delta = Checkpointing.truncateSer(
+      expand(pairs(col("l_orderkey") % mod === 0)))
+    val nb = base.count(); val nd = delta.count()
+    // the maintained table exists before the delta arrives — untimed
+    val prev = Checkpointing.truncateSer(
+      Graph.triangleStats(base, "src", "dst"))
+    println(s"| base pair rows $nb | delta pair rows $nd |")
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(sum("n_triangles"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    println("| leg | full (s) | incremental (s) | check |")
+    for (leg <- 1 to 3) {
+      val (tf, cf) = time {
+        checksum(Graph.triangleStats(base.unionAll(delta), "src", "dst"))
+      }
+      val (ti, ci) = time {
+        checksum(Graph.advanceTriangleStats(prev, base, "src", "dst", delta))
+      }
+      require(cf == ci, s"full $cf != incremental $ci")
+      println(f"| $leg | $tf%.2f | $ti%.2f | tri3=${cf._1} nodes=${cf._2} |")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
