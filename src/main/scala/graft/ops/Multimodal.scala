@@ -410,16 +410,22 @@ object Multimodal {
     var handler = "????"
     var stts: Array[Long] = null // flattened (count, delta) pairs
     var stszFixed = -1L
+    var stszCount = -1 // fixed-size form's declared count (raw u32→Int)
     var stszSizes: Array[Long] = null
     var stsc: Array[Long] = null // flattened (firstChunk, spc) pairs
     var chunkOff: Array[Long] = null
     var stss: Array[Long] = null // sync sample numbers, 1-based
     var ctts: Array[Long] = null // flattened (count, offset) pairs
-    def u32s(at: Int, n: Int, stride: Int, fields: Int): Option[Array[Long]] = {
+    def u32s(at: Int, n: Int, stride: Int, fields: Int,
+             se: Int): Option[Array[Long]] = {
       // n groups of `fields` BE32s read at `at` with `stride` bytes
-      // per group — bounds-checked ONCE against the declared count
-      // (the truncated-tables guard)
-      if (at.toLong + n.toLong * stride > bytes.length) return None
+      // per group — bounds-checked ONCE against the declared count.
+      // n is a raw unvalidated u32 cast to Int: a declared count
+      // >= 2^31 arrives NEGATIVE and must quarantine (not throw
+      // NegativeArraySizeException), and the table must fit the
+      // ENCLOSING BOX `se` (not merely the file) — a table overrunning
+      // its box into sibling bytes is a mis-parse, not a decode.
+      if (n < 0 || at.toLong + n.toLong * stride > se) return None
       val a = new Array[Long](n * fields)
       var g = 0
       while (g < n) {
@@ -458,33 +464,31 @@ object Multimodal {
                 case "stts" =>
                   if (sp + 8 > se) return None
                   val n = be32L(bytes, sp + 4).toInt
-                  stts = u32s(sp + 8, n, 8, 2).getOrElse(return None)
+                  stts = u32s(sp + 8, n, 8, 2, se).getOrElse(return None)
                 case "stsz" =>
                   if (sp + 12 > se) return None
                   stszFixed = be32L(bytes, sp + 4)
                   val n = be32L(bytes, sp + 8).toInt
                   if (stszFixed == 0L)
-                    stszSizes = u32s(sp + 12, n, 4, 1).getOrElse(return None)
-                  else stszSizes = Array.fill(n)(stszFixed)
+                    stszSizes = u32s(sp + 12, n, 4, 1, se).getOrElse(return None)
+                  else stszCount = n // materialized AFTER the stts check
                 case "stsc" =>
                   if (sp + 8 > se) return None
                   val n = be32L(bytes, sp + 4).toInt
-                  val raw = u32s(sp + 8, n, 12, 2).getOrElse(return None)
-                  if (sp.toLong + 8 + n.toLong * 12 > se) return None
-                  stsc = raw
+                  stsc = u32s(sp + 8, n, 12, 2, se).getOrElse(return None)
                 case "stco" =>
                   if (sp + 8 > se) return None
                   val n = be32L(bytes, sp + 4).toInt
-                  chunkOff = u32s(sp + 8, n, 4, 1).getOrElse(return None)
+                  chunkOff = u32s(sp + 8, n, 4, 1, se).getOrElse(return None)
                 case "co64" =>
                   if (sp + 8 > se) return None
                   val n = be32L(bytes, sp + 4).toInt
-                  if (sp.toLong + 8 + n.toLong * 8 > bytes.length) return None
+                  if (n < 0 || sp.toLong + 8 + n.toLong * 8 > se) return None
                   chunkOff = Array.tabulate(n)(c => be64L(bytes, sp + 8 + c * 8))
                 case "stss" =>
                   if (sp + 8 > se) return None
                   val n = be32L(bytes, sp + 4).toInt
-                  stss = u32s(sp + 8, n, 4, 1).getOrElse(return None)
+                  stss = u32s(sp + 8, n, 4, 1, se).getOrElse(return None)
                 case "ctts" =>
                   // composition offsets: pts = dts + offset. v0
                   // offsets are unsigned; v1 (the B-frame form) are
@@ -492,7 +496,7 @@ object Multimodal {
                   if (sp + 8 > se) return None
                   val v = u8(bytes(sp))
                   val n = be32L(bytes, sp + 4).toInt
-                  val raw = u32s(sp + 8, n, 8, 2).getOrElse(return None)
+                  val raw = u32s(sp + 8, n, 8, 2, se).getOrElse(return None)
                   if (v == 1) {
                     var g = 1
                     while (g < raw.length) { raw(g) = raw(g).toInt.toLong; g += 2 }
@@ -505,10 +509,22 @@ object Multimodal {
         }
       case _ => ()
     }
-    if (trackId < 0 || timescale < 0 || stts == null || stszSizes == null ||
+    if (trackId < 0 || timescale < 0 || stts == null ||
+        (stszSizes == null && stszCount < 0) ||
         stsc == null || chunkOff == null) return None
+    // Fixed-size stsz has no table to bounds-check, so its sizes array
+    // materializes only AFTER the stts cross-check passes: a corrupt
+    // header declaring 2^30 (or a negative-after-cast 2^31+) count
+    // quarantines instead of attempting the allocation (an OOM/DoS
+    // vector on arbitrary media bytes).
+    val sttsTotal = stts.indices.by(2).map(stts(_)).sum
+    if (stszSizes == null) {
+      if (stszCount < 0 || stszCount.toLong != sttsTotal ||
+          stszCount > bytes.length) return None
+      stszSizes = Array.fill(stszCount)(stszFixed)
+    }
     val n = stszSizes.length
-    if (stts.indices.by(2).map(stts(_)).sum != n.toLong) return None
+    if (sttsTotal != n.toLong) return None
     if (ctts != null &&
         ctts.indices.by(2).map(ctts(_)).sum != n.toLong) return None
     val sync = if (stss == null) null else stss.toSet

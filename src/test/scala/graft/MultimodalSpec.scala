@@ -430,6 +430,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4Samples(4L, ftypB ++ bx("moov", bad)).isEmpty)
   }
 
+  test("mp4SampleTable: hostile declared counts quarantine — 2^31+ (negative after cast), fixed-form 2^30, box-overrunning tables") {
+    // (a) stts declares 0x80000000 entries — the raw u32 casts to a
+    // NEGATIVE Int; must drop the trak, never throw
+    // NegativeArraySizeException from the task
+    val negCount = trakBytes(1, v1 = false, "vide", 600,
+      bx("stbl",
+        bx("stts", beI(0), beI(0x80000000.toInt), beI(1), beI(5)),
+        bx("stsz", beI(0), beI(0), beI(1), beI(7)),
+        bx("stsc", beI(0), beI(1), beI(1), beI(1), beI(1)),
+        bx("stco", beI(0), beI(1), beI(64))))
+    assert(Multimodal.parseMp4Samples(1L, ftypB ++ bx("moov", negCount)).isEmpty)
+    // (b) fixed-size stsz declaring 2^30 samples (no table bytes to
+    // bounds-check) must quarantine BEFORE any allocation — the
+    // OOM/DoS vector of a corrupt header; 2^31 (negative) likewise
+    for (n <- Seq(1 << 30, 0x80000001.toInt)) {
+      val hugeFixed = trakBytes(2, v1 = false, "soun", 600,
+        bx("stbl",
+          bx("stts", beI(0), beI(1), beI(1), beI(5)),
+          bx("stsz", beI(0), beI(128), beI(n)),
+          bx("stsc", beI(0), beI(1), beI(1), beI(1), beI(1)),
+          bx("stco", beI(0), beI(1), beI(64))))
+      assert(Multimodal.parseMp4Samples(2L, ftypB ++ bx("moov", hugeFixed)).isEmpty,
+        s"fixed-size count $n must quarantine, not allocate")
+    }
+    // (c) a table that overruns its BOX while staying inside the file
+    // (it would silently read the sibling stco's bytes) is a mis-parse
+    // and must quarantine: stss declares 4 syncs but its box carries 1
+    val boxOverrun = trakBytes(3, v1 = false, "vide", 600,
+      bx("stbl",
+        bx("stts", beI(0), beI(1), beI(2), beI(5)),
+        bx("stsz", beI(0), beI(0), beI(2), beI(7), beI(8)),
+        bx("stsc", beI(0), beI(1), beI(1), beI(2), beI(1)),
+        bx("stss", beI(0), beI(4), beI(1)),
+        bx("stco", beI(0), beI(1), beI(64))))
+    assert(Multimodal.parseMp4Samples(3L, ftypB ++ bx("moov", boxOverrun)).isEmpty,
+      "stss overrunning its box into the sibling stco must quarantine")
+    // same payload with an honest stss count parses fine (the control)
+    val ok = trakBytes(3, v1 = false, "vide", 600,
+      bx("stbl",
+        bx("stts", beI(0), beI(1), beI(2), beI(5)),
+        bx("stsz", beI(0), beI(0), beI(2), beI(7), beI(8)),
+        bx("stsc", beI(0), beI(1), beI(1), beI(2), beI(1)),
+        bx("stss", beI(0), beI(1), beI(1)),
+        bx("stco", beI(0), beI(1), beI(64))))
+    assert(Multimodal.parseMp4Samples(3L, ftypB ++ bx("moov", ok)).size == 2)
+  }
+
   test("mp4SampleTable: non-BMFF / null / headerless payloads emit nothing") {
     assert(Multimodal.parseMp4Samples(1L, "RIFFxxxxWAVE".getBytes).isEmpty)
     assert(Multimodal.parseMp4Samples(1L, null).isEmpty)
