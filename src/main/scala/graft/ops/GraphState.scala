@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+
+/** Graph statistics as MAINTAINED state tables (round-13 verdict's top
+  * ask): the corpus co-occurrence graph's canonical edge set and its
+  * per-node triangle stats persist as a PAIR of catalog tables that
+  * edge deltas advance in place — the [[Warehouse]]/[[Incremental]]
+  * q177/q188 posture applied to the graph family. At a 100 TB corpus
+  * where a crawl delta lands hourly, an advance must never re-read or
+  * re-canonicalize history: [[advanceTriangleState]] consumes the
+  * stored canonical edges directly ([[Graph.advanceTriangleCore]] —
+  * zero |E| distinct, zero |E| shuffle when the delta fits the
+  * broadcast gate), where the raw-frame
+  * [[Graph.advanceTriangleStats]] overload pays a full |E|
+  * canonicalization exchange per call.
+  *
+  * State layout for a pair named `g`:
+  *  - `g_edges(a, b)` — canonical simple undirected pairs (a < b,
+  *    distinct), the ground truth;
+  *  - `g_stats(node, degree, n_triangles, clustering)` — the derived
+  *    view, exactly [[Graph.triangleStats]]' output over `g_edges`.
+  *
+  * Crash safety: both `__next` stagings materialize fully BEFORE any
+  * swap; the swaps then run ground-truth-first (edges, then stats).
+  * Each table carries its advance EPOCH as a `graft.epoch` table
+  * property (stamped on the staging before its swap; renames carry
+  * properties along), so [[recoverTriangleState]] can resolve every
+  * crash window:
+  *  - crash during staging → both live tables intact at the same
+  *    epoch; danglers drop; the caller re-applies the delta (an
+  *    advance dedups against the edge set, so re-application is safe);
+  *  - crash between the two swaps → edges live at epoch e+1, stats at
+  *    e with a COMPLETE staged `__next` at e+1 (a catalog-committed
+  *    staging is a finished write): the staging is PROMOTED, no
+  *    recount;
+  *  - staged stats lost or unstamped → stats REBUILT from the edges
+  *    table (the derived view is always recomputable from ground
+  *    truth — the safe full-recount fallback, taken only on a crash
+  *    inside the one swap window).
+  */
+object GraphState {
+
+  private[ops] def edgesTable(name: String): String = s"${name}_edges"
+  private[ops] def statsTable(name: String): String = s"${name}_stats"
+  private val EpochKey = "graft.epoch"
+
+  /** Epoch stamped on `table` (−1 = missing table or never stamped). */
+  private[graft] def epochOf(spark: SparkSession, table: String): Long =
+    if (!spark.catalog.tableExists(table)) -1L
+    else spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+      .properties.getOrElse(EpochKey, "-1").toLong
+
+  private def stamp(spark: SparkSession, table: String, epoch: Long): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('$EpochKey'='$epoch')")
+
+  /** The maintained stats view (node, degree, n_triangles,
+    * clustering) — what a report reads. */
+  def stats(spark: SparkSession, name: String): DataFrame =
+    spark.table(statsTable(name))
+
+  /** The maintained canonical edge set (a, b). */
+  def edges(spark: SparkSession, name: String): DataFrame =
+    spark.table(edgesTable(name))
+
+  /** Create the pair at epoch 0 from a raw edge frame (one full
+    * canonicalization + one full [[Graph.triangleStats]] count — the
+    * LAST time either happens; every later change is an advance).
+    * `edges` may be empty: a streaming loop starts from the empty
+    * graph and folds arrival waves in. */
+  def initTriangleState(spark: SparkSession, name: String, edges: DataFrame,
+                        srcCol: String, dstCol: String): Unit = {
+    val eT = edgesTable(name); val sT = statsTable(name)
+    Tables.dropTablesAndDirs(spark, eT, sT,
+      s"${eT}__next", s"${sT}__next", s"${eT}__old", s"${sT}__old")
+    Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
+    stamp(spark, eT, 0L)
+    Graph.triangleStatsCore(spark.table(eT)).write.saveAsTable(sT)
+    stamp(spark, sT, 0L)
+  }
+
+  /** The advanced (newEdges, newStats) PLANS from the live pair + a
+    * raw delta — no writes. Exposed so the plan-assert spec can prove
+    * the advance scans ONLY the two state tables and the delta source
+    * (the q152 discipline); [[advanceTriangleState]] stages and swaps
+    * these outputs. */
+  def advanceTrianglePlan(spark: SparkSession, name: String, delta: DataFrame,
+                          srcCol: String, dstCol: String): (DataFrame, DataFrame) =
+    Graph.advanceTriangleCore(stats(spark, name), edges(spark, name),
+      Graph.canonPairs(delta, srcCol, dstCol))
+
+  /** Retraction twin of [[advanceTrianglePlan]]. */
+  def retractTrianglePlan(spark: SparkSession, name: String, removed: DataFrame,
+                          srcCol: String, dstCol: String): (DataFrame, DataFrame) =
+    Graph.retractTriangleCore(stats(spark, name), edges(spark, name),
+      Graph.canonPairs(removed, srcCol, dstCol))
+
+  /** Fold an edge delta into the pair: |D|-bounded stats work
+    * ([[Graph.advanceTriangleCore]]) + the stage-both-then-swap-both
+    * protocol. Already-present and duplicate delta edges are no-ops,
+    * so re-applying a delta after a resolved crash is safe. */
+  def advanceTriangleState(spark: SparkSession, name: String, delta: DataFrame,
+                           srcCol: String, dstCol: String): Unit =
+    applyStaged(spark, name,
+      advanceTrianglePlan(spark, name, delta, srcCol, dstCol))
+
+  /** Retract an edge set (takedowns) from the pair — the deletion
+    * side, same protocol. Rows not actually present are ignored. */
+  def retractTriangleState(spark: SparkSession, name: String, removed: DataFrame,
+                           srcCol: String, dstCol: String): Unit =
+    applyStaged(spark, name,
+      retractTrianglePlan(spark, name, removed, srcCol, dstCol))
+
+  private def applyStaged(spark: SparkSession, name: String,
+                          pair: (DataFrame, DataFrame)): Unit = {
+    val (newE, newS) = pair
+    val eT = edgesTable(name); val sT = statsTable(name)
+    val ep = epochOf(spark, eT) + 1
+    Tables.dropTablesAndDirs(spark, s"${eT}__next", s"${sT}__next")
+    // stage BOTH fully (both plans read the LIVE pair) before any swap
+    newS.write.saveAsTable(s"${sT}__next")
+    stamp(spark, s"${sT}__next", ep)
+    newE.write.saveAsTable(s"${eT}__next")
+    stamp(spark, s"${eT}__next", ep)
+    // ground truth first: edges, then the derived stats
+    Incremental.swapStaged(spark, eT)
+    Incremental.swapStaged(spark, sT)
+  }
+
+  /** Detect and resolve an interrupted advance (see the class doc's
+    * crash-window table). Returns what it did: `"clean"`,
+    * `"resolved"` (danglers dropped — re-apply the delta),
+    * `"promoted-staged-stats"` (the completed staging finished its
+    * swap), or `"rebuilt-stats"` (derived view recomputed from the
+    * edges ground truth). */
+  def recoverTriangleState(spark: SparkSession, name: String): String = {
+    val eT = edgesTable(name); val sT = statsTable(name)
+    val r1 = Incremental.recoverStateTable(spark, eT)
+    val eEp = epochOf(spark, eT)
+    val stagedEp = epochOf(spark, s"${sT}__next")
+    if (spark.catalog.tableExists(sT) &&
+        spark.catalog.tableExists(s"${sT}__next") && stagedEp == eEp &&
+        epochOf(spark, sT) != eEp) {
+      Incremental.swapStaged(spark, sT)
+      "promoted-staged-stats"
+    } else {
+      // a half-swapped stats (live missing, staging present) is
+      // completed by the generic recovery; the epoch check below then
+      // confirms it caught up
+      val r2 = Incremental.recoverStateTable(spark, sT)
+      if (epochOf(spark, sT) != eEp) {
+        Incremental.transformStateTable(spark, sT)(_ =>
+          Graph.triangleStatsCore(spark.table(eT)))
+        stamp(spark, sT, eEp)
+        "rebuilt-stats"
+      } else if (r1 == "clean" && r2 == "clean") "clean"
+      else "resolved"
+    }
+  }
+}

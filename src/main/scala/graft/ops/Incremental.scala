@@ -117,7 +117,7 @@ object Incremental {
     * unwind the swap from what it finds. Concurrent readers of the
     * table NAME may still observe the one-op gap; point-in-time
     * readers should read a snapshot export, not the live name. */
-  private def swapStaged(spark: SparkSession, stateTable: String): Unit = {
+  private[graft] def swapStaged(spark: SparkSession, stateTable: String): Unit = {
     val staged = s"${stateTable}__next"
     val old = s"${stateTable}__old"
     spark.sql(s"DROP TABLE IF EXISTS $old")

@@ -1050,6 +1050,59 @@ object CatalogStream {
         |LEFT JOIN s1 USING (u, sid)
         |LEFT JOIN s2 USING (u, sid)
         |LEFT JOIN s3 USING (u, sid)
-        |ORDER BY user_id, session_start_us""".stripMargin))
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Streaming TRIANGLE maintenance (round-14, the round-13 verdict's
+    // top ask run live): the co-order graph's (edges, stats) pair
+    // lives as MAINTAINED state tables (GraphState — the q177/q188
+    // stage-and-swap posture applied to the graph family) and three
+    // crawl waves of edge deltas fold in through foreachBatch, each
+    // microbatch one |D|-bounded advanceTriangleState consuming the
+    // stored CANONICAL edge set (never re-canonicalizing history —
+    // Graph.advanceTriangleCore). Waves re-deliver edges already
+    // present (co-order pairs recur across orders); the advance dedups
+    // against state, so wave boundaries are immaterial. Oracle: the
+    // from-scratch triangle count over the whole union — maintained ≡
+    // full, to the hash.
+    ("q230_stream_triangle_maintain", (s: SparkSession, d: String) => {
+      import graft.ops.GraphState
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q230_graph_$tag"
+      def pairsOf(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val li = table(s, d, "lineitem")
+          .where(col("l_partkey") % 3 === 0 && pred(col("l_orderkey")))
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.join(li.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+            Seq("l_orderkey"))
+          .where(col("l_partkey") < col("__p2"))
+          .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+      }
+      val dir = stageWavesCached(d, "graph-waves")(Seq(
+        pairsOf(ok => ok % 3 === 0), pairsOf(ok => ok % 3 === 1),
+        pairsOf(ok => ok % 3 === 2)))
+      val empty = pairsOf(_ => lit(false))
+      GraphState.initTriangleState(s, st, empty, "src", "dst")
+      val src = s.readStream.format("parquet").schema(empty.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-graph-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            GraphState.advanceTriangleState(s, st, b, "src", "dst")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally rmrf(ckpt)
+      GraphState.stats(s, st)
+        .withColumnRenamed("node", "part_id").orderBy("part_id")
+    }, Some(graft.ops.Graph.triangleStatsSql(
+      """e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0)""".stripMargin,
+      nodeAs = "part_id") + "\nORDER BY part_id"))
   )
 }

@@ -52,6 +52,11 @@ object TriangleDeltaAb {
     val prev = Checkpointing.truncateSer(
       Graph.triangleStats(base, "src", "dst"))
     println(s"| base pair rows $nb | delta pair rows $nd |")
+    // the STATE-TABLE path (round-14): the maintained pair exists as
+    // persisted tables before the delta arrives — untimed init; the
+    // timed leg advances FROM STATE (no per-advance |E| re-distinct)
+    graft.ops.GraphState.initTriangleState(spark, "triab", base,
+      "src", "dst")
 
     def time[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime(); val r = f
@@ -61,7 +66,7 @@ object TriangleDeltaAb {
       val r = df.agg(sum("n_triangles"), count(lit(1))).head()
       (r.getLong(0), r.getLong(1))
     }
-    println("| leg | full (s) | incremental (s) | check |")
+    println("| leg | full (s) | incremental (s) | state-table (s) | check |")
     for (leg <- 1 to 3) {
       val (tf, cf) = time {
         checksum(Graph.triangleStats(base.unionAll(delta), "src", "dst"))
@@ -69,10 +74,16 @@ object TriangleDeltaAb {
       val (ti, ci) = time {
         checksum(Graph.advanceTriangleStats(prev, base, "src", "dst", delta))
       }
+      val (ts, cs) = time {
+        checksum(graft.ops.GraphState.advanceTrianglePlan(spark, "triab",
+          delta, "src", "dst")._2)
+      }
       require(cf == ci, s"full $cf != incremental $ci")
-      println(f"| $leg | $tf%.2f | $ti%.2f | tri3=${cf._1} nodes=${cf._2} |")
+      require(cf == cs, s"full $cf != state-table $cs")
+      println(f"| $leg | $tf%.2f | $ti%.2f | $ts%.2f | tri3=${cf._1} nodes=${cf._2} |")
       spark.catalog.clearCache()
     }
+    graft.ops.Tables.dropTablesAndDirs(spark, "triab_edges", "triab_stats")
     spark.stop()
   }
 }

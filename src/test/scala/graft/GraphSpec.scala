@@ -470,5 +470,13 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1)
     assert(again.toSeq == got.toSeq)
+    // a negative multiplicity would silently corrupt every rank —
+    // the precondition is validated, not assumed
+    val neg = intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(
+        Seq((1L, 2L, 3L), (2L, 1L, -1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 1)
+    }
+    assert(neg.getMessage.contains("non-negative"))
   }
 }

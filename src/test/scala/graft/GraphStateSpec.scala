@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.ops.{Graph, GraphState, Tables}
+
+/** [[graft.ops.GraphState]] — the triangle stats maintained as a
+  * crash-safe (edges, stats) state-table pair (round-13 verdict's top
+  * ask: an advance must consume STATE, never re-canonicalize raw
+  * history). */
+class GraphStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scrub(name: String): Unit =
+    Tables.dropTablesAndDirs(spark,
+      s"${name}_edges", s"${name}_stats",
+      s"${name}_edges__next", s"${name}_stats__next",
+      s"${name}_edges__old", s"${name}_stats__old")
+
+  private def pairsOf(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val li = Tables.table(spark, sf, "lineitem")
+      .where(col("l_partkey") % 3 === 0 && pred(col("l_orderkey")))
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.join(li.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+        Seq("l_orderkey"))
+      .where(col("l_partkey") < col("__p2"))
+      .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+  }
+
+  private def sortedStats(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("node", "degree", "n_triangles", "clustering")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+
+  test("advance folds waves into the pair; maintained stats equal the full re-count; epochs track; no danglers") {
+    val name = "gstate_adv"
+    scrub(name)
+    GraphState.initTriangleState(spark, name,
+      pairsOf(_ => lit(false)), "src", "dst")
+    assert(GraphState.epochOf(spark, s"${name}_edges") == 0L)
+    for (w <- 0 to 2)
+      GraphState.advanceTriangleState(spark, name,
+        pairsOf(ok => ok % 3 === w), "src", "dst")
+    val got = sortedStats(GraphState.stats(spark, name))
+    val want = sortedStats(
+      Graph.triangleStats(pairsOf(_ => lit(true)), "src", "dst"))
+    assert(got == want, "maintained pair must equal the from-scratch count")
+    assert(GraphState.epochOf(spark, s"${name}_edges") == 3L)
+    assert(GraphState.epochOf(spark, s"${name}_stats") == 3L)
+    for (t <- Seq("_edges__next", "_stats__next", "_edges__old", "_stats__old"))
+      assert(!spark.catalog.tableExists(name + t), s"dangler $t")
+    assert(GraphState.recoverTriangleState(spark, name) == "clean")
+    // re-applying an already-folded delta is a no-op (crash-replay safety)
+    GraphState.advanceTriangleState(spark, name,
+      pairsOf(ok => ok % 3 === 1), "src", "dst")
+    assert(sortedStats(GraphState.stats(spark, name)) == want)
+    scrub(name)
+  }
+
+  test("retract removes a slice; pair equals the full re-count on the remainder; retract∘advance is identity") {
+    val name = "gstate_ret"
+    scrub(name)
+    GraphState.initTriangleState(spark, name, pairsOf(_ => lit(true)),
+      "src", "dst")
+    val before = sortedStats(GraphState.stats(spark, name))
+    val slice = pairsOf(ok => ok % 7 === 0)
+    GraphState.retractTriangleState(spark, name, slice, "src", "dst")
+    // the retracted pair equals a from-scratch count over the remaining
+    // edges (edges ground truth drives the check)
+    val want = sortedStats(Graph.triangleStats(
+      GraphState.edges(spark, name), "a", "b"))
+    assert(sortedStats(GraphState.stats(spark, name)) == want)
+    // identity: advancing the same slice back restores the original
+    GraphState.advanceTriangleState(spark, name, slice, "src", "dst")
+    assert(sortedStats(GraphState.stats(spark, name)) == before)
+    assert(GraphState.epochOf(spark, s"${name}_stats") == 2L)
+    scrub(name)
+  }
+
+  test("advance reads ONLY the state pair + the delta — never raw history (every file scan audited)") {
+    val name = "gstate_plan"
+    scrub(name)
+    // raw history staged as its own parquet (the thing the advance
+    // must NOT touch)
+    val hist = java.nio.file.Files.createTempDirectory("gstate-hist").toString
+    pairsOf(ok => ok % 3 =!= 0).write.mode("overwrite").parquet(hist)
+    val deltaDir = java.nio.file.Files.createTempDirectory("gstate-delta").toString
+    pairsOf(ok => ok % 3 === 0).write.mode("overwrite").parquet(deltaDir)
+    GraphState.initTriangleState(spark, name,
+      spark.read.parquet(hist), "src", "dst")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.executedPlan.foreach {
+          case s: FileSourceScanExec =>
+            seen.add(s.relation.location.rootPaths.mkString(","))
+          case _ => ()
+        }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      GraphState.advanceTriangleState(spark, name,
+        spark.read.parquet(deltaDir), "src", "dst")
+      // listener delivery is async — wait for the queue to go quiet
+      var last = -1
+      var spins = 0
+      while (seen.size != last && spins < 40) {
+        last = seen.size; spins += 1; Thread.sleep(250)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.listenerManager.unregister(listener)
+    }
+    val paths = seen.toArray(Array.empty[String]).toSeq.distinct
+    assert(paths.nonEmpty, "the audit must observe the advance's scans")
+    val allowed = Seq(s"${name}_edges", s"${name}_stats", deltaDir)
+    paths.foreach { p =>
+      assert(allowed.exists(p.contains),
+        s"advance scanned $p — outside state pair + delta")
+      assert(!p.contains(hist), s"advance re-read raw history: $p")
+    }
+    assert(paths.exists(_.contains(s"${name}_edges")), "state edges scan missing")
+    graft.ops.LocalFiles.deleteRecursively(hist)
+    graft.ops.LocalFiles.deleteRecursively(deltaDir)
+    scrub(name)
+  }
+
+  test("recovery resolves every crash window: promote staged stats, rebuild lost stats, drop danglers") {
+    val name = "gstate_rec"
+    scrub(name)
+    GraphState.initTriangleState(spark, name,
+      pairsOf(ok => ok % 3 =!= 0), "src", "dst")
+    val delta = pairsOf(ok => ok % 3 === 0)
+
+    // window A: crash BETWEEN the two swaps — edges live at e+1, stats
+    // at e with a complete staged __next. Simulate by staging both and
+    // swapping only the edges (exactly what applyStaged does first).
+    val (newE, newS) = GraphState.advanceTrianglePlan(spark, name, delta,
+      "src", "dst")
+    newS.write.saveAsTable(s"${name}_stats__next")
+    spark.sql(s"ALTER TABLE ${name}_stats__next SET TBLPROPERTIES('graft.epoch'='1')")
+    newE.write.saveAsTable(s"${name}_edges__next")
+    spark.sql(s"ALTER TABLE ${name}_edges__next SET TBLPROPERTIES('graft.epoch'='1')")
+    graft.ops.Incremental.swapStaged(spark, s"${name}_edges")
+    assert(GraphState.recoverTriangleState(spark, name) == "promoted-staged-stats")
+    val want = sortedStats(
+      Graph.triangleStats(pairsOf(_ => lit(true)), "src", "dst"))
+    assert(sortedStats(GraphState.stats(spark, name)) == want)
+    assert(GraphState.epochOf(spark, s"${name}_stats") == 1L)
+
+    // window B: staged stats LOST after the edges swap (or unstamped) —
+    // stats lag ground truth and must be rebuilt from the edges table.
+    spark.sql(s"ALTER TABLE ${name}_stats SET TBLPROPERTIES('graft.epoch'='0')")
+    assert(GraphState.recoverTriangleState(spark, name) == "rebuilt-stats")
+    assert(sortedStats(GraphState.stats(spark, name)) == want)
+    assert(GraphState.epochOf(spark, s"${name}_stats") == 1L)
+
+    // window C: crash during staging — danglers at a stale epoch drop,
+    // the live pair stays intact (caller re-applies the delta)
+    Seq((1L, 2L)).toDF("a", "b").write.saveAsTable(s"${name}_stats__next")
+    assert(GraphState.recoverTriangleState(spark, name) == "resolved")
+    assert(!spark.catalog.tableExists(s"${name}_stats__next"))
+    assert(sortedStats(GraphState.stats(spark, name)) == want)
+    assert(GraphState.recoverTriangleState(spark, name) == "clean")
+    scrub(name)
+  }
+}
