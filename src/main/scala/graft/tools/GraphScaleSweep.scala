@@ -24,7 +24,8 @@ import graft.ops.Graph
   * Run: `runMain graft.tools.GraphScaleSweep` (env SPARK_GRAFT_SF_DIR,
   * default sf0.1; SPARK_GRAFT_GRAPH_COPIES, default "1,4,8";
   * SPARK_GRAFT_GRAPH_OPS, comma list of
-  * triangles|louvain|multilevel|kcore, default all four).
+  * triangles|louvain|multilevel|kcore|kcoreinc, default the first
+  * four — kcoreinc is the incremental-advance-vs-full-re-peel A/B).
   */
 object GraphScaleSweep {
   def main(args: Array[String]): Unit = {
@@ -91,6 +92,39 @@ object GraphScaleSweep {
           Graph.kCore(edges, "src", "dst", k = 70, iters = 5).count()
         }
         println(f"| kcore k70 i5 | $copies | $n | $tKc%.2f | survivors=$kc |")
+      }
+      if (opsRun("kcoreinc")) {
+        // incremental k-core advance vs the full fixed-point re-peel:
+        // 1%-of-orders edge delta (the TriangleDeltaAb scenario), base
+        // core materialized UNTIMED (it exists in the maintenance
+        // scenario); both legs at the k=55 fixture the q231 oracle
+        // uses, checksums compared
+        val lik = graft.ops.Tables.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        def pairsAt(pred: org.apache.spark.sql.Column) = {
+          val l = lik.where(pred)
+          (0 until copies).map(i =>
+            l.join(l.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+                Seq("l_orderkey"))
+              .where(col("l_partkey") < col("__p2"))
+              .select((col("l_partkey") + i * 1000000000L).as("src"),
+                (col("__p2") + i * 1000000000L).as("dst")))
+            .reduce(_.unionAll(_))
+        }
+        val kb = pairsAt(col("l_orderkey") % 100 =!= 0).localCheckpoint()
+        val kd = pairsAt(col("l_orderkey") % 100 === 0).localCheckpoint()
+        val prevCore = Graph.kCore(kb, "src", "dst", k = 55, iters = 9)
+          .localCheckpoint()
+        val (tFull, cF) = time {
+          Graph.kCore(kb.unionAll(kd), "src", "dst", k = 55, iters = 9)
+            .agg(count(lit(1)), sum("deg")).head()
+        }
+        val (tInc, cI) = time {
+          Graph.advanceKCore(prevCore, kb, "src", "dst", kd, k = 55)
+            .agg(count(lit(1)), sum("deg")).head()
+        }
+        require(cF == cI, s"full $cF != incremental $cI")
+        println(f"| kcore-adv k55 | $copies | $n | full $tFull%.2f / inc $tInc%.2f | surv=${cF.getLong(0)} |")
       }
       spark.catalog.clearCache()
     }

@@ -337,6 +337,65 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSeq.forall(_ == 5L))
   }
 
+  test("advanceKCore: cycle closure cascades across the whole path (multi-hop frontier); untouched core passes through") {
+    // base: K3 {1,2,3} (the stable 2-core) + path 10-11-12-13-14 (no
+    // 2-core — the synchronous peel erases it end-in). Closing edge
+    // (10,14) makes the path a C5: ALL five nodes join, and the
+    // frontier must expand 10/14 → 11/13 → 12 — a genuine multi-hop
+    // cascade that crosses partitions when the inputs are scattered.
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+    val base = (k3 ++ path).toDF("src", "dst").repartition(4)
+    val prev = Graph.kCore(base, "src", "dst", k = 2, iters = 6)
+    assert(prev.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "base fixed point must be the K3 alone")
+    // delta also carries a core-core edge? no — (1,10) attaches the
+    // cycle to the K3, so node 1 and 10's degrees must update too
+    val delta = Seq((10L, 14L), (1L, 10L)).toDF("src", "dst").repartition(3)
+    val got = Graph.advanceKCore(prev, base, "src", "dst", delta, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 10L -> 3L, 11L -> 2L,
+      12L -> 2L, 13L -> 2L, 14L -> 2L)
+    assert(got == want, s"got $got")
+    // equality with the from-scratch fixed point, and with the
+    // mutual-dependence case (two nodes that only qualify together)
+    val full = Graph.kCore(base.unionAll(delta), "src", "dst",
+        k = 2, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+  }
+
+  test("advanceKCore: mutual-dependence joiners, core-internal delta degrees, dup/known edges, partition independence") {
+    // K4 {1..4}; 5 and 6 each have two core neighbors and only
+    // qualify at k=3 if BOTH join (they need each other)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val base = (k4 ++ Seq((1L, 5L), (2L, 5L), (1L, 6L), (2L, 6L)))
+      .toDF("src", "dst")
+    val prev = Graph.kCore(base, "src", "dst", k = 3, iters = 5)
+    assert(prev.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // delta: the mutual edge (5,6) twice + an already-known edge +
+    // a core-internal... (3,4) is known; all dupes must be no-ops
+    val delta = Seq((5L, 6L), (6L, 5L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.advanceKCore(prev, base, "src", "dst", delta, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.kCore(base.unionAll(delta), "src", "dst",
+        k = 3, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+    assert(got(5L) == 3L && got(6L) == 3L, s"mutual joiners: $got")
+    // partition independence
+    val again = Graph.advanceKCore(prev, base.repartition(7), "src", "dst",
+        delta.repartition(2), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // a delta that creates NO joiners but raises core degrees: (3,4)
+    // alone is already present → advance is a no-op
+    val noop = Graph.advanceKCore(prev, base, "src", "dst",
+        Seq((3L, 4L)).toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("advanceTriangleStats: incremental equals full re-count (cross-partition delta, new nodes, dup/known edges)") {
     def stats(df: org.apache.spark.sql.DataFrame) =
       Graph.triangleStats(df, "src", "dst").collect()
