@@ -1022,6 +1022,107 @@ object Graph {
       .unionAll(degT.select(col("node"), col("deg")))
   }
 
+  /** Neighborhood function — HyperANF (Boldi, Rosa & Vigna 2011,
+    * "HyperANF: approximating the neighbourhood function of very
+    * large graphs on a budget"): per-node estimates of |ball(v, t)|
+    * (how many nodes are within t hops of v) for t = 1..iters — the
+    * distance-distribution signal beside centrality ([[pageRank]])
+    * and community ([[louvain]]): its per-t ramp is what effective
+    * diameter, spid, and reachability audits read.
+    *
+    * Exact per-node balls need |V|·|V| bits; HyperANF keeps ONE HLL
+    * register set per node (the [[graft.functions.PortableSketches]]
+    * portable registers — the q43/q158 machinery) and advances it by
+    * the identity ball(v, t) = {v} ∪ ⋃_{u∼v} ball(u, t−1): registers
+    * are max-mergeable, so one round = one |E| join carrying (bucket,
+    * r) pairs + one (node, bucket) max-combine. REGISTERS AS DATA —
+    * exactly the mergeable-state posture the sketch family uses — so
+    * the whole T-round run replays in the oracle as unrolled
+    * register-arithmetic CTEs, and every estimate is engine-identical
+    * (the portable-ln linear-counting branch included).
+    *
+    * Input edges canonicalize to simple undirected pairs, symmetrized
+    * internally (balls are over the undirected graph). Returns
+    * (node, t, ball_est) for t = 1..iters, ball_est the standard HLL
+    * estimate of |ball(v, t)| (self included).
+    *
+    * Scale per round: the join carries at most min(256, |ball|)
+    * register rows per source node — never the ball itself; the
+    * max-combine is map-side combined on (node, bucket). Per-round
+    * lineage truncation; intermediate register tables stay referenced
+    * by their ladder rows, so no mid-loop release. */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import graft.functions.PortableSketches._
+    val canon = canonPairs(edges, srcCol, dstCol)
+    val e = Checkpointing.truncateSer(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(canon.select(col("b").as("src"), col("a").as("dst"))))
+    val nodes = e.select(col("src").as("node")).distinct()
+    var regs = Checkpointing.truncate(nodes
+      .select(col("node"), hllDigest(col("node")).as("__d"))
+      .select(col("node"), hllBucket(col("__d")).as("bucket"),
+        hllRho(col("__d")).as("r")))
+    val ladder = Seq.newBuilder[DataFrame]
+    for (t <- 1 to iters) {
+      val fromNbrs = e
+        .join(regs.select(col("node").as("src"), col("bucket"), col("r")),
+          Seq("src"))
+        .select(col("dst").as("node"), col("bucket"), col("r"))
+      regs = Checkpointing.truncate(
+        regs.unionAll(fromNbrs)
+          .groupBy("node", "bucket").agg(max(col("r")).as("r")))
+      ladder += regs
+        .groupBy("node")
+        .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
+          count(lit(1)).as("present"))
+        .select(col("node"), lit(t).cast("int").as("t"),
+          hllEstimate(col("zsum"), col("present")).as("ball_est"))
+    }
+    ladder.result().reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin of [[neighborhoodFunction]]: the same `iters` rounds
+    * unrolled as register-table CTEs under the shared portable-HLL
+    * fragments. `edgesCte` must define `e(src, dst)` — the SYMMETRIZED
+    * simple edge set. */
+  def neighborhoodFunctionSql(edgesCte: String, iters: Int,
+                              nodeAs: String = "node"): String = {
+    require(iters >= 1)
+    import graft.functions.PortableSketches._
+    val rounds = (1 to iters).map { t =>
+      s"""nr$t AS MATERIALIZED (
+         |  SELECT node, bucket, max(r) AS r FROM (
+         |    SELECT node, bucket, r FROM nr${t - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.bucket, p.r
+         |    FROM e JOIN nr${t - 1} p ON p.node = e.src
+         |  ) GROUP BY 1, 2
+         |), nest$t AS (
+         |  SELECT node, CAST($t AS INT) AS t,
+         |         ${hllEstimateSql("zsum", "present")} AS ball_est
+         |  FROM (SELECT node, sum($hllRegisterTermSql) AS zsum,
+         |               count(*) AS present
+         |        FROM nr$t GROUP BY node)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to iters)
+      .map(t => s"SELECT node, t, ball_est FROM nest$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $edgesCte,
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |nr0 AS MATERIALIZED (
+       |  SELECT node, ${hllBucketSql("d")} AS bucket, ${hllRhoSql("d")} AS r
+       |  FROM (SELECT node, ${hllDigestSql("node")} AS d FROM n)
+       |)
+       |,
+       |$rounds
+       |SELECT node AS $nodeAs, t, ball_est FROM (
+       |$unions
+       |)""".stripMargin
+  }
+
   /** Distinct triangles of a CANONICAL simple edge table `e(a, b)`
     * (a < b), emitted as id-sorted corner triples (x < y < z) — the
     * degree-oriented enumeration [[triangleStats]] runs (every wedge

@@ -54,5 +54,30 @@ object CatalogML10 {
         |e0 AS (SELECT a AS src, b AS dst FROM p
         |       UNION ALL SELECT b, a FROM p)""".stripMargin,
       k = 55, iters = 4, nodeAs = "part_id") + "\nORDER BY part_id")),
+
+    // Neighborhood function (HyperANF) over the part–supplier
+    // bipartite graph (round-13 verdict #4): per-node portable-HLL
+    // registers of the ≤t-hop ball advanced 3 rounds by register
+    // max-merge over edges — the distance-distribution signal beside
+    // centrality and community. Registers are DATA (the q43/q158
+    // posture), so the ENTIRE iterative run — init registers, each
+    // round's edge merge, every estimate including the portable-ln
+    // linear-counting branch — replays in the oracle as unrolled
+    // register-arithmetic CTEs, bit-identical.
+    ("q232_graph_neighborhood", (s: SparkSession, d: String) => {
+      val edges = table(s, d, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+      graft.ops.Graph.neighborhoodFunction(edges, "src", "dst", iters = 3)
+        .orderBy("node", "t")
+    }, Some(graft.ops.Graph.neighborhoodFunctionSql(
+      """p AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |         CAST(l_suppkey + 1000000000 AS BIGINT) AS b
+        |  FROM lineitem WHERE l_partkey % 3 = 0),
+        |e AS (SELECT a AS src, b AS dst FROM p
+        |      UNION ALL SELECT b, a FROM p)""".stripMargin,
+      iters = 3) + "\nORDER BY node, t")),
   )
 }

@@ -93,6 +93,31 @@ object GraphScaleSweep {
         }
         println(f"| kcore k70 i5 | $copies | $n | $tKc%.2f | survivors=$kc |")
       }
+      if (opsRun("anf")) {
+        // neighborhood function on q232's part–supplier bipartite
+        // graph (the co-order graph's dense cliques saturate every
+        // register set by t=2 — the bipartite graph is the honest
+        // sparse-ball workload). Copies are disconnected id-offset
+        // replicas: ball SIZES replicate exactly, but the HLL
+        // estimates hash the offset ids, so the summed estimate
+        // tracks ×N within the sketch's ~1% aggregate error — the
+        // check column pins that, not exact ×N.
+        val ps0 = graft.ops.Tables.table(spark, sfDir, "lineitem")
+          .where(col("l_partkey") % 3 === 0)
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000000L).as("dst"))
+          .localCheckpoint()
+        val ps = (0 until copies).map(i =>
+            ps0.select((col("src") + i * 2000000000L).as("src"),
+              (col("dst") + i * 2000000000L).as("dst")))
+          .reduce(_.unionAll(_))
+        val m = ps.count()
+        val (tAnf, s3) = time {
+          Graph.neighborhoodFunction(ps, "src", "dst", iters = 3)
+            .agg(sum("ball_est")).head().getDouble(0)
+        }
+        println(f"| anf t3 (part-supp) | $copies | $m | $tAnf%.2f | sum_ball=$s3%.1f |")
+      }
       if (opsRun("kcoreinc")) {
         // incremental k-core advance vs the full fixed-point re-peel:
         // 1%-of-orders edge delta (the TriangleDeltaAb scenario), base

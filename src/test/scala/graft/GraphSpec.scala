@@ -396,6 +396,43 @@ class GraphSpec extends SparkSpec {
     assert(noop == prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("neighborhoodFunction: estimates equal the exact ball's register arithmetic on a path (hand ladder)") {
+    import graft.functions.PortableSketches._
+    // path 1-2-3-4-5: exact balls are intervals, so the expected
+    // estimate is the SAME portable register arithmetic computed over
+    // the known member set — equality is bit-exact
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.neighborhoodFunction(edges, "src", "dst", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 15, s"5 nodes x 3 rounds: ${got.size}")
+    def ball(v: Long, t: Int): Seq[Long] =
+      (1L to 5L).filter(u => math.abs(u - v) <= t)
+    val members = for (v <- 1L to 5L; t <- 1 to 3; u <- ball(v, t))
+      yield (v, t, u)
+    val exp = members.toDF("node", "t", "member")
+      .select(col("node"), col("t"), hllDigest(col("member")).as("__d"))
+      .groupBy(col("node"), col("t"), hllBucket(col("__d")).as("bucket"))
+      .agg(max(hllRho(col("__d"))).as("r"))
+      .groupBy("node", "t")
+      .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
+        count(lit(1)).as("present"))
+      .select(col("node"), col("t"),
+        hllEstimate(col("zsum"), col("present")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == exp, "per-(node, t) estimates must equal the exact-ball register arithmetic, to the bit")
+    // ladder semantics: the center saturates at its eccentricity (2),
+    // the endpoint keeps growing through t=3, estimates are monotone
+    assert(got((3L, 2)) == got((3L, 3)), "center ball saturates at t=2")
+    assert(got((1L, 2)) < got((1L, 3)), "endpoint ball still grows at t=3")
+    for (v <- 1L to 5L; t <- 1 to 2)
+      assert(got((v, t)) <= got((v, t + 1)), s"monotone ladder at $v/$t")
+    // partition independence
+    val again = Graph.neighborhoodFunction(edges.repartition(5), "src",
+        "dst", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == got)
+  }
+
   test("advanceTriangleStats: incremental equals full re-count (cross-partition delta, new nodes, dup/known edges)") {
     def stats(df: org.apache.spark.sql.DataFrame) =
       Graph.triangleStats(df, "src", "dst").collect()
