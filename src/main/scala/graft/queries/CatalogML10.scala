@@ -79,5 +79,60 @@ object CatalogML10 {
         |e AS (SELECT a AS src, b AS dst FROM p
         |      UNION ALL SELECT b, a FROM p)""".stripMargin,
       iters = 3) + "\nORDER BY node, t")),
+
+    // WordPiece encode — the third production tokenizer family beside
+    // BPE (q116/q140) and unigram-LM (q226/q227): a two-role
+    // (initial vs ## continuation) substring-frequency vocabulary is
+    // TRAINED on the documents corpus, then part names segment by
+    // greedy longest-match-first with whole-word [UNK] on failure —
+    // the cross-domain shape that keeps the [UNK] path live (part
+    // names carry letters the documents vocabulary never saw). One
+    // compiled reference-object node per output (the BpeEncodeMerges
+    // shape); the oracle replays the ENTIRE run — vocabulary count
+    // and every greedy step — as unrolled per-step CTEs, pure
+    // integer/string arithmetic, to the hash.
+    ("q233_wordpiece_encode", (s: SparkSession, d: String) => {
+      val vocab = graft.ops.WordPiece.learn(
+        table(s, d, "documents").select(col("text")), "text",
+        maxPieceLen = 4, maxWordLen = 12, minCount = 2)
+      graft.ops.WordPiece.tokenStats(table(s, d, "part"), "p_partkey",
+          "p_name", vocab)
+        .orderBy("p_partkey")
+    }, Some(graft.ops.WordPiece.wordPieceSql(
+      vocabWordsCte =
+        """dw AS (
+          |  SELECT unnest(list_transform(string_split_regex(trim(text), '\s+'),
+          |                               x -> lower(x))) AS word
+          |  FROM documents
+          |),
+          |words AS MATERIALIZED (
+          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM dw
+          |  WHERE len(word) BETWEEN 1 AND 12 GROUP BY 1
+          |)""".stripMargin,
+      targetWordsCte =
+        """pw AS (
+          |  SELECT DISTINCT word FROM (
+          |    SELECT unnest(list_transform(string_split_regex(trim(p_name), '\s+'),
+          |                                 x -> lower(x))) AS word
+          |    FROM part)
+          |  WHERE len(word) >= 1
+          |)""".stripMargin,
+      maxPieceLen = 4, maxWordLen = 12, minCount = 2,
+      tail =
+        """,
+          |partw AS (
+          |  SELECT p_partkey, word FROM (
+          |    SELECT p_partkey,
+          |           unnest(list_transform(string_split_regex(trim(p_name), '\s+'),
+          |                                 x -> lower(x))) AS word
+          |    FROM part)
+          |  WHERE len(word) >= 1
+          |)
+          |SELECT pr.p_partkey,
+          |       CAST(sum(t.toks) AS BIGINT) AS n_pieces,
+          |       CAST(sum(t.bad) AS BIGINT) AS n_unk
+          |FROM partw pr JOIN wtok t ON t.word = pr.word
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin))),
   )
 }
