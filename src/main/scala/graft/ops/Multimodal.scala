@@ -592,6 +592,107 @@ object Multimodal {
 
   def be64Hex(v: Column): Column = lpad(hex(v), 16, "0")
 
+  def be16Hex(v: Column): Column = lpad(hex(v), 4, "0")
+
+  // ───────────────────────── EXIF / TIFF tag walk ─────────────────────────
+
+  case class ExifMeta(media_id: Long, byte_order: String, width: Long,
+                      height: Long, orientation: Long, datetime: String,
+                      has_gps: Boolean)
+
+  /** Baseline TIFF IFD0 walk (TIFF 6.0 / EXIF public spec, both byte
+    * orders): header (`II`/`MM` + magic 42 + IFD offset), then one
+    * pass over IFD0's 12-byte entries. Fields read — the ones a
+    * crawled-image pipeline filters on:
+    *
+    *  - ImageWidth 0x0100 / ImageLength 0x0101 (SHORT or LONG;
+    *    mandatory — a fileless dimension is a corrupt image record);
+    *  - Orientation 0x0112 (SHORT; absent = 1, the spec default);
+    *  - DateTime 0x0132 (ASCII count 20 via offset; 19 chars + NUL);
+    *  - GPS IFD pointer 0x8825 — PRESENCE is the PII flag the scrub
+    *    family cannot see from text (the pointer must land in-file).
+    *
+    * Per spec, a ≤4-byte value is LEFT-JUSTIFIED in the entry's value
+    * field: a SHORT reads as u16 at the field start in the FILE's
+    * byte order.
+    *
+    * Quarantine contract (the [[parseMp4Samples]] convention): wrong
+    * magic, an IFD whose declared entry count overruns the file, an
+    * out-of-bounds DateTime/GPS offset, an unexpected type/count on a
+    * known tag, or missing dimensions emit NO row — dropped, never
+    * mis-parsed. Row-local flatMap, zero shuffle. */
+  private[graft] def parseExif(id: Long, bytes: Array[Byte]): Option[ExifMeta] = {
+    if (bytes == null || bytes.length < 8) return None
+    val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
+    val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
+    if (!le && !be) return None
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > bytes.length) -1
+      else if (le) u8(bytes(i)) | (u8(bytes(i + 1)) << 8)
+      else (u8(bytes(i)) << 8) | u8(bytes(i + 1))
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > bytes.length) -1L
+      else if (le) u8(bytes(i)).toLong | (u8(bytes(i + 1)).toLong << 8) |
+        (u8(bytes(i + 2)).toLong << 16) | (u8(bytes(i + 3)).toLong << 24)
+      else (u8(bytes(i)).toLong << 24) | (u8(bytes(i + 1)).toLong << 16) |
+        (u8(bytes(i + 2)).toLong << 8) | u8(bytes(i + 3)).toLong
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8L || ifd > Int.MaxValue.toLong) return None
+    val p0 = ifd.toInt
+    val n = u16(p0)
+    if (n <= 0) return None
+    if (p0.toLong + 2L + n.toLong * 12L + 4L > bytes.length) return None
+    var width = -1L
+    var height = -1L
+    var orientation = 1L
+    var datetime: String = null
+    var hasGps = false
+    var i = 0
+    while (i < n) {
+      val ep = p0 + 2 + i * 12
+      val tag = u16(ep)
+      val typ = u16(ep + 2)
+      val cnt = u32(ep + 4)
+      tag match {
+        case 0x0100 | 0x0101 | 0x0112 =>
+          if (cnt != 1L) return None
+          val v = typ match {
+            case 3 => u16(ep + 8).toLong
+            case 4 => u32(ep + 8)
+            case _ => return None
+          }
+          if (v < 0L) return None
+          if (tag == 0x0100) width = v
+          else if (tag == 0x0101) height = v
+          else orientation = v
+        case 0x0132 =>
+          if (typ != 2 || cnt != 20L) return None
+          val off = u32(ep + 8)
+          if (off < 0L || off + 20L > bytes.length) return None
+          datetime = new String(bytes, off.toInt, 19, "US-ASCII")
+        case 0x8825 =>
+          if (typ != 4 || cnt != 1L) return None
+          val off = u32(ep + 8)
+          if (off < 0L || off + 2L > bytes.length) return None
+          hasGps = true
+        case _ => () // unknown tags skip — the walk is forward-compatible
+      }
+      i += 1
+    }
+    if (width < 0L || height < 0L) return None
+    Some(ExifMeta(id, if (le) "II" else "MM", width, height, orientation,
+      datetime, hasGps))
+  }
+
+  /** Row-local EXIF/TIFF walk over (media_id, bytes) — one row per
+    * parseable image, corrupt payloads quarantined. */
+  def exifTags(spark: SparkSession, media: DataFrame): Dataset[ExifMeta] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => parseExif(id, b) })
+  }
+
   /** Decode stage: partition-local typed map — the shape a real decoder
     * runs in (one codec context per partition, streamed batches, no
     * driver involvement).

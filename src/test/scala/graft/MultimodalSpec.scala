@@ -477,6 +477,85 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4Samples(3L, ftypB ++ bx("moov", ok)).size == 2)
   }
 
+  // ── EXIF/TIFF walk: byte fixtures built with explicit order ──
+  private def tiff(le: Boolean, entries: Seq[Array[Byte]],
+                   tail: Array[Byte] = Array.empty,
+                   ifdCountOverride: Int = -1): Array[Byte] = {
+    val ord = if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val body = entries.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + body.length + 4 + tail.length)
+      .order(ord)
+    bb.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+    bb.putShort(42.toShort)
+    bb.putInt(8)
+    bb.putShort((if (ifdCountOverride >= 0) ifdCountOverride
+      else entries.size).toShort)
+    bb.put(body)
+    bb.putInt(0)
+    bb.put(tail)
+    bb.array
+  }
+  private def tiffEntry(le: Boolean, tag: Int, typ: Int, cnt: Int,
+                        v: Long, short: Boolean = false): Array[Byte] = {
+    val ord = if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val bb = java.nio.ByteBuffer.allocate(12).order(ord)
+    bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(cnt)
+    if (short) { bb.putShort(v.toShort); bb.putShort(0) } else bb.putInt(v.toInt)
+    bb.array
+  }
+
+  test("parseExif: both byte orders, SHORT/LONG values, DateTime via offset, GPS pointer, spec-default orientation") {
+    for (le <- Seq(true, false)) {
+      // 5 entries → DateTime lands at 8 + 2 + 5*12 + 4 = 74
+      val dt = "2024:03:05 10:11:12".getBytes("US-ASCII") :+ 0.toByte
+      val bytes = tiff(le, Seq(
+        tiffEntry(le, 0x0100, 3, 1, 640L, short = true), // width SHORT
+        tiffEntry(le, 0x0101, 4, 1, 480L),               // height LONG
+        tiffEntry(le, 0x0112, 3, 1, 6L, short = true),
+        tiffEntry(le, 0x0132, 2, 20, 74L),
+        tiffEntry(le, 0x8825, 4, 1, 94L)),               // GPS IFD after dt
+        tail = dt ++ Array[Byte](0, 0))
+      val got = Multimodal.parseExif(1L, bytes)
+      assert(got.contains(Multimodal.ExifMeta(1L, if (le) "II" else "MM",
+        640L, 480L, 6L, "2024:03:05 10:11:12", has_gps = true)),
+        s"le=$le: $got")
+    }
+    // no orientation/DateTime/GPS tags: orientation defaults to 1,
+    // datetime null, has_gps false; unknown tags skip
+    val minimal = tiff(le = true, Seq(
+      tiffEntry(le = true, 0x0100, 4, 1, 33L),
+      tiffEntry(le = true, 0x0101, 4, 1, 44L),
+      tiffEntry(le = true, 0x9999, 4, 1, 0L)))
+    val m = Multimodal.parseExif(2L, minimal)
+    assert(m.contains(Multimodal.ExifMeta(2L, "II", 33L, 44L, 1L, null,
+      has_gps = false)))
+  }
+
+  test("parseExif: quarantine — bad magic, truncated IFD, out-of-bounds DateTime/GPS offsets, missing dimensions") {
+    def ok(le: Boolean) = Seq(
+      tiffEntry(le, 0x0100, 4, 1, 10L), tiffEntry(le, 0x0101, 4, 1, 20L))
+    // control parses
+    assert(Multimodal.parseExif(1L, tiff(le = true, ok(true))).isDefined)
+    // wrong magic / non-TIFF / null / short
+    assert(Multimodal.parseExif(1L, "PKxxxx".getBytes).isEmpty)
+    assert(Multimodal.parseExif(1L, null).isEmpty)
+    assert(Multimodal.parseExif(1L, Array[Byte]('I', 'I', 42, 0)).isEmpty)
+    // declared entry count overruns the file → truncated IFD drop
+    assert(Multimodal.parseExif(1L,
+      tiff(le = true, ok(true), ifdCountOverride = 1000)).isEmpty)
+    // DateTime offset beyond the payload
+    assert(Multimodal.parseExif(1L, tiff(le = false,
+      ok(false) :+ tiffEntry(le = false, 0x0132, 2, 20, 5000L))).isEmpty)
+    // GPS pointer out of bounds is a mis-parse, not a flag
+    assert(Multimodal.parseExif(1L, tiff(le = true,
+      ok(true) :+ tiffEntry(le = true, 0x8825, 4, 1, 4000L))).isEmpty)
+    // missing mandatory dimensions
+    assert(Multimodal.parseExif(1L, tiff(le = true,
+      Seq(tiffEntry(le = true, 0x0112, 3, 1, 1L, short = true)))).isEmpty)
+  }
+
   test("mp4SampleTable: non-BMFF / null / headerless payloads emit nothing") {
     assert(Multimodal.parseMp4Samples(1L, "RIFFxxxxWAVE".getBytes).isEmpty)
     assert(Multimodal.parseMp4Samples(1L, null).isEmpty)
