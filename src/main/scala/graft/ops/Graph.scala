@@ -93,6 +93,131 @@ object Graph {
     ranks.select(col("node"), col("out_deg"), col("rank"))
   }
 
+  /** WARM-STARTED PageRank (round-13 verdict stretch #9 — incremental
+    * centrality): run `iters` power rounds from an EXPLICIT start
+    * vector instead of uniform. The crawl-delta scenario: after edges
+    * land, restart from the PREVIOUS rank vector — the fixed point
+    * moved a little, so far fewer rounds reach the same tolerance
+    * than a cold uniform start (measured in
+    * `tools.PageRankWarmAb`). Nodes absent from `startRanks` (the
+    * delta's new nodes) start at 1/N of THIS graph; extra rows in
+    * `startRanks` for departed nodes are ignored.
+    *
+    * Exact-replay law (GraphSpec asserts it): on an unchanged graph,
+    * `pageRankFrom(e, pageRank(e, T1), T2)` is BIT-IDENTICAL to
+    * `pageRank(e, T1 + T2)` — the warm rounds continue the exact
+    * quantized sequence. Same per-term 10⁻¹² quantization +
+    * DECIMAL(38,0) exact sum as [[pageRank]], so the full unrolled
+    * oracle exists for the whole cold-then-warm history (q235). */
+  def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                   startRanks: DataFrame, iters: Int,
+                   damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = Checkpointing.truncate(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .join(outDeg, Seq("node"), "left")
+      .withColumn("out_deg", coalesce(col("out_deg"), lit(0L)))
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    val start = startRanks
+      .select(col("node").cast("long").as("node"), col("rank").as("__r0"))
+    var ranks = Checkpointing.truncate(nodes.crossJoin(broadcast(nRow))
+      .join(start, Seq("node"), "left")
+      .select(col("node"), col("out_deg"),
+        coalesce(col("__r0"), lit(1.0) / col("__n")).as("rank"),
+        col("__n")))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.where(col("out_deg") > 0)
+          .select(col("node").as("src"),
+            (col("rank") / col("out_deg")).as("__c")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((sum(floor(col("__c") * lit(1.0e12)).cast("long")
+            .cast(DecimalType(38, 0)))
+          .cast("string").cast("double") / lit(1.0e12)).as("__s"))
+      val prev = ranks
+      ranks = Checkpointing.truncate(ranks
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("out_deg"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"),
+          col("__n")))
+      Checkpointing.release(prev)
+    }
+    ranks.select(col("node"), col("out_deg"), col("rank"))
+  }
+
+  /** DuckDB twin of a cold-then-warm history: `coldIters` rounds over
+    * `eb` (the base graph), then `warmIters` rounds over `e` (the
+    * grown graph) starting from the cold result — the ENTIRE two-phase
+    * run unrolled. `baseEdgesCte` must define `eb(src, dst)`,
+    * `unionEdgesCte` must define `e(src, dst)` (it may reference CTEs
+    * of the base chain). */
+  def pageRankWarmSql(baseEdgesCte: String, unionEdgesCte: String,
+                      coldIters: Int, warmIters: Int,
+                      damping: Double = 0.85): String = {
+    require(coldIters >= 1 && warmIters >= 1)
+    val dsum = "CAST(CAST(SUM(CAST(CAST(floor(r.rank / r.out_deg * " +
+      "1000000000000.0) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) " +
+      "AS DOUBLE) / 1000000000000.0"
+    val cold = (1 to coldIters).map { t =>
+      s"""ca$t AS (
+         |  SELECT e.dst AS node, $dsum AS s
+         |  FROM eb e JOIN cr${t - 1} r ON e.src = r.node AND r.out_deg > 0
+         |  GROUP BY 1
+         |), cr$t AS (
+         |  SELECT n.node, n.out_deg,
+         |         ${1.0 - damping} / (SELECT n FROM nnb) +
+         |           $damping * COALESCE(a.s, 0.0) AS rank
+         |  FROM nodes_b n LEFT JOIN ca$t a ON a.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    val warm = (1 to warmIters).map { t =>
+      s"""wa$t AS (
+         |  SELECT e.dst AS node, $dsum AS s
+         |  FROM e JOIN wr${t - 1} r ON e.src = r.node AND r.out_deg > 0
+         |  GROUP BY 1
+         |), wr$t AS (
+         |  SELECT n.node, n.out_deg,
+         |         ${1.0 - damping} / (SELECT n FROM nn) +
+         |           $damping * COALESCE(a.s, 0.0) AS rank
+         |  FROM nodes_u n LEFT JOIN wa$t a ON a.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $baseEdgesCte,
+       |deg_b AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od
+       |          FROM eb GROUP BY 1),
+       |nodes_b AS (
+       |  SELECT v.node, COALESCE(d.od, 0) AS out_deg
+       |  FROM (SELECT src AS node FROM eb UNION SELECT dst FROM eb) v
+       |  LEFT JOIN deg_b d ON d.node = v.node
+       |),
+       |nnb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes_b),
+       |cr0 AS (SELECT node, out_deg, 1.0 / (SELECT n FROM nnb) AS rank
+       |        FROM nodes_b),
+       |$cold,
+       |$unionEdgesCte,
+       |deg_u AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od
+       |          FROM e GROUP BY 1),
+       |nodes_u AS (
+       |  SELECT v.node, COALESCE(d.od, 0) AS out_deg
+       |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) v
+       |  LEFT JOIN deg_u d ON d.node = v.node
+       |),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes_u),
+       |wr0 AS (
+       |  SELECT n.node, n.out_deg,
+       |         COALESCE(c.rank, 1.0 / (SELECT n FROM nn)) AS rank
+       |  FROM nodes_u n LEFT JOIN cr$coldIters c ON c.node = n.node
+       |),
+       |$warm
+       |SELECT node, out_deg, rank FROM wr$warmIters""".stripMargin
+  }
+
   /** Personalized (seeded) PageRank: teleport mass returns only to
     * the seed set instead of uniformly — the quality-propagation
     * shape (score every page by its link proximity to a TRUSTED seed

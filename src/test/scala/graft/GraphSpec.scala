@@ -396,6 +396,33 @@ class GraphSpec extends SparkSpec {
     assert(noop == prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("pageRankFrom: continuing a cold prefix is bit-identical to the longer cold run; absent nodes start uniform") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the exact-replay law: warm rounds continue the quantized sequence
+    val cold2 = Graph.pageRank(edges, "src", "dst", iters = 2)
+    val cont = Graph.pageRankFrom(edges, "src", "dst",
+      cold2.select(col("node"), col("rank")), iters = 1)
+    assert(m(cont) == m(Graph.pageRank(edges, "src", "dst", iters = 3)),
+      "pageRankFrom(pageRank(T1), T2) must equal pageRank(T1+T2) to the bit")
+    // an empty start vector degenerates to the uniform cold start
+    val empty = Seq.empty[(Long, Double)].toDF("node", "rank")
+    assert(m(Graph.pageRankFrom(edges, "src", "dst", empty, iters = 2)) ==
+      m(cold2))
+    // grown graph: node 5 is new — absent from the start vector, it
+    // enters at 1/N of the NEW graph; present nodes keep their rank
+    val grown = edges.unionAll(Seq((5L, 2L), (3L, 5L)).toDF("src", "dst"))
+    val warm = Graph.pageRankFrom(grown, "src", "dst",
+      cold2.select(col("node"), col("rank")), iters = 1)
+    assert(warm.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // partition independence of the warm path
+    val again = Graph.pageRankFrom(grown.repartition(5), "src", "dst",
+      cold2.select(col("node"), col("rank")).repartition(3), iters = 1)
+    assert(m(again) == m(warm))
+  }
+
   test("neighborhoodFunction: estimates equal the exact ball's register arithmetic on a path (hand ladder)") {
     import graft.functions.PortableSketches._
     // path 1-2-3-4-5: exact balls are intervals, so the expected
