@@ -1067,11 +1067,19 @@ object Graph {
     * Returns surviving (node, deg) — [[kCore]]'s exact output shape. */
   def advanceKCore(prevCore: DataFrame, prevEdges: DataFrame,
                    srcCol: String, dstCol: String, delta: DataFrame,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    advanceKCoreCore(prevCore,
+      Checkpointing.truncateSer(canonPairs(prevEdges, srcCol, dstCol)),
+      canonPairs(delta, srcCol, dstCol), k)._2
+
+  /** The k-core advance over an ALREADY-CANONICAL previous edge set —
+    * the maintained-state path ([[GraphState.advanceKCoreState]]),
+    * mirroring [[advanceTriangleCore]]: no per-advance |E|
+    * re-canonicalization. Returns (newEdges, newCore). */
+  private[ops] def advanceKCoreCore(prevCore: DataFrame, oldE: DataFrame,
+                                    canD: DataFrame, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val oldE = Checkpointing.truncateSer(
-      canonPairs(prevEdges, srcCol, dstCol))
-    val (d, _) = freshDelta(oldE, canonPairs(delta, srcCol, dstCol))
+    val (d, _) = freshDelta(oldE, canD)
     val newE = Checkpointing.truncateSer(oldE.unionAll(d))
     val sym = newE.select(col("a").as("u"), col("b").as("v"))
       .unionAll(newE.select(col("b").as("u"), col("a").as("v")))
@@ -1142,9 +1150,42 @@ object Graph {
       .join(touched.select(col("node").as("u")), Seq("u"), "left_semi")
       .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
       .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-    prevCore.join(touched, Seq("node"), "left_anti")
+    val newCore = prevCore.join(touched, Seq("node"), "left_anti")
       .select(col("node"), col("deg"))
       .unionAll(degT.select(col("node"), col("deg")))
+    (newE, newCore)
+  }
+
+  /** [[kCore]] iterated to the FIXED POINT (peel until no edge is
+    * removed — a driver-side count guard per round, the Louvain-Q
+    * pattern): the form [[GraphState]]'s maintained survivor set
+    * needs, since [[advanceKCoreCore]]'s pass-through is only valid
+    * from a stabilized core. Returns (node, deg). */
+  def kCoreFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val canon = canonPairs(edges, srcCol, dstCol)
+    var e = Checkpointing.truncateSer(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var m = e.count()
+    var changed = m > 0L
+    while (changed) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k)
+        .select(col("src").as("node"))
+      val next = Checkpointing.truncateSer(
+        e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+      val m2 = next.count()
+      if (m2 == m) changed = false
+      else {
+        Checkpointing.release(e)
+        e = next; m = m2
+        changed = m > 0L
+      }
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
   /** Neighborhood function — HyperANF (Boldi, Rosa & Vigna 2011,

@@ -113,20 +113,101 @@ object GraphState {
     applyStaged(spark, name,
       retractTrianglePlan(spark, name, removed, srcCol, dstCol))
 
-  private def applyStaged(spark: SparkSession, name: String,
-                          pair: (DataFrame, DataFrame)): Unit = {
+  private def applyStagedPair(spark: SparkSession, eT: String, sT: String,
+                              pair: (DataFrame, DataFrame),
+                              extraProps: Map[String, String] = Map.empty): Unit = {
     val (newE, newS) = pair
-    val eT = edgesTable(name); val sT = statsTable(name)
     val ep = epochOf(spark, eT) + 1
     Tables.dropTablesAndDirs(spark, s"${eT}__next", s"${sT}__next")
-    // stage BOTH fully (both plans read the LIVE pair) before any swap
+    // stage BOTH fully (both plans read the LIVE pair) before any swap;
+    // every property rides the STAGING so no crash window leaves a
+    // live table missing one
     newS.write.saveAsTable(s"${sT}__next")
     stamp(spark, s"${sT}__next", ep)
+    extraProps.foreach { case (key, v) =>
+      spark.sql(s"ALTER TABLE ${sT}__next SET TBLPROPERTIES('$key'='$v')") }
     newE.write.saveAsTable(s"${eT}__next")
     stamp(spark, s"${eT}__next", ep)
-    // ground truth first: edges, then the derived stats
+    // ground truth first: edges, then the derived view
     Incremental.swapStaged(spark, eT)
     Incremental.swapStaged(spark, sT)
+  }
+
+  private def applyStaged(spark: SparkSession, name: String,
+                          pair: (DataFrame, DataFrame)): Unit =
+    applyStagedPair(spark, edgesTable(name), statsTable(name), pair)
+
+  // ─────────────────── k-core as a maintained pair ───────────────────
+  // Same layout and protocol as the triangle pair, second derived
+  // view: `g_edges(a, b)` ground truth + `g_core(node, deg)` — the
+  // STABILIZED k-core survivor set ([[Graph.kCoreFixedPoint]], since
+  // [[Graph.advanceKCoreCore]]'s pass-through is only valid from a
+  // fixed point). The k rides as a table property so recovery can
+  // rebuild the view from ground truth.
+
+  private[ops] def coreTable(name: String): String = s"${name}_core"
+  private val KKey = "graft.kcore.k"
+
+  /** Create the k-core pair at epoch 0 (one canonicalization + one
+    * fixed-point peel — the last full ones; `edges` may be empty). */
+  def initKCoreState(spark: SparkSession, name: String, edges: DataFrame,
+                     srcCol: String, dstCol: String, k: Int): Unit = {
+    val eT = edgesTable(name); val cT = coreTable(name)
+    Tables.dropTablesAndDirs(spark, eT, cT,
+      s"${eT}__next", s"${cT}__next", s"${eT}__old", s"${cT}__old")
+    Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
+    stamp(spark, eT, 0L)
+    Graph.kCoreFixedPoint(spark.table(eT), "a", "b", k).write.saveAsTable(cT)
+    stamp(spark, cT, 0L)
+    spark.sql(s"ALTER TABLE $cT SET TBLPROPERTIES('$KKey'='$k')")
+  }
+
+  /** The maintained survivor set (node, deg). */
+  def core(spark: SparkSession, name: String): DataFrame =
+    spark.table(coreTable(name))
+
+  /** The advanced (newEdges, newCore) PLANS from the live pair + a raw
+    * delta — no writes (the plan-assert surface). */
+  def advanceKCorePlan(spark: SparkSession, name: String, delta: DataFrame,
+                       srcCol: String, dstCol: String, k: Int): (DataFrame, DataFrame) =
+    Graph.advanceKCoreCore(core(spark, name), edges(spark, name),
+      Graph.canonPairs(delta, srcCol, dstCol), k)
+
+  /** Fold an edge delta into the k-core pair — frontier-expansion
+    * advance ([[Graph.advanceKCoreCore]]), stage-both-swap-both. */
+  def advanceKCoreState(spark: SparkSession, name: String, delta: DataFrame,
+                        srcCol: String, dstCol: String, k: Int): Unit =
+    applyStagedPair(spark, edgesTable(name), coreTable(name),
+      advanceKCorePlan(spark, name, delta, srcCol, dstCol, k),
+      extraProps = Map(KKey -> k.toString))
+
+  /** Recovery twin of [[recoverTriangleState]] for the k-core pair —
+    * the rebuild path re-peels the edges ground truth to its fixed
+    * point under the stored k. */
+  def recoverKCoreState(spark: SparkSession, name: String): String = {
+    val eT = edgesTable(name); val cT = coreTable(name)
+    val r1 = Incremental.recoverStateTable(spark, eT)
+    val eEp = epochOf(spark, eT)
+    val stagedEp = epochOf(spark, s"${cT}__next")
+    if (spark.catalog.tableExists(cT) &&
+        spark.catalog.tableExists(s"${cT}__next") && stagedEp == eEp &&
+        epochOf(spark, cT) != eEp) {
+      Incremental.swapStaged(spark, cT)
+      "promoted-staged-core"
+    } else {
+      val r2 = Incremental.recoverStateTable(spark, cT)
+      if (epochOf(spark, cT) != eEp) {
+        val k = spark.sessionState.catalog
+          .getTableMetadata(TableIdentifier(cT))
+          .properties.getOrElse(KKey, "1").toInt
+        Incremental.transformStateTable(spark, cT)(_ =>
+          Graph.kCoreFixedPoint(spark.table(eT), "a", "b", k))
+        stamp(spark, cT, eEp)
+        spark.sql(s"ALTER TABLE $cT SET TBLPROPERTIES('$KKey'='$k')")
+        "rebuilt-core"
+      } else if (r1 == "clean" && r2 == "clean") "clean"
+      else "resolved"
+    }
   }
 
   /** Detect and resolve an interrupted advance (see the class doc's

@@ -1103,6 +1103,58 @@ object CatalogStream {
         |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         |   AND a.l_partkey < b.l_partkey
         |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0)""".stripMargin,
-      nodeAs = "part_id") + "\nORDER BY part_id"))
+      nodeAs = "part_id") + "\nORDER BY part_id")),
+
+    // Streaming k-CORE maintenance (round-14, beyond the asks): the
+    // q230 maintained-pair posture on the SECOND graph operator — the
+    // same three crawl waves (shared staging) fold into an
+    // (edges, core) pair through foreachBatch, each microbatch one
+    // frontier-expansion advance (Graph.advanceKCoreCore — old
+    // survivors pass through, only the delta's region peels). The
+    // maintained survivor set must equal the from-scratch FIXED-POINT
+    // peel over the union (k=20 stabilizes in ≤3 rounds at every
+    // fixture scale; the unrolled CTE runs 5).
+    ("q236_stream_kcore_maintain", (s: SparkSession, d: String) => {
+      import graft.ops.GraphState
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q236_graph_$tag"
+      def pairsOf(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val li = table(s, d, "lineitem")
+          .where(col("l_partkey") % 3 === 0 && pred(col("l_orderkey")))
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.join(li.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+            Seq("l_orderkey"))
+          .where(col("l_partkey") < col("__p2"))
+          .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+      }
+      val dir = stageWavesCached(d, "graph-waves")(Seq(
+        pairsOf(ok => ok % 3 === 0), pairsOf(ok => ok % 3 === 1),
+        pairsOf(ok => ok % 3 === 2)))
+      val empty = pairsOf(_ => lit(false))
+      GraphState.initKCoreState(s, st, empty, "src", "dst", k = 20)
+      val src = s.readStream.format("parquet").schema(empty.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-kcore-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            GraphState.advanceKCoreState(s, st, b, "src", "dst", k = 20)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally rmrf(ckpt)
+      GraphState.core(s, st)
+        .withColumnRenamed("node", "part_id").orderBy("part_id")
+    }, Some(graft.ops.Graph.kCoreSql(
+      """p AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+        |e0 AS (SELECT a AS src, b AS dst FROM p
+        |       UNION ALL SELECT b, a FROM p)""".stripMargin,
+      k = 20, iters = 5, nodeAs = "part_id") + "\nORDER BY part_id"))
   )
 }

@@ -130,6 +130,34 @@ class GraphStateSpec extends SparkSpec {
     scrub(name)
   }
 
+  test("k-core pair: waves fold to the union's fixed point; advance consumes canonical state; recovery rebuilds under the stored k") {
+    val name = "gstate_kc"
+    Tables.dropTablesAndDirs(spark,
+      s"${name}_edges", s"${name}_core",
+      s"${name}_edges__next", s"${name}_core__next",
+      s"${name}_edges__old", s"${name}_core__old")
+    GraphState.initKCoreState(spark, name, pairsOf(_ => lit(false)),
+      "src", "dst", k = 4)
+    for (w <- 0 to 2)
+      GraphState.advanceKCoreState(spark, name,
+        pairsOf(ok => ok % 3 === w), "src", "dst", k = 4)
+    def m(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = m(GraphState.core(spark, name))
+    val want = m(Graph.kCoreFixedPoint(pairsOf(_ => lit(true)), "src",
+      "dst", k = 4))
+    assert(got == want, "maintained core must equal the union's fixed point")
+    assert(got.nonEmpty && got.values.forall(_ >= 4L))
+    assert(GraphState.epochOf(spark, s"${name}_core") == 3L)
+    // stats-lag recovery rebuilds the survivor set from ground truth
+    // under the k stored on the table
+    spark.sql(s"ALTER TABLE ${name}_core SET TBLPROPERTIES('graft.epoch'='0')")
+    assert(GraphState.recoverKCoreState(spark, name) == "rebuilt-core")
+    assert(m(GraphState.core(spark, name)) == want)
+    assert(GraphState.recoverKCoreState(spark, name) == "clean")
+    Tables.dropTablesAndDirs(spark, s"${name}_edges", s"${name}_core")
+  }
+
   test("recovery resolves every crash window: promote staged stats, rebuild lost stats, drop danglers") {
     val name = "gstate_rec"
     scrub(name)
