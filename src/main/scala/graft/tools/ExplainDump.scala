@@ -81,6 +81,12 @@ object ExplainDump {
       "q225_graph_pagerank_weighted", "q226_unigram_lm_train",
       "q227_unigram_lm_segment", "q228_graph_ktruss",
       "q229_graph_triangles_retract",
+      // round-14 (q230/q236 are streaming-gate loops — absent like the
+      // rest of that family; their evidence is the oracle + the
+      // GraphStateSpec scan audit)
+      "q231_graph_kcore_incremental", "q232_graph_neighborhood",
+      "q233_wordpiece_encode", "q234_exif_tags",
+      "q235_graph_pagerank_warm",
       // q122-q130 + q147 + q160 + q177 + q188 + q193 + q200 (streaming gate family) are deliberately absent: their
       // returned frame is a memory-sink scan, so a physical-plan dump
       // carries no information — their evidence is the DuckDB oracle
