@@ -39,9 +39,10 @@ object CatalogML10 {
       val base = pairsOf(ok => ok % 5 =!= 0)
       val delta = pairsOf(ok => ok % 5 === 0)
       // the maintained survivor set: the BASE graph's stabilized core
-      // (base peel depth ≤ 5 at every fixture scale; 9 rounds = fixed
-      // point with margin — rounds past it are no-ops)
-      val prev = graft.ops.Graph.kCore(base, "src", "dst", k = 55, iters = 9)
+      // (kCoreFixedPoint peels until no edge is removed — a fixed
+      // iters=9 run costs 4+ dead |E| rounds past the ≤5-round fixed
+      // point; the count-guarded loop stops at stability)
+      val prev = graft.ops.Graph.kCoreFixedPoint(base, "src", "dst", k = 55)
       graft.ops.Graph.advanceKCore(prev, base, "src", "dst", delta, k = 55)
         .withColumnRenamed("node", "part_id")
         .orderBy("part_id")
