@@ -114,7 +114,13 @@ case class WordPieceEncode(child: Expression, vocabInit: Seq[String],
   }
 
   def compute(text: UTF8String): Any = {
-    val words = text.toString.trim.toLowerCase.split("\\s+")
+    // Locale.ROOT, not the JVM default: the learn side lowercases with
+    // Spark's lower() and the oracle with DuckDB's lower() — both
+    // locale-independent — so a Turkish-locale JVM ('I' → 'ı') would
+    // otherwise segment against a vocabulary that never saw the word.
+    // (The ASCII-range mapping is identical across all three.)
+    val words = text.toString.trim
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
     mode match {
       case "count" =>
         var n = 0L

@@ -1013,9 +1013,20 @@ object Graph {
   /** DuckDB twin of [[kCore]]: the same `iters` synchronous peel
     * rounds unrolled as a CTE chain. `edgesCte` must define
     * `e0(src, dst)` — the SYMMETRIZED simple edge set (both
-    * directions, no self-loops, distinct). */
+    * directions, no self-loops, distinct).
+    *
+    * `assertFixedPoint = true` is for oracles of the FIXED-POINT
+    * operators ([[kCoreFixedPoint]], [[advanceKCore]],
+    * [[retractKCore]]): the unrolled depth is a hand-picked constant,
+    * and a fixture/scale where the peel needs MORE rounds would
+    * silently make the ORACLE wrong rather than the engine. The guard
+    * CTE emits its one row only when round `iters` removed nothing
+    * (edge counts equal round `iters`−1 — removal-only, so equal
+    * counts ⇔ equal sets); a too-shallow unroll then returns ZERO
+    * rows and the gate fails loudly on the row-count mismatch. */
   def kCoreSql(edgesCte: String, k: Int, iters: Int,
-               nodeAs: String = "node"): String = {
+               nodeAs: String = "node",
+               assertFixedPoint: Boolean = false): String = {
     require(k >= 1 && iters >= 1)
     val rounds = (1 to iters).map { t =>
       s"""kp$t AS MATERIALIZED (
@@ -1027,11 +1038,18 @@ object Graph {
          |    AND e.dst IN (SELECT src FROM kp$t)
          |)""".stripMargin
     }.mkString(",\n")
+    val (chkCte, chkFrom) =
+      if (!assertFixedPoint) ("", "")
+      else (s""",
+        |kchk AS (SELECT 1 AS ok
+        |         WHERE (SELECT count(*) FROM ke$iters) =
+        |               (SELECT count(*) FROM ke${iters - 1}))""".stripMargin,
+        " CROSS JOIN kchk")
     s"""WITH $edgesCte,
        |ke0 AS (SELECT src, dst FROM e0),
-       |$rounds
+       |$rounds$chkCte
        |SELECT src AS $nodeAs, CAST(count(*) AS BIGINT) AS deg
-       |FROM ke$iters GROUP BY 1""".stripMargin
+       |FROM ke$iters$chkFrom GROUP BY 1""".stripMargin
   }
 
   /** INCREMENTAL k-core maintenance (round-13 verdict #2): advance a
@@ -1047,8 +1065,18 @@ object Graph {
     * So the candidate region is found by SEMI-JOIN FRONTIER EXPANSION
     * from the delta's non-core endpoints through non-core nodes
     * (each round one |E|-keyed semi-join; the loop runs until the
-    * frontier empties — region-diameter rounds, and the region is the
-    * delta's neighborhood, not the graph). The region then peels with
+    * frontier empties — region-diameter rounds). The expansion is
+    * DEGREE-PRUNED: a node whose total degree in the new graph is
+    * < k can never join, and joiner components are connected through
+    * joiners — every joiner has new-graph degree ≥ k — so walking only
+    * through (non-core, degree ≥ k) nodes still reaches every joiner
+    * component from its delta endpoint, while a long sub-k chain
+    * (which an unpruned walk would flood node by node) stops the
+    * frontier immediately. The region is therefore bounded by the
+    * delta's ≥k-degree neighborhood — though on an adversarial graph
+    * (a dense non-core blob wired to a delta endpoint) it can still
+    * grow large, which is what the `maxRounds` guard below bounds.
+    * The region then peels with
     * STATIC degree credit from the old core (core nodes never leave,
     * so their contribution to a candidate's degree is a constant) —
     * the peel's fixed point is exactly core(G ∪ D) \ core(G).
@@ -1064,45 +1092,77 @@ object Graph {
     * pass-through would be wrong. The differential oracle (q231)
     * checks incremental ≡ the full fixed-point peel, to the hash.
     *
+    * `maxRounds` bounds BOTH driver loops (frontier expansion and the
+    * region peel — each round is one Spark job, and the round count is
+    * data-dependent): a delta whose region cascades past the bound
+    * falls back to the FULL fixed-point re-peel of the new graph (the
+    * recovery path's rebuild, [[GraphState.recoverKCoreState]]) —
+    * always exact, never faster than the incremental path, but a
+    * BOUNDED number of driver round-trips replaces an unbounded one.
+    *
     * Returns surviving (node, deg) — [[kCore]]'s exact output shape. */
   def advanceKCore(prevCore: DataFrame, prevEdges: DataFrame,
                    srcCol: String, dstCol: String, delta: DataFrame,
-                   k: Int): DataFrame =
+                   k: Int, maxRounds: Int = DefaultIncRounds): DataFrame =
     advanceKCoreCore(prevCore,
       Checkpointing.truncateSer(canonPairs(prevEdges, srcCol, dstCol)),
-      canonPairs(delta, srcCol, dstCol), k)._2
+      canonPairs(delta, srcCol, dstCol), k, maxRounds)._2
+
+  /** Driver-loop round bound for the incremental k-core paths: far
+    * above any measured cascade (the sweep's regions settle in < 10
+    * rounds) while guaranteeing a pathological delta (a cycle closure
+    * that walks a 10⁶-node ring hop by hop) degrades to ONE bounded
+    * fallback re-peel instead of 10⁶ driver round-trips. */
+  val DefaultIncRounds = 128
 
   /** The k-core advance over an ALREADY-CANONICAL previous edge set —
     * the maintained-state path ([[GraphState.advanceKCoreState]]),
     * mirroring [[advanceTriangleCore]]: no per-advance |E|
     * re-canonicalization. Returns (newEdges, newCore). */
   private[ops] def advanceKCoreCore(prevCore: DataFrame, oldE: DataFrame,
-                                    canD: DataFrame, k: Int): (DataFrame, DataFrame) = {
+                                    canD: DataFrame, k: Int,
+                                    maxRounds: Int = DefaultIncRounds): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val (d, _) = freshDelta(oldE, canD)
     val newE = Checkpointing.truncateSer(oldE.unionAll(d))
     val sym = newE.select(col("a").as("u"), col("b").as("v"))
       .unionAll(newE.select(col("b").as("u"), col("a").as("v")))
     val core = Checkpointing.truncate(prevCore.select(col("node")))
-    // seeds: the delta's endpoints outside the old core
+    // degree prune (ADVICE round 14): nodes below k in the NEW graph
+    // can never join and never need to propagate — one map-side-
+    // combined |E| count, node-sized output
+    val elig = Checkpointing.truncate(
+      sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("__dg"))
+        .where(col("__dg") >= k).select("node"))
+    // seeds: the delta's ≥k-degree endpoints outside the old core
     var frontier = Checkpointing.truncate(
       d.select(col("a").as("node")).unionAll(d.select(col("b").as("node")))
         .distinct()
-        .join(core, Seq("node"), "left_anti"))
+        .join(core, Seq("node"), "left_anti")
+        .join(elig, Seq("node"), "left_semi"))
     var region = frontier
     var growing = frontier.count() > 0L
-    while (growing) {
-      val next = Checkpointing.truncate(
-        sym.join(frontier.select(col("node").as("u")), Seq("u"), "left_semi")
-          .select(col("v").as("node")).distinct()
-          .join(core, Seq("node"), "left_anti")
-          .join(region, Seq("node"), "left_anti"))
-      if (next.count() == 0L) growing = false
+    var rounds = 0
+    var exceeded = false
+    while (growing && !exceeded) {
+      rounds += 1
+      if (rounds > maxRounds) exceeded = true
       else {
-        region = Checkpointing.truncate(region.unionAll(next))
-        frontier = next
+        val next = Checkpointing.truncate(
+          sym.join(frontier.select(col("node").as("u")), Seq("u"), "left_semi")
+            .select(col("v").as("node")).distinct()
+            .join(core, Seq("node"), "left_anti")
+            .join(region, Seq("node"), "left_anti")
+            .join(elig, Seq("node"), "left_semi"))
+        if (next.count() == 0L) growing = false
+        else {
+          region = Checkpointing.truncate(region.unionAll(next))
+          frontier = next
+        }
       }
     }
+    if (exceeded) return (newE, kCoreFixedPointCore(newE, k))
     // static credit: region→old-core edges (core never shrinks)
     val credit = sym
       .join(region.select(col("node").as("u")), Seq("u"), "left_semi")
@@ -1117,23 +1177,29 @@ object Graph {
         .select(col("node"), coalesce(col("__cr"), lit(0L)).as("__cr")))
     var nSurv = surv.count()
     var peeling = nSurv > 0L
-    while (peeling) {
-      val degs = eR
-        .join(surv.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(surv.select(col("node").as("v")), Seq("v"), "left_semi")
-        .groupBy(col("u").as("node")).agg(count(lit(1)).as("__dr"))
-      val kept = Checkpointing.truncate(
-        surv.join(degs, Seq("node"), "left")
-          .where(coalesce(col("__dr"), lit(0L)) + col("__cr") >= k)
-          .select(col("node"), col("__cr")))
-      val n = kept.count()
-      if (n == nSurv) peeling = false
+    rounds = 0
+    while (peeling && !exceeded) {
+      rounds += 1
+      if (rounds > maxRounds) exceeded = true
       else {
-        Checkpointing.release(surv)
-        surv = kept; nSurv = n
-        peeling = nSurv > 0L
+        val degs = eR
+          .join(surv.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(surv.select(col("node").as("v")), Seq("v"), "left_semi")
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("__dr"))
+        val kept = Checkpointing.truncate(
+          surv.join(degs, Seq("node"), "left")
+            .where(coalesce(col("__dr"), lit(0L)) + col("__cr") >= k)
+            .select(col("node"), col("__cr")))
+        val n = kept.count()
+        if (n == nSurv) peeling = false
+        else {
+          Checkpointing.release(surv)
+          surv = kept; nSurv = n
+          peeling = nSurv > 0L
+        }
       }
     }
+    if (exceeded) return (newE, kCoreFixedPointCore(newE, k))
     val joiners = surv.select("node")
     val survivors = Checkpointing.truncate(core.unionAll(joiners))
     // nodes whose degree can have changed: delta endpoints, joiners,
@@ -1156,21 +1222,181 @@ object Graph {
     (newE, newCore)
   }
 
+  /** The DELETION side of [[advanceKCore]] (round-14 verdict #1 — the
+    * maintained-pair lifecycle the triangle family already has):
+    * retract an edge set from a STABILIZED k-core without re-peeling
+    * the graph. Deletion is monotone the OTHER way — the core can only
+    * SHRINK (core(G∖D) ⊆ core(G)), and it equals the k-core of the
+    * subgraph induced on the OLD survivors under the remaining edges
+    * (the maximal min-degree-≥k subgraph of G∖D uses only old-core
+    * nodes, all of whose induced edges are available there). Every
+    * LEAVER component (connected via old-core edges) contains a
+    * removed edge's endpoint: if a connected leaver set L touched no
+    * removed edge, every node of L keeps all its neighbors except
+    * leavers outside L — none of which are adjacent (L is a full
+    * component) — so core(G∖D) ∪ L would have min degree ≥ k,
+    * contradicting L leaving. The cascade therefore runs OUTWARD from
+    * the removed edges' core endpoints, hop by hop: each round
+    * re-checks only the current candidates' degree within the
+    * still-alive core (edges-to-core minus edges-to-fallen — two
+    * semi-probes of the edge set with candidate/leaver-sized build
+    * sides), moves the sub-k ones to the leaver set, and promotes
+    * their surviving core neighbors to candidates. Rounds = cascade
+    * depth, bounded by `maxRounds` with the same fallback contract as
+    * [[advanceKCore]] (here the re-peel runs over the CORE-INDUCED
+    * subgraph — never the whole graph).
+    *
+    * Degrees: survivors adjacent to a leaver or to a removed edge
+    * refresh against the new survivor set in one |E|-scan pass; every
+    * other survivor passes its stored row through byte-identical.
+    * Removed edges not actually present are ignored; duplicates
+    * collapse. PRECONDITION: `prevCore` stabilized, as in
+    * [[advanceKCore]]. retract(advance(S, D), D) ≡ S for a fresh D by
+    * construction; the differential oracle (q237) checks interleaved
+    * insert/delete waves ≡ the fixed-point peel of the net edge set.
+    *
+    * Returns surviving (node, deg) — [[kCore]]'s exact output shape. */
+  def retractKCore(prevCore: DataFrame, prevEdges: DataFrame,
+                   srcCol: String, dstCol: String, removed: DataFrame,
+                   k: Int, maxRounds: Int = DefaultIncRounds): DataFrame =
+    retractKCoreCore(prevCore,
+      Checkpointing.truncateSer(canonPairs(prevEdges, srcCol, dstCol)),
+      canonPairs(removed, srcCol, dstCol), k, maxRounds)._2
+
+  /** Retraction over an ALREADY-CANONICAL previous edge set — the
+    * maintained-state twin of [[advanceKCoreCore]]
+    * ([[GraphState.retractKCoreState]]). The actually-present removed
+    * set is broadcast-probed ([[retractTriangleCore]]'s shape: one
+    * |E| scan, zero |E| shuffle, delta-bounded result). Returns
+    * (newEdges, newCore). */
+  private[ops] def retractKCoreCore(prevCore: DataFrame, oldE: DataFrame,
+                                    canR: DataFrame, k: Int,
+                                    maxRounds: Int = DefaultIncRounds): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val cnt0 = canR.count()
+    val d0 =
+      if (cnt0 <= Dedup.broadcastIdLimit(canR))
+        oldE.join(broadcast(canR), Seq("a", "b"), "left_semi")
+      else canR.join(oldE, Seq("a", "b"), "left_semi")
+    val dCnt = d0.count()
+    val d = Dedup.maybeBroadcast(Checkpointing.truncate(d0), dCnt)
+    val newE = Checkpointing.truncateSer(
+      oldE.join(d, Seq("a", "b"), "left_anti"))
+    val sym = newE.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(newE.select(col("b").as("u"), col("a").as("v")))
+    val core = Checkpointing.truncate(prevCore.select(col("node")))
+    val dEnds = Checkpointing.truncate(
+      d.select(col("a").as("node")).unionAll(d.select(col("b").as("node")))
+        .distinct())
+    // seeds: removed edges' endpoints inside the old core
+    var cand = Checkpointing.truncate(
+      dEnds.join(core, Seq("node"), "left_semi"))
+    var out = cand.limit(0) // cumulative leavers
+    var rounds = 0
+    var exceeded = false
+    var cascading = cand.count() > 0L
+    while (cascading && !exceeded) {
+      rounds += 1
+      if (rounds > maxRounds) exceeded = true
+      else {
+        // candidate degree within the still-alive core under the NEW
+        // edges: edges-to-core minus edges-to-fallen (both probes carry
+        // candidate/leaver-sized build sides over one edge scan each)
+        val toCore = sym
+          .join(cand.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(core.select(col("node").as("v")), Seq("v"), "left_semi")
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("__dc"))
+        val toOut = sym
+          .join(cand.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(out.select(col("node").as("v")), Seq("v"), "left_semi")
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("__do"))
+        val fallen = Checkpointing.truncate(
+          cand.join(toCore, Seq("node"), "left")
+            .join(toOut, Seq("node"), "left")
+            .where(coalesce(col("__dc"), lit(0L)) -
+              coalesce(col("__do"), lit(0L)) < k)
+            .select("node"))
+        if (fallen.count() == 0L) cascading = false
+        else {
+          out = Checkpointing.truncate(out.unionAll(fallen))
+          // next candidates: surviving core neighbors of the fallen
+          cand = Checkpointing.truncate(
+            sym.join(fallen.select(col("node").as("u")), Seq("u"), "left_semi")
+              .select(col("v").as("node")).distinct()
+              .join(core, Seq("node"), "left_semi")
+              .join(out, Seq("node"), "left_anti"))
+          cascading = cand.count() > 0L
+        }
+      }
+    }
+    if (exceeded) {
+      // bounded fallback: re-peel the CORE-INDUCED subgraph (exact —
+      // core(G∖D) lives entirely inside the old core)
+      val induced = newE
+        .join(core.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(core.select(col("node").as("b")), Seq("b"), "left_semi")
+      return (newE, kCoreFixedPointCore(Checkpointing.truncateSer(induced), k))
+    }
+    val survivors = Checkpointing.truncate(
+      core.join(out, Seq("node"), "left_anti"))
+    // degrees can only have changed next to a removed edge or a leaver
+    val touched = Checkpointing.truncate(
+      dEnds
+        .unionAll(sym
+          .join(out.select(col("node").as("u")), Seq("u"), "left_semi")
+          .select(col("v").as("node")))
+        .distinct()
+        .join(survivors, Seq("node"), "left_semi"))
+    val degT = sym
+      .join(touched.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val newCore = prevCore
+      .join(out, Seq("node"), "left_anti")
+      .join(touched, Seq("node"), "left_anti")
+      .select(col("node"), col("deg"))
+      .unionAll(degT.select(col("node"), col("deg")))
+    (newE, newCore)
+  }
+
   /** [[kCore]] iterated to the FIXED POINT (peel until no edge is
     * removed — a driver-side count guard per round, the Louvain-Q
     * pattern): the form [[GraphState]]'s maintained survivor set
     * needs, since [[advanceKCoreCore]]'s pass-through is only valid
-    * from a stabilized core. Returns (node, deg). */
+    * from a stabilized core. Returns (node, deg).
+    *
+    * `maxRounds` (generous — the peel depth of any non-adversarial
+    * graph is tiny; a k=2 path peels 2 nodes a round and would need
+    * |V|/2) bounds the driver loop FAIL-LOUD: stopping early would
+    * return a mid-peel superset, silently wrong, so exceeding the
+    * bound throws instead — on a graph that deep, pick a different k
+    * or raise the bound deliberately. */
   def kCoreFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-                      k: Int): DataFrame = {
+                      k: Int, maxRounds: Int = DefaultPeelRounds): DataFrame =
+    kCoreFixedPointCore(canonPairs(edges, srcCol, dstCol), k, maxRounds)
+
+  /** Fail-loud round bound for [[kCoreFixedPoint]]'s synchronous peel. */
+  val DefaultPeelRounds = 10000
+
+  /** [[kCoreFixedPoint]] over an ALREADY-CANONICAL edge frame
+    * `e(a, b)` — the [[GraphState]] rebuild path and the incremental
+    * paths' fallback, where the input is canonical by construction. */
+  private[ops] def kCoreFixedPointCore(canon: DataFrame, k: Int,
+                                       maxRounds: Int = DefaultPeelRounds): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val canon = canonPairs(edges, srcCol, dstCol)
     var e = Checkpointing.truncateSer(
       canon.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(canon.select(col("b").as("src"), col("a").as("dst"))))
     var m = e.count()
     var changed = m > 0L
+    var rounds = 0
     while (changed) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"k-core peel exceeded $maxRounds rounds (still $m directed edges)" +
+            " — raise maxRounds deliberately for a peel this deep")
       val keep = e.groupBy("src").agg(count(lit(1)).as("__deg"))
         .where(col("__deg") >= k)
         .select(col("src").as("node"))

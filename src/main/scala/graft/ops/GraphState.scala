@@ -157,7 +157,7 @@ object GraphState {
       s"${eT}__next", s"${cT}__next", s"${eT}__old", s"${cT}__old")
     Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
     stamp(spark, eT, 0L)
-    Graph.kCoreFixedPoint(spark.table(eT), "a", "b", k).write.saveAsTable(cT)
+    Graph.kCoreFixedPointCore(spark.table(eT), k).write.saveAsTable(cT)
     stamp(spark, cT, 0L)
     spark.sql(s"ALTER TABLE $cT SET TBLPROPERTIES('$KKey'='$k')")
   }
@@ -181,6 +181,26 @@ object GraphState {
       advanceKCorePlan(spark, name, delta, srcCol, dstCol, k),
       extraProps = Map(KKey -> k.toString))
 
+  /** The retraction twin of [[advanceKCorePlan]] — the plan-assert
+    * surface for the deletion side. */
+  def retractKCorePlan(spark: SparkSession, name: String, removed: DataFrame,
+                       srcCol: String, dstCol: String, k: Int): (DataFrame, DataFrame) =
+    Graph.retractKCoreCore(core(spark, name), edges(spark, name),
+      Graph.canonPairs(removed, srcCol, dstCol), k)
+
+  /** Retract an edge set (takedowns) from the k-core pair — the
+    * deletion-cascade advance ([[Graph.retractKCoreCore]]: the core
+    * only shrinks; the cascade region grows outward from the removed
+    * edges' core endpoints), completing the maintained-pair lifecycle
+    * the triangle family already has ([[retractTriangleState]]). Same
+    * staging/epoch protocol; rows not actually present are ignored,
+    * so re-applying a retraction after a resolved crash is safe. */
+  def retractKCoreState(spark: SparkSession, name: String, removed: DataFrame,
+                        srcCol: String, dstCol: String, k: Int): Unit =
+    applyStagedPair(spark, edgesTable(name), coreTable(name),
+      retractKCorePlan(spark, name, removed, srcCol, dstCol, k),
+      extraProps = Map(KKey -> k.toString))
+
   /** Recovery twin of [[recoverTriangleState]] for the k-core pair —
     * the rebuild path re-peels the edges ground truth to its fixed
     * point under the stored k. */
@@ -201,7 +221,7 @@ object GraphState {
           .getTableMetadata(TableIdentifier(cT))
           .properties.getOrElse(KKey, "1").toInt
         Incremental.transformStateTable(spark, cT)(_ =>
-          Graph.kCoreFixedPoint(spark.table(eT), "a", "b", k))
+          Graph.kCoreFixedPointCore(spark.table(eT), k))
         stamp(spark, cT, eEp)
         spark.sql(s"ALTER TABLE $cT SET TBLPROPERTIES('$KKey'='$k')")
         "rebuilt-core"

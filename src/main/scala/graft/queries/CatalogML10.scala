@@ -54,7 +54,12 @@ object CatalogML10 {
         |   AND a.l_partkey < b.l_partkey),
         |e0 AS (SELECT a AS src, b AS dst FROM p
         |       UNION ALL SELECT b, a FROM p)""".stripMargin,
-      k = 55, iters = 4, nodeAs = "part_id") + "\nORDER BY part_id")),
+      // assertFixedPoint: the Spark side peels to the TRUE fixed point,
+      // so a fixture/scale where the peel outruns the unrolled depth
+      // must fail LOUDLY (0 oracle rows) instead of silently blaming
+      // the engine (ADVICE round 14)
+      k = 55, iters = 4, nodeAs = "part_id",
+      assertFixedPoint = true) + "\nORDER BY part_id")),
 
     // Neighborhood function (HyperANF) over the part–supplier
     // bipartite graph (round-13 verdict #4): per-node portable-HLL
@@ -129,11 +134,22 @@ object CatalogML10 {
           |    FROM part)
           |  WHERE len(word) >= 1
           |)
-          |SELECT pr.p_partkey,
-          |       CAST(sum(t.toks) AS BIGINT) AS n_pieces,
-          |       CAST(sum(t.bad) AS BIGINT) AS n_unk
-          |FROM partw pr JOIN wtok t ON t.word = pr.word
-          |GROUP BY 1
+          |, pagg AS (
+          |  SELECT pr.p_partkey,
+          |         CAST(sum(t.toks) AS BIGINT) AS toks,
+          |         CAST(sum(t.bad) AS BIGINT) AS bad
+          |  FROM partw pr JOIN wtok t ON t.word = pr.word
+          |  GROUP BY 1
+          |)
+          |-- driven from part with a LEFT JOIN (not an inner join on the
+          |-- word table): a blank/whitespace-only p_name contributes no
+          |-- partw row, but the Spark side (WordPiece.tokenStats) still
+          |-- emits (p_partkey, 0, 0) for it — both sides must agree on
+          |-- zero-word rows even though TPC-H names never exercise them
+          |SELECT p.p_partkey,
+          |       CAST(COALESCE(a.toks, 0) AS BIGINT) AS n_pieces,
+          |       CAST(COALESCE(a.bad, 0) AS BIGINT) AS n_unk
+          |FROM part p LEFT JOIN pagg a ON a.p_partkey = p.p_partkey
           |ORDER BY 1""".stripMargin))),
 
     // EXIF/TIFF tag walk (round-13 verdict #6 — q222 finished video;

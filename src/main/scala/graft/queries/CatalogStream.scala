@@ -1155,6 +1155,84 @@ object CatalogStream {
         |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
         |e0 AS (SELECT a AS src, b AS dst FROM p
         |       UNION ALL SELECT b, a FROM p)""".stripMargin,
-      k = 20, iters = 5, nodeAs = "part_id") + "\nORDER BY part_id"))
+      // assertFixedPoint: a too-shallow unroll returns 0 rows — loud
+      k = 20, iters = 5, nodeAs = "part_id",
+      assertFixedPoint = true) + "\nORDER BY part_id")),
+
+    // Streaming k-core RETRACTION (round-14 verdict's top ask — the
+    // full maintained-pair lifecycle): the q236 loop now interleaves
+    // INSERT and DELETE waves — two crawl waves fold in, a takedown
+    // wave retracts a slice of what landed (every pair with
+    // (src+dst)%5==0 — deletion cascades through the core from the
+    // removed edges' endpoints, Graph.retractKCoreCore), then a third
+    // crawl wave lands on the shrunken state. Set semantics
+    // throughout (an edge has no multiplicity), so the net edge set is
+    // ((A ∪ B) ∖ D) ∪ C and the oracle is the from-scratch FIXED-POINT
+    // peel of exactly that — maintained ≡ net, to the hash, with the
+    // unroll-depth assertion keeping a too-shallow oracle loud.
+    ("q237_stream_kcore_retract", (s: SparkSession, d: String) => {
+      import graft.ops.GraphState
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q237_graph_$tag"
+      def pairsOf(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val li = table(s, d, "lineitem")
+          .where(col("l_partkey") % 3 === 0 && pred(col("l_orderkey")))
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.join(li.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+            Seq("l_orderkey"))
+          .where(col("l_partkey") < col("__p2"))
+          .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+      }
+      val takedown = pairsOf(ok => ok % 3 =!= 2)
+        .where((col("src") + col("dst")) % 11 === 0)
+      val dir = stageWavesCached(d, "graph-waves-ops")(Seq(
+        pairsOf(ok => ok % 3 === 0).withColumn("op", lit("add")),
+        pairsOf(ok => ok % 3 === 1).withColumn("op", lit("add")),
+        takedown.withColumn("op", lit("del")),
+        pairsOf(ok => ok % 3 === 2).withColumn("op", lit("add"))))
+      val empty = pairsOf(_ => lit(false)).withColumn("op", lit("add"))
+      GraphState.initKCoreState(s, st, empty.drop("op"), "src", "dst", k = 20)
+      val src = s.readStream.format("parquet").schema(empty.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-kcret-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val adds = b.where(col("op") === "add").drop("op")
+            val dels = b.where(col("op") === "del").drop("op")
+            if (!adds.isEmpty)
+              GraphState.advanceKCoreState(s, st, adds, "src", "dst", k = 20)
+            if (!dels.isEmpty)
+              GraphState.retractKCoreState(s, st, dels, "src", "dst", k = 20)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally rmrf(ckpt)
+      GraphState.core(s, st)
+        .withColumnRenamed("node", "part_id").orderBy("part_id")
+    }, Some(graft.ops.Graph.kCoreSql(
+      """pab AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0
+        |    AND a.l_orderkey % 3 <> 2),
+        |pc AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0
+        |    AND a.l_orderkey % 3 = 2),
+        |pnet AS (
+        |  SELECT a, b FROM pab WHERE (a + b) % 11 <> 0
+        |  UNION
+        |  SELECT a, b FROM pc),
+        |e0 AS (SELECT a AS src, b AS dst FROM pnet
+        |       UNION ALL SELECT b, a FROM pnet)""".stripMargin,
+      k = 20, iters = 6, nodeAs = "part_id",
+      assertFixedPoint = true) + "\nORDER BY part_id"))
   )
 }

@@ -118,6 +118,37 @@ object GraphScaleSweep {
         }
         println(f"| anf t3 (part-supp) | $copies | $m | $tAnf%.2f | sum_ball=$s3%.1f |")
       }
+      if (opsRun("kcoreret")) {
+        // incremental k-core RETRACTION vs the full fixed-point re-peel
+        // of the remainder: a ~2%-of-pairs takedown slice leaves the
+        // stabilized core (materialized UNTIMED — it exists in the
+        // maintenance scenario); checksums compared
+        val lik = graft.ops.Tables.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val kb = (0 until copies).map(i =>
+            lik.join(lik.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+                Seq("l_orderkey"))
+              .where(col("l_partkey") < col("__p2"))
+              .select((col("l_partkey") + i * 1000000000L).as("src"),
+                (col("__p2") + i * 1000000000L).as("dst")))
+          .reduce(_.unionAll(_)).localCheckpoint()
+        val removed = kb.where((col("src") + col("dst")) % 50 === 0)
+          .localCheckpoint()
+        val prevCore = Graph.kCoreFixedPoint(kb, "src", "dst", k = 55)
+          .localCheckpoint()
+        val (tFullR, cF) = time {
+          Graph.kCoreFixedPoint(
+              kb.join(removed, Seq("src", "dst"), "left_anti"),
+              "src", "dst", k = 55)
+            .agg(count(lit(1)), sum("deg")).head()
+        }
+        val (tRet, cR) = time {
+          Graph.retractKCore(prevCore, kb, "src", "dst", removed, k = 55)
+            .agg(count(lit(1)), sum("deg")).head()
+        }
+        require(cF == cR, s"full $cF != retract $cR")
+        println(f"| kcore-ret k55 | $copies | $n | full $tFullR%.2f / ret $tRet%.2f | surv=${cF.getLong(0)} |")
+      }
       if (opsRun("kcoreinc")) {
         // incremental k-core advance vs the full fixed-point re-peel:
         // 1%-of-orders edge delta (the TriangleDeltaAb scenario), base

@@ -396,6 +396,129 @@ class GraphSpec extends SparkSpec {
     assert(noop == prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("retractKCore: one removed edge cascades the whole cycle out hop by hop; untouched core passes through; absent/dup removals are no-ops") {
+    // K4 {1..4} + C6 {10..15}: the k=2 fixed point is all ten nodes.
+    // Removing ONE cycle edge turns C6 into a path with no 2-core —
+    // the deletion cascade must walk the cycle out from both ends
+    // (15,10 → 14,11 → 13,12: genuinely multi-hop) while K4 passes
+    // through byte-identical.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val c6 = (10L to 14L).map(v => (v, v + 1)) :+ (10L, 15L)
+    val base = (k4 ++ c6).toDF("src", "dst").repartition(4)
+    val prev = Graph.kCoreFixedPoint(base, "src", "dst", k = 2)
+    assert(prev.collect().map(_.getLong(0)).toSet ==
+      (1L to 4L).toSet ++ (10L to 15L).toSet)
+    // removed set carries a dup, a reversed dup, and an absent edge —
+    // all must be ignored / collapse
+    val removed = Seq((10L, 15L), (15L, 10L), (20L, 21L))
+      .toDF("src", "dst").repartition(3)
+    val got = Graph.retractKCore(prev, base, "src", "dst", removed, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val remaining = (k4 ++ c6.filterNot(_ == (10L, 15L))).toDF("src", "dst")
+    val full = Graph.kCoreFixedPoint(remaining, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"got $got")
+    assert(got.keySet == (1L to 4L).toSet && got.values.forall(_ == 3L),
+      s"only the K4 survives the cycle break: $got")
+    // retracting an entirely-absent set is a no-op
+    val noop = Graph.retractKCore(prev, base, "src", "dst",
+        Seq((40L, 41L)).toDF("src", "dst"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("retractKCore: partial cascade stops at the still-qualified boundary; degrees refresh only next to the wound") {
+    // K5 {1..5} with a 2-node appendix {6,7}: 6-1, 6-2, 6-7, 7-1, 7-2
+    // — at k=3 everyone qualifies (6 and 7 hold each other up).
+    // Removing (6,7) drops both to degree 2 < 3: they cascade out,
+    // but the K5 loses only the appendix edges — 1 and 2 refresh to
+    // degree 4, the rest pass through.
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val base = (k5 ++ Seq((6L, 1L), (6L, 2L), (6L, 7L), (7L, 1L), (7L, 2L)))
+      .toDF("src", "dst")
+    val prev = Graph.kCoreFixedPoint(base, "src", "dst", k = 3)
+    assert(prev.collect().map(_.getLong(0)).toSet == (1L to 7L).toSet)
+    val got = Graph.retractKCore(prev, base, "src", "dst",
+        Seq((7L, 6L)).toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L),
+      s"got $got")
+  }
+
+  test("retractKCore ∘ advanceKCore is identity on the survivor set") {
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+    val base = (k3 ++ path).toDF("src", "dst")
+    val prev = Graph.kCoreFixedPoint(base, "src", "dst", k = 2)
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = Seq((10L, 14L), (1L, 10L)).toDF("src", "dst")
+    val adv = Graph.advanceKCore(prev, base, "src", "dst", delta, k = 2)
+      .localCheckpoint()
+    val union = base.unionAll(delta)
+    val back = Graph.retractKCore(adv, union, "src", "dst", delta, k = 2)
+    assert(m(back) == m(prev), "retract∘advance must restore the core")
+  }
+
+  test("maxRounds guard: a cycle-closure delta that outruns the bound falls back to the exact full re-peel (both directions)") {
+    // path 10..29 + K4: closing edge (10,29) makes a C20 whose frontier
+    // expansion needs ~10 rounds — maxRounds=2 must trip the guard and
+    // the fallback must still return the exact fixed point.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val path = (10L until 29L).map(v => (v, v + 1))
+    val base = (k4 ++ path).toDF("src", "dst")
+    val prev = Graph.kCoreFixedPoint(base, "src", "dst", k = 2)
+    assert(prev.collect().map(_.getLong(0)).toSet == (1L to 4L).toSet)
+    val delta = Seq((10L, 29L)).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val guarded = m(Graph.advanceKCore(prev, base, "src", "dst", delta,
+      k = 2, maxRounds = 2))
+    val unguarded = m(Graph.advanceKCore(prev, base, "src", "dst", delta,
+      k = 2))
+    val full = m(Graph.kCoreFixedPoint(base.unionAll(delta), "src", "dst",
+      k = 2))
+    assert(guarded == full, "fallback must be exact")
+    assert(unguarded == full, "incremental path must agree")
+    // the deletion side: breaking the C20 cascades ~10 hops — the
+    // guarded retract must fall back to the core-induced re-peel
+    val cyc = Graph.kCoreFixedPoint(base.unionAll(delta), "src", "dst", k = 2)
+      .localCheckpoint()
+    val gotR = m(Graph.retractKCore(cyc, base.unionAll(delta), "src", "dst",
+      delta, k = 2, maxRounds = 2))
+    val gotRFree = m(Graph.retractKCore(cyc, base.unionAll(delta), "src",
+      "dst", delta, k = 2))
+    assert(gotR == m(prev) && gotRFree == m(prev))
+  }
+
+  test("kCoreFixedPoint fails loud past maxRounds; degree-pruned frontier never walks a sub-k chain") {
+    // a 12-node path at k=2 peels 2 endpoints per synchronous round —
+    // 6 productive rounds; maxRounds=2 must throw, not return a
+    // mid-peel superset
+    val path12 = (1L until 12L).map(v => (v, v + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.kCoreFixedPoint(path12, "src", "dst", k = 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("maxRounds"))
+    // degree prune (ADVICE round 14): a delta endpoint wired into a
+    // long sub-k chain must not flood the region — every chain node
+    // has degree 2 < k = 3, so the frontier stops immediately, and the
+    // result still equals the full peel (no joiners here: node 20's
+    // only ≥k support would need the chain)
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = (20L until 26L).map(v => (v, v + 1))
+    val base = (k5 ++ chain).toDF("src", "dst")
+    val prev = Graph.kCoreFixedPoint(base, "src", "dst", k = 3)
+    val delta = Seq((1L, 20L), (2L, 20L)).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = m(Graph.advanceKCore(prev, base, "src", "dst", delta, k = 3))
+    val full = m(Graph.kCoreFixedPoint(base.unionAll(delta), "src", "dst",
+      k = 3))
+    assert(got == full)
+    assert(got.keySet == (1L to 5L).toSet && got.values.forall(_ == 4L))
+  }
+
   test("pageRankFrom: continuing a cold prefix is bit-identical to the longer cold run; absent nodes start uniform") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")

@@ -158,6 +158,74 @@ class GraphStateSpec extends SparkSpec {
     Tables.dropTablesAndDirs(spark, s"${name}_edges", s"${name}_core")
   }
 
+  test("k-core pair retraction: interleaved advance/retract waves equal the net fixed point; retract∘advance is identity; recovery rebuilds") {
+    val name = "gstate_kcr"
+    Tables.dropTablesAndDirs(spark,
+      s"${name}_edges", s"${name}_core",
+      s"${name}_edges__next", s"${name}_core__next",
+      s"${name}_edges__old", s"${name}_core__old")
+    def m(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    GraphState.initKCoreState(spark, name, pairsOf(ok => ok % 3 === 0),
+      "src", "dst", k = 4)
+    val base = m(GraphState.core(spark, name))
+    // advance a wave, retract a slice, advance another wave — the
+    // maintained survivor set must track the NET edge set's fixed
+    // point through every step
+    GraphState.advanceKCoreState(spark, name,
+      pairsOf(ok => ok % 3 === 1), "src", "dst", k = 4)
+    val afterAdv = m(GraphState.core(spark, name))
+    val slice = pairsOf(ok => ok % 6 === 1) // ⊆ the %3==1 wave
+    GraphState.retractKCoreState(spark, name, slice, "src", "dst", k = 4)
+    // ground truth drives the check: maintained core == the fixed
+    // point re-peeled from the edges table
+    assert(m(GraphState.core(spark, name)) ==
+      m(Graph.kCoreFixedPoint(GraphState.edges(spark, name), "a", "b", k = 4)))
+    // identity: advancing the slice back restores the post-advance core
+    GraphState.advanceKCoreState(spark, name, slice, "src", "dst", k = 4)
+    assert(m(GraphState.core(spark, name)) == afterAdv,
+      "retract∘advance must restore the maintained core")
+    assert(GraphState.epochOf(spark, s"${name}_core") == 3L)
+    // retract the whole %3==1 wave (SET semantics: pairs the %3==0
+    // wave also delivered leave too — an edge has no multiplicity) —
+    // ground truth still drives the equality
+    GraphState.retractKCoreState(spark, name,
+      pairsOf(ok => ok % 3 === 1), "src", "dst", k = 4)
+    val afterRet = m(GraphState.core(spark, name))
+    assert(afterRet ==
+      m(Graph.kCoreFixedPoint(GraphState.edges(spark, name), "a", "b", k = 4)))
+    // crash-window recovery after a retraction: core lags ground truth
+    // → rebuilt from the edges table under the stored k
+    spark.sql(s"ALTER TABLE ${name}_core SET TBLPROPERTIES('graft.epoch'='0')")
+    assert(GraphState.recoverKCoreState(spark, name) == "rebuilt-core")
+    assert(m(GraphState.core(spark, name)) == afterRet)
+    Tables.dropTablesAndDirs(spark, s"${name}_edges", s"${name}_core")
+  }
+
+  test("triangle retraction that drains a node to degree 0 drops its row — maintained stats stay bit-identical to the rebuild (ADVICE r14)") {
+    val name = "gstate_deg0"
+    scrub(name)
+    // triangle {1,2,3} with an appendix edge (3,4): retracting (3,4)
+    // leaves node 4 at degree 0 — the maintained path must DROP its
+    // row exactly as a from-scratch recount over the edges table would
+    GraphState.initTriangleState(spark,
+      name, Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst"),
+      "src", "dst")
+    assert(GraphState.stats(spark, name).count() == 4L)
+    GraphState.retractTriangleState(spark, name,
+      Seq((3L, 4L)).toDF("src", "dst"), "src", "dst")
+    val maintained = sortedStats(GraphState.stats(spark, name))
+    assert(!maintained.exists(_._1 == 4L), "degree-0 node must leave")
+    assert(maintained.map(_._1) == Seq(1L, 2L, 3L))
+    // rebuild == maintained: force the recovery recount from ground
+    // truth and compare bit-for-bit
+    spark.sql(s"ALTER TABLE ${name}_stats SET TBLPROPERTIES('graft.epoch'='0')")
+    assert(GraphState.recoverTriangleState(spark, name) == "rebuilt-stats")
+    assert(sortedStats(GraphState.stats(spark, name)) == maintained,
+      "crash-rebuild must equal the uncrashed maintained stats")
+    scrub(name)
+  }
+
   test("recovery resolves every crash window: promote staged stats, rebuild lost stats, drop danglers") {
     val name = "gstate_rec"
     scrub(name)
