@@ -130,17 +130,24 @@ object Bench {
     val relayRps: Seq[Double] = relay._2.map(dt => relay._1 / dt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-    def once(): Seq[(String, Double)] = selected.map { case (name, fn) =>
+    def once(): Seq[(String, Double)] = selected.flatMap { case (name, fn) =>
+      // phase context: PhaseTimer-wrapped sections inside the query
+      // (q231's base peel, q232's register init) report as extra
+      // `<member>.<label>` members in the JSON artifact below — base
+      // vs advance separated in the driver artifact (round-14 #7)
+      graft.ops.PhaseTimer.setContext(name.takeWhile(_ != '_'))
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      graft.ops.PhaseTimer.clearContext()
+      val phases = graft.ops.PhaseTimer.drain()
       // library ops persist intermediates (e.g. LSH signature tables);
       // drop them so one query's cache cannot pressure the next
       spark.catalog.clearCache()
-      name -> dt
+      (name -> dt) +: phases
     }
     // The harness that consumes this line keeps only a bounded tail of
     // stdout, so the line must stay short: keys are the qNN prefix of each
@@ -162,11 +169,15 @@ object Bench {
     // order of magnitude under this box's ±8% run-to-run spread, and the
     // char saved per key buys 2+ future families of headroom)
     def sec1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    def buildLine(results: Seq[(String, Double)]): String = {
+    def buildLine(results0: Seq[(String, Double)]): String = {
     // q147 (the composed ingest pipeline) deliberately keeps its OWN
     // key rather than riding q12x: the rollup's cross-round
     // comparability depends on its member set staying fixed at the
     // nine round-8 entries
+    // phase members ("q231.base") are COMPONENTS of an already-counted
+    // member — artifact-only; the stdout line and total must not
+    // double-count them
+    val results = results0.filterNot(_._1.contains('.'))
     val streamFamily = "^q12[2-9]$|^q130$".r
     // q150+ roll up ONE KEY PER DECADE (q15x, q16x, … q21x, q22x, …) —
     // the line-length budget rule: new families roll up, established

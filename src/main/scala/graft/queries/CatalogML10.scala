@@ -41,8 +41,15 @@ object CatalogML10 {
       // the maintained survivor set: the BASE graph's stabilized core
       // (kCoreFixedPoint peels until no edge is removed — a fixed
       // iters=9 run costs 4+ dead |E| rounds past the ≤5-round fixed
-      // point; the count-guarded loop stops at stability)
-      val prev = graft.ops.Graph.kCoreFixedPoint(base, "src", "dst", k = 55)
+      // point; the count-guarded loop stops at stability). The base
+      // peel is ~2/3 of this member's gate time and exists only
+      // because the gate must CONSTRUCT the previous core — a real
+      // maintenance loop reads it from state (q236/q237). PhaseTimer
+      // splits it out as the `q231.base` member in BENCH_MEMBERS.json
+      // (round-14 verdict #7).
+      val prev = graft.ops.PhaseTimer.time("base") {
+        graft.ops.Graph.kCoreFixedPoint(base, "src", "dst", k = 55)
+      }
       graft.ops.Graph.advanceKCore(prev, base, "src", "dst", delta, k = 55)
         .withColumnRenamed("node", "part_id")
         .orderBy("part_id")
