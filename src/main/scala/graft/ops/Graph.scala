@@ -588,7 +588,7 @@ object Graph {
           col(dstCol).cast("long").as("dst"))
         .where(col("src") =!= col("dst"))
         .withColumn("w", lit(1L)),
-      iters, coarse = false)
+      iters, coarse = false)._1
   }
 
   /** [[louvain]] over WEIGHTED symmetrized edges (`weightCol` must be
@@ -604,7 +604,86 @@ object Graph {
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w")),
-      iters, coarse = false)
+      iters, coarse = false)._1
+  }
+
+  /** WARM-STARTED [[louvain]] (the q235 [[pageRankFrom]] posture
+    * applied to community detection): the fine local-move rounds run
+    * seeded from a PREVIOUS assignment `seed(node, community)` instead
+    * of singletons — after a crawl delta lands, communities that the
+    * delta doesn't touch re-stabilize in zero moves (their members see
+    * no strictly-improving candidate, and Q-improving moves near the
+    * delta only refine the wound's neighborhood), so the maintained
+    * assignment needs far fewer rounds than a from-scratch run
+    * (tools/GraphScaleSweep's comm row measures the rounds saved).
+    * Nodes absent from the seed (new arrivals) enter as singletons;
+    * seed rows for nodes no longer in the graph are ignored. The run
+    * is the SAME deterministic parity-schedule process as [[louvain]]
+    * — only cm0 differs — so the entire warm history replays in the
+    * oracle ([[louvainWarmChainSql]]) bit-identically. Same
+    * symmetrized-input contract as [[louvain]]. */
+  def louvainWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                  seed: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    louvainLevel(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .withColumn("w", lit(1L)),
+      iters, coarse = false, seed = Some(seed))._1
+  }
+
+  /** [[louvainWarm]] with the STABILITY stop the maintained pair runs
+    * under: fine rounds stop early once two consecutive rounds (one
+    * per parity class) move zero nodes — from such a state every later
+    * round is provably a no-op (same state + same parity ⇒ same
+    * argmax), so an oracle that unrolls the full `maxRounds` stays
+    * bit-identical whether or not the stop fires. Returns (assignment,
+    * rounds actually run) — `maxRounds − rounds` is the warm start's
+    * measured saving (tools/GraphScaleSweep). `seed = None` is the
+    * cold start. */
+  def louvainStable(edges: DataFrame, srcCol: String, dstCol: String,
+                    seed: Option[DataFrame], maxRounds: Int): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    louvainLevel(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .withColumn("w", lit(1L)),
+      maxRounds, coarse = false, seed = seed, stopAtStable = true)
+  }
+
+  /** [[louvain]]/[[louvainWarm]] over an ALREADY-CANONICAL edge frame
+    * `e(a, b)` (symmetrized internally) — the [[GraphState]] community
+    * pair's init/rebuild/advance path, where the input is canonical by
+    * construction and must not pay a re-canonicalization. Runs under
+    * the [[louvainStable]] stop rule. */
+  private[ops] def louvainCanon(canon: DataFrame, iters: Int,
+                                seed: Option[DataFrame]): DataFrame =
+    louvainLevel(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+        .withColumn("w", lit(1L)),
+      iters, coarse = false, seed = seed, stopAtStable = true)._1
+
+  /** Community-assignment advance over an ALREADY-CANONICAL previous
+    * edge set — the maintained-state path
+    * ([[GraphState.advanceCommState]]): fold the fresh delta into the
+    * stored canonical edges (broadcast-probed, zero |E| shuffle —
+    * [[advanceTriangleCore]]'s discipline), then re-run at most
+    * `iters` warm parity rounds seeded from the previous assignment
+    * under the [[louvainStable]] stop rule. The advance is
+    * a pure function of (new edge set, previous assignment), which is
+    * exactly what survives a crash between the pair's two swaps — so
+    * the recovery rebuild is bit-identical to the uncrashed advance
+    * (stronger than the triangle pair's recount fallback, whose view
+    * is a function of edges alone). Returns (newEdges, newComm) as
+    * unmaterialized plans. */
+  private[ops] def advanceCommCore(prevComm: DataFrame, oldE: DataFrame,
+                                   canD: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    val (d, _) = freshDelta(oldE, canD)
+    val newE = Checkpointing.truncateSer(oldE.unionAll(d))
+    (newE, louvainCanon(newE, iters, seed = Some(prevComm)))
   }
 
   /** The FULL "fast unfolding": [[louvain]]'s local-move phase
@@ -630,7 +709,7 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .withColumn("w", lit(1L))
-    var assign = louvainLevel(e, itersPerLevel, coarse = false) // base node → current label
+    var assign = louvainLevel(e, itersPerLevel, coarse = false)._1 // base node → current label
     var lastUp = assign // THIS level's node id → current label
     for (_ <- 2 to levels) {
       val eC = Checkpointing.truncate(e
@@ -640,7 +719,7 @@ object Graph {
           col("community").as("__cd")), Seq("dst"))
         .groupBy(col("__cs").as("src"), col("__cd").as("dst"))
         .agg(sum("w").as("w")))
-      val up = louvainLevel(eC, itersPerLevel, coarse = true)
+      val up = louvainLevel(eC, itersPerLevel, coarse = true)._1
       val prev = assign
       assign = Checkpointing.truncate(assign
         .select(col("node"), col("community").as("__c"))
@@ -661,7 +740,9 @@ object Graph {
     * k_{i→c}: a node's own internal weight moves WITH it, so it
     * cancels out of the gain argmax. */
   private def louvainLevel(edges: DataFrame, iters: Int,
-                           coarse: Boolean): DataFrame = {
+                           coarse: Boolean,
+                           seed: Option[DataFrame] = None,
+                           stopAtStable: Boolean = false): (DataFrame, Int) = {
     val dec = DecimalType(38, 0)
     val e = Checkpointing.truncate(edges)
     val eNoSelf = e.where(col("src") =!= col("dst"))
@@ -669,8 +750,15 @@ object Graph {
     val deg = Checkpointing.truncate(
       e.groupBy(col("src").as("node")).agg(sum(col("w")).as("k")))
     val m2Row = deg.agg(sum(col("k")).cast(dec).as("__m2"))
-    var comm = Checkpointing.truncate(
-      deg.select(col("node"), col("node").as("c")))
+    // cm0: singletons, or the warm seed (graph nodes absent from the
+    // seed enter as singletons; seed rows off the graph drop)
+    var comm = Checkpointing.truncate(seed match {
+      case None => deg.select(col("node"), col("node").as("c"))
+      case Some(sd) => deg.select(col("node"))
+        .join(sd.select(col("node"), col("community").as("__sc")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__sc"), col("node")).as("c"))
+    })
     // exact integer modularity Q·(2m)² of an assignment — one row
     def qint(cm: DataFrame) = {
       val ein = e
@@ -690,7 +778,11 @@ object Graph {
       Option(df.head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var qCur: java.math.BigDecimal =
       if (coarse) qOf(qint(comm)) else java.math.BigDecimal.ZERO
-    for (t <- 1 to iters) {
+    var t = 0
+    var stableStreak = 0
+    var stopped = false
+    while (t < iters && !stopped) {
+      t += 1
       // k_{i→c}: weight from each node to each neighboring community
       val kic = eNoSelf
         .join(comm.select(col("node").as("dst"), col("c")), Seq("dst"))
@@ -766,9 +858,26 @@ object Graph {
       // same arithmetic, same results as the in-plan CASE the oracle
       // replays.
       if (!coarse) {
-        val prev = comm
-        comm = Checkpointing.truncate(proposal)
-        Checkpointing.release(prev)
+        // stability stop ([[louvainStable]]): two consecutive no-move
+        // rounds (one per parity class) prove every later round a
+        // no-op, so stopping is invisible to a fixed-depth oracle
+        // unroll. The moved count is an assignment-sized job, the
+        // touched-key-count class; a no-move round keeps the previous
+        // materialized frame (proposal ≡ comm), skipping the rewrite.
+        val moved =
+          if (stopAtStable)
+            proposal.join(comm.withColumnRenamed("c", "__pc"), Seq("node"))
+              .where(col("c") =!= col("__pc")).count()
+          else -1L
+        if (stopAtStable && moved == 0L) {
+          stableStreak += 1
+          if (stableStreak >= 2) stopped = true
+        } else {
+          stableStreak = 0
+          val prev = comm
+          comm = Checkpointing.truncate(proposal)
+          Checkpointing.release(prev)
+        }
       } else {
         val qp = qOf(qint(proposal))
         if (qp.compareTo(qCur) > 0) {
@@ -779,7 +888,7 @@ object Graph {
         }
       }
     }
-    comm.select(col("node"), col("c").as("community"))
+    (comm.select(col("node"), col("c").as("community")), t)
   }
 
   /** Mirror of [[louvain]] for the DuckDB oracle: T fine-regime
@@ -856,7 +965,8 @@ object Graph {
     * `$eName(src, dst, w)` — self-loop rows count in `${p}deg`/`${p}m2`,
     * never in k_{i→c}. Emits `${p}cm0..${p}cm$iters`. */
   private def louvainLevelSql(p: String, eName: String, iters: Int,
-                              coarse: Boolean): String = {
+                              coarse: Boolean,
+                              seed: Option[String] = None): String = {
     val rounds = (1 to iters).map { t =>
       // fine levels: node-parity schedule, both label directions, no
       // guard; coarse levels: alternating label direction + the
@@ -922,11 +1032,44 @@ object Graph {
            |  CROSS JOIN ${p}qp$t qp CROSS JOIN ${p}qc$t qc
            |)""".stripMargin)
     }
+    val cm0 = seed match {
+      case None => s"SELECT node, node AS c FROM ${p}deg"
+      case Some(sd) =>
+        s"""SELECT d.node, coalesce(s.c, d.node) AS c
+           |  FROM ${p}deg d LEFT JOIN $sd s ON s.node = d.node""".stripMargin
+    }
     s"""${p}deg AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS k
        |        FROM $eName GROUP BY 1),
        |${p}m2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM ${p}deg),
-       |${p}cm0 AS MATERIALIZED (SELECT node, node AS c FROM ${p}deg),
+       |${p}cm0 AS MATERIALIZED ($cm0),
        |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Mirror of a WHOLE maintained-community history for the DuckDB
+    * oracle ([[louvainWarm]] chained over arrival waves): wave 1 runs
+    * `iters` fine rounds cold (singleton cm0) over `waveEdgeNames(0)`,
+    * every later wave runs `iters` WARM rounds over its cumulative
+    * edge table seeded from the previous wave's final assignment —
+    * exactly the process [[GraphState.advanceCommState]] executes per
+    * microbatch with the same `iters` cap (an advance that stabilized
+    * early leaves the unroll's tail rounds provably no-ops, so the
+    * fixed-depth replay matches either way). `edgesCte` must define each name in `waveEdgeNames`
+    * as a SYMMETRIZED weighted edge table `(src, dst, w)` holding the
+    * CUMULATIVE edge set at that wave. Final assignment exposed as
+    * `lv(node, community)`; `tail` closes over it. */
+  def louvainWarmChainSql(edgesCte: String, waveEdgeNames: Seq[String],
+                          iters: Int,
+                          tail: String = "SELECT node, community FROM lv")
+      : String = {
+    require(waveEdgeNames.nonEmpty)
+    val chains = waveEdgeNames.zipWithIndex.map { case (en, i) =>
+      louvainLevelSql(s"w${i + 1}", en, iters, coarse = false,
+        seed = if (i == 0) None else Some(s"w${i}cm$iters"))
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |$chains,
+       |lv AS (SELECT node, c AS community FROM w${waveEdgeNames.size}cm$iters)
+       |$tail""".stripMargin
   }
 
   /** Mirror of [[labelPropagation]] for the DuckDB oracle: the same T

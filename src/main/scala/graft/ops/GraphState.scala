@@ -230,6 +230,100 @@ object GraphState {
     }
   }
 
+  // ─────────────── communities as a maintained pair ───────────────
+  // Third derived view on the maintained edge set (round-14 verdict
+  // #3): `g_edges(a, b)` ground truth + `g_comm(node, community)` —
+  // the WARM-maintained Louvain assignment ([[Graph.louvainWarm]]:
+  // each advance re-runs `iters` deterministic fine rounds over the
+  // new edge set seeded from the previous assignment, so untouched
+  // communities re-stabilize in zero moves and only the delta's
+  // neighborhood re-settles). Unlike the triangle/k-core views the
+  // assignment is NOT a pure function of the edge set — it is a pure
+  // function of (edge set, previous assignment), which is exactly the
+  // pair that survives every crash window (edges swap first, comm
+  // second), so [[recoverCommState]]'s rebuild replays the interrupted
+  // advance BIT-IDENTICALLY rather than falling back to a different
+  // valid result. The round count rides the staging as a property the
+  // way the k-core pair's k does.
+
+  private[ops] def commTable(name: String): String = s"${name}_comm"
+  private val CommItersKey = "graft.comm.iters"
+
+  /** Create the community pair at epoch 0 (one canonicalization + one
+    * cold [[Graph.louvain]] run — the last cold start; every later
+    * change is a warm advance; `edges` may be empty). */
+  def initCommState(spark: SparkSession, name: String, edges: DataFrame,
+                    srcCol: String, dstCol: String, iters: Int): Unit = {
+    val eT = edgesTable(name); val cT = commTable(name)
+    Tables.dropTablesAndDirs(spark, eT, cT,
+      s"${eT}__next", s"${cT}__next", s"${eT}__old", s"${cT}__old")
+    Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
+    stamp(spark, eT, 0L)
+    Graph.louvainCanon(spark.table(eT), iters, seed = None)
+      .write.saveAsTable(cT)
+    stamp(spark, cT, 0L)
+    spark.sql(s"ALTER TABLE $cT SET TBLPROPERTIES('$CommItersKey'='$iters')")
+  }
+
+  /** The maintained assignment (node, community). */
+  def communities(spark: SparkSession, name: String): DataFrame =
+    spark.table(commTable(name))
+
+  /** The advanced (newEdges, newComm) PLANS from the live pair + a raw
+    * delta — no writes (the plan-assert surface). */
+  def advanceCommPlan(spark: SparkSession, name: String, delta: DataFrame,
+                      srcCol: String, dstCol: String, iters: Int)
+      : (DataFrame, DataFrame) =
+    Graph.advanceCommCore(communities(spark, name), edges(spark, name),
+      Graph.canonPairs(delta, srcCol, dstCol), iters)
+
+  /** Fold an edge delta into the community pair — AT MOST `iters` warm
+    * rounds seeded from the stored assignment, stopping early once two
+    * consecutive rounds move nothing ([[Graph.advanceCommCore]] /
+    * [[Graph.louvainStable]]'s rule — from such a state every later
+    * round is a no-op, so a fixed-depth oracle unroll matches whether
+    * or not the stop fires), stage-both-swap-both. Re-delivering a
+    * wave whose advance STABILIZED is the identity (the fixed-point
+    * spec case); pick `iters` generous enough that advances stabilize
+    * if the delivery layer may re-send waves. */
+  def advanceCommState(spark: SparkSession, name: String, delta: DataFrame,
+                       srcCol: String, dstCol: String, iters: Int): Unit =
+    applyStagedPair(spark, edgesTable(name), commTable(name),
+      advanceCommPlan(spark, name, delta, srcCol, dstCol, iters),
+      extraProps = Map(CommItersKey -> iters.toString))
+
+  /** Recovery twin of [[recoverTriangleState]] for the community pair.
+    * The rebuild path re-runs the interrupted warm advance from the
+    * still-live previous assignment over the already-swapped new edge
+    * set — BIT-IDENTICAL to the uncrashed result, because the advance
+    * is a pure function of exactly those two survivors. */
+  def recoverCommState(spark: SparkSession, name: String): String = {
+    val eT = edgesTable(name); val cT = commTable(name)
+    val r1 = Incremental.recoverStateTable(spark, eT)
+    val eEp = epochOf(spark, eT)
+    val stagedEp = epochOf(spark, s"${cT}__next")
+    if (spark.catalog.tableExists(cT) &&
+        spark.catalog.tableExists(s"${cT}__next") && stagedEp == eEp &&
+        epochOf(spark, cT) != eEp) {
+      Incremental.swapStaged(spark, cT)
+      "promoted-staged-comm"
+    } else {
+      val r2 = Incremental.recoverStateTable(spark, cT)
+      if (epochOf(spark, cT) != eEp) {
+        val iters = spark.sessionState.catalog
+          .getTableMetadata(TableIdentifier(cT))
+          .properties.getOrElse(CommItersKey, "1").toInt
+        Incremental.transformStateTable(spark, cT)(prev =>
+          Graph.louvainCanon(spark.table(eT), iters, seed = Some(prev)))
+        stamp(spark, cT, eEp)
+        spark.sql(
+          s"ALTER TABLE $cT SET TBLPROPERTIES('$CommItersKey'='$iters')")
+        "rebuilt-comm"
+      } else if (r1 == "clean" && r2 == "clean") "clean"
+      else "resolved"
+    }
+  }
+
   /** Detect and resolve an interrupted advance (see the class doc's
     * crash-window table). Returns what it did: `"clean"`,
     * `"resolved"` (danglers dropped — re-apply the delta),

@@ -1233,6 +1233,79 @@ object CatalogStream {
         |e0 AS (SELECT a AS src, b AS dst FROM pnet
         |       UNION ALL SELECT b, a FROM pnet)""".stripMargin,
       k = 20, iters = 6, nodeAs = "part_id",
-      assertFixedPoint = true) + "\nORDER BY part_id"))
+      assertFixedPoint = true) + "\nORDER BY part_id")),
+
+    // Streaming COMMUNITY maintenance (round-14 verdict #3 — the
+    // third derived view on the maintained pair): the same three
+    // crawl waves fold into an (edges, comm) pair through
+    // foreachBatch, each microbatch re-running 3 deterministic warm
+    // Louvain parity rounds SEEDED from the stored assignment
+    // (GraphState.advanceCommState / Graph.louvainWarm) — untouched
+    // communities re-stabilize in zero moves, only the delta's
+    // neighborhood re-settles, and recovery replays an interrupted
+    // advance bit-identically (the assignment is a pure function of
+    // the two crash survivors: new edges + previous assignment).
+    // Unlike the triangle/k-core views there is no from-scratch
+    // shortcut for the oracle — the assignment is path-dependent — so
+    // the oracle replays the ENTIRE maintained history: wave 1 cold,
+    // waves 2-3 warm over the cumulative edge sets, every gain argmax
+    // in exact integers (louvainWarmChainSql). Labels canonicalized
+    // to min member (the q217 convention).
+    ("q238_stream_comm_maintain", (s: SparkSession, d: String) => {
+      import graft.ops.GraphState
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q238_graph_$tag"
+      def pairsOf(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val li = table(s, d, "lineitem")
+          .where(col("l_partkey") % 3 === 0 && pred(col("l_orderkey")))
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.join(li.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+            Seq("l_orderkey"))
+          .where(col("l_partkey") < col("__p2"))
+          .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+      }
+      val dir = stageWavesCached(d, "graph-waves")(Seq(
+        pairsOf(ok => ok % 3 === 0), pairsOf(ok => ok % 3 === 1),
+        pairsOf(ok => ok % 3 === 2)))
+      val empty = pairsOf(_ => lit(false))
+      GraphState.initCommState(s, st, empty, "src", "dst", iters = 3)
+      val src = s.readStream.format("parquet").schema(empty.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-comm-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            GraphState.advanceCommState(s, st, b, "src", "dst", iters = 3)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally rmrf(ckpt)
+      val res = GraphState.communities(s, st)
+      val canon = res.groupBy("community").agg(min("node").as("__cl"))
+      res.join(canon, Seq("community"))
+        .select(col("node").as("part_id"), col("__cl").as("community"))
+        .orderBy("part_id")
+    }, Some(graft.ops.Graph.louvainWarmChainSql(
+      """pall AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+        |         min(a.l_orderkey % 3) AS wv
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0
+        |  GROUP BY 1, 2),
+        |e1 AS (SELECT a AS src, b AS dst, 1 AS w FROM pall WHERE wv = 0
+        |       UNION ALL SELECT b, a, 1 FROM pall WHERE wv = 0),
+        |e2 AS (SELECT a AS src, b AS dst, 1 AS w FROM pall WHERE wv <= 1
+        |       UNION ALL SELECT b, a, 1 FROM pall WHERE wv <= 1),
+        |e3 AS (SELECT a AS src, b AS dst, 1 AS w FROM pall
+        |       UNION ALL SELECT b, a, 1 FROM pall)""".stripMargin,
+      waveEdgeNames = Seq("e1", "e2", "e3"), iters = 3,
+      tail =
+        """SELECT lv.node AS part_id, cn.clabel AS community
+          |FROM lv JOIN (SELECT community, min(node) AS clabel
+          |              FROM lv GROUP BY community) cn USING (community)
+          |ORDER BY part_id""".stripMargin)))
   )
 }

@@ -165,6 +165,46 @@ class GraphSpec extends SparkSpec {
       "final assignment must beat singleton modularity")
   }
 
+  test("louvainWarm: converged seed is a fixed point; untouched communities pass through a delta; stability stop is invisible; warm saves rounds") {
+    import org.apache.spark.sql.functions.col
+    // planted fixture: two K5 cliques bridged by one edge
+    val cliqueA = for (i <- 0L to 4L; j <- 0L to 4L if i != j) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- 10L to 14L if i != j) yield (i, j)
+    val bridge = Seq((4L, 10L), (10L, 4L))
+    val base = (cliqueA ++ cliqueB ++ bridge).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // the stability stop must be INVISIBLE to a fixed-depth run — the
+    // oracle-replay invariant: a stopped run equals the full unroll
+    val (stable, rounds) = Graph.louvainStable(base, "src", "dst", None, 10)
+    assert(m(stable) == m(Graph.louvain(base, "src", "dst", iters = 10)),
+      "stability-stopped run must equal the fixed-depth run")
+    assert(rounds < 10, "the clique fixture must stabilize before 10 rounds")
+
+    // a converged assignment is a fixed point of the warm run
+    val (again, r2) = Graph.louvainStable(base, "src", "dst", Some(stable), 10)
+    assert(m(again) == m(stable), "converged seed must be a fixed point")
+    assert(r2 == 2, "a fixed-point seed stops after the two probe rounds")
+
+    // delta: one pendant node (20) attaches to clique B — the hourly-
+    // crawl shape the maintained pair serves (delta tiny next to the
+    // stabilized structure). Warm rounds seeded from the converged
+    // base keep A and B byte-identical, absorb the pendant into B's
+    // community, and re-stabilize in strictly fewer rounds than cold
+    // must spend re-agglomerating the cliques from singletons.
+    val union = (cliqueA ++ cliqueB ++ bridge ++
+      Seq((14L, 20L), (20L, 14L))).toDF("src", "dst")
+    val (warm, rWarm) = Graph.louvainStable(union, "src", "dst", Some(stable), 12)
+    val wm = m(warm)
+    val sm = m(stable)
+    (0L to 4L).foreach(n => assert(wm(n) == sm(n), s"clique A node $n moved"))
+    (10L to 14L).foreach(n => assert(wm(n) == sm(n), s"clique B node $n moved"))
+    assert(wm(20L) == wm(14L), "the pendant must join clique B's community")
+    val (_, rCold) = Graph.louvainStable(union, "src", "dst", None, 12)
+    assert(rWarm < rCold, s"warm ($rWarm) must save rounds vs cold ($rCold)")
+  }
+
   test("triangleStats: K4/path/shared-edge exact; degree-oriented count equals brute force on a random graph") {
     import org.apache.spark.sql.functions.col
     // K4: every node in 3 triangles, clustering 1.0; pendant node 9

@@ -202,6 +202,120 @@ class GraphStateSpec extends SparkSpec {
     Tables.dropTablesAndDirs(spark, s"${name}_edges", s"${name}_core")
   }
 
+  test("community pair: maintained assignment equals the replayed warm chain; recovery promotes or replays an interrupted advance bit-identically") {
+    val name = "gstate_comm"
+    Tables.dropTablesAndDirs(spark,
+      s"${name}_edges", s"${name}_comm",
+      s"${name}_edges__next", s"${name}_comm__next",
+      s"${name}_edges__old", s"${name}_comm__old")
+    def m(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    GraphState.initCommState(spark, name, pairsOf(_ => lit(false)),
+      "src", "dst", iters = 3)
+    for (w <- 0 to 2)
+      GraphState.advanceCommState(spark, name,
+        pairsOf(ok => ok % 3 === w), "src", "dst", iters = 3)
+    val got = m(GraphState.communities(spark, name))
+    // the maintained assignment must equal the SAME warm chain replayed
+    // through the public surface over the cumulative edge sets — the
+    // q238 oracle's exact process
+    def symCum(w: Int): DataFrame = {
+      val p = pairsOf(ok => ok % 3 <= w).distinct()
+      p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val c1 = Graph.louvainStable(symCum(0), "src", "dst", None, 3)._1
+    val c2 = Graph.louvainStable(symCum(1), "src", "dst", Some(c1), 3)._1
+    val c3 = Graph.louvainStable(symCum(2), "src", "dst", Some(c2), 3)._1
+    assert(got == m(c3), "maintained ≡ replayed warm chain")
+    assert(GraphState.epochOf(spark, s"${name}_comm") == 3L)
+
+    // window A: crash BETWEEN the two swaps with the staged comm
+    // intact → promoted, no recompute
+    val dA = pairsOf(ok => ok % 7 === 3)
+    val (eA, cA) = GraphState.advanceCommPlan(spark, name, dA, "src", "dst", 3)
+    cA.write.saveAsTable(s"${name}_comm__next")
+    spark.sql(s"ALTER TABLE ${name}_comm__next SET TBLPROPERTIES(" +
+      "'graft.epoch'='4','graft.comm.iters'='3')")
+    val wantA = m(spark.table(s"${name}_comm__next"))
+    eA.write.saveAsTable(s"${name}_edges__next")
+    spark.sql(s"ALTER TABLE ${name}_edges__next SET TBLPROPERTIES('graft.epoch'='4')")
+    graft.ops.Incremental.swapStaged(spark, s"${name}_edges")
+    assert(GraphState.recoverCommState(spark, name) == "promoted-staged-comm")
+    assert(m(GraphState.communities(spark, name)) == wantA)
+
+    // window B: staged comm LOST after the edges swap — unlike the
+    // triangle/k-core views the rebuild does NOT fall back to a
+    // different valid result: the advance is a pure function of (new
+    // edges, previous assignment), BOTH of which survive this window,
+    // so recovery replays the interrupted advance BIT-IDENTICALLY
+    val dB = pairsOf(ok => ok % 7 === 5)
+    val (eB, cB) = GraphState.advanceCommPlan(spark, name, dB, "src", "dst", 3)
+    cB.write.saveAsTable(s"${name}_comm__next")
+    spark.sql(s"ALTER TABLE ${name}_comm__next SET TBLPROPERTIES(" +
+      "'graft.epoch'='5','graft.comm.iters'='3')")
+    val wantB = m(spark.table(s"${name}_comm__next"))
+    eB.write.saveAsTable(s"${name}_edges__next")
+    spark.sql(s"ALTER TABLE ${name}_edges__next SET TBLPROPERTIES('graft.epoch'='5')")
+    graft.ops.Incremental.swapStaged(spark, s"${name}_edges")
+    spark.sql(s"DROP TABLE ${name}_comm__next")
+    assert(GraphState.recoverCommState(spark, name) == "rebuilt-comm")
+    assert(m(GraphState.communities(spark, name)) == wantB,
+      "crash-rebuild must replay the interrupted advance bit-identically")
+    assert(GraphState.recoverCommState(spark, name) == "clean")
+    Tables.dropTablesAndDirs(spark, s"${name}_edges", s"${name}_comm")
+  }
+
+  test("community advance reads ONLY the state pair + the delta — never raw history (file scans audited)") {
+    val name = "gstate_commplan"
+    Tables.dropTablesAndDirs(spark,
+      s"${name}_edges", s"${name}_comm",
+      s"${name}_edges__next", s"${name}_comm__next",
+      s"${name}_edges__old", s"${name}_comm__old")
+    val hist = java.nio.file.Files.createTempDirectory("gcomm-hist").toString
+    pairsOf(ok => ok % 3 =!= 0).write.mode("overwrite").parquet(hist)
+    val deltaDir = java.nio.file.Files.createTempDirectory("gcomm-delta").toString
+    pairsOf(ok => ok % 3 === 0).write.mode("overwrite").parquet(deltaDir)
+    GraphState.initCommState(spark, name,
+      spark.read.parquet(hist), "src", "dst", iters = 2)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.executedPlan.foreach {
+          case s: FileSourceScanExec =>
+            seen.add(s.relation.location.rootPaths.mkString(","))
+          case _ => ()
+        }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      GraphState.advanceCommState(spark, name,
+        spark.read.parquet(deltaDir), "src", "dst", iters = 2)
+      var last = -1
+      var spins = 0
+      while (seen.size != last && spins < 40) {
+        last = seen.size; spins += 1; Thread.sleep(250)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.listenerManager.unregister(listener)
+    }
+    val paths = seen.toArray(Array.empty[String]).toSeq.distinct
+    assert(paths.nonEmpty, "the audit must observe the advance's scans")
+    val allowed = Seq(s"${name}_edges", s"${name}_comm", deltaDir)
+    paths.foreach { p =>
+      assert(allowed.exists(p.contains),
+        s"advance scanned $p — outside state pair + delta")
+      assert(!p.contains(hist), s"advance re-read raw history: $p")
+    }
+    assert(paths.exists(_.contains(s"${name}_edges")), "state edges scan missing")
+    assert(paths.exists(_.contains(s"${name}_comm")), "state comm (seed) scan missing")
+    graft.ops.LocalFiles.deleteRecursively(hist)
+    graft.ops.LocalFiles.deleteRecursively(deltaDir)
+    Tables.dropTablesAndDirs(spark, s"${name}_edges", s"${name}_comm")
+  }
+
   test("triangle retraction that drains a node to degree 0 drops its row — maintained stats stay bit-identical to the rebuild (ADVICE r14)") {
     val name = "gstate_deg0"
     scrub(name)
