@@ -907,6 +907,72 @@ object Dedup {
     }
   }
 
+  /** Create the INCREMENTAL near-duplicate similarity graph at wave 0
+    * (round-14 verdict #4 — the production dedup-at-scale loop):
+    * near-dup pairs are EDGES, and the maintained CC label table is
+    * the graph view a growing corpus keeps current. This builds the
+    * signature index ([[writeSignatureIndex]] — the LAST time the
+    * archive is signatured), mines the founding wave's intra pairs
+    * bucket-locally ([[minhashJaccardPairs]] — never all-pairs), and
+    * persists their CC labels; every later crawl goes through
+    * [[advanceSimilarityGraph]] without re-reading history. */
+  def initSimilarityGraph(spark: org.apache.spark.sql.SparkSession,
+                          docs: DataFrame, idCol: String, textCol: String,
+                          bucketTable: String, sigTable: String,
+                          ccStateTable: String,
+                          shingleN: Int = 3, threshold: Double = 0.7,
+                          bands: Int = 32, rows: Int = 2,
+                          numBuckets: Int = 32): Unit = {
+    Tables.dropTablesAndDirs(spark, bucketTable, sigTable, ccStateTable,
+      s"${ccStateTable}__next", s"${ccStateTable}__old")
+    writeSignatureIndex(docs, idCol, textCol, bucketTable, sigTable,
+      shingleN, bands, rows, numBuckets)
+    connectedComponents(
+      minhashJaccardPairs(docs, idCol, textCol, shingleN, threshold,
+        bands, rows))
+      .write.saveAsTable(ccStateTable)
+  }
+
+  /** One crawl-wave advance of the [[initSimilarityGraph]] state — the
+    * loop a 100 TB corpus runs per crawl, composed entirely from the
+    * proven incremental pieces: (1) the new docs probe the persisted
+    * signature index for CROSS-corpus pairs
+    * ([[crossCorpusJaccardPairsFromIndex]] — index side exchange-free,
+    * the archive never re-signatured), (2) INTRA-wave pairs mine
+    * bucket-locally over the wave alone, (3) the union advances the CC
+    * label state ([[advanceCCStateTable]] — touched clusters only,
+    * crash-safe stage-and-swap), (4) the wave's signatures APPEND to
+    * the index so the next crawl dedups against it too
+    * ([[appendToSignatureIndex]]).
+    *
+    * Because a doc's band buckets depend only on its own text, the
+    * per-wave intra + cross enumerations find exactly the pair set the
+    * batch miner finds over the full corpus (same geometry, same exact
+    * verification) — so the maintained labels equal a from-scratch
+    * batch CC over all pairs ever minable, which is the q239 oracle's
+    * hash equality. `existingDocs` supplies raw text for the
+    * cross-pair verification stage only (prefilter survivors,
+    * semi-join pushdown — the index contract). */
+  def advanceSimilarityGraph(spark: org.apache.spark.sql.SparkSession,
+                             newDocs: DataFrame, existingDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             bucketTable: String, sigTable: String,
+                             ccStateTable: String,
+                             shingleN: Int = 3, threshold: Double = 0.7,
+                             bands: Int = 32, rows: Int = 2,
+                             numBuckets: Int = 32): Unit = {
+    val cross = crossCorpusJaccardPairsFromIndex(spark, bucketTable,
+      sigTable, newDocs, existingDocs, idCol, textCol, shingleN,
+      threshold, bands, rows)
+    val intra = minhashJaccardPairs(newDocs, idCol, textCol, shingleN,
+      threshold, bands, rows)
+    advanceCCStateTable(spark, ccStateTable,
+      cross.select(col("id_a"), col("id_b"))
+        .unionByName(intra.select(col("id_a"), col("id_b"))))
+    appendToSignatureIndex(newDocs, idCol, textCol, bucketTable, sigTable,
+      shingleN, bands, rows, numBuckets)
+  }
+
   /** Materialize a near-dup-deduplicated corpus: keep exactly one
     * representative (the min id, via [[connectedComponents]]) per mined
     * duplicate cluster, plus every unpaired document. The drop set is

@@ -42,7 +42,7 @@ object Catalog {
       CatalogML3.entries ++ CatalogML3.entries2 ++ CatalogML4.entries ++
       CatalogML5.entries ++ CatalogML6.entries ++ CatalogML7.entries ++
       CatalogML8.entries ++ CatalogML9.entries ++ CatalogML10.entries ++
-      CatalogStream.entries
+      CatalogML11.entries ++ CatalogStream.entries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => (e._1, e._2)).toMap

@@ -221,4 +221,26 @@ class SignatureIndexSpec extends SparkSpec {
     assert(spark.table("sig_drift_sigs").count() == before,
       "changed/removed rows must not be appended")
   }
+
+  test("incremental similarity graph: wave-advanced CC labels equal batch CC over the full pair set (q239 law)") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val (bt, st, cc) = ("simgraph_buckets", "simgraph_sigs", "simgraph_cc")
+    Tables.dropTablesAndDirs(spark, bt, st, cc, s"${cc}__next", s"${cc}__old")
+    def wave(w: Int) = docs.where(col("doc_id") % 3 === w)
+    Dedup.initSimilarityGraph(spark, wave(0), "doc_id", "text", bt, st, cc)
+    for (w <- 1 to 2)
+      Dedup.advanceSimilarityGraph(spark, wave(w),
+        docs.where(col("doc_id") % 3 < w), "doc_id", "text", bt, st, cc)
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = m(spark.table(cc))
+    val want = m(Dedup.connectedComponents(
+      Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)))
+    assert(got == want,
+      "wave-advanced similarity-graph labels must equal batch CC")
+    assert(got.nonEmpty, "fixture must mine at least one near-dup cluster")
+    Tables.dropTablesAndDirs(spark, bt, st, cc)
+  }
 }
