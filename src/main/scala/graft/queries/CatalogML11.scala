@@ -46,5 +46,34 @@ object CatalogML11 {
       s"""WITH RECURSIVE ${CatalogML.clusterCteSql()}
          |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
          |ORDER BY id""".stripMargin)),
+
+    // Effective diameter via SATURATED HyperANF (round-14 verdict #5):
+    // q232 runs the register ladder at fixed t=3; the headline
+    // statistic needs the FULL ramp, so here the rounds run to their
+    // register fixed point (one unchanged round proves saturation —
+    // max-merge is monotone), the neighborhood function N(t) reads off
+    // each ladder level as an order-free dsum of the per-node
+    // portable-HLL estimates, and the 90% effective diameter
+    // interpolates in IEEE doubles both engines compute identically.
+    // The oracle unrolls a FIXED depth, emits a ladder row only for
+    // rounds that changed a register (the engine's rule), and a guard
+    // CTE fails the gate loudly if the unroll is too shallow to have
+    // saturated. Graph: the sparser part–supplier co-membership slice
+    // (l_partkey % 9) — small enough that the full ramp is cheap, deep
+    // enough that the interpolation lands strictly inside the ladder.
+    ("q240_graph_effective_diameter", (s: SparkSession, d: String) => {
+      val edges = table(s, d, "lineitem")
+        .where(col("l_partkey") % 9 === 0)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+      graft.ops.Graph.effectiveDiameter(edges, "src", "dst", maxRounds = 20)
+    }, Some(graft.ops.Graph.effectiveDiameterSql(
+      """p AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |         CAST(l_suppkey + 1000000000 AS BIGINT) AS b
+        |  FROM lineitem WHERE l_partkey % 9 = 0),
+        |e AS (SELECT a AS src, b AS dst FROM p
+        |      UNION ALL SELECT b, a FROM p)""".stripMargin,
+      iters = 10))),
   )
 }

@@ -623,6 +623,37 @@ class GraphSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("effectiveDiameter: path graph saturates at its exact diameter; d90 interpolates inside the ladder; fails loud past maxRounds") {
+    import org.apache.spark.sql.functions.col
+    // path 0-1-…-9: diameter 9, so registers must stop changing after
+    // exactly 9 merge rounds — the saturation depth is EXACT even
+    // though the ball sizes are HLL estimates
+    val path = (0L to 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val lad = Graph.effectiveDiameter(path, "src", "dst", maxRounds = 15)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(lad.map(_._1).toSeq == (0 to 9), s"ladder t: ${lad.map(_._1).toSeq}")
+    // N(t) strictly grows to saturation; N(0) is the exact node count
+    assert(lad.head._2 == 10.0)
+    lad.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2, s"N(t) must strictly grow: $a -> $b") }
+    // d90 is one value across rows, interpolated strictly inside the
+    // ladder (0.9·N(9) falls between two real ladder points)
+    val d90 = lad.head._3
+    assert(lad.forall(_._3 == d90))
+    assert(d90 > 0.0 && d90 < 9.0, s"d90=$d90")
+    // two components saturate at the LARGER diameter
+    val two = ((0L to 8L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L))).toDF("src", "dst")
+    val lad2 = Graph.effectiveDiameter(two, "src", "dst", maxRounds = 15)
+      .collect().map(_.getInt(0))
+    assert(lad2.max == 9, "saturation depth is the max component diameter")
+    // fail-loud: a ladder that cannot saturate within maxRounds throws
+    val err = intercept[IllegalStateException] {
+      Graph.effectiveDiameter(path, "src", "dst", maxRounds = 3)
+    }
+    assert(err.getMessage.contains("maxRounds"))
+  }
+
   test("advanceTriangleStats: incremental equals full re-count (cross-partition delta, new nodes, dup/known edges)") {
     def stats(df: org.apache.spark.sql.DataFrame) =
       Graph.triangleStats(df, "src", "dst").collect()
