@@ -90,6 +90,147 @@ object WordPiece {
       tokenCount(col(textCol), vocab).as("n_pieces"),
       unkCount(col(textCol), vocab).as("n_unk"))
 
+  /** Symbol-boundary marker for the scored learner's symbol strings
+    * (the [[TextOps.BpeMark]] contract: U+0001/U+0002 cannot occur in
+    * corpus text). */
+  private val Mark = "\u0001"
+  /** Continuation-role prefix: the `##` of BERT's WordPiece, carried
+    * as one control char so role-tagged symbols can never collide
+    * with corpus text containing literal `#`. */
+  private val Cont = "\u0002"
+
+  /** LIKELIHOOD-scored WordPiece vocabulary learning (round-14 verdict
+    * #6 — the BERT trainer's published selection rule, where
+    * [[learn]] is the frequency-threshold flavor): iterative merge
+    * rounds over the TWO-ROLE symbolized vocabulary ("word" starts as
+    * w, ##o, ##r, ##d), each round merging the adjacent symbol pair
+    * maximizing the likelihood gain count(ab) / (count(a)·count(b)) —
+    * counts are symbol occurrences in the CURRENT segmentation,
+    * weighted by word frequency. Scores compare through the portable
+    * ln ([[graft.functions.PortableSketches.lnOfPosLong]] — the
+    * unigram-LM discipline): ln n − ln c_l − ln c_r is bit-identical
+    * on both engines, so the argmax (score desc, then (l, r) binary
+    * asc) and therefore EVERY round replays exactly in the oracle
+    * ([[learnScoredSql]]). Merging `l + ##r → l##r` keeps l's role,
+    * rewritten corpus-wide as ONE literal non-regex replace over the
+    * marker-delimited symbol string (the [[TextOps.bpeApplyMerges]]
+    * left-to-right non-overlapping contract every SQL engine shares).
+    *
+    * Returns the merge table (merge_rank, left_sym, right_sym, merged,
+    * n_pair, score) with `##` rendered for the continuation role.
+    * Stops early if the pair space exhausts. Scale: the bpeLearn
+    * class — ONE corpus wordcount, then vocabulary-sized rounds (one
+    * 1-row collect each). */
+  def learnScored(docs: DataFrame, textCol: String, rounds: Int,
+                  maxWordLen: Int = 12): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import graft.functions.PortableSketches.lnOfIntFast
+    val spark = docs.sparkSession
+    var vocab = Checkpointing.truncate(docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("__w0"))
+      .select(lower(col("__w0")).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(Mark), substring(col("word"), 1, 1),
+        regexp_replace(expr("substr(word, 2)"), "(.)", Mark + Cont + "$1"))
+        .as("syms"), col("cnt")))
+    def disp(s: String): String = s.replace(Cont, "##")
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Double)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val symsList = split(expr("substr(syms, 2)"), Mark)
+      val symCnt = vocab.select(explode(symsList).as("sym"), col("cnt"))
+        .groupBy("sym").agg(sum("cnt").as("c"))
+      val pairs = vocab.select(symsList.as("a"), col("cnt"))
+        .where(size(col("a")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("a")) - 1),
+          i => struct(element_at(col("a"), i).as("l"),
+            element_at(col("a"), i + 1).as("r")))).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("n"))
+      val top = pairs
+        .join(symCnt.select(col("sym").as("l"), col("c").as("cl")), Seq("l"))
+        .join(symCnt.select(col("sym").as("r"), col("c").as("cr")), Seq("r"))
+        .select(col("l"), col("r"), col("n"),
+          (lnOfIntFast(col("n")) - lnOfIntFast(col("cl")) -
+            lnOfIntFast(col("cr"))).as("score"))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        r += 1
+        val (l, rr) = (top(0).getString(0), top(0).getString(1))
+        val (n, sc) = (top(0).getLong(2), top(0).getDouble(3))
+        merges += ((r, disp(l), disp(rr), disp(l + rr.substring(1)), n, sc))
+        vocab = vocab.select(call_function("replace", col("syms"),
+          lit(Mark + l + Mark + rr), lit(Mark + l + rr.substring(1)))
+          .as("syms"), col("cnt"))
+        if (r % 8 == 0) vocab = Checkpointing.truncate(vocab)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "n_pair", "score")
+  }
+
+  /** DuckDB twin of [[learnScored]]: every round unrolled — symbol
+    * counts, pair counts, the portable-ln scored argmax, and the
+    * literal-replace rewrite — over the same marker-delimited two-role
+    * symbol strings. `wordsCte` must define `words(word, cnt)` (the
+    * length-capped lowercased corpus words — match the Spark filter).
+    * Callers pick `rounds` ≤ the fixture's available merges (an
+    * exhausted learner emits fewer rows and fails the gate loudly). */
+  def learnScoredSql(wordsCte: String, rounds: Int): String = {
+    import graft.functions.PortableSketches.lnOfIntSql
+    val steps = (1 to rounds).map { t =>
+      s"""syl$t AS (
+         |  SELECT string_split(substr(syms, 2), chr(1)) AS a, cnt FROM w${t - 1}
+         |), sc$t AS (
+         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(a) AS sym, cnt FROM syl$t) GROUP BY 1
+         |), pc$t AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT a[i] AS l, a[i + 1] AS r, cnt
+         |    FROM syl$t, LATERAL (SELECT unnest(range(1, len(a))) AS i) ii)
+         |  GROUP BY 1, 2
+         |), top$t AS MATERIALIZED (
+         |  SELECT l, r, n,
+         |         ${lnOfIntSql("n")} - ${lnOfIntSql("cl")} -
+         |           ${lnOfIntSql("cr")} AS score
+         |  FROM (SELECT p.l, p.r, p.n, a.c AS cl, b.c AS cr
+         |        FROM pc$t p
+         |        JOIN sc$t a ON a.sym = p.l
+         |        JOIN sc$t b ON b.sym = p.r)
+         |  ORDER BY score DESC, l ASC, r ASC LIMIT 1
+         |), w$t AS MATERIALIZED (
+         |  SELECT replace(w.syms, chr(1) || t.l || chr(1) || t.r,
+         |                 chr(1) || t.l || substr(t.r, 2)) AS syms, w.cnt
+         |  FROM w${t - 1} w CROSS JOIN top$t t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS INT) AS merge_rank,
+         |       replace(l, chr(2), '##') AS left_sym,
+         |       replace(r, chr(2), '##') AS right_sym,
+         |       replace(l || substr(r, 2), chr(2), '##') AS merged,
+         |       n AS n_pair, score
+         |FROM top$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $wordsCte,
+       |w0 AS MATERIALIZED (
+       |  SELECT chr(1) || substr(word, 1, 1) ||
+       |         regexp_replace(substr(word, 2), '(.)',
+       |                        chr(1) || chr(2) || '\\1', 'g') AS syms,
+       |         cnt
+       |  FROM words
+       |),
+       |$steps
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** DuckDB twin of learn + greedy segmentation, the whole run
     * unrolled: `vocabWordsCte` must define `words(word, cnt)` (the
     * length-capped lowercased corpus words), `targetWordsCte` must

@@ -75,5 +75,32 @@ object CatalogML11 {
         |e AS (SELECT a AS src, b AS dst FROM p
         |      UNION ALL SELECT b, a FROM p)""".stripMargin,
       iters = 10))),
+
+    // LIKELIHOOD-scored WordPiece training (round-14 verdict #6 —
+    // q233 learns the frequency-threshold flavor; the BERT trainer
+    // scores candidate merges by likelihood gain
+    // count(ab)/(count(a)·count(b)) over the CURRENT segmentation).
+    // Six merge rounds over the two-role symbolized documents
+    // vocabulary; scores compare through the portable ln (the
+    // unigram-LM discipline), so the argmax total order — and
+    // therefore every selection AND rewrite round — replays in the
+    // oracle verbatim (the q114→full-unroll upgrade: the
+    // marker-string literal replace is engine-shared, unlike
+    // bpeLearn's lookbehind regex).
+    ("q241_wordpiece_likelihood", (s: SparkSession, d: String) => {
+      graft.ops.WordPiece.learnScored(
+          table(s, d, "documents").select(col("text")), "text",
+          rounds = 6, maxWordLen = 12)
+        .orderBy("merge_rank")
+    }, Some(graft.ops.WordPiece.learnScoredSql(
+      """dw AS (
+        |  SELECT unnest(list_transform(string_split_regex(trim(text), '\s+'),
+        |                               x -> lower(x))) AS word
+        |  FROM documents
+        |),
+        |words AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM dw
+        |  WHERE len(word) BETWEEN 1 AND 12 GROUP BY 1
+        |)""".stripMargin, rounds = 6))),
   )
 }

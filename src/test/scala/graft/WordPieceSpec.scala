@@ -91,4 +91,31 @@ class WordPieceSpec extends SparkSpec {
     // carry letters the documents vocabulary never saw)
     assert(a.exists(_._3 > 0L), "fixture must exercise [UNK]")
   }
+
+  test("learnScored: hand-computed two-round likelihood ladder, counts re-derived after each merge; deterministic tie-break") {
+    // corpus: "abc"×3, "bc"×1 over two-role symbols
+    //   abc → a ##b ##c (×3), bc → b ##c
+    // round 1 counts: a=3 ##b=3 ##c=4 b=1;
+    //   pairs (a,##b)=3 → 3/(3·3)=.333  (##b,##c)=3 → 3/(3·4)=.25
+    //         (b,##c)=1 → 1/(1·4)=.25   → winner (a,##b) = "ab"
+    // round 2 (counts RE-DERIVED after the merge): ab=3 ##c=4 b=1;
+    //   pairs (ab,##c)=3 → 3/(3·4)  (b,##c)=1 → 1/(1·4) — scores are
+    //   the EXACT same double (ln3−ln3 and ln1−ln1 both cancel to 0),
+    //   so the (l, r) binary tie-break decides: "ab" < "b" → winner
+    //   (ab,##c) = "abc", proving the tie-break order is live
+    val docs = Seq("abc abc abc", "bc").toDF("text")
+    val m = WordPiece.learnScored(docs, "text", rounds = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(m == Seq(
+      (1, "a", "##b", "ab", 3L),
+      (2, "ab", "##c", "abc", 3L)), s"got $m")
+    // exhaustion stops early: 10 requested rounds, only 3 merges exist
+    // ("abc" then "b"+"##c"→"bc"; the single-symbol words end it)
+    val all = WordPiece.learnScored(docs, "text", rounds = 10).collect()
+    assert(all.length == 3, s"expected 3 merges, got ${all.length}")
+    assert(all(2).getString(3) == "bc")
+  }
 }
