@@ -493,6 +493,120 @@ object Graph {
        |            ELSE 0.0 END AS clustering
        |FROM dg d LEFT JOIN cn c ON c.node = d.node""".stripMargin
 
+  /** Graph-native PROFILE over the maintained (edges, stats) pair
+    * (round-14 verdict stretch #8 — the q96/q97/q120 profiling family
+    * pointed at graph state): degree histogram, exact per-degree mean
+    * clustering, and the degree-assortativity coefficient, computed
+    * from ONE scan of the stats table plus one |E| degree join — no
+    * triangle or wedge work recurs, which is the point of keeping the
+    * pair maintained ([[GraphState]]): reports read state.
+    *
+    * Portability: the histogram is exact integers; per-degree mean
+    * clustering collapses to ONE double division of exact integers
+    * (within a degree bucket every node shares the d(d−1) denominator,
+    * so avg(2T/(d(d−1))) = 2·ΣT / (n·d·(d−1)) — no float sum);
+    * assortativity is Pearson r over the symmetrized endpoint-degree
+    * pairs, its four sufficient statistics exact decimal sums rendered
+    * to portable doubles (the [[Tables.dsum]] string route), then
+    * combined in a fixed IEEE order — every value engine-identical
+    * ([[degreeProfileSql]]). NULL assortativity on a degree-regular
+    * graph (zero variance).
+    *
+    * `stats` is [[triangleStats]]' shape (node, degree, n_triangles,
+    * …); `edges` the canonical pairs (a, b). Returns one row per
+    * distinct degree: (degree, n_nodes, sum_triangles,
+    * mean_clustering, assortativity — constant across rows). */
+  def degreeProfile(stats: DataFrame, edges: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 0)
+    val hist = stats.groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("n_triangles").as("sum_triangles"))
+    val deg = stats.select(col("node"), col("degree"))
+    val endp = edges
+      .join(deg.select(col("node").as("a"), col("degree").as("__ja")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("__jb")), Seq("b"))
+    val jk = endp.select(col("__ja").as("j"), col("__jb").as("k"))
+      .unionAll(endp.select(col("__jb").as("j"), col("__ja").as("k")))
+    val ass = jk.agg(
+        count(lit(1)).cast("double").as("m"),
+        sum((col("j") * col("k")).cast(dec)).cast("string").cast("double")
+          .as("sjk"),
+        sum(col("j").cast(dec)).cast("string").cast("double").as("sj"),
+        sum((col("j") * col("j")).cast(dec)).cast("string").cast("double")
+          .as("sj2"))
+      .select(
+        (col("m") * col("sjk") - col("sj") * col("sj")).as("__num"),
+        (col("m") * col("sj2") - col("sj") * col("sj")).as("__den"))
+      .select(when(col("__den") === 0.0, lit(null).cast("double"))
+        .otherwise(col("__num") / col("__den")).as("assortativity"))
+    hist.crossJoin(broadcast(ass))
+      .select(col("degree"), col("n_nodes"), col("sum_triangles"),
+        when(col("degree") >= 2,
+          (lit(2.0) * col("sum_triangles")) /
+            (col("n_nodes") * col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("mean_clustering"),
+        col("assortativity"))
+      .orderBy("degree")
+  }
+
+  /** DuckDB twin of [[degreeProfile]] composed over the
+    * [[triangleStatsSql]] internals: `edgesCte` must define `e(a, b)`
+    * — the canonical simple pair set. */
+  def degreeProfileSql(edgesCte: String): String =
+    s"""WITH $edgesCte,
+       |dg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1
+       |), tr AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+       |), cn AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT x AS node FROM tr
+       |    UNION ALL SELECT y FROM tr
+       |    UNION ALL SELECT z FROM tr)
+       |  GROUP BY 1
+       |), stats AS (
+       |  SELECT d.node, d.deg AS degree,
+       |         CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_triangles
+       |  FROM dg d LEFT JOIN cn c ON c.node = d.node
+       |), prof AS (
+       |  SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(n_triangles) AS BIGINT) AS sum_triangles
+       |  FROM stats GROUP BY 1
+       |), jk AS (
+       |  SELECT da.deg AS j, db.deg AS k
+       |  FROM e JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b
+       |  UNION ALL
+       |  SELECT db.deg, da.deg
+       |  FROM e JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b
+       |), ag AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS m,
+       |         CAST(CAST(SUM(CAST(j * k AS DECIMAL(18,0))) AS VARCHAR)
+       |              AS DOUBLE) AS sjk,
+       |         CAST(CAST(SUM(CAST(j AS DECIMAL(18,0))) AS VARCHAR)
+       |              AS DOUBLE) AS sj,
+       |         CAST(CAST(SUM(CAST(j * j AS DECIMAL(18,0))) AS VARCHAR)
+       |              AS DOUBLE) AS sj2
+       |  FROM jk
+       |), asst AS (
+       |  SELECT CASE WHEN (m * sj2 - sj * sj) = 0.0 THEN NULL
+       |              ELSE (m * sjk - sj * sj) / (m * sj2 - sj * sj)
+       |         END AS assortativity
+       |  FROM ag
+       |)
+       |SELECT p.degree, p.n_nodes, p.sum_triangles,
+       |       CASE WHEN p.degree >= 2
+       |            THEN (2.0 * p.sum_triangles)
+       |                 / (p.n_nodes * p.degree * (p.degree - 1))
+       |            ELSE 0.0 END AS mean_clustering,
+       |       a.assortativity
+       |FROM prof p CROSS JOIN asst a
+       |ORDER BY 1""".stripMargin
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

@@ -654,6 +654,34 @@ class GraphSpec extends SparkSpec {
     assert(err.getMessage.contains("maxRounds"))
   }
 
+  test("degreeProfile: hand-computed histogram, per-degree clustering, assortativity on triangle+pendant") {
+    import org.apache.spark.sql.functions.col
+    // triangle {1,2,3} with pendant (3,4): degrees 2,2,3,1; nodes
+    // 1,2,3 each in one triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val stats = Graph.triangleStats(edges, "src", "dst")
+    val canon = edges.select(col("src").as("a"), col("dst").as("b"))
+    val prof = Graph.degreeProfile(stats, canon)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // rows by degree: (1: node 4), (2: nodes 1,2), (3: node 3)
+    assert(prof.map(p => (p._1, p._2, p._3, p._4)).toSeq == Seq(
+      (1L, 1L, 0L, 0.0),
+      (2L, 2L, 2L, 1.0),             // 2·2/(2·2·1)
+      (3L, 1L, 1L, 2.0 * 1 / (1 * 3 * 2))), s"got ${prof.toSeq}")
+    // assortativity by hand over the 8 symmetrized endpoint pairs:
+    // M=8, Σjk=38, Σj=18, Σj²=44 → r = (8·38−18²)/(8·44−18²) = −20/28
+    val r = prof.head._5
+    assert(prof.forall(_._5 == r))
+    assert(r == -20.0 / 28.0, s"assortativity $r")
+    // degree-regular graph (a 4-cycle) has zero degree variance → NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val prof2 = Graph.degreeProfile(
+      Graph.triangleStats(cyc, "src", "dst"),
+      cyc.select(col("src").as("a"), col("dst").as("b")))
+    assert(prof2.collect().forall(_.isNullAt(4)), "regular graph → NULL r")
+  }
+
   test("advanceTriangleStats: incremental equals full re-count (cross-partition delta, new nodes, dup/known edges)") {
     def stats(df: org.apache.spark.sql.DataFrame) =
       Graph.triangleStats(df, "src", "dst").collect()
