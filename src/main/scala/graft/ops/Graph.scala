@@ -1779,6 +1779,130 @@ object Graph {
        |)""".stripMargin
   }
 
+  /** The [[neighborhoodFunction]] run's full REGISTER LADDER — levels
+    * 0..`t` as (t, node, bucket, r) rows over an ALREADY-CANONICAL
+    * edge frame `e(a, b)` — the [[GraphState]] ANF pair's
+    * init/rebuild representation (registers are the state; estimates
+    * derive at read time via [[anfEstimates]]). */
+  private[graft] def anfRegisters(canon: DataFrame, t: Int): DataFrame = {
+    require(t >= 1, s"t must be >= 1, got $t")
+    import graft.functions.PortableSketches._
+    val e = Checkpointing.truncateSer(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(canon.select(col("b").as("src"), col("a").as("dst"))))
+    val nodes = e.select(col("src").as("node")).distinct()
+    var regs = Checkpointing.truncate(nodes
+      .select(col("node"), hllDigest(col("node")).as("__d"))
+      .select(col("node"), hllBucket(col("__d")).as("bucket"),
+        hllRho(col("__d")).as("r")))
+    val levels = Seq.newBuilder[DataFrame]
+    levels += regs.select(lit(0).cast("int").as("t"), col("node"),
+      col("bucket"), col("r"))
+    for (s <- 1 to t) {
+      regs = Checkpointing.truncate(
+        regs.unionAll(e
+            .join(regs.select(col("node").as("src"), col("bucket"), col("r")),
+              Seq("src"))
+            .select(col("dst").as("node"), col("bucket"), col("r")))
+          .groupBy("node", "bucket").agg(max(col("r")).as("r")))
+      levels += regs.select(lit(s).cast("int").as("t"), col("node"),
+        col("bucket"), col("r"))
+    }
+    levels.result().reduce(_ unionAll _)
+  }
+
+  /** Per-(node, t) ball estimates off a stored register ladder —
+    * identical arithmetic to [[neighborhoodFunction]]'s output, so the
+    * maintained ANF pair's read view matches the from-scratch run's
+    * oracle ([[neighborhoodFunctionSql]]) bit for bit. */
+  def anfEstimates(regs: DataFrame): DataFrame = {
+    import graft.functions.PortableSketches._
+    regs.where(col("t") >= 1)
+      .groupBy("node", "t")
+      .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
+        count(lit(1)).as("present"))
+      .select(col("node"), col("t"),
+        hllEstimate(col("zsum"), col("present")).as("ball_est"))
+  }
+
+  /** STREAMING HyperANF maintenance (round-14 verdict stretch #9 —
+    * the maintained-pair posture on the distance view): advance a
+    * stored register ladder with an edge delta by EXACT per-level
+    * changed-frontier propagation, never re-running the t rounds over
+    * the whole graph. Level s's register set R_s(v) is the max-merge
+    * of R_{s-1} over N(v) ∪ {v}, so after a delta it can change ONLY
+    * for v that (a) gained a neighbor (a delta endpoint), or (b) has a
+    * changed-R_{s-1} node in N(v) ∪ {v}. The candidate set per level
+    * is therefore delta endpoints ∪ changed_{s-1} ∪ their new-graph
+    * neighbors — recomputed exactly against the already-advanced
+    * level s−1, with every other node's rows passing through
+    * byte-identical. By induction the maintained ladder equals the
+    * from-scratch t-round run on the union, REGISTER-BIT-IDENTICAL —
+    * which is why q243's oracle is simply [[neighborhoodFunctionSql]]
+    * over the net edge set.
+    *
+    * Scale: per level, one |C|·degree edge fan (size-gated broadcast)
+    * joined against the level's register table, plus a register
+    * anti-join for the changed set — all delta-neighborhood-bounded;
+    * the stored ladder is only REWRITTEN (view-sized, like every
+    * maintained pair's staging), never recomputed. Returns
+    * (newEdges, newRegisterLadder) as unmaterialized plans. */
+  private[ops] def advanceAnfCore(prevRegs: DataFrame, oldE: DataFrame,
+                                  canD: DataFrame, t: Int): (DataFrame, DataFrame) = {
+    import graft.functions.PortableSketches._
+    val (d, dCnt) = freshDelta(oldE, canD)
+    val newE = Checkpointing.truncateSer(oldE.unionAll(d))
+    val sym = newE.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(newE.select(col("b").as("src"), col("a").as("dst")))
+    val dEnds = Dedup.maybeBroadcast(Checkpointing.truncate(
+      d.select(col("a").as("node")).unionAll(d.select(col("b").as("node")))
+        .distinct()), dCnt * 2)
+    val old0 = prevRegs.where(col("t") === 0).select("node", "bucket", "r")
+    val newNodes = Checkpointing.truncate(
+      dEnds.join(old0.select("node").distinct(), Seq("node"), "left_anti"))
+    var newPrev = Checkpointing.truncate(old0.unionAll(newNodes
+      .select(col("node"), hllDigest(col("node")).as("__d"))
+      .select(col("node"), hllBucket(col("__d")).as("bucket"),
+        hllRho(col("__d")).as("r"))))
+    var changed = newNodes
+    val levels = Seq.newBuilder[DataFrame]
+    levels += newPrev.select(lit(0).cast("int").as("t"), col("node"),
+      col("bucket"), col("r"))
+    for (s <- 1 to t) {
+      val olds = prevRegs.where(col("t") === s).select("node", "bucket", "r")
+      val candN0 = Checkpointing.truncate(
+        dEnds.unionAll(changed)
+          .unionAll(sym
+            .join(changed.select(col("node").as("src")), Seq("src"), "left_semi")
+            .select(col("dst").as("node")))
+          .distinct())
+      val candN = Dedup.maybeBroadcast(candN0, candN0.count())
+      // edges INTO candidates (|C|·degree, size-gated broadcast) pull
+      // the advanced level-(s−1) registers without shuffling them
+      val fan0 = Checkpointing.truncate(
+        sym.join(candN.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+      val fan = Dedup.maybeBroadcast(fan0, fan0.count())
+      val recomputed = Checkpointing.truncate(
+        candN.join(newPrev, Seq("node"))
+          .select(col("node"), col("bucket"), col("r"))
+          .unionAll(fan
+            .join(newPrev.select(col("node").as("src"), col("bucket"),
+              col("r")), Seq("src"))
+            .select(col("dst").as("node"), col("bucket"), col("r")))
+          .groupBy("node", "bucket").agg(max(col("r")).as("r")))
+      // registers are monotone, so "changed" ⇔ a recomputed row absent
+      // from the stored level (covers brand-new nodes too)
+      changed = Checkpointing.truncate(
+        recomputed.join(olds, Seq("node", "bucket", "r"), "left_anti")
+          .select("node").distinct())
+      newPrev = Checkpointing.truncate(
+        olds.join(candN, Seq("node"), "left_anti").unionAll(recomputed))
+      levels += newPrev.select(lit(s).cast("int").as("t"), col("node"),
+        col("bucket"), col("r"))
+    }
+    (newE, levels.result().reduce(_ unionAll _))
+  }
+
   /** Effective diameter via SATURATED HyperANF (round-14 verdict #5 —
     * the headline readout [[neighborhoodFunction]]'s fixed-t ladder
     * cannot deliver): the register rounds run to their FIXED POINT

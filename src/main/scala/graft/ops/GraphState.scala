@@ -230,6 +230,95 @@ object GraphState {
     }
   }
 
+  // ───────────── HyperANF registers as a maintained pair ─────────────
+  // Fourth derived view (round-14 verdict stretch #9 — the
+  // maintained-pair posture on the DISTANCE view): `g_edges(a, b)`
+  // ground truth + `g_anf(t, node, bucket, r)` — the full portable-HLL
+  // register ladder for levels 0..t. Registers are max-mergeable and
+  // monotone, so an edge delta advances the ladder by EXACT per-level
+  // changed-frontier propagation ([[Graph.advanceAnfCore]]) — the
+  // maintained ladder is register-bit-identical to a from-scratch
+  // t-round run over the stored edges, which keeps the view a pure
+  // function of ground truth (triangle-pair-style recovery) AND lets
+  // q243's oracle be the plain from-scratch unroll. The ladder depth
+  // rides the staging as a table property the way k-core's k does.
+
+  private[ops] def anfTable(name: String): String = s"${name}_anf"
+  private val AnfTKey = "graft.anf.t"
+
+  /** Create the ANF pair at epoch 0 (one canonicalization + one
+    * from-scratch t-round register run — the last full ones; `edges`
+    * may be empty). */
+  def initAnfState(spark: SparkSession, name: String, edges: DataFrame,
+                   srcCol: String, dstCol: String, t: Int): Unit = {
+    val eT = edgesTable(name); val aT = anfTable(name)
+    Tables.dropTablesAndDirs(spark, eT, aT,
+      s"${eT}__next", s"${aT}__next", s"${eT}__old", s"${aT}__old")
+    Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
+    stamp(spark, eT, 0L)
+    Graph.anfRegisters(spark.table(eT), t).write.saveAsTable(aT)
+    stamp(spark, aT, 0L)
+    spark.sql(s"ALTER TABLE $aT SET TBLPROPERTIES('$AnfTKey'='$t')")
+  }
+
+  /** The maintained register ladder (t, node, bucket, r). */
+  def anfRegisters(spark: SparkSession, name: String): DataFrame =
+    spark.table(anfTable(name))
+
+  /** The maintained per-(node, t) ball estimates — what a report
+    * reads; identical arithmetic to [[Graph.neighborhoodFunction]]. */
+  def anfEstimates(spark: SparkSession, name: String): DataFrame =
+    Graph.anfEstimates(anfRegisters(spark, name))
+
+  /** The advanced (newEdges, newLadder) PLANS — the plan-assert
+    * surface. */
+  def advanceAnfPlan(spark: SparkSession, name: String, delta: DataFrame,
+                     srcCol: String, dstCol: String, t: Int)
+      : (DataFrame, DataFrame) =
+    Graph.advanceAnfCore(anfRegisters(spark, name), edges(spark, name),
+      Graph.canonPairs(delta, srcCol, dstCol), t)
+
+  /** Fold an edge delta into the ANF pair — per-level changed-frontier
+    * advance, stage-both-swap-both. Already-present delta edges are
+    * no-ops (the advance dedups against the edge set and a no-change
+    * level propagates an empty frontier), so crash re-application is
+    * safe. */
+  def advanceAnfState(spark: SparkSession, name: String, delta: DataFrame,
+                      srcCol: String, dstCol: String, t: Int): Unit =
+    applyStagedPair(spark, edgesTable(name), anfTable(name),
+      advanceAnfPlan(spark, name, delta, srcCol, dstCol, t),
+      extraProps = Map(AnfTKey -> t.toString))
+
+  /** Recovery twin for the ANF pair — the rebuild re-runs the
+    * from-scratch register rounds over the edges ground truth under
+    * the stored ladder depth (the view is a pure function of the edge
+    * set: maintained ≡ rebuilt, register-bit-identical). */
+  def recoverAnfState(spark: SparkSession, name: String): String = {
+    val eT = edgesTable(name); val aT = anfTable(name)
+    val r1 = Incremental.recoverStateTable(spark, eT)
+    val eEp = epochOf(spark, eT)
+    val stagedEp = epochOf(spark, s"${aT}__next")
+    if (spark.catalog.tableExists(aT) &&
+        spark.catalog.tableExists(s"${aT}__next") && stagedEp == eEp &&
+        epochOf(spark, aT) != eEp) {
+      Incremental.swapStaged(spark, aT)
+      "promoted-staged-anf"
+    } else {
+      val r2 = Incremental.recoverStateTable(spark, aT)
+      if (epochOf(spark, aT) != eEp) {
+        val t = spark.sessionState.catalog
+          .getTableMetadata(TableIdentifier(aT))
+          .properties.getOrElse(AnfTKey, "1").toInt
+        Incremental.transformStateTable(spark, aT)(_ =>
+          Graph.anfRegisters(spark.table(eT), t))
+        stamp(spark, aT, eEp)
+        spark.sql(s"ALTER TABLE $aT SET TBLPROPERTIES('$AnfTKey'='$t')")
+        "rebuilt-anf"
+      } else if (r1 == "clean" && r2 == "clean") "clean"
+      else "resolved"
+    }
+  }
+
   // ─────────────── communities as a maintained pair ───────────────
   // Third derived view on the maintained edge set (round-14 verdict
   // #3): `g_edges(a, b)` ground truth + `g_comm(node, community)` —

@@ -1306,6 +1306,54 @@ object CatalogStream {
         """SELECT lv.node AS part_id, cn.clabel AS community
           |FROM lv JOIN (SELECT community, min(node) AS clabel
           |              FROM lv GROUP BY community) cn USING (community)
-          |ORDER BY part_id""".stripMargin)))
+          |ORDER BY part_id""".stripMargin))),
+
+    // Streaming HyperANF maintenance (round-14 verdict stretch #9 —
+    // the maintained-pair posture on the DISTANCE view): the q232
+    // part–supplier bipartite graph arrives in three crawl waves and
+    // the full register ladder (levels 0..3) lives as state, each
+    // microbatch advancing it by EXACT per-level changed-frontier
+    // propagation (GraphState.advanceAnfState — registers are
+    // monotone max-mergeable, so only the delta's neighborhood
+    // recomputes per level and every other row passes through
+    // byte-identical). Because the maintained ladder is
+    // register-bit-identical to a from-scratch t-round run over the
+    // net edge set, the oracle is simply the existing
+    // neighborhoodFunction unroll over the union.
+    ("q243_stream_anf_maintain", (s: SparkSession, d: String) => {
+      import graft.ops.GraphState
+      val tag = Integer.toHexString(d.hashCode)
+      val st = s"q243_graph_$tag"
+      def edgesOf(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        table(s, d, "lineitem")
+          .where(col("l_partkey") % 3 === 0 && pred(col("l_orderkey")))
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000000L).as("dst"))
+      val dir = stageWavesCached(d, "anf-waves")(Seq(
+        edgesOf(ok => ok % 3 === 0), edgesOf(ok => ok % 3 === 1),
+        edgesOf(ok => ok % 3 === 2)))
+      val empty = edgesOf(_ => lit(false))
+      GraphState.initAnfState(s, st, empty, "src", "dst", t = 3)
+      val src = s.readStream.format("parquet").schema(empty.schema)
+        .option("maxFilesPerTrigger", 1).load(dir)
+      val ckpt = Files.createTempDirectory("graft-anf-ckpt").toString
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            GraphState.advanceAnfState(s, st, b, "src", "dst", t = 3)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally rmrf(ckpt)
+      GraphState.anfEstimates(s, st).orderBy("node", "t")
+    }, Some(graft.ops.Graph.neighborhoodFunctionSql(
+      """p AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |         CAST(l_suppkey + 1000000000 AS BIGINT) AS b
+        |  FROM lineitem WHERE l_partkey % 3 = 0),
+        |e AS (SELECT a AS src, b AS dst FROM p
+        |      UNION ALL SELECT b, a FROM p)""".stripMargin,
+      iters = 3) + "\nORDER BY node, t"))
   )
 }

@@ -265,6 +265,48 @@ class GraphStateSpec extends SparkSpec {
     Tables.dropTablesAndDirs(spark, s"${name}_edges", s"${name}_comm")
   }
 
+  test("ANF pair: wave-advanced register ladder is register-bit-identical to the from-scratch run; estimates match; recovery rebuilds") {
+    val name = "gstate_anf"
+    Tables.dropTablesAndDirs(spark,
+      s"${name}_edges", s"${name}_anf",
+      s"${name}_edges__next", s"${name}_anf__next",
+      s"${name}_edges__old", s"${name}_anf__old")
+    GraphState.initAnfState(spark, name, pairsOf(_ => lit(false)),
+      "src", "dst", t = 3)
+    for (w <- 0 to 2)
+      GraphState.advanceAnfState(spark, name,
+        pairsOf(ok => ok % 3 === w), "src", "dst", t = 3)
+    def regSet(df: DataFrame): Set[(Int, Long, Long, Long)] =
+      df.select("t", "node", "bucket", "r").collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+        .toSet
+    // register-bit-identity with the from-scratch ladder over the
+    // union — the induction the q243 oracle rests on
+    val fromScratch = graft.ops.Graph.anfRegisters(
+      GraphState.edges(spark, name), t = 3)
+    assert(regSet(GraphState.anfRegisters(spark, name)) == regSet(fromScratch),
+      "maintained ladder must equal the from-scratch registers")
+    // estimates read view equals neighborhoodFunction's output
+    def estMap(df: DataFrame): Map[(Long, Int), Double] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val got = estMap(GraphState.anfEstimates(spark, name))
+    val want = estMap(graft.ops.Graph.neighborhoodFunction(
+      pairsOf(_ => lit(true)), "src", "dst", iters = 3))
+    assert(got == want, "maintained estimates must equal the direct run")
+    assert(GraphState.epochOf(spark, s"${name}_anf") == 3L)
+    // re-applying an already-folded wave is a no-op
+    GraphState.advanceAnfState(spark, name,
+      pairsOf(ok => ok % 3 === 1), "src", "dst", t = 3)
+    assert(estMap(GraphState.anfEstimates(spark, name)) == want)
+    // recovery rebuild from ground truth is register-bit-identical
+    spark.sql(s"ALTER TABLE ${name}_anf SET TBLPROPERTIES('graft.epoch'='0')")
+    assert(GraphState.recoverAnfState(spark, name) == "rebuilt-anf")
+    assert(regSet(GraphState.anfRegisters(spark, name)) == regSet(fromScratch))
+    assert(GraphState.recoverAnfState(spark, name) == "clean")
+    Tables.dropTablesAndDirs(spark, s"${name}_edges", s"${name}_anf")
+  }
+
   test("community advance reads ONLY the state pair + the delta — never raw history (file scans audited)") {
     val name = "gstate_commplan"
     Tables.dropTablesAndDirs(spark,
