@@ -975,21 +975,27 @@ object Graph {
         // stability stop ([[louvainStable]]): two consecutive no-move
         // rounds (one per parity class) prove every later round a
         // no-op, so stopping is invisible to a fixed-depth oracle
-        // unroll. The moved count is an assignment-sized job, the
-        // touched-key-count class; a no-move round keeps the previous
-        // materialized frame (proposal ≡ comm), skipping the rewrite.
+        // unroll. The proposal is materialized FIRST and the moved
+        // count joins two FLAT checkpointed frames — counting on top
+        // of the un-truncated proposal tree would hand Catalyst's
+        // sizeInBytes estimator a self-similar join tree whose
+        // product-of-children BigInts explode to ~10⁵ digits
+        // (minutes of single-core Toom-Cook planning per round,
+        // measured on the sf0.1 sweep).
+        val next = Checkpointing.truncate(proposal)
         val moved =
           if (stopAtStable)
-            proposal.join(comm.withColumnRenamed("c", "__pc"), Seq("node"))
+            next.join(comm.withColumnRenamed("c", "__pc"), Seq("node"))
               .where(col("c") =!= col("__pc")).count()
           else -1L
         if (stopAtStable && moved == 0L) {
           stableStreak += 1
           if (stableStreak >= 2) stopped = true
+          Checkpointing.release(next) // proposal ≡ comm — keep the old frame
         } else {
           stableStreak = 0
           val prev = comm
-          comm = Checkpointing.truncate(proposal)
+          comm = next
           Checkpointing.release(prev)
         }
       } else {

@@ -87,6 +87,15 @@ object ExplainDump {
       "q231_graph_kcore_incremental", "q232_graph_neighborhood",
       "q233_wordpiece_encode", "q234_exif_tags",
       "q235_graph_pagerank_warm",
+      // round-15 (q238/q243 are streaming-gate loops — their plan
+      // evidence is the GraphStateSpec scan audits + the maintained-
+      // pair advance plans dumped below; q239 composes the already-
+      // dumped signature_index_probe with q203's CC advance; q241's
+      // output is a driver-built merge table — its work is the
+      // per-round jobs, spec-pinned)
+      "q240_graph_effective_diameter", "q242_graph_degree_profile",
+      "triangle_advance_plan", "kcore_advance_plan",
+      "comm_advance_plan", "anf_advance_plan",
       // q122-q130 + q147 + q160 + q177 + q188 + q193 + q200 (streaming gate family) are deliberately absent: their
       // returned frame is a memory-sink scan, so a physical-plan dump
       // carries no information — their evidence is the DuckDB oracle
@@ -155,7 +164,59 @@ object ExplainDump {
           graft.ops.Dedup.crossCorpusJaccardPairsFromIndex(s,
             "sig_idx_plans_b", "sig_idx_plans_s", newCrawl, existing,
             "doc_id", "text", threshold = 0.5, materialize = false)
+        })) ++ {
+      // the maintained graph pairs' ADVANCE plans (round-14 verdict
+      // What's-wrong #3): the *Plan surfaces GraphStateSpec audits,
+      // dumped where every other operator's plan lives. Checkpoints:
+      // scans are the state pair + the (checkpointed) delta only —
+      // never raw history — with the edge table broadcast-PROBED
+      // (one scan, no exchange on it) on the fresh-delta check.
+      import org.apache.spark.sql.functions.col
+      def pairsOf(s: SparkSession, d: String,
+                  pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val li = graft.ops.Tables.table(s, d, "lineitem")
+          .where(col("l_partkey") % 3 === 0 && pred(col("l_orderkey")))
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.join(li.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+            Seq("l_orderkey"))
+          .where(col("l_partkey") < col("__p2"))
+          .select(col("l_partkey").as("src"), col("__p2").as("dst"))
+      }
+      def scrub(s: SparkSession, name: String, derived: String): Unit =
+        graft.ops.Tables.dropTablesAndDirs(s,
+          s"${name}_edges", s"${name}_$derived",
+          s"${name}_edges__next", s"${name}_${derived}__next",
+          s"${name}_edges__old", s"${name}_${derived}__old")
+      Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
+        "triangle_advance_plan" -> ((s: SparkSession, d: String) => {
+          scrub(s, "plans_tri", "stats")
+          graft.ops.GraphState.initTriangleState(s, "plans_tri",
+            pairsOf(s, d, ok => ok % 3 =!= 0), "src", "dst")
+          graft.ops.GraphState.advanceTrianglePlan(s, "plans_tri",
+            pairsOf(s, d, ok => ok % 3 === 0), "src", "dst")._2
+        }),
+        "kcore_advance_plan" -> ((s: SparkSession, d: String) => {
+          scrub(s, "plans_kc", "core")
+          graft.ops.GraphState.initKCoreState(s, "plans_kc",
+            pairsOf(s, d, ok => ok % 3 =!= 0), "src", "dst", k = 20)
+          graft.ops.GraphState.advanceKCorePlan(s, "plans_kc",
+            pairsOf(s, d, ok => ok % 3 === 0), "src", "dst", k = 20)._2
+        }),
+        "comm_advance_plan" -> ((s: SparkSession, d: String) => {
+          scrub(s, "plans_cm", "comm")
+          graft.ops.GraphState.initCommState(s, "plans_cm",
+            pairsOf(s, d, ok => ok % 3 =!= 0), "src", "dst", iters = 2)
+          graft.ops.GraphState.advanceCommPlan(s, "plans_cm",
+            pairsOf(s, d, ok => ok % 3 === 0), "src", "dst", iters = 2)._2
+        }),
+        "anf_advance_plan" -> ((s: SparkSession, d: String) => {
+          scrub(s, "plans_anf", "anf")
+          graft.ops.GraphState.initAnfState(s, "plans_anf",
+            pairsOf(s, d, ok => ok % 3 =!= 0), "src", "dst", t = 2)
+          graft.ops.GraphState.advanceAnfPlan(s, "plans_anf",
+            pairsOf(s, d, ok => ok % 3 === 0), "src", "dst", t = 2)._2
         }))
+    }
     (graft.queries.Catalog.queries ++ lazyOverrides)
       .filter(q => headline.contains(q._1)).toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>

@@ -182,6 +182,44 @@ object GraphScaleSweep {
         require(cF == cI, s"full $cF != incremental $cI")
         println(f"| kcore-adv k55 | $copies | $n | full $tFull%.2f / inc $tInc%.2f | surv=${cF.getLong(0)} |")
       }
+      if (opsRun("comm")) {
+        // WARM community maintenance vs cold re-clustering (q238's
+        // posture): 1%-of-orders edge delta lands on a stabilized
+        // assignment (seed materialized UNTIMED — it exists in the
+        // maintenance scenario); both legs run louvainStable to the
+        // same 12-round cap, so the rounds column IS the measured
+        // saving. Assignments are local optima, not comparable by
+        // hash — the check column records community counts.
+        val lik = graft.ops.Tables.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        def pairsAt(pred: org.apache.spark.sql.Column) = {
+          val l = lik.where(pred)
+          (0 until copies).map(i =>
+            l.join(l.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+                Seq("l_orderkey"))
+              .where(col("l_partkey") < col("__p2"))
+              .select((col("l_partkey") + i * 1000000000L).as("src"),
+                (col("__p2") + i * 1000000000L).as("dst")))
+            .reduce(_.unionAll(_))
+        }
+        def symOf(df: org.apache.spark.sql.DataFrame) =
+          df.unionAll(df.select(col("dst").as("src"), col("src").as("dst")))
+        val cb = pairsAt(col("l_orderkey") % 100 =!= 0).distinct()
+          .localCheckpoint()
+        val cu = pairsAt(lit(true)).distinct().localCheckpoint()
+        val seed = Graph.louvainStable(symOf(cb), "src", "dst", None, 12)
+          ._1.localCheckpoint()
+        val (tWarm, (ncW, rW)) = time {
+          val (df, r) = Graph.louvainStable(symOf(cu), "src", "dst",
+            Some(seed), 12)
+          (df.agg(countDistinct("community")).head().getLong(0), r)
+        }
+        val (tCold, (ncC, rC)) = time {
+          val (df, r) = Graph.louvainStable(symOf(cu), "src", "dst", None, 12)
+          (df.agg(countDistinct("community")).head().getLong(0), r)
+        }
+        println(f"| comm warm | $copies | $n | cold $tCold%.2f (r$rC) / warm $tWarm%.2f (r$rW) | comms=$ncC/$ncW |")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
