@@ -69,6 +69,20 @@ object Checkpointing {
       case None => df.localCheckpoint()
     }
 
+  /** [[truncate]], additionally STRIPPING the origin plan's carried
+    * statistics from the checkpoint leaf
+    * ([[org.apache.spark.sql.GraftSqlShim.stripCarriedStats]]) — for
+    * iterative loops whose per-round plan references the previous
+    * round's checkpoint many times: the carried size estimate
+    * compounds as refs^rounds and its BigInteger digits eventually
+    * dominate PLANNING time (Louvain's ~9 self-references froze the
+    * sf0.1 sweep from round ~7; k-core's 3 stay tolerable to ~15
+    * rounds). The stripped leaf reports the default size estimate, so
+    * loops using this must place their broadcasts explicitly — which
+    * the graph family already does. */
+  def truncateFresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlShim.stripCarriedStats(truncate(df))
+
   /** [[truncate]], but local blocks are stored SERIALIZED
     * (MEMORY_AND_DISK_SER) regardless of [[StorageKey]] — for
     * corpus-sized iterative state where deserialized row objects

@@ -182,6 +182,39 @@ object GraphScaleSweep {
         require(cF == cI, s"full $cF != incremental $cI")
         println(f"| kcore-adv k55 | $copies | $n | full $tFull%.2f / inc $tInc%.2f | surv=${cF.getLong(0)} |")
       }
+      if (opsRun("kcoreretloc")) {
+        // LOCALIZED takedown (the robots-revocation shape: every edge
+        // touching one contiguous ~2% id band) vs the full re-peel —
+        // the complement of the scattered kcoreret slice, whose
+        // every-neighborhood wound is retraction's worst case
+        val lik = graft.ops.Tables.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val kb = (0 until copies).map(i =>
+            lik.join(lik.select(col("l_orderkey"), col("l_partkey").as("__p2")),
+                Seq("l_orderkey"))
+              .where(col("l_partkey") < col("__p2"))
+              .select((col("l_partkey") + i * 1000000000L).as("src"),
+                (col("__p2") + i * 1000000000L).as("dst")))
+          .reduce(_.unionAll(_)).localCheckpoint()
+        val removed = kb.where(
+            pmod(col("src"), lit(1000000000L)) < 400 ||
+            pmod(col("dst"), lit(1000000000L)) < 400)
+          .localCheckpoint()
+        val prevCore = Graph.kCoreFixedPoint(kb, "src", "dst", k = 55)
+          .localCheckpoint()
+        val (tFullR, cF) = time {
+          Graph.kCoreFixedPoint(
+              kb.join(removed, Seq("src", "dst"), "left_anti"),
+              "src", "dst", k = 55)
+            .agg(count(lit(1)), sum("deg")).head()
+        }
+        val (tRet, cR) = time {
+          Graph.retractKCore(prevCore, kb, "src", "dst", removed, k = 55)
+            .agg(count(lit(1)), sum("deg")).head()
+        }
+        require(cF == cR, s"full $cF != retract $cR")
+        println(f"| kcore-ret-loc k55 | $copies | $n | full $tFullR%.2f / ret $tRet%.2f | surv=${cF.getLong(0)} |")
+      }
       if (opsRun("comm")) {
         // WARM community maintenance vs cold re-clustering (q238's
         // posture): 1%-of-orders edge delta lands on a stabilized

@@ -45,6 +45,31 @@ object GraftSqlShim {
       case _ => None
     }
 
+  /** Rebuild a checkpointed frame's `LogicalRDD` leaf WITHOUT the
+    * origin plan's carried statistics. `Dataset.localCheckpoint` copies
+    * the source plan's estimated `Statistics` into the new leaf
+    * (`originStats`) so later joins can still broadcast-decide — but
+    * in an ITERATIVE operator whose per-round plan references the
+    * previous round's checkpoint k times, the size-in-bytes estimate
+    * compounds as size^k PER ROUND (Catalyst's join estimate is the
+    * product of children): by round r the leaf carries a ~k^r-digit
+    * BigInteger and every stats visit burns minutes of single-core
+    * Toom-Cook multiplication (measured: Louvain's k≈9 self-references
+    * froze the sf0.1 sweep from round ~7). Stripping resets the leaf
+    * to the default size estimate; partitioning/ordering metadata is
+    * preserved. No-op on frames whose root is not a checkpoint leaf. */
+  def stripCarriedStats(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(df.sparkSession,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(
+            df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            None, None))
+      case _ => df
+    }
+
   /** The config options accumulated on a not-yet-built session builder
     * — lets tests assert a builder pins the conf posture without paying
     * for a second SparkContext. `options` is `protected` in Scala but
