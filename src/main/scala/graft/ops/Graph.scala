@@ -1541,13 +1541,17 @@ object Graph {
                                     maxRounds: Int = DefaultIncRounds): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    val cnt0 = canR.count()
+    // one materialization of the canonicalized removal set + one of the
+    // present set (freshDelta's round-15 discipline)
+    val c = Checkpointing.truncate(canR)
+    val cnt0 = c.count()
     val d0 =
-      if (cnt0 <= Dedup.broadcastIdLimit(canR))
-        oldE.join(broadcast(canR), Seq("a", "b"), "left_semi")
-      else canR.join(oldE, Seq("a", "b"), "left_semi")
-    val dCnt = d0.count()
-    val d = Dedup.maybeBroadcast(Checkpointing.truncate(d0), dCnt)
+      if (cnt0 <= Dedup.broadcastIdLimit(c))
+        oldE.join(broadcast(c), Seq("a", "b"), "left_semi")
+      else c.join(oldE, Seq("a", "b"), "left_semi")
+    val d1 = Checkpointing.truncate(d0)
+    val dCnt = d1.count()
+    val d = Dedup.maybeBroadcast(d1, dCnt)
     val newE = Checkpointing.truncateSer(
       oldE.join(d, Seq("a", "b"), "left_anti"))
     val sym = newE.select(col("a").as("u"), col("b").as("v"))
@@ -1713,11 +1717,21 @@ object Graph {
   def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    import graft.functions.PortableSketches._
+    import graft.functions.{HllRegs, PortableSketches}
+    import PortableSketches._
     // base construction (canonicalize + symmetrize + node registers) is
     // separated out for the bench members artifact — in a maintenance
     // deployment the register table persists and only the merge rounds
     // recur (round-14 verdict #7 accounting)
+    //
+    // Registers are PACKED — one 256-byte array per node
+    // ([[graft.functions.HllRegs]], round-15 optimization): a merge
+    // round shuffles |E| rows instead of |E|×(present registers) rows
+    // (~50× fewer near saturation) into a |V|-group bytewise-max
+    // aggregate instead of a |V|×256-group max. Estimates are
+    // bit-identical (same (bucket → max rho) map, same exact-integer
+    // zsum, the same [[PortableSketches.hllEstimate]]), so the
+    // unrolled register-CTE oracle is unchanged.
     val (e, regs0) = PhaseTimer.time("base") {
       val canon = canonPairs(edges, srcCol, dstCol)
       val eT = Checkpointing.truncateSer(
@@ -1726,25 +1740,21 @@ object Graph {
       val nodes = eT.select(col("src").as("node")).distinct()
       (eT, Checkpointing.truncate(nodes
         .select(col("node"), hllDigest(col("node")).as("__d"))
-        .select(col("node"), hllBucket(col("__d")).as("bucket"),
-          hllRho(col("__d")).as("r"))))
+        .select(col("node"), HllRegs.regInit(hllBucket(col("__d")),
+          hllRho(col("__d"))).as("regs"))))
     }
     var regs = regs0
     val ladder = Seq.newBuilder[DataFrame]
     for (t <- 1 to iters) {
       val fromNbrs = e
-        .join(regs.select(col("node").as("src"), col("bucket"), col("r")),
-          Seq("src"))
-        .select(col("dst").as("node"), col("bucket"), col("r"))
+        .join(regs.select(col("node").as("src"), col("regs")), Seq("src"))
+        .select(col("dst").as("node"), col("regs"))
       regs = Checkpointing.truncate(
         regs.unionAll(fromNbrs)
-          .groupBy("node", "bucket").agg(max(col("r")).as("r")))
+          .groupBy("node").agg(HllRegs.regMax(col("regs")).as("regs")))
       ladder += regs
-        .groupBy("node")
-        .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
-          count(lit(1)).as("present"))
         .select(col("node"), lit(t).cast("int").as("t"),
-          hllEstimate(col("zsum"), col("present")).as("ball_est"))
+          HllRegs.regEstimate(col("regs")).as("ball_est"))
     }
     ladder.result().reduce(_ unionAll _)
   }
@@ -1790,33 +1800,38 @@ object Graph {
   }
 
   /** The [[neighborhoodFunction]] run's full REGISTER LADDER — levels
-    * 0..`t` as (t, node, bucket, r) rows over an ALREADY-CANONICAL
-    * edge frame `e(a, b)` — the [[GraphState]] ANF pair's
-    * init/rebuild representation (registers are the state; estimates
-    * derive at read time via [[anfEstimates]]). */
+    * 0..`t` as (t, node, regs) rows (regs = the PACKED 256-byte
+    * register set, [[graft.functions.HllRegs]]) over an
+    * ALREADY-CANONICAL edge frame `e(a, b)` — the [[GraphState]] ANF
+    * pair's init/rebuild representation (registers are the state;
+    * estimates derive at read time via [[anfEstimates]]). One row per
+    * (level, node) instead of one per present register: the staging
+    * write and every merge shuffle carry |V| rows per level, not
+    * |V|×256. */
   private[graft] def anfRegisters(canon: DataFrame, t: Int): DataFrame = {
     require(t >= 1, s"t must be >= 1, got $t")
-    import graft.functions.PortableSketches._
+    import graft.functions.{HllRegs, PortableSketches}
+    import PortableSketches._
     val e = Checkpointing.truncateSer(
       canon.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(canon.select(col("b").as("src"), col("a").as("dst"))))
     val nodes = e.select(col("src").as("node")).distinct()
     var regs = Checkpointing.truncate(nodes
       .select(col("node"), hllDigest(col("node")).as("__d"))
-      .select(col("node"), hllBucket(col("__d")).as("bucket"),
-        hllRho(col("__d")).as("r")))
+      .select(col("node"), HllRegs.regInit(hllBucket(col("__d")),
+        hllRho(col("__d"))).as("regs")))
     val levels = Seq.newBuilder[DataFrame]
     levels += regs.select(lit(0).cast("int").as("t"), col("node"),
-      col("bucket"), col("r"))
+      col("regs"))
     for (s <- 1 to t) {
       regs = Checkpointing.truncate(
         regs.unionAll(e
-            .join(regs.select(col("node").as("src"), col("bucket"), col("r")),
+            .join(regs.select(col("node").as("src"), col("regs")),
               Seq("src"))
-            .select(col("dst").as("node"), col("bucket"), col("r")))
-          .groupBy("node", "bucket").agg(max(col("r")).as("r")))
+            .select(col("dst").as("node"), col("regs")))
+          .groupBy("node").agg(HllRegs.regMax(col("regs")).as("regs")))
       levels += regs.select(lit(s).cast("int").as("t"), col("node"),
-        col("bucket"), col("r"))
+        col("regs"))
     }
     levels.result().reduce(_ unionAll _)
   }
@@ -1824,15 +1839,14 @@ object Graph {
   /** Per-(node, t) ball estimates off a stored register ladder —
     * identical arithmetic to [[neighborhoodFunction]]'s output, so the
     * maintained ANF pair's read view matches the from-scratch run's
-    * oracle ([[neighborhoodFunctionSql]]) bit for bit. */
+    * oracle ([[neighborhoodFunctionSql]]) bit for bit. With packed
+    * registers this is a pure projection (two O(256) byte scans per
+    * row) — no aggregation at read time at all. */
   def anfEstimates(regs: DataFrame): DataFrame = {
-    import graft.functions.PortableSketches._
+    import graft.functions.HllRegs
     regs.where(col("t") >= 1)
-      .groupBy("node", "t")
-      .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
-        count(lit(1)).as("present"))
       .select(col("node"), col("t"),
-        hllEstimate(col("zsum"), col("present")).as("ball_est"))
+        HllRegs.regEstimate(col("regs")).as("ball_est"))
   }
 
   /** STREAMING HyperANF maintenance (round-14 verdict stretch #9 —
@@ -1859,7 +1873,8 @@ object Graph {
     * (newEdges, newRegisterLadder) as unmaterialized plans. */
   private[ops] def advanceAnfCore(prevRegs: DataFrame, oldE: DataFrame,
                                   canD: DataFrame, t: Int): (DataFrame, DataFrame) = {
-    import graft.functions.PortableSketches._
+    import graft.functions.{HllRegs, PortableSketches}
+    import PortableSketches._
     val (d, dCnt) = freshDelta(oldE, canD)
     val newE = Checkpointing.truncateSer(oldE.unionAll(d))
     val sym = newE.select(col("a").as("src"), col("b").as("dst"))
@@ -1867,19 +1882,19 @@ object Graph {
     val dEnds = Dedup.maybeBroadcast(Checkpointing.truncate(
       d.select(col("a").as("node")).unionAll(d.select(col("b").as("node")))
         .distinct()), dCnt * 2)
-    val old0 = prevRegs.where(col("t") === 0).select("node", "bucket", "r")
+    val old0 = prevRegs.where(col("t") === 0).select("node", "regs")
     val newNodes = Checkpointing.truncate(
       dEnds.join(old0.select("node").distinct(), Seq("node"), "left_anti"))
     var newPrev = Checkpointing.truncate(old0.unionAll(newNodes
       .select(col("node"), hllDigest(col("node")).as("__d"))
-      .select(col("node"), hllBucket(col("__d")).as("bucket"),
-        hllRho(col("__d")).as("r"))))
+      .select(col("node"), HllRegs.regInit(hllBucket(col("__d")),
+        hllRho(col("__d"))).as("regs"))))
     var changed = newNodes
     val levels = Seq.newBuilder[DataFrame]
     levels += newPrev.select(lit(0).cast("int").as("t"), col("node"),
-      col("bucket"), col("r"))
+      col("regs"))
     for (s <- 1 to t) {
-      val olds = prevRegs.where(col("t") === s).select("node", "bucket", "r")
+      val olds = prevRegs.where(col("t") === s).select("node", "regs")
       val candN0 = Checkpointing.truncate(
         dEnds.unionAll(changed)
           .unionAll(sym
@@ -1894,21 +1909,24 @@ object Graph {
       val fan = Dedup.maybeBroadcast(fan0, fan0.count())
       val recomputed = Checkpointing.truncate(
         candN.join(newPrev, Seq("node"))
-          .select(col("node"), col("bucket"), col("r"))
+          .select(col("node"), col("regs"))
           .unionAll(fan
-            .join(newPrev.select(col("node").as("src"), col("bucket"),
-              col("r")), Seq("src"))
-            .select(col("dst").as("node"), col("bucket"), col("r")))
-          .groupBy("node", "bucket").agg(max(col("r")).as("r")))
-      // registers are monotone, so "changed" ⇔ a recomputed row absent
-      // from the stored level (covers brand-new nodes too)
+            .join(newPrev.select(col("node").as("src"), col("regs")),
+              Seq("src"))
+            .select(col("dst").as("node"), col("regs")))
+          .groupBy("node").agg(HllRegs.regMax(col("regs")).as("regs")))
+      // registers are monotone, so "changed" ⇔ the recomputed packed
+      // set differs from the stored level's row (covers brand-new
+      // nodes too — they have no stored row)
       changed = Checkpointing.truncate(
-        recomputed.join(olds, Seq("node", "bucket", "r"), "left_anti")
-          .select("node").distinct())
+        recomputed.join(olds.withColumnRenamed("regs", "__or"),
+            Seq("node"), "left")
+          .where(col("__or").isNull || col("regs") =!= col("__or"))
+          .select("node"))
       newPrev = Checkpointing.truncate(
         olds.join(candN, Seq("node"), "left_anti").unionAll(recomputed))
       levels += newPrev.select(lit(s).cast("int").as("t"), col("node"),
-        col("bucket"), col("r"))
+        col("regs"))
     }
     (newE, levels.result().reduce(_ unionAll _))
   }
@@ -1942,7 +1960,8 @@ object Graph {
   def effectiveDiameter(edges: DataFrame, srcCol: String, dstCol: String,
                         maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    import graft.functions.PortableSketches._
+    import graft.functions.{HllRegs, PortableSketches}
+    import PortableSketches._
     val canon = canonPairs(edges, srcCol, dstCol)
     val e = Checkpointing.truncateSer(
       canon.select(col("a").as("src"), col("b").as("dst"))
@@ -1951,13 +1970,10 @@ object Graph {
       e.select(col("src").as("node")).distinct())
     var regs = Checkpointing.truncate(nodes
       .select(col("node"), hllDigest(col("node")).as("__d"))
-      .select(col("node"), hllBucket(col("__d")).as("bucket"),
-        hllRho(col("__d")).as("r")))
+      .select(col("node"), HllRegs.regInit(hllBucket(col("__d")),
+        hllRho(col("__d"))).as("regs")))
     def nfRow(t: Int, r: DataFrame): DataFrame = Checkpointing.truncate(
-      r.groupBy("node")
-        .agg(sum(hllRegisterTerm(col("r"))).as("zsum"),
-          count(lit(1)).as("present"))
-        .select(hllEstimate(col("zsum"), col("present")).as("ball_est"))
+      r.select(HllRegs.regEstimate(col("regs")).as("ball_est"))
         .agg(Tables.dsum(col("ball_est"), 4).as("nf"))
         .select(lit(t).cast("int").as("t"), coalesce(col("nf"), lit(0.0)).as("nf")))
     val ladder = Seq.newBuilder[DataFrame]
@@ -1973,12 +1989,16 @@ object Graph {
             " — raise maxRounds deliberately for a diameter this large")
       val next = Checkpointing.truncate(
         regs.unionAll(e
-            .join(regs.select(col("node").as("src"), col("bucket"), col("r")),
+            .join(regs.select(col("node").as("src"), col("regs")),
               Seq("src"))
-            .select(col("dst").as("node"), col("bucket"), col("r")))
-          .groupBy("node", "bucket").agg(max(col("r")).as("r")))
-      val changed =
-        next.join(regs, Seq("node", "bucket", "r"), "left_anti").count()
+            .select(col("dst").as("node"), col("regs")))
+          .groupBy("node").agg(HllRegs.regMax(col("regs")).as("regs")))
+      // monotone registers: a round changed something ⇔ some node's
+      // packed set differs from its previous row (node sets are equal
+      // across rounds, so the inner node-join covers every node)
+      val changed = next
+        .join(regs.withColumnRenamed("regs", "__or"), Seq("node"))
+        .where(col("regs") =!= col("__or")).count()
       if (changed == 0L) { satT = t - 1; Checkpointing.release(next) }
       else {
         Checkpointing.release(regs)
@@ -2273,14 +2293,23 @@ object Graph {
     * delta-sized. A crawl-scale delta falls back to the plain
     * shuffled anti-join. */
   private def freshDelta(oldE: DataFrame, canD: DataFrame): (DataFrame, Long) = {
-    val cnt0 = canD.count()
+    // materialize the canonicalized delta ONCE up front (round-15): the
+    // raw delta can itself be an expensive construction (q224's is a
+    // lineitem self-join + distinct), and the lazy form was re-executed
+    // by the gate count, the broadcast build, the anti-join probe AND
+    // the final truncate — 4 computations of the same frame. Same for
+    // the fresh set: truncate BEFORE counting so the count reads the
+    // materialized blocks instead of re-running the oldE probe.
+    val c = Checkpointing.truncate(canD)
+    val cnt0 = c.count()
     val d0 =
-      if (cnt0 <= Dedup.broadcastIdLimit(canD)) {
-        val present = oldE.join(broadcast(canD), Seq("a", "b"), "left_semi")
-        canD.join(broadcast(present), Seq("a", "b"), "left_anti")
-      } else canD.join(oldE, Seq("a", "b"), "left_anti")
-    val dCnt = d0.count()
-    (Dedup.maybeBroadcast(Checkpointing.truncate(d0), dCnt), dCnt)
+      if (cnt0 <= Dedup.broadcastIdLimit(c)) {
+        val present = oldE.join(broadcast(c), Seq("a", "b"), "left_semi")
+        c.join(broadcast(present), Seq("a", "b"), "left_anti")
+      } else c.join(oldE, Seq("a", "b"), "left_anti")
+    val d1 = Checkpointing.truncate(d0)
+    val dCnt = d1.count()
+    (Dedup.maybeBroadcast(d1, dCnt), dCnt)
   }
 
   def advanceTriangleStats(prevStats: DataFrame, prevEdges: DataFrame,
@@ -2347,13 +2376,17 @@ object Graph {
     * plan exchanges the edge table. Returns (newEdges, newStats). */
   private[ops] def retractTriangleCore(prevStats: DataFrame, oldE: DataFrame,
                                        canR: DataFrame): (DataFrame, DataFrame) = {
-    val cnt0 = canR.count()
+    // one materialization of the canonicalized removal set + one of the
+    // present set (freshDelta's round-15 discipline)
+    val c = Checkpointing.truncate(canR)
+    val cnt0 = c.count()
     val d0 =
-      if (cnt0 <= Dedup.broadcastIdLimit(canR))
-        oldE.join(broadcast(canR), Seq("a", "b"), "left_semi")
-      else canR.join(oldE, Seq("a", "b"), "left_semi")
-    val dCnt = d0.count()
-    val d = Dedup.maybeBroadcast(Checkpointing.truncate(d0), dCnt)
+      if (cnt0 <= Dedup.broadcastIdLimit(c))
+        oldE.join(broadcast(c), Seq("a", "b"), "left_semi")
+      else c.join(oldE, Seq("a", "b"), "left_semi")
+    val d1 = Checkpointing.truncate(d0)
+    val dCnt = d1.count()
+    val d = Dedup.maybeBroadcast(d1, dCnt)
     val newE = oldE.join(d, Seq("a", "b"), "left_anti")
     val triDec = deltaTriangleCorners(oldE, d, dCnt)
     val degDec = d.select(col("a").as("node"))

@@ -276,10 +276,12 @@ class GraphStateSpec extends SparkSpec {
     for (w <- 0 to 2)
       GraphState.advanceAnfState(spark, name,
         pairsOf(ok => ok % 3 === w), "src", "dst", t = 3)
-    def regSet(df: DataFrame): Set[(Int, Long, Long, Long)] =
-      df.select("t", "node", "bucket", "r").collect()
-        .map(r => (r.getInt(0), r.getLong(1),
-          r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+    // packed layout (round-15): one 256-byte register array per
+    // (level, node) row — compare as hex so byte arrays get value
+    // equality
+    def regSet(df: DataFrame): Set[(Int, Long, String)] =
+      df.select(col("t"), col("node"), hex(col("regs"))).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
         .toSet
     // register-bit-identity with the from-scratch ladder over the
     // union — the induction the q243 oracle rests on
