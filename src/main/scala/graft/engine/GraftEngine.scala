@@ -48,6 +48,19 @@ object GraftEngine {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // AQE sort-merge → shuffled-hash conversion (round-15, guide §3.1):
+    // when every post-shuffle partition of a join's build side measures
+    // under this threshold AT RUNTIME, the sort of both sides is
+    // replaced by a per-partition hash build — the wedge-closing
+    // left-semi joins of the triangle family (a few MB of oriented
+    // edges per partition hashing against millions of wedge rows) are
+    // exactly the shape this wins on. Runtime-measured (not
+    // estimate-driven), so the decision is scale-adaptive: a build
+    // partition over the threshold keeps sort-merge. 64 MB ≈ half the
+    // per-task execution-memory share at the default 8 g/32-core
+    // local posture; a denser cluster can raise it.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" ->
+      (64L * 1024 * 1024).toString,
     "spark.sql.autoBroadcastJoinThreshold" -> (10L * 1024 * 1024).toString,
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
     "spark.sql.session.timeZone" -> "UTC",

@@ -668,15 +668,34 @@ object Dedup {
     // crawl-sized, read by both appends — persist instead of re-signaturing
     val sigs = minhashSignatures(base, idCol, col("sh"),
       math.max(bands * rows, estHashes)).persist()
+    try appendSigsToIndex(sigs, idCol, bucketTable, sigTable, bands, rows,
+      numBuckets, maxBucket)
+    finally { sigs.unpersist(); () }
+  }
+
+  /** [[appendToSignatureIndex]] over ALREADY-COMPUTED signatures — the
+    * path for callers that hold the wave's materialized signature frame
+    * (advanceSimilarityGraph signatures each wave exactly once and
+    * feeds probe, intra-mining and this append from the same frame). */
+  private[ops] def appendSigsToIndex(sigs: DataFrame, idCol: String,
+                                     bucketTable: String, sigTable: String,
+                                     bands: Int, rows: Int, numBuckets: Int,
+                                     maxBucket: Int): Unit = {
+    // the two appends land in DIFFERENT tables and both read only the
+    // materialized signature frame, so they run concurrently (guide
+    // §2.6) — each bucketed write is a small sorted job whose
+    // scheduling tail the other backfills
+    val sigWrite = java.util.concurrent.CompletableFuture.runAsync(() =>
+      Bucketing.appendBucketedBy(sigs, sigTable, numBuckets,
+        Seq(idCol), Seq(idCol)))
     try {
-      Bucketing.appendBucketedBy(sigs, sigTable, numBuckets, Seq(idCol), Seq(idCol))
       val buckets = capBuckets(
         sigs.select(col(idCol),
           posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
         Seq("band", "bucket"), maxBucket)
       Bucketing.appendBucketedBy(buckets, bucketTable, numBuckets,
         Seq("band", "bucket"), Seq("band", "bucket"))
-    } finally { sigs.unpersist(); () }
+    } finally sigWrite.join()
   }
 
   /** Diff-driven index maintenance — [[corpusDiff]] composed into
@@ -751,14 +770,22 @@ object Dedup {
                                        bands: Int = 32, rows: Int = 2,
                                        materialize: Boolean = true,
                                        maxBucket: Int = DefaultMaxBucket,
-                                       estHashes: Int = DefaultEstHashes): DataFrame = {
+                                       estHashes: Int = DefaultEstHashes,
+                                       sigsOverride: Option[DataFrame] = None): DataFrame = {
     // must equal the estHashes the index was written with (same
     // geometry contract as bands/rows — see appendToSignatureIndex)
     val numHashes = math.max(bands * rows, estHashes)
     val baseA = spreadCompute(newDocs, idCol)
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-    val sigsA0 = minhashSignatures(baseA, idCol, col("sh"), numHashes)
-    val sigsA = if (materialize) sigsA0.persist() else sigsA0
+    // sigsOverride (round-15): a caller that already holds the wave's
+    // materialized signatures (advanceSimilarityGraph computes them
+    // ONCE per wave for probe + intra-mining + index append) passes
+    // them here instead of paying a second full signature pass; must
+    // be (idCol, sig) with the same numHashes geometry
+    val sigsA0 = sigsOverride
+      .getOrElse(minhashSignatures(baseA, idCol, col("sh"), numHashes))
+    val sigsA =
+      if (materialize && sigsOverride.isEmpty) sigsA0.persist() else sigsA0
     val bucketsA = capBuckets(
       sigsA.select(col(idCol).as("id_a"),
         posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
@@ -790,16 +817,25 @@ object Dedup {
       .join(prefiltered.select(col("id_b").as(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("id_b"),
         transform(shingles(col(textCol), shingleN), g => xxhash64(g)).as("sh_b"))
+    // a-side shingles get the same survivor semi-join pushdown
+    // (round-15): the verify join filters to prefiltered pairs anyway,
+    // so re-shingling only the candidate slice of the wave is
+    // result-identical and skips the non-candidate majority
+    val shA = baseA
+      .join(prefiltered.select(col("id_a").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_a"),
+        transform(col("sh"), g => xxhash64(g)).as("sh_a"))
     val verified = prefiltered
-      .join(baseA.select(col(idCol).as("id_a"),
-        transform(col("sh"), g => xxhash64(g)).as("sh_a")), Seq("id_a"))
+      .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    if (materialize) materializeAndRelease(verified, sigsA, prefiltered)
+    if (materialize)
+      materializeAndRelease(verified,
+        (if (sigsOverride.isEmpty) Seq(sigsA) else Nil) :+ prefiltered: _*)
     else verified
   }
 
@@ -925,12 +961,24 @@ object Dedup {
                           numBuckets: Int = 32): Unit = {
     Tables.dropTablesAndDirs(spark, bucketTable, sigTable, ccStateTable,
       s"${ccStateTable}__next", s"${ccStateTable}__old")
-    writeSignatureIndex(docs, idCol, textCol, bucketTable, sigTable,
-      shingleN, bands, rows, numBuckets)
-    connectedComponents(
-      minhashJaccardPairs(docs, idCol, textCol, shingleN, threshold,
-        bands, rows))
-      .write.saveAsTable(ccStateTable)
+    PhaseTimer.time("initidx") {
+      writeSignatureIndex(docs, idCol, textCol, bucketTable, sigTable,
+        shingleN, bands, rows, numBuckets)
+    }
+    // intra-mine wave 0 from the JUST-WRITTEN signature table instead
+    // of re-signaturing it (round-15): the index write was the wave's
+    // one full signature pass; the miner re-derives band buckets from
+    // the stored sigs (deterministic → bit-identical pairs) and
+    // rebuilds shingle arrays only for prefilter survivors
+    val base0 = spreadCompute(docs, idCol)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val pairs0 = PhaseTimer.time("initmine") {
+      jaccardPairsFromShingles(base0, idCol, threshold, bands, rows,
+        sigsOverride = Some(spark.table(sigTable)))
+    }
+    PhaseTimer.time("initcc") {
+      connectedComponents(pairs0).write.saveAsTable(ccStateTable)
+    }
   }
 
   /** One crawl-wave advance of the [[initSimilarityGraph]] state — the
@@ -961,16 +1009,36 @@ object Dedup {
                              shingleN: Int = 3, threshold: Double = 0.7,
                              bands: Int = 32, rows: Int = 2,
                              numBuckets: Int = 32): Unit = {
-    val cross = crossCorpusJaccardPairsFromIndex(spark, bucketTable,
-      sigTable, newDocs, existingDocs, idCol, textCol, shingleN,
-      threshold, bands, rows)
-    val intra = minhashJaccardPairs(newDocs, idCol, textCol, shingleN,
-      threshold, bands, rows)
-    advanceCCStateTable(spark, ccStateTable,
-      cross.select(col("id_a"), col("id_b"))
-        .unionByName(intra.select(col("id_a"), col("id_b"))))
-    appendToSignatureIndex(newDocs, idCol, textCol, bucketTable, sigTable,
-      shingleN, bands, rows, numBuckets)
+    // ONE full signature pass per wave (round-15 — the §1.2 "don't
+    // recompute" rule): probe, intra-mining and the index append all
+    // consume the same materialized (idCol, sig) frame; the previous
+    // shape signatured the wave three times (once inside each call).
+    // Signatures are a deterministic function of the text, so every
+    // downstream pair set — and the maintained labels — is
+    // bit-identical.
+    val base = spreadCompute(newDocs, idCol)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val sigs = PhaseTimer.time("sig") { Checkpointing.truncate(
+      minhashSignatures(base, idCol, col("sh"),
+        math.max(bands * rows, DefaultEstHashes))) }
+    val cross = PhaseTimer.time("cross") {
+      crossCorpusJaccardPairsFromIndex(spark, bucketTable,
+        sigTable, newDocs, existingDocs, idCol, textCol, shingleN,
+        threshold, bands, rows, sigsOverride = Some(sigs))
+    }
+    val intra = PhaseTimer.time("intra") {
+      jaccardPairsFromShingles(base, idCol, threshold,
+        bands, rows, sigsOverride = Some(sigs))
+    }
+    PhaseTimer.time("cc") {
+      advanceCCStateTable(spark, ccStateTable,
+        cross.select(col("id_a"), col("id_b"))
+          .unionByName(intra.select(col("id_a"), col("id_b"))))
+    }
+    PhaseTimer.time("append") {
+      appendSigsToIndex(sigs, idCol, bucketTable, sigTable, bands, rows,
+        numBuckets, DefaultMaxBucket)
+    }
   }
 
   /** Materialize a near-dup-deduplicated corpus: keep exactly one

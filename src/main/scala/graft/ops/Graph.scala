@@ -909,12 +909,17 @@ object Graph {
       // Σtot(c): total degree inside each community
       val stot = comm.join(deg, Seq("node"))
         .groupBy("c").agg(sum("k").as("stot"))
-      // candidates = neighboring communities ∪ the stay option (kic 0
-      // when i has no same-parity-round neighbor in its own community)
-      val cand = kic
-        .unionByName(comm.select(col("node"), col("c"), lit(0L).as("kic")))
-        .groupBy("node", "c").agg(sum("kic").as("kic"))
-      val scored = cand
+      // Candidates are the kic rows ALONE (round-15 optimization): the
+      // former shape unioned a zero-kic "stay" row per node into kic
+      // and re-aggregated the whole (node, c) frame through a second
+      // |kic|-sized exchange, only so the own-community gain existed
+      // for nodes without a same-community neighbor. The stay gain is
+      // instead computed by a node-sized LEFT join against kic at
+      // (node, own c) with kic coalesced to 0 — exactly the value the
+      // zero-row produced (identical DECIMAL(38,0) arithmetic, so the
+      // argmax — and the oracle equality — is untouched), minus one
+      // full exchange per round.
+      val scored = kic
         .join(comm.withColumnRenamed("c", "__own"), Seq("node"))
         .join(deg, Seq("node"))
         .join(stot, Seq("c"))
@@ -925,8 +930,15 @@ object Graph {
         .withColumn("__gain",
           col("__m2") * col("kic").cast(dec) -
             col("k").cast(dec) * col("__stotx").cast(dec))
-      val own = scored.where(col("c") === col("__own"))
-        .select(col("node"), col("__gain").as("__gown"))
+      val own = comm
+        .join(kic.withColumnRenamed("kic", "__kown"), Seq("node", "c"), "left")
+        .join(deg, Seq("node"))
+        .join(stot, Seq("c"))
+        .crossJoin(broadcast(m2Row))
+        .select(col("node"),
+          (col("__m2") * coalesce(col("__kown"), lit(0L)).cast(dec) -
+            col("k").cast(dec) * (col("stot") - col("k")).cast(dec))
+            .as("__gown"))
       // FINE levels (base nodes): the node-parity schedule — only
       // nodes with node%2 == t%2 move, either label direction. At
       // this granularity simultaneous collisions wash out (measured:
@@ -1374,6 +1386,27 @@ object Graph {
     advanceKCoreCore(prevCore,
       Checkpointing.truncateSer(canonPairs(prevEdges, srcCol, dstCol)),
       canonPairs(delta, srcCol, dstCol), k, maxRounds)._2
+
+  /** The COLD-START k-core advance — [[kCoreFixedPoint]] over
+    * `baseEdges` followed by [[advanceKCore]] with `delta`, sharing ONE
+    * materialized canonicalization of the base (round-15 — the
+    * [[advanceTriangleStatsCold]] rationale): the separate-call shape
+    * re-executes the raw base construction and its |E| distinct twice.
+    * The base peel (the part a maintenance deployment reads from
+    * [[GraphState]] instead of recomputing) reports as the `base`
+    * phase member ([[PhaseTimer]]) so the bench artifact keeps base
+    * and advance separated. Results are bit-identical to the two-call
+    * composition. */
+  def advanceKCoreCold(baseEdges: DataFrame, srcCol: String, dstCol: String,
+                       delta: DataFrame, k: Int,
+                       maxRounds: Int = DefaultIncRounds): DataFrame = {
+    val (canon, prev) = PhaseTimer.time("base") {
+      val c = Checkpointing.truncateSer(canonPairs(baseEdges, srcCol, dstCol))
+      (c, kCoreFixedPointCore(c, k))
+    }
+    advanceKCoreCore(prev, canon, canonPairs(delta, srcCol, dstCol),
+      k, maxRounds)._2
+  }
 
   /** Driver-loop round bound for the incremental k-core paths: far
     * above any measured cascade (the sweep's regions settle in < 10
@@ -1902,11 +1935,15 @@ object Graph {
             .select(col("dst").as("node")))
           .distinct())
       val candN = Dedup.maybeBroadcast(candN0, candN0.count())
-      // edges INTO candidates (|C|·degree, size-gated broadcast) pull
-      // the advanced level-(s−1) registers without shuffling them
-      val fan0 = Checkpointing.truncate(
-        sym.join(candN.select(col("node").as("dst")), Seq("dst"), "left_semi"))
-      val fan = Dedup.maybeBroadcast(fan0, fan0.count())
+      // edges INTO candidates (|C|·degree) pull the advanced
+      // level-(s−1) registers. The fan frame is consumed exactly once,
+      // so it stays INLINE (round-15): its former
+      // truncate + count + maybeBroadcast cost two extra jobs per
+      // level whose only purpose was an explicit broadcast hint — AQE
+      // picks broadcast-vs-shuffle for the fan⋈registers join from
+      // measured runtime sizes instead (scale-adaptive, same result).
+      val fan = sym.join(candN.select(col("node").as("dst")),
+        Seq("dst"), "left_semi")
       val recomputed = Checkpointing.truncate(
         candN.join(newPrev, Seq("node"))
           .select(col("node"), col("regs"))
@@ -2317,6 +2354,32 @@ object Graph {
                            delta: DataFrame): DataFrame =
     advanceTriangleCore(prevStats, canonPairs(prevEdges, srcCol, dstCol),
       canonPairs(delta, srcCol, dstCol))._2
+
+  /** The COLD-START advance — [[triangleStats]] over `baseEdges`
+    * followed by [[advanceTriangleStats]] with `delta`, sharing ONE
+    * materialized canonicalization of the base (round-15 optimization):
+    * the separate-call shape re-executes the raw base construction and
+    * its |E| canonicalization distinct twice (once inside each call).
+    * Results are bit-identical to the two-call composition — only the
+    * duplicated base work is gone. A real maintenance deployment never
+    * runs this (it reads the previous stats from [[GraphState]]); this
+    * is the differential-gate shape that must CONSTRUCT its own
+    * previous state. */
+  def advanceTriangleStatsCold(baseEdges: DataFrame, srcCol: String,
+                               dstCol: String, delta: DataFrame): DataFrame = {
+    val canon = Checkpointing.truncateSer(canonPairs(baseEdges, srcCol, dstCol))
+    advanceTriangleCore(triangleStatsCore(canon), canon,
+      canonPairs(delta, srcCol, dstCol))._2
+  }
+
+  /** Cold-start twin of [[retractTriangleStats]] — one shared base
+    * canonicalization (see [[advanceTriangleStatsCold]]). */
+  def retractTriangleStatsCold(baseEdges: DataFrame, srcCol: String,
+                               dstCol: String, removed: DataFrame): DataFrame = {
+    val canon = Checkpointing.truncateSer(canonPairs(baseEdges, srcCol, dstCol))
+    retractTriangleCore(triangleStatsCore(canon), canon,
+      canonPairs(removed, srcCol, dstCol))._2
+  }
 
   /** The advance over an ALREADY-CANONICAL previous edge set — the
     * maintained-state path ([[GraphState.advanceTriangleState]]):

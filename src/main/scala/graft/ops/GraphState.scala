@@ -75,10 +75,12 @@ object GraphState {
     val eT = edgesTable(name); val sT = statsTable(name)
     Tables.dropTablesAndDirs(spark, eT, sT,
       s"${eT}__next", s"${sT}__next", s"${eT}__old", s"${sT}__old")
-    Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
-    stamp(spark, eT, 0L)
-    Graph.triangleStatsCore(spark.table(eT)).write.saveAsTable(sT)
-    stamp(spark, sT, 0L)
+    PhaseTimer.time("init") {
+      Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
+      stamp(spark, eT, 0L)
+      Graph.triangleStatsCore(spark.table(eT)).write.saveAsTable(sT)
+      stamp(spark, sT, 0L)
+    }
   }
 
   /** The advanced (newEdges, newStats) PLANS from the live pair + a
@@ -103,30 +105,38 @@ object GraphState {
     * so re-applying a delta after a resolved crash is safe. */
   def advanceTriangleState(spark: SparkSession, name: String, delta: DataFrame,
                            srcCol: String, dstCol: String): Unit =
-    applyStaged(spark, name,
-      advanceTrianglePlan(spark, name, delta, srcCol, dstCol))
+    applyStaged(spark, name, PhaseTimer.time("plan") {
+      advanceTrianglePlan(spark, name, delta, srcCol, dstCol) })
 
   /** Retract an edge set (takedowns) from the pair — the deletion
     * side, same protocol. Rows not actually present are ignored. */
   def retractTriangleState(spark: SparkSession, name: String, removed: DataFrame,
                            srcCol: String, dstCol: String): Unit =
-    applyStaged(spark, name,
-      retractTrianglePlan(spark, name, removed, srcCol, dstCol))
+    applyStaged(spark, name, PhaseTimer.time("plan") {
+      retractTrianglePlan(spark, name, removed, srcCol, dstCol) })
 
   private def applyStagedPair(spark: SparkSession, eT: String, sT: String,
                               pair: (DataFrame, DataFrame),
-                              extraProps: Map[String, String] = Map.empty): Unit = {
+                              extraProps: Map[String, String] = Map.empty): Unit =
+      PhaseTimer.time("stage") {
     val (newE, newS) = pair
     val ep = epochOf(spark, eT) + 1
     Tables.dropTablesAndDirs(spark, s"${eT}__next", s"${sT}__next")
     // stage BOTH fully (both plans read the LIVE pair) before any swap;
     // every property rides the STAGING so no crash window leaves a
-    // live table missing one
-    newS.write.saveAsTable(s"${sT}__next")
+    // live table missing one. The two staging writes are INDEPENDENT
+    // jobs (each reads only live tables + the advance's materialized
+    // intermediates), so they run CONCURRENTLY (guide §2.6 — the
+    // second job's tasks back-fill the first's scheduling tail);
+    // stamps and swaps wait for both, keeping every crash window of
+    // the sequential protocol.
+    val sWrite = java.util.concurrent.CompletableFuture.runAsync(() =>
+      newS.write.saveAsTable(s"${sT}__next"))
+    try newE.write.saveAsTable(s"${eT}__next")
+    finally sWrite.join() // propagate either failure before any stamp
     stamp(spark, s"${sT}__next", ep)
     extraProps.foreach { case (key, v) =>
       spark.sql(s"ALTER TABLE ${sT}__next SET TBLPROPERTIES('$key'='$v')") }
-    newE.write.saveAsTable(s"${eT}__next")
     stamp(spark, s"${eT}__next", ep)
     // ground truth first: edges, then the derived view
     Incremental.swapStaged(spark, eT)
@@ -155,11 +165,13 @@ object GraphState {
     val eT = edgesTable(name); val cT = coreTable(name)
     Tables.dropTablesAndDirs(spark, eT, cT,
       s"${eT}__next", s"${cT}__next", s"${eT}__old", s"${cT}__old")
-    Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
-    stamp(spark, eT, 0L)
-    Graph.kCoreFixedPointCore(spark.table(eT), k).write.saveAsTable(cT)
-    stamp(spark, cT, 0L)
-    spark.sql(s"ALTER TABLE $cT SET TBLPROPERTIES('$KKey'='$k')")
+    PhaseTimer.time("init") {
+      Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
+      stamp(spark, eT, 0L)
+      Graph.kCoreFixedPointCore(spark.table(eT), k).write.saveAsTable(cT)
+      stamp(spark, cT, 0L)
+      spark.sql(s"ALTER TABLE $cT SET TBLPROPERTIES('$KKey'='$k')")
+    }
   }
 
   /** The maintained survivor set (node, deg). */
@@ -178,7 +190,8 @@ object GraphState {
   def advanceKCoreState(spark: SparkSession, name: String, delta: DataFrame,
                         srcCol: String, dstCol: String, k: Int): Unit =
     applyStagedPair(spark, edgesTable(name), coreTable(name),
-      advanceKCorePlan(spark, name, delta, srcCol, dstCol, k),
+      PhaseTimer.time("plan") {
+        advanceKCorePlan(spark, name, delta, srcCol, dstCol, k) },
       extraProps = Map(KKey -> k.toString))
 
   /** The retraction twin of [[advanceKCorePlan]] — the plan-assert
@@ -198,7 +211,8 @@ object GraphState {
   def retractKCoreState(spark: SparkSession, name: String, removed: DataFrame,
                         srcCol: String, dstCol: String, k: Int): Unit =
     applyStagedPair(spark, edgesTable(name), coreTable(name),
-      retractKCorePlan(spark, name, removed, srcCol, dstCol, k),
+      PhaseTimer.time("plan") {
+        retractKCorePlan(spark, name, removed, srcCol, dstCol, k) },
       extraProps = Map(KKey -> k.toString))
 
   /** Recovery twin of [[recoverTriangleState]] for the k-core pair —
@@ -254,11 +268,13 @@ object GraphState {
     val eT = edgesTable(name); val aT = anfTable(name)
     Tables.dropTablesAndDirs(spark, eT, aT,
       s"${eT}__next", s"${aT}__next", s"${eT}__old", s"${aT}__old")
-    Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
-    stamp(spark, eT, 0L)
-    Graph.anfRegisters(spark.table(eT), t).write.saveAsTable(aT)
-    stamp(spark, aT, 0L)
-    spark.sql(s"ALTER TABLE $aT SET TBLPROPERTIES('$AnfTKey'='$t')")
+    PhaseTimer.time("init") {
+      Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
+      stamp(spark, eT, 0L)
+      Graph.anfRegisters(spark.table(eT), t).write.saveAsTable(aT)
+      stamp(spark, aT, 0L)
+      spark.sql(s"ALTER TABLE $aT SET TBLPROPERTIES('$AnfTKey'='$t')")
+    }
   }
 
   /** The maintained register ladder (t, node, bucket, r). */
@@ -286,7 +302,8 @@ object GraphState {
   def advanceAnfState(spark: SparkSession, name: String, delta: DataFrame,
                       srcCol: String, dstCol: String, t: Int): Unit =
     applyStagedPair(spark, edgesTable(name), anfTable(name),
-      advanceAnfPlan(spark, name, delta, srcCol, dstCol, t),
+      PhaseTimer.time("plan") {
+        advanceAnfPlan(spark, name, delta, srcCol, dstCol, t) },
       extraProps = Map(AnfTKey -> t.toString))
 
   /** Recovery twin for the ANF pair — the rebuild re-runs the
@@ -346,12 +363,15 @@ object GraphState {
     val eT = edgesTable(name); val cT = commTable(name)
     Tables.dropTablesAndDirs(spark, eT, cT,
       s"${eT}__next", s"${cT}__next", s"${eT}__old", s"${cT}__old")
-    Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
-    stamp(spark, eT, 0L)
-    Graph.louvainCanon(spark.table(eT), iters, seed = None)
-      .write.saveAsTable(cT)
-    stamp(spark, cT, 0L)
-    spark.sql(s"ALTER TABLE $cT SET TBLPROPERTIES('$CommItersKey'='$iters')")
+    PhaseTimer.time("init") {
+      Graph.canonPairs(edges, srcCol, dstCol).write.saveAsTable(eT)
+      stamp(spark, eT, 0L)
+      Graph.louvainCanon(spark.table(eT), iters, seed = None)
+        .write.saveAsTable(cT)
+      stamp(spark, cT, 0L)
+      spark.sql(
+        s"ALTER TABLE $cT SET TBLPROPERTIES('$CommItersKey'='$iters')")
+    }
   }
 
   /** The maintained assignment (node, community). */
@@ -378,7 +398,8 @@ object GraphState {
   def advanceCommState(spark: SparkSession, name: String, delta: DataFrame,
                        srcCol: String, dstCol: String, iters: Int): Unit =
     applyStagedPair(spark, edgesTable(name), commTable(name),
-      advanceCommPlan(spark, name, delta, srcCol, dstCol, iters),
+      PhaseTimer.time("plan") {
+        advanceCommPlan(spark, name, delta, srcCol, dstCol, iters) },
       extraProps = Map(CommItersKey -> iters.toString))
 
   /** Recovery twin of [[recoverTriangleState]] for the community pair.

@@ -47,10 +47,11 @@ object CatalogML10 {
       // maintenance loop reads it from state (q236/q237). PhaseTimer
       // splits it out as the `q231.base` member in BENCH_MEMBERS.json
       // (round-14 verdict #7).
-      val prev = graft.ops.PhaseTimer.time("base") {
-        graft.ops.Graph.kCoreFixedPoint(base, "src", "dst", k = 55)
-      }
-      graft.ops.Graph.advanceKCore(prev, base, "src", "dst", delta, k = 55)
+      // cold-advance helper (round-15): the base peel and the advance
+      // share ONE canonicalization of the base pair set (the two-call
+      // shape re-ran the lineitem self-join + |E| distinct twice); the
+      // peel still reports as the `q231.base` phase member
+      graft.ops.Graph.advanceKCoreCold(base, "src", "dst", delta, k = 55)
         .withColumnRenamed("node", "part_id")
         .orderBy("part_id")
     }, Some(graft.ops.Graph.kCoreSql(

@@ -109,8 +109,15 @@ object CatalogML9 {
       val ftyp = boxH("ftyp",
         lit("69736f6d" + "00000000" + "69736f6d"))
       val fileHex = concat(ftyp, boxH("moov", concat(mvhd, trak)))
-      Multimodal.mp4SampleTable(s, base.select(id, unhex(fileHex).as("bytes")))
-        .toDF().orderBy("media_id", "sample_n")
+      // materialize the decode once before the global sort (round-15):
+      // the generate→decode chain is NARROW (zero shuffle), so the
+      // sort's range-partitioner sampling pass re-executed the entire
+      // hex build + byte walk a second time; truncating the lineage
+      // makes the sampling read materialized blocks instead
+      graft.ops.Checkpointing.truncate(
+          Multimodal.mp4SampleTable(s, base.select(id, unhex(fileHex).as("bytes")))
+            .toDF())
+        .orderBy("media_id", "sample_n")
     }, Some(
       """WITH ids AS (
         |  SELECT event_id AS media_id FROM events WHERE event_id % 11 = 4
@@ -202,8 +209,10 @@ object CatalogML9 {
       }
       val base = pairsOf(ok => ok % 5 =!= 0)
       val delta = pairsOf(ok => ok % 5 === 0)
-      val prev = graft.ops.Graph.triangleStats(base, "src", "dst")
-      graft.ops.Graph.advanceTriangleStats(prev, base, "src", "dst", delta)
+      // cold-advance helper (round-15): ONE shared canonicalization of
+      // base — the prev-stats + advance composition previously
+      // re-executed the lineitem self-join and its |E| distinct twice
+      graft.ops.Graph.advanceTriangleStatsCold(base, "src", "dst", delta)
         .withColumnRenamed("node", "part_id")
         .orderBy("part_id")
     }, Some(graft.ops.Graph.triangleStatsSql(
@@ -270,8 +279,9 @@ object CatalogML9 {
       }
       val all = pairsOf(_ => lit(true))
       val removed = pairsOf(ok => ok % 7 === 0)
-      val prev = graft.ops.Graph.triangleStats(all, "src", "dst")
-      graft.ops.Graph.retractTriangleStats(prev, all, "src", "dst", removed)
+      // cold-retract helper (round-15): one shared base
+      // canonicalization, as in q224
+      graft.ops.Graph.retractTriangleStatsCold(all, "src", "dst", removed)
         .withColumnRenamed("node", "part_id")
         .orderBy("part_id")
     }, Some(graft.ops.Graph.triangleStatsSql(

@@ -21,11 +21,21 @@ object PlanDumpR15 {
     val names = if (args.length > 1) args(1).split(",").toSeq else Seq.empty
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
     val outDir = "/root/repo/plans/r15"
+    // "exec..." suffixes EXECUTE the query first and dump the FINAL
+    // adaptive plan (isFinalPlan=true) — the only way to show AQE
+    // runtime rewrites (SMJ→SHJ conversion, coalesced reads), which a
+    // static explain cannot. SPARK_GRAFT_PLANDUMP_SHJ=1 applies the
+    // engine's maxShuffledHashJoinLocalMapThreshold so an
+    // execbefore/execafter pair isolates exactly that conf.
+    val exec = suffix.startsWith("exec")
     Files.createDirectories(Paths.get(outDir))
+    val shj = sys.env.get("SPARK_GRAFT_PLANDUMP_SHJ")
+      .map(_ => (64L * 1024 * 1024).toString).getOrElse("0")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shj)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,7 +98,9 @@ object PlanDumpR15 {
       catalog.get(name) match {
         case None => System.err.println(s"[plandump] unknown query: $name")
         case Some(fn) =>
-          val plan = fn(spark, sfDir).queryExecution.explainString(
+          val df = fn(spark, sfDir)
+          if (exec) { df.collect(); () }
+          val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           val stable = plan.replaceAll("-pid\\d+", "-pidXXXX")
           Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), stable)
