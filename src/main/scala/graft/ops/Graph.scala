@@ -1944,24 +1944,28 @@ object Graph {
       // measured runtime sizes instead (scale-adaptive, same result).
       val fan = sym.join(candN.select(col("node").as("dst")),
         Seq("dst"), "left_semi")
-      val recomputed = Checkpointing.truncate(
+      // the stored-level comparison rides the SAME materialization as
+      // the recompute (round-15): one truncate instead of two per
+      // level — `changed` is then a cheap filter over the checkpointed
+      // frame (re-evaluated lazily by its two next-level references)
+      val recomputedJ = Checkpointing.truncate(
         candN.join(newPrev, Seq("node"))
           .select(col("node"), col("regs"))
           .unionAll(fan
             .join(newPrev.select(col("node").as("src"), col("regs")),
               Seq("src"))
             .select(col("dst").as("node"), col("regs")))
-          .groupBy("node").agg(HllRegs.regMax(col("regs")).as("regs")))
+          .groupBy("node").agg(HllRegs.regMax(col("regs")).as("regs"))
+          .join(olds.withColumnRenamed("regs", "__or"), Seq("node"), "left"))
       // registers are monotone, so "changed" ⇔ the recomputed packed
       // set differs from the stored level's row (covers brand-new
       // nodes too — they have no stored row)
-      changed = Checkpointing.truncate(
-        recomputed.join(olds.withColumnRenamed("regs", "__or"),
-            Seq("node"), "left")
-          .where(col("__or").isNull || col("regs") =!= col("__or"))
-          .select("node"))
+      changed = recomputedJ
+        .where(col("__or").isNull || col("regs") =!= col("__or"))
+        .select("node")
       newPrev = Checkpointing.truncate(
-        olds.join(candN, Seq("node"), "left_anti").unionAll(recomputed))
+        olds.join(candN, Seq("node"), "left_anti")
+          .unionAll(recomputedJ.select("node", "regs")))
       levels += newPrev.select(lit(s).cast("int").as("t"), col("node"),
         col("regs"))
     }
