@@ -59,39 +59,50 @@ object Checkpointing {
     spark.conf.getOption(ReliableKey).contains("true")
 
   /** Eagerly materialize `df` and truncate its lineage by the
-    * configured strategy. */
+    * configured strategy. Local-mode leaves carry statistics MEASURED
+    * from the materialized blocks
+    * ([[org.apache.spark.sql.GraftSqlShim.withMeasuredStats]],
+    * round 16): the planner's broadcast/SHJ decisions for every
+    * consumer of a truncated frame are made from the frame's TRUE
+    * byte size instead of the origin plan's estimate (which both
+    * compounds across iterative rounds — the Louvain planning freeze —
+    * and mis-sizes post-filter/post-distinct frames badly in either
+    * direction). Scale-adaptive by construction: the same loop
+    * broadcasts its node-sized frontier at local scale and keeps the
+    * shuffle when the measured size passes the threshold. */
   def truncate(df: DataFrame): DataFrame =
     if (isReliable(df.sparkSession)) df.checkpoint()
-    else df.sparkSession.conf.getOption(StorageKey) match {
-      case Some(name) =>
-        df.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.fromString(name))
-      case None => df.localCheckpoint()
-    }
+    else org.apache.spark.sql.GraftSqlShim.withMeasuredStats(
+      df.sparkSession.conf.getOption(StorageKey) match {
+        case Some(name) =>
+          df.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.fromString(name))
+        case None => df.localCheckpoint()
+      })
 
-  /** [[truncate]], additionally STRIPPING the origin plan's carried
-    * statistics from the checkpoint leaf
-    * ([[org.apache.spark.sql.GraftSqlShim.stripCarriedStats]]) — for
-    * iterative loops whose per-round plan references the previous
-    * round's checkpoint many times: the carried size estimate
-    * compounds as refs^rounds and its BigInteger digits eventually
-    * dominate PLANNING time (Louvain's ~9 self-references froze the
-    * sf0.1 sweep from round ~7; k-core's 3 stay tolerable to ~15
-    * rounds). The stripped leaf reports the default size estimate, so
-    * loops using this must place their broadcasts explicitly — which
-    * the graph family already does. */
-  def truncateFresh(df: DataFrame): DataFrame =
-    org.apache.spark.sql.GraftSqlShim.stripCarriedStats(truncate(df))
+  /** Historical name ([[truncate]] now measures instead of carrying,
+    * which subsumes the stripping): kept for call-site provenance in
+    * the iterative loops whose per-round plans reference the previous
+    * round's checkpoint many times. With MEASURED stats the carried
+    * size is a bounded constant per round (never a compounding
+    * estimate product), so the round-7 Louvain planning freeze cannot
+    * recur, and the planner can additionally broadcast the node-sized
+    * per-round frames the stripped-leaf era forced into exchanges. */
+  def truncateFresh(df: DataFrame): DataFrame = truncate(df)
 
   /** [[truncate]], but local blocks are stored SERIALIZED
     * (MEMORY_AND_DISK_SER) regardless of [[StorageKey]] — for
     * corpus-sized iterative state where deserialized row objects
     * would dominate the heap. Reliable mode is unaffected (a
-    * `checkpoint()` is already an on-disk byte image). */
+    * `checkpoint()` is already an on-disk byte image). Leaf stats are
+    * measured, as in [[truncate]] (serialized levels measure the
+    * UnsafeRow byte image — the closest proxy to shuffle/broadcast
+    * cost). */
   def truncateSer(df: DataFrame): DataFrame =
     if (isReliable(df.sparkSession)) df.checkpoint()
-    else df.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else org.apache.spark.sql.GraftSqlShim.withMeasuredStats(
+      df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** Delete the stable-storage files behind a frame a previous
     * [[truncate]] produced, once a successor has superseded it.

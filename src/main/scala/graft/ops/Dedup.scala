@@ -681,21 +681,22 @@ object Dedup {
                                      bucketTable: String, sigTable: String,
                                      bands: Int, rows: Int, numBuckets: Int,
                                      maxBucket: Int): Unit = {
-    // the two appends land in DIFFERENT tables and both read only the
-    // materialized signature frame, so they run concurrently (guide
-    // §2.6) — each bucketed write is a small sorted job whose
-    // scheduling tail the other backfills
-    val sigWrite = java.util.concurrent.CompletableFuture.runAsync(() =>
-      Bucketing.appendBucketedBy(sigs, sigTable, numBuckets,
-        Seq(idCol), Seq(idCol)))
-    try {
-      val buckets = capBuckets(
-        sigs.select(col(idCol),
-          posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
-        Seq("band", "bucket"), maxBucket)
-      Bucketing.appendBucketedBy(buckets, bucketTable, numBuckets,
-        Seq("band", "bucket"), Seq("band", "bucket"))
-    } finally sigWrite.join()
+    // ORDERED, sigs first (ADVICE r15 — reverting the round-15
+    // concurrent overlap): the probe path inner-joins bucket ids
+    // against sigTable, so a crash window where the bucket append
+    // committed but the sig append failed would leave buckets whose
+    // candidates silently drop from every later probe. Sig rows
+    // without bucket rows (the failure window of THIS order) are
+    // inert — never probed, absorbed by the next append or rebuild.
+    // The overlap was worth ~0.2 s/wave locally; the invariant wins.
+    Bucketing.appendBucketedBy(sigs, sigTable, numBuckets,
+      Seq(idCol), Seq(idCol))
+    val buckets = capBuckets(
+      sigs.select(col(idCol),
+        posexplode(lshBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
+    Bucketing.appendBucketedBy(buckets, bucketTable, numBuckets,
+      Seq("band", "bucket"), Seq("band", "bucket"))
   }
 
   /** Diff-driven index maintenance — [[corpusDiff]] composed into

@@ -130,10 +130,27 @@ object GraphState {
     // second job's tasks back-fill the first's scheduling tail);
     // stamps and swaps wait for both, keeping every crash window of
     // the sequential protocol.
-    val sWrite = java.util.concurrent.CompletableFuture.runAsync(() =>
-      newS.write.saveAsTable(s"${sT}__next"))
+    val sWrite = java.util.concurrent.CompletableFuture.runAsync { () =>
+      // common-pool threads don't reliably inherit the session
+      // thread-local (ADVICE r15): pin it so planning paths that
+      // consult getActiveSession see THIS session, not a default one
+      SparkSession.setActiveSession(newS.sparkSession)
+      newS.write.saveAsTable(s"${sT}__next")
+    }
+    // propagate either failure before any stamp — without masking: a
+    // join() failure inside a bare finally would REPLACE an in-flight
+    // edges-write exception (ADVICE r15), so it is attached as
+    // suppressed instead when both writes fail
+    var primary: Throwable = null
     try newE.write.saveAsTable(s"${eT}__next")
-    finally sWrite.join() // propagate either failure before any stamp
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      try sWrite.join()
+      catch {
+        case j: Throwable =>
+          if (primary == null) throw j else { primary.addSuppressed(j); () }
+      }
+    }
     stamp(spark, s"${sT}__next", ep)
     extraProps.foreach { case (key, v) =>
       spark.sql(s"ALTER TABLE ${sT}__next SET TBLPROPERTIES('$key'='$v')") }

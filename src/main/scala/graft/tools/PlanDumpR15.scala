@@ -29,7 +29,10 @@ object PlanDumpR15 {
     // execbefore/execafter pair isolates exactly that conf.
     val exec = suffix.startsWith("exec")
     Files.createDirectories(Paths.get(outDir))
-    val shj = sys.env.get("SPARK_GRAFT_PLANDUMP_SHJ")
+    // value-checked (ADVICE r15): "0"/"false"/anything but "1" keeps the
+    // Spark default, so an execbefore/execafter pair can't be silently
+    // produced with the conf ON in both legs
+    val shj = sys.env.get("SPARK_GRAFT_PLANDUMP_SHJ").filter(_ == "1")
       .map(_ => (64L * 1024 * 1024).toString).getOrElse("0")
     val spark = SparkSession.builder()
       .master("local[4]")

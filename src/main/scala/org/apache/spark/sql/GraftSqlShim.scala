@@ -70,6 +70,48 @@ object GraftSqlShim {
       case _ => df
     }
 
+  /** Rebuild a LOCALLY-CHECKPOINTED frame's `LogicalRDD` leaf with
+    * statistics MEASURED from its materialized storage blocks — the
+    * round-16 replacement for both failure modes of the carried
+    * estimate:
+    *
+    *  - carried ORIGIN-PLAN stats compound as size^k per round in
+    *    iterative loops (see [[stripCarriedStats]]) because they are
+    *    products of estimates, growing without bound;
+    *  - a STRIPPED leaf reports the default size estimate
+    *    (`spark.sql.defaultSizeInBytes` = Long.Max), so the planner
+    *    can never broadcast a per-round node-sized frame and every
+    *    loop join degrades to an exchange of the |E|-sized side.
+    *
+    * The measured size is the TRUE byte footprint of the checkpoint
+    * blocks (block-manager `memSize + diskSize` of the leaf RDD) — a
+    * bounded constant per round, so join-estimate products stay small
+    * BigInts (no planning blowup), and broadcast/SHJ decisions are
+    * made from data rather than defaults: a node-sized frontier frame
+    * broadcasts at local scale, the same code at 100 TB measures past
+    * the threshold and keeps the shuffle. No-op on frames whose root
+    * is not a checkpoint leaf or whose blocks are not registered
+    * (e.g. reliable `checkpoint()` files). */
+  def withMeasuredStats(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id) match {
+          case Some(info) =>
+            val bytes = math.max(1L, info.memSize + info.diskSize)
+            ofRows(df.sparkSession,
+              new org.apache.spark.sql.execution.LogicalRDD(
+                l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+                l.isStreaming, l.stream)(
+                df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+                Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+                  sizeInBytes = BigInt(bytes))),
+                None))
+          case None => df
+        }
+      case _ => df
+    }
+
   /** The config options accumulated on a not-yet-built session builder
     * — lets tests assert a builder pins the conf posture without paying
     * for a second SparkContext. `options` is `protected` in Scala but

@@ -69,6 +69,40 @@ class CheckpointingSpec extends SparkSpec {
     assert(minedAgain == minedLocal)
   }
 
+  test("local truncation carries MEASURED leaf statistics that drive broadcast planning") {
+    // round-16: the checkpoint leaf must report its true materialized
+    // byte size (not the origin plan's estimate, not the huge default
+    // a stripped leaf falls back to) so the planner can broadcast the
+    // node-sized per-round frames of the iterative graph loops
+    val small = Checkpointing.truncate(spark.range(0, 100).toDF("node"))
+    val sz = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz > 0 && sz < 10L * 1024 * 1024,
+      s"measured leaf size expected small and positive, got $sz")
+    val ser = Checkpointing.truncateSer(
+      spark.range(0, 100).select(col("id").as("a"), (col("id") + 1).as("b")))
+    val szSer = ser.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(szSer > 0 && szSer < 10L * 1024 * 1024,
+      s"measured serialized leaf size expected small and positive, got $szSer")
+    // the loop-join shape (k-core peel / Louvain round): big side
+    // semi-joined against a small truncated frame must plan a
+    // broadcast of the small side, with no exchange of the big side
+    val big = spark.range(0, 100000).toDF("node")
+    val plan = big.join(small, Seq("node"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a statically-planned broadcast semi join, got:\n$plan")
+    // round-to-round reset (the Louvain planning-freeze guard): a
+    // frame DERIVED from many references of a measured leaf, once
+    // truncated itself, reports its own measured size — a bounded
+    // constant, not a compounding estimate product
+    val derived = Checkpointing.truncate(
+      small.join(small.withColumnRenamed("node", "n2"),
+        col("node") === col("n2")))
+    val szD = derived.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(szD > 0 && szD < 10L * 1024 * 1024,
+      s"re-truncated frame must carry its own measured size, got $szD")
+  }
+
   test("CachedFrames dedups registrations by analyzed plan") {
     import graft.ops.CachedFrames
     CachedFrames.releaseAll()
